@@ -1,0 +1,117 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.types._
+
+/** Table loaders for the harness testdata (`/root/testdata/sf*`).
+  *
+  * The reference engine (ShadongLiu/Hadoop-and-Spark) reads every relational
+  * table twice — as pipe-delimited text parsed by positional index
+  * (`Q1.scala:53-56`) and as parquet immediately downgraded to `RDD[Row]`
+  * (`Q1.scala:59-62`) — and is graded on the two paths agreeing. Here both
+  * paths stay `DataFrame`s with one explicit schema per table, so Catalyst
+  * keeps column pruning + predicate pushdown on either encoding
+  * (`.explain` shows `PushedFilters`/`ReadSchema` reaching the scan).
+  *
+  * At 100 TB the parquet path is the primary one: scans are vectorized,
+  * filters hit row-group statistics, and only projected columns are read.
+  * The csv path exists for the reference's dual-format contract and for
+  * landing raw feeds; convert to parquet before heavy querying.
+  */
+object Tables {
+
+  /** Explicit schemas (see FIXTURES.md §1). Declaring them — rather than
+    * relying on inference — is what makes the csv path type-identical to
+    * the parquet path, mirroring the reference's graded text/parquet parity.
+    */
+  val schemas: Map[String, StructType] = Map(
+    "lineitem" -> StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_partkey", LongType),
+      StructField("l_suppkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_extendedprice", DoubleType),
+      StructField("l_discount", DoubleType),
+      StructField("l_tax", DoubleType),
+      StructField("l_returnflag", StringType),
+      StructField("l_linestatus", StringType),
+      StructField("l_shipdate", TimestampType))),
+    "orders" -> StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("o_orderstatus", StringType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderdate", TimestampType),
+      StructField("o_orderpriority", StringType))),
+    "customer" -> StructType(Seq(
+      StructField("c_custkey", LongType),
+      StructField("c_name", StringType),
+      StructField("c_nationkey", IntegerType),
+      StructField("c_acctbal", DoubleType),
+      StructField("c_mktsegment", StringType))),
+    "supplier" -> StructType(Seq(
+      StructField("s_suppkey", LongType),
+      StructField("s_name", StringType),
+      StructField("s_nationkey", IntegerType),
+      StructField("s_acctbal", DoubleType))),
+    "part" -> StructType(Seq(
+      StructField("p_partkey", LongType),
+      StructField("p_name", StringType),
+      StructField("p_brand", StringType),
+      StructField("p_type", StringType),
+      StructField("p_size", IntegerType),
+      StructField("p_retailprice", DoubleType))),
+    "nation" -> StructType(Seq(
+      StructField("n_nationkey", IntegerType),
+      StructField("n_name", StringType),
+      StructField("n_regionkey", IntegerType))),
+    "region" -> StructType(Seq(
+      StructField("r_regionkey", IntegerType),
+      StructField("r_name", StringType))),
+    "events" -> StructType(Seq(
+      StructField("event_id", LongType),
+      StructField("ts", TimestampType),
+      StructField("user_id", LongType),
+      StructField("event_type", StringType),
+      StructField("value", DoubleType),
+      StructField("props", StringType))),
+    "documents" -> StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("source", StringType),
+      StructField("n_chars", LongType))),
+    "embeddings" -> StructType(Seq(
+      StructField("vec_id", LongType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("label", IntegerType)))
+  )
+
+  /** Parquet scan (primary path). Kept as a DataFrame so pushdown/pruning
+    * survive — the reference defeats both by calling `.rdd` (`Q1.scala:59`).
+    */
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Pipe-delimited text scan with the same explicit schema — the
+    * reference's `.tbl` surface (`Q1.scala:53`, S2 in SURVEY §2.1).
+    */
+  def loadCsv(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read
+      .schema(schemas(name))
+      .option("sep", "|")
+      .option("timestampFormat", "yyyy-MM-dd['T'HH:mm:ss]")
+      .csv(s"$dir/$name.csv")
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "supplier")
+  def part(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "part")
+  def nation(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "region")
+  def events(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "events")
+  def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
+  def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+}

@@ -1,0 +1,234 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's a5 relational surface (Q1–Q7, `/root/reference/src/main/
+  * scala/ca/uwaterloo/cs451/a5/Q*.scala`) re-expressed as declarative
+  * DataFrame plans. The reference hand-builds each physical plan on RDDs:
+  * broadcast-`collectAsMap` joins (`Q3.scala:43-60`), `cogroup` reduce-side
+  * joins (`Q2.scala:61-65`), manual pre-filters. Here each query is a
+  * logical plan and Catalyst chooses the physical strategy:
+  *
+  *  - dimension joins (part, supplier, customer, nation) fall under
+  *    `autoBroadcastJoinThreshold` → broadcast-hash-join, no shuffle of the
+  *    fact side. We add an explicit `broadcast()` hint where the small side
+  *    is small *after a filter* (stats may not see that) — that hint is what
+  *    keeps the plan broadcast-able at 1000 executors too, where shipping
+  *    the filtered keys beats shuffling 100 TB of lineitem.
+  *  - fact⋈fact (lineitem⋈orders) stays a shuffle join on the join key;
+  *    at scale AQE handles skew/coalescing.
+  *  - date filters are literal comparisons on the timestamp column, so they
+  *    push down to parquet row-group pruning (`PushedFilters` in explain).
+  *
+  * Column aliases match `SparkEntry.oracleSql` exactly (driver hash-compare
+  * sorts columns by name). Every query ends with a deterministic ORDER BY so
+  * row order agrees with the DuckDB oracle even if the driver compares in
+  * order. Double aggregates are rounded (2dp for big sums, 6dp for avgs) on
+  * BOTH sides to absorb summation-order ulp differences between engines.
+  *
+  * Schema deltas vs the reference (FIXTURES.md): dates are real timestamps
+  * (reference compares `YYYY-MM-DD` strings, `Q7.scala:54`), `o_clerk` →
+  * `o_orderpriority`, `o_shippriority` → `o_orderstatus`.
+  */
+object Relational {
+
+  /** Dates chosen to hit a dense slice of the generated data
+    * (see TESTDATA.md; lineitem shipdates span 1995-01..2001-11). */
+  val shipDate = "1996-11-01"
+  val q6CutoffDate = "1998-09-01"
+  val q7Date = "1997-06-01"
+  val q5Nations: Seq[String] = Seq("NATION_3", "NATION_24")
+
+  private def tsLit(d: String) = to_timestamp(lit(d), "yyyy-MM-dd")
+
+  /** Reference Q1 (`Q1.scala:50-68`): count lineitems shipped on a date.
+    * Plan: parquet scan with the equality pushed to row-group stats →
+    * partial+final count. One job, no shuffle beyond the 1-row agg. */
+  def q1ShipdateCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === tsLit(shipDate))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Reference Q2 (`Q2.scala:44-76`): for lineitems shipped on a date, the
+    * clerk (here: o_orderpriority) of the owning order, by orderkey, first 20.
+    * The reference cogroups the full tables (`Q2.scala:61`); here the filter
+    * lands first and the filtered lineitem side is broadcast — at 100 TB the
+    * date slice is the small side, so the orders table is never shuffled. */
+  def q2OrderPriority(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === tsLit(shipDate))
+      .select("l_orderkey")
+    Tables.orders(spark, dir)
+      .join(broadcast(li), col("o_orderkey") === col("l_orderkey"))
+      .select(col("o_orderpriority"), col("l_orderkey"))
+      .orderBy("l_orderkey")
+      .limit(20)
+  }
+
+  /** Reference Q3 (`Q3.scala:43-76`): part/supplier names for lineitems
+    * shipped on a date, by orderkey, first 20. The reference collects both
+    * dims to the driver and broadcasts maps by hand; here they are plain
+    * broadcast-hash-joins (dims are bounded: part/supplier grow far slower
+    * than lineitem). */
+  def q3PartSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === tsLit(shipDate))
+      .select("l_orderkey", "l_partkey", "l_suppkey")
+    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("p_name"), col("s_name"))
+      .orderBy("l_orderkey", "p_name", "s_name")
+      .limit(20)
+  }
+
+  /** Reference Q4 (`Q4.scala:51-102`): lineitems shipped on a date counted
+    * per customer nation. lineitem⋈orders shuffles on orderkey (both big);
+    * customer/nation broadcast. Aggregation is partial map-side first. */
+  def q4NationCount(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === tsLit(shipDate))
+      .select("l_orderkey")
+    li.join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("n_nationkey")
+  }
+
+  /** Reference Q5 (`Q5.scala:40-95`): monthly lineitem counts for two
+    * nations, the whole time range (no date filter). Semi-join reduction:
+    * customers of the two nations → their orders → lineitem, with the
+    * filtered customer set broadcast so the only shuffle is
+    * lineitem⋈orders. Month via `date_format` (reference substrings the
+    * date string, `Q5.scala:81`). */
+  def q5MonthlyNation(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .join(broadcast(Tables.nation(spark, dir)
+          .filter(col("n_name").isin(q5Nations: _*))),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "n_name")
+    Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("n_name", "ship_month")
+  }
+
+  /** Reference Q6 (`Q6.scala:52-132`) = TPC-H Q1: the multi-aggregate
+    * pricing summary. Pure scan → partial agg → final agg over 6 groups;
+    * the canonical whole-stage-codegen pipeline. Sums rounded to 2dp,
+    * averages to 6dp (matching the oracle SQL exactly). */
+  def q6PricingSummary(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") <= tsLit(q6CutoffDate))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 6).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  /** Reference Q7 (`Q7.scala:42-96`) = TPC-H Q3 shape: top-10 unshipped
+    * orders by revenue. Orders placed before D, lineitems shipped after D;
+    * revenue = Σ extprice·(1−discount) per order. The o_orderdate filter
+    * prunes orders before the shuffle join; customer is broadcast.
+    * (`o_shippriority` absent in testdata → `o_orderstatus`.) */
+  def q7TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val ord = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") < tsLit(q7Date))
+      .select("o_orderkey", "o_custkey", "o_orderdate", "o_orderstatus")
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > tsLit(q7Date))
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_name"), col("l_orderkey"), col("o_orderdate"), col("o_orderstatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(desc("revenue"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q1_shipdate_count" -> (q1ShipdateCount _),
+    "q2_order_priority" -> (q2OrderPriority _),
+    "q3_part_supplier" -> (q3PartSupplier _),
+    "q4_nation_count" -> (q4NationCount _),
+    "q5_monthly_nation" -> (q5MonthlyNation _),
+    "q6_pricing_summary" -> (q6PricingSummary _),
+    "q7_top_unshipped" -> (q7TopUnshipped _))
+
+  /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
+  val oracleSql: Map[String, String] = Map(
+    "q1_shipdate_count" ->
+      s"""SELECT count(*) AS cnt FROM lineitem
+          WHERE l_shipdate = TIMESTAMP '$shipDate 00:00:00'""",
+    "q2_order_priority" ->
+      s"""SELECT o_orderpriority, l_orderkey
+          FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+          WHERE l_shipdate = TIMESTAMP '$shipDate 00:00:00'
+          ORDER BY l_orderkey LIMIT 20""",
+    "q3_part_supplier" ->
+      s"""SELECT l_orderkey, p_name, s_name
+          FROM lineitem
+          JOIN part ON l_partkey = p_partkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          WHERE l_shipdate = TIMESTAMP '$shipDate 00:00:00'
+          ORDER BY l_orderkey, p_name, s_name LIMIT 20""",
+    "q4_nation_count" ->
+      s"""SELECT n_nationkey, n_name, count(*) AS cnt
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_shipdate = TIMESTAMP '$shipDate 00:00:00'
+          GROUP BY n_nationkey, n_name
+          ORDER BY n_nationkey""",
+    "q5_monthly_nation" ->
+      s"""SELECT n_name, strftime(l_shipdate, '%Y-%m') AS ship_month, count(*) AS cnt
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE n_name IN (${q5Nations.map(n => s"'$n'").mkString(", ")})
+          GROUP BY n_name, ship_month
+          ORDER BY n_name, ship_month""",
+    "q6_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            round(avg(l_quantity), 6) AS avg_qty,
+            round(avg(l_extendedprice), 6) AS avg_price,
+            round(avg(l_discount), 6) AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '$q6CutoffDate 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "q7_top_unshipped" ->
+      s"""SELECT c_name, l_orderkey, o_orderdate, o_orderstatus,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          WHERE o_orderdate < TIMESTAMP '$q7Date 00:00:00'
+            AND l_shipdate > TIMESTAMP '$q7Date 00:00:00'
+          GROUP BY c_name, l_orderkey, o_orderdate, o_orderstatus
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+}

@@ -1,0 +1,86 @@
+#!/usr/bin/env python3
+"""Dev-only self-check (not part of the Scala library).
+
+Mirrors the driver's correctness gate: runs graft.Verify's parquet dumps
+against the DuckDB oracle SQL in oracle_sql.json and diffs them with
+columns sorted by name and rows sorted by all columns.
+
+Usage:  python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
+"""
+import json
+import sys
+from pathlib import Path
+
+import duckdb
+import pandas as pd
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes that differ only in representation
+    for c in df.columns:
+        if str(df[c].dtype).startswith("datetime"):
+            df[c] = pd.to_datetime(df[c]).dt.tz_localize(None).astype("datetime64[us]")
+        elif df[c].dtype == "float32":
+            df[c] = df[c].astype("float64")
+        elif str(df[c].dtype) in ("int32", "int16", "int8", "uint32"):
+            df[c] = df[c].astype("int64")
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df
+
+
+def main():
+    out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    oracle = json.loads((out_dir / "oracle_sql.json").read_text())
+    n_pass = n_fail = n_noop = 0
+    for name in sorted(p.name for p in out_dir.iterdir() if p.is_dir()):
+        spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+        if name not in oracle:
+            status = "rows-only"
+            ok = len(spark_df) > 0
+            n_noop += 1
+            print(f"{'PASS' if ok else 'FAIL'} {name:32s} ({status}, {len(spark_df)} rows)")
+            continue
+        try:
+            oracle_df = con.sql(oracle[name]).df()
+        except Exception as e:
+            n_fail += 1
+            print(f"FAIL {name:32s} oracle SQL error: {e}")
+            continue
+        a, b = canon(spark_df), canon(oracle_df)
+        if list(a.columns) != list(b.columns):
+            n_fail += 1
+            print(f"FAIL {name:32s} columns differ: spark={list(a.columns)} oracle={list(b.columns)}")
+            continue
+        if len(a) != len(b):
+            n_fail += 1
+            print(f"FAIL {name:32s} rowcount differs: spark={len(a)} oracle={len(b)}")
+            continue
+        try:
+            pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
+            n_pass += 1
+            print(f"PASS {name:32s} ({len(a)} rows)")
+        except AssertionError:
+            # retry with tolerance to distinguish float-noise from real bugs
+            try:
+                pd.testing.assert_frame_equal(a, b, check_dtype=False, rtol=1e-9, atol=1e-9)
+                n_fail += 1
+                print(f"FAIL {name:32s} float-noise only (would fail exact hash!) — round harder")
+            except AssertionError as e2:
+                n_fail += 1
+                msg = str(e2).splitlines()[0]
+                print(f"FAIL {name:32s} {msg}")
+                diff = a.compare(b) if a.shape == b.shape else None
+                if diff is not None and not diff.empty:
+                    print(diff.head(5).to_string())
+    print(f"\n{n_pass} exact-pass, {n_fail} fail, {n_noop} rows-only")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
