@@ -1,0 +1,38 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text-analytics column functions (SURVEY §2.8 F1–F7).
+  *
+  * The reference tokenizes with bespin's `Tokenizer.tokenize`
+  * (`WordCount.java:61`, trait mixed in at `PairsPMI.scala:42`): lowercase,
+  * strip non-alphanumerics, split. Re-expressed as pure `Column`
+  * expressions so the whole tokenize→explode→aggregate pipeline stays
+  * inside whole-stage codegen — no UDF, no serialization boundary; at
+  * 100 TB the tokenizer is the hot loop of every text job.
+  *
+  * The exact same semantics are mirrored in the DuckDB oracles as
+  * `list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), ...)`.
+  */
+object TextFunctions {
+
+  /** F1: lowercase, split on runs of non-alphanumerics, drop empties. */
+  def tokenize(c: Column): Column =
+    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+
+  /** F6: adjacent-pair (bigram) structs from a token array.
+    * `zip_with` pads the shorter side with null, so the trailing
+    * (last, null) pair is filtered out. Reference: `tokens.sliding(2)`
+    * (`ComputeBigramRelativeFrequencyPairs.scala:61`). */
+  def bigrams(toks: Column): Column =
+    filter(
+      zip_with(toks, slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => struct(a.as("w1"), b.as("w2"))),
+      p => p.getField("w2").isNotNull)
+
+  /** P9: the reference PMI jobs consider only the first 40 tokens of a
+    * line, deduplicated (`PairsPMI.scala:66-68`). */
+  def first40Distinct(toks: Column): Column =
+    array_distinct(slice(toks, 1, 40))
+}

@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's a0–a2 text-analytics surface over the `documents` table:
+  * word count (`WordCount.java`), next-word extraction (`PerfectX.java`),
+  * bigram relative frequency pairs/stripes
+  * (`ComputeBigramRelativeFrequency{Pairs,Stripes}.scala`), and pairs/stripes
+  * PMI (`PairsPMI.scala`, `StripesPMI.scala`).
+  *
+  * Design notes for scale + oracle parity:
+  *  - Everything is tokenize→explode→groupBy: map-side partial aggregation
+  *    is automatic (the reference hand-writes in-mapper combining,
+  *    `WordCount.java:68-99`), and the only shuffles are the groupBys on
+  *    word / pair keys. No driver-side collection anywhere.
+  *  - The pairs-vs-stripes dichotomy from the reference (per-pair rows vs
+  *    per-word maps) is preserved: pairs queries emit one row per pair;
+  *    stripes queries aggregate per-word sorted "w2:value" entry strings —
+  *    the map monoid (`HMapStFW.plus`) becomes collect_list + sort_array.
+  *  - Relative frequencies are emitted as a RAW double division (cnt/total):
+  *    a single IEEE division of two exact ints is bit-identical in Spark
+  *    and DuckDB, so no rounding is needed. Transcendentals (log10 for PMI)
+  *    are NOT bit-guaranteed across libm implementations, so PMI is rounded
+  *    to 6dp (tie-straddle probability ~1e-10). In stripe strings doubles
+  *    are encoded as floor(x·1e6) micro-units — floor of an identical
+  *    double is exact, dodging printf's half-even vs Java's half-up.
+  *  - The marginal-count trick the reference needs a special `(A,*)` key +
+  *    custom partitioner for (`ComputeBigramRelativeFrequencyPairs.scala:
+  *    62-82`) is a window sum over the w1 partition here (SURVEY A8).
+  */
+object TextAnalytics {
+
+  /** Word whose successors we count — the testdata analog of PerfectX's
+    * literal "perfect" (`PerfectX.java:61-72`); "data" is frequent in the
+    * generated corpus. */
+  val anchorWord = "data"
+  val pmiThreshold = 10
+
+  private def toks(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir).select(col("doc_id"), tokenize(col("text")).as("ws"))
+
+  /** A1: word count. */
+  def wordCount(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(explode(col("ws")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy("word")
+
+  /** P8: count words that immediately follow the anchor word. */
+  def nextWordCount(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(explode(bigrams(col("ws"))).as("bg"))
+      .filter(col("bg.w1") === anchorWord)
+      .select(col("bg.w2").as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+      .orderBy(desc("cnt"), col("word"))
+
+  /** A8: bigram relative frequency, pairs form — P(w2|w1) as one row per
+    * bigram. The w1-marginal is a window sum, not a second job. */
+  def bigramRelFreqPairs(spark: SparkSession, dir: String): DataFrame = {
+    val counts = toks(spark, dir)
+      .select(explode(bigrams(col("ws"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("relfreq",
+        col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy("w1")))
+      .orderBy("w1", "w2")
+  }
+
+  /** A9: bigram relative frequency, stripes form — per w1, the stripe map
+    * serialized as sorted `w2:⌊relfreq·1e6⌋` entries (exact across engines).
+    * Reference: `ComputeBigramRelativeFrequencyStripes.scala:70-84`. */
+  def bigramRelFreqStripes(spark: SparkSession, dir: String): DataFrame = {
+    val counts = toks(spark, dir)
+      .select(explode(bigrams(col("ws"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("micros",
+        floor(col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy("w1")) * 1e6)
+          .cast("long"))
+      .groupBy("w1")
+      .agg(
+        count(lit(1)).as("stripe_size"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("w2"), col("micros")))),
+            e => concat_ws(":", e.getField("w2"), e.getField("micros"))),
+          ",").as("stripe"))
+      .orderBy("w1")
+  }
+
+  /** Pair counts for PMI: per doc, first-40-distinct tokens, all ordered
+    * co-occurring pairs (`PairsPMI.scala:85`), plus per-word doc frequency
+    * and the doc count — all as one DataFrame DAG (the reference runs two
+    * MR jobs with an HDFS side-channel between them, SURVEY §3.2). */
+  private def pmi(spark: SparkSession, dir: String): DataFrame = {
+    val ws = toks(spark, dir).select(col("doc_id"), first40Distinct(col("ws")).as("ws"))
+    val ex = ws.select(col("doc_id"), explode(col("ws")).as("w"))
+    val wordCounts = ex.groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    val nDocs = ws.agg(count(lit(1)).as("n_docs"))
+    val pairCounts = ex.as("a")
+      .join(ex.as("b"), "doc_id")
+      .filter(col("a.w") =!= col("b.w"))
+      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= pmiThreshold)
+    pairCounts
+      .join(broadcast(wordCounts.withColumnRenamed("w", "w1").withColumnRenamed("wc", "c1")), "w1")
+      .join(broadcast(wordCounts.withColumnRenamed("w", "w2").withColumnRenamed("wc", "c2")), "w2")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("pmi",
+        log10(col("cnt").cast("double") * col("n_docs") / (col("c1").cast("double") * col("c2"))))
+  }
+
+  /** A10 pairs form: `(w1, w2, pmi, cnt)` for pairs co-occurring ≥10 times.
+    * Reference golden shape: `assignment1.md` Q4 `(maine, anjou) (3.63, 12)`. */
+  def pmiPairs(spark: SparkSession, dir: String): DataFrame =
+    pmi(spark, dir)
+      .select(col("w1"), col("w2"), round(col("pmi"), 6).as("pmi"), col("cnt"))
+      .orderBy("w1", "w2")
+
+  /** A10 stripes form: per w1, sorted `w2:⌊pmi·1e6⌋` stripe entries. */
+  def pmiStripes(spark: SparkSession, dir: String): DataFrame =
+    pmi(spark, dir)
+      .withColumn("micros", floor(col("pmi") * 1e6).cast("long"))
+      .groupBy("w1")
+      .agg(
+        count(lit(1)).as("stripe_size"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("w2"), col("micros")))),
+            e => concat_ws(":", e.getField("w2"), e.getField("micros"))),
+          ",").as("stripe"))
+      .orderBy("w1")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "wordcount" -> (wordCount _),
+    "next_word_count" -> (nextWordCount _),
+    "bigram_relfreq_pairs" -> (bigramRelFreqPairs _),
+    "bigram_relfreq_stripes" -> (bigramRelFreqStripes _),
+    "pmi_pairs" -> (pmiPairs _),
+    "pmi_stripes" -> (pmiStripes _))
+
+  /** Shared tokenizer CTE fragment for the DuckDB oracles. */
+  private val toksSql =
+    """toks AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> len(x) > 0) AS ws
+         FROM documents)"""
+
+  private val bigramSql =
+    s"""WITH $toksSql,
+        bg AS (
+          SELECT ws[i] AS w1, ws[i + 1] AS w2
+          FROM toks, unnest(range(1, len(ws))) AS u(i)),
+        counts AS (
+          SELECT w1, w2, count(*) AS cnt FROM bg GROUP BY w1, w2)"""
+
+  private val pmiSql =
+    s"""WITH $toksSql,
+        td AS (SELECT doc_id, list_distinct(ws[1:40]) AS ws FROM toks),
+        ex AS (SELECT doc_id, unnest(ws) AS w FROM td),
+        wc AS (SELECT w, count(*) AS wc FROM ex GROUP BY w),
+        nd AS (SELECT count(*) AS n_docs FROM td),
+        pc AS (
+          SELECT a.w AS w1, b.w AS w2, count(*) AS cnt
+          FROM ex a JOIN ex b USING (doc_id)
+          WHERE a.w <> b.w
+          GROUP BY a.w, b.w
+          HAVING count(*) >= $pmiThreshold),
+        pmi AS (
+          SELECT w1, w2, cnt,
+                 log10(cnt::DOUBLE * n_docs / (c1.wc::DOUBLE * c2.wc)) AS pmi
+          FROM pc
+          JOIN wc c1 ON pc.w1 = c1.w
+          JOIN wc c2 ON pc.w2 = c2.w
+          CROSS JOIN nd)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "wordcount" ->
+      s"""WITH $toksSql
+          SELECT w AS word, count(*) AS cnt
+          FROM (SELECT unnest(ws) AS w FROM toks)
+          GROUP BY w ORDER BY word""",
+    "next_word_count" ->
+      s"""$bigramSql
+          SELECT w2 AS word, cnt
+          FROM counts WHERE w1 = '$anchorWord'
+          ORDER BY cnt DESC, word""",
+    "bigram_relfreq_pairs" ->
+      s"""$bigramSql
+          SELECT w1, w2, cnt,
+                 cnt::DOUBLE / sum(cnt) OVER (PARTITION BY w1) AS relfreq
+          FROM counts ORDER BY w1, w2""",
+    "bigram_relfreq_stripes" ->
+      s"""$bigramSql,
+          micro AS (
+            SELECT w1, w2,
+                   CAST(floor(cnt::DOUBLE / sum(cnt) OVER (PARTITION BY w1) * 1e6) AS BIGINT) AS micros
+            FROM counts)
+          SELECT w1, count(*) AS stripe_size,
+                 string_agg(w2 || ':' || micros, ',' ORDER BY w2) AS stripe
+          FROM micro GROUP BY w1 ORDER BY w1""",
+    "pmi_pairs" ->
+      s"""$pmiSql
+          SELECT w1, w2, round(pmi, 6) AS pmi, cnt
+          FROM pmi ORDER BY w1, w2""",
+    "pmi_stripes" ->
+      s"""$pmiSql
+          SELECT w1, count(*) AS stripe_size,
+                 string_agg(w2 || ':' || CAST(floor(pmi * 1e6) AS BIGINT), ',' ORDER BY w2) AS stripe
+          FROM pmi GROUP BY w1 ORDER BY w1""")
+}
