@@ -18,10 +18,12 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.registry ++ TextAnalytics.registry
+    Relational.registry ++ TextAnalytics.registry ++ TextQuality.registry ++
+      Dedup.registry ++ Similarity.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TextAnalytics.oracleSql
+    Relational.oracleSql ++ TextAnalytics.oracleSql ++ TextQuality.oracleSql ++
+      Dedup.oracleSql ++ Similarity.oracleSql
 }

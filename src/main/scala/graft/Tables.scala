@@ -36,13 +36,13 @@ object Tables {
       StructField("l_tax", DoubleType),
       StructField("l_returnflag", StringType),
       StructField("l_linestatus", StringType),
-      StructField("l_shipdate", TimestampType))),
+      StructField("l_shipdate", TimestampNTZType))),
     "orders" -> StructType(Seq(
       StructField("o_orderkey", LongType),
       StructField("o_custkey", LongType),
       StructField("o_orderstatus", StringType),
       StructField("o_totalprice", DoubleType),
-      StructField("o_orderdate", TimestampType),
+      StructField("o_orderdate", TimestampNTZType),
       StructField("o_orderpriority", StringType))),
     "customer" -> StructType(Seq(
       StructField("c_custkey", LongType),
@@ -71,7 +71,7 @@ object Tables {
       StructField("r_name", StringType))),
     "events" -> StructType(Seq(
       StructField("event_id", LongType),
-      StructField("ts", TimestampType),
+      StructField("ts", TimestampNTZType),
       StructField("user_id", LongType),
       StructField("event_type", StringType),
       StructField("value", DoubleType),
@@ -101,7 +101,7 @@ object Tables {
     spark.read
       .schema(schemas(name))
       .option("sep", "|")
-      .option("timestampFormat", "yyyy-MM-dd['T'HH:mm:ss]")
+      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
       .csv(s"$dir/$name.csv")
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")

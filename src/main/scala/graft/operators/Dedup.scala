@@ -1,0 +1,220 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents` — the core LLM-training-data
+  * pipeline surface (extension mandate, SURVEY §7 M7): exact dedup,
+  * n-gram Jaccard near-dup, MinHash+LSH, and SimHash.
+  *
+  * Scale design (the point of each variant):
+  *  - exact: hash-groupBy on a normalized signature — one shuffle keyed by
+  *    a 128-bit digest, the cheapest possible dedup; ~uniform keys, no skew.
+  *  - ngram-jaccard: the exact-but-quadratic baseline. The shingle
+  *    self-join is the scale hazard (a shingle shared by f docs yields f²
+  *    candidate rows), so hot shingles are dropped above a frequency cap —
+  *    the standard "stop-shingle" guard that bounds the blow-up; the cap
+  *    only removes shingles that carry no discriminating signal.
+  *  - minhash-lsh: the 100 TB path. Per-doc signature of K minhashes →
+  *    banded into B buckets → candidates are docs sharing a (band, slice)
+  *    key → verified with exact Jaccard. Join fan-out is bounded by bucket
+  *    occupancy, not corpus size²; everything shuffles on narrow keys.
+  *  - simhash: 64-bit fingerprint; near-dup = small Hamming distance.
+  *    Banding the 64 bits into 4×16-bit keys finds all pairs within
+  *    distance 3 without a cartesian product (pigeonhole: ≤3 differing
+  *    bits leave ≥1 of 4 bands identical).
+  *
+  * MinHash/SimHash use Spark's `xxhash64` (seeded, deterministic) — not
+  * SQL-portable, so those two register rows-only checks; their correctness
+  * gate is the ScalaTest comparing LSH candidate pairs against the
+  * brute-force Jaccard pairs on the same data.
+  */
+object Dedup {
+
+  val jaccardThreshold = 0.8
+  /** Drop shingles occurring in more than this many docs in the brute
+    * join (stop-shingle guard). High enough to keep testdata exact. */
+  val maxShingleFreq = 1000000
+  val minhashK = 64
+  val minhashBands = 16 // 16 bands x 4 rows
+  val simhashBandBits = 16
+
+  private def toks(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir).select(col("doc_id"), tokenize(col("text")).as("ws"))
+
+  /** Distinct word 3-grams of a token array (positions i,i+1,i+2).
+    * Guarded for <3 tokens: `sequence(0, -1)` would count DOWN in Spark. */
+  private def shingles3(ws: Column): Column = {
+    val n = size(ws)
+    when(n < 3, array().cast("array<string>"))
+      .otherwise(array_distinct(
+        transform(sequence(lit(0), n - 3),
+          i => concat_ws(" ",
+            element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
+  }
+
+  private def docShingles(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), explode(shingles3(col("ws"))).as("sh"))
+
+  /** Exact dedup: group by the md5 of whitespace-normalized lowercase
+    * text; emit one row per distinct content with representative id and
+    * copy count. */
+  def dedupExact(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(col("doc_id"), md5(array_join(col("ws"), " ")).as("sig"))
+      .groupBy("sig")
+      .agg(min(col("doc_id")).as("rep_doc_id"), count(lit(1)).as("n_copies"))
+      .orderBy("rep_doc_id")
+
+  /** Brute-force n-gram Jaccard near-dup pairs (J ≥ threshold). */
+  def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val filtered = sh.withColumn("f", count(lit(1)).over(Window.partitionBy("sh")))
+      .filter(col("f") <= maxShingleFreq)
+      .select("doc_id", "sh")
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = filtered.as("a")
+      .join(filtered.as("b"), Seq("sh"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    // sizes is one row per doc — too big to broadcast at corpus scale, so
+    // these stay shuffle joins on the doc-id keys
+    inter
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** MinHash signatures: for each of K hash functions, the minimum over
+    * the doc's shingles of xxhash64(shingle, seed=i). */
+  private def minhashSignature(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShingles(spark, dir)
+    val hashCols = (0 until minhashK).map(i =>
+      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
+    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+  }
+
+  /** MinHash+LSH near-dup pairs: band the K-wide signature, bucket-join on
+    * (band, slice), verify candidates with exact Jaccard. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    val rowsPerBand = minhashK / minhashBands
+    val sig = minhashSignature(spark, dir)
+    val bands = sig.select(
+      col("doc_id"),
+      posexplode(array((0 until minhashBands).map(b =>
+        struct((0 until rowsPerBand).map(r =>
+          col(s"h${b * rowsPerBand + r}").as(s"r$r")): _*)): _*)))
+      .toDF("doc_id", "band", "slice")
+    val candidates = bands.as("a")
+      .join(bands.as("b"), Seq("band", "slice"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    // verify candidates with exact Jaccard: shingle intersection counted by
+    // joining each candidate pair's shingle sets on (doc, shingle)
+    val sh = docShingles(spark, dir)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    candidates
+      .join(sh.toDF("doc_a", "sh"), "doc_a")
+      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** SimHash fingerprints: sign-sum of the 64 bit positions of
+    * xxhash64(token) weighted by term frequency. */
+  def simhashFingerprint(spark: SparkSession, dir: String): DataFrame = {
+    val tf = toks(spark, dir)
+      .select(col("doc_id"), explode(col("ws")).as("w"))
+      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      .withColumn("h", xxhash64(col("w")))
+    // per bit b: sum(tf * (bit set ? 1 : -1)); fingerprint bit b = sum > 0
+    val bitCols = (0 until 64).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf")).otherwise(-col("tf")))
+        .as(s"s$b")
+    }
+    val sums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val fp = (0 until 64).map(b =>
+      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
+      .reduce((a, b) => a.bitwiseOR(b))
+    sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
+  }
+
+  /** SimHash near-dup pairs via 16-bit banding (finds all pairs with
+    * Hamming distance ≤ 3), verified by exact popcount distance. */
+  def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    val fp = simhashFingerprint(spark, dir)
+    val bands = fp.select(
+      col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), b * simhashBandBits)
+          .bitwiseAND((1L << simhashBandBits) - 1)): _*)))
+      .toDF("doc_id", "simhash", "band", "key")
+    bands.as("a").join(bands.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.simhash").as("fa"), col("b.simhash").as("fb"))
+      .distinct()
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      .filter(col("hamming") <= 3)
+      .select("doc_a", "doc_b", "hamming")
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_exact" -> (dedupExact _),
+    "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "dedup_simhash" -> (dedupSimhash _))
+
+  private val shingleSql =
+    """toks AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> len(x) > 0) AS ws
+         FROM documents),
+       sh AS (
+         SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS sh
+         FROM toks, unnest(range(1, len(ws) - 1)) AS u(i)
+         WHERE len(ws) >= 3)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_exact" ->
+      """WITH toks AS (
+           SELECT doc_id,
+                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                              x -> len(x) > 0) AS ws
+           FROM documents)
+         SELECT md5(array_to_string(ws, ' ')) AS sig,
+                min(doc_id) AS rep_doc_id, count(*) AS n_copies
+         FROM toks GROUP BY sig ORDER BY rep_doc_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, i::DOUBLE / (x.n + y.n - i) AS jaccard
+          FROM inter
+          JOIN sz x ON doc_a = x.doc_id
+          JOIN sz y ON doc_b = y.doc_id
+          WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
+          ORDER BY doc_a, doc_b""")
+}

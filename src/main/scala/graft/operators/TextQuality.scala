@@ -1,0 +1,143 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Training-data text-analysis operators over `documents` (the extension
+  * surface mandated beyond the reference: SURVEY §7 M7): language ID,
+  * quality scoring, token counting, and document fingerprinting.
+  *
+  * All four are pure per-row column expressions — no shuffle at all, so
+  * they scale linearly with input splits (at 100 TB these are
+  * scan-bound map-only jobs, the cheapest shape Spark has). Ratios are
+  * single int/int divisions (bit-identical across engines); the weighted
+  * quality score keeps one fixed left-to-right expression shape mirrored
+  * in the oracle so both engines evaluate identical IEEE operation
+  * sequences.
+  */
+object TextQuality {
+
+  /** Tiny English stopword list for the n-gram/stopword language
+    * heuristic — deliberately small and fixed, mirrored in the oracle. */
+  val enStopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "it")
+  val langThreshold = 0.02
+
+  private def docs(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        tokenize(col("text")).as("ws"))
+
+  private def stopCount(ws: Column): Column =
+    size(filter(ws, w => w.isInCollection(enStopwords)))
+
+  /** Token counting: whitespace tokens, distinct tokens, character and
+    * average-length stats. */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        size(col("ws")).as("n_tokens"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        length(col("text")).as("len_chars"),
+        (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double")
+          / size(col("ws"))).as("avg_token_len"))
+      .orderBy("doc_id")
+
+  /** Language ID: stopword-ratio heuristic (the container has no langid
+    * lib; the heuristic itself is the operator). */
+  def langId(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("stop_ratio",
+        stopCount(col("ws")).cast("double") / size(col("ws")))
+      .select(
+        col("doc_id"),
+        col("stop_ratio"),
+        when(col("stop_ratio") >= langThreshold, lit("en")).otherwise(lit("unknown"))
+          .as("pred_lang"),
+        col("lang").as("true_lang"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: length / stopword / lexical-diversity signals
+    * combined into one fixed-shape weighted score. */
+  def docQuality(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("n_tokens", size(col("ws")))
+      .withColumn("stop_ratio", stopCount(col("ws")).cast("double") / col("n_tokens"))
+      .withColumn("diversity",
+        size(array_distinct(col("ws"))).cast("double") / col("n_tokens"))
+      .withColumn("len_score",
+        least(col("n_chars").cast("double") / 400.0, lit(1.0)))
+      .select(
+        col("doc_id"), col("n_tokens"), col("stop_ratio"), col("diversity"),
+        col("len_score"),
+        round(col("len_score") * 0.4 + col("diversity") * 0.4 + col("stop_ratio") * 0.2, 6)
+          .as("quality"))
+      .orderBy("doc_id")
+
+  /** Document fingerprint: order-sensitive rolling hash over token codes
+    * (code = ascii(first char)·256 + len). Runs as a sequential fold
+    * inside `aggregate(...)` — still per-row, still codegen'd. */
+  def docFingerprint(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(
+        col("doc_id"),
+        aggregate(
+          transform(col("ws"), w => (ascii(substring(w, 1, 1)) * 256 + length(w)).cast("long")),
+          lit(0L),
+          (acc, x) => (acc * 31 + x) % 2147483647L).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "token_stats" -> (tokenStats _),
+    "lang_id" -> (langId _),
+    "doc_quality" -> (docQuality _),
+    "doc_fingerprint" -> (docFingerprint _))
+
+  private val toksSql =
+    """toks AS (
+         SELECT doc_id, text, lang, n_chars,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> len(x) > 0) AS ws
+         FROM documents)"""
+
+  private val stopSql =
+    s"len(list_filter(ws, w -> w IN (${enStopwords.map(w => s"'$w'").mkString(", ")})))"
+
+  val oracleSql: Map[String, String] = Map(
+    "token_stats" ->
+      s"""WITH $toksSql
+          SELECT doc_id,
+                 len(ws) AS n_tokens,
+                 len(list_distinct(ws)) AS n_distinct,
+                 length(text) AS len_chars,
+                 list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS avg_token_len
+          FROM toks ORDER BY doc_id""",
+    "lang_id" ->
+      s"""WITH $toksSql,
+          r AS (SELECT doc_id, lang, $stopSql::DOUBLE / len(ws) AS stop_ratio FROM toks)
+          SELECT doc_id, stop_ratio,
+                 CASE WHEN stop_ratio >= $langThreshold THEN 'en' ELSE 'unknown' END AS pred_lang,
+                 lang AS true_lang
+          FROM r ORDER BY doc_id""",
+    "doc_quality" ->
+      s"""WITH $toksSql,
+          r AS (
+            SELECT doc_id, n_chars, len(ws) AS n_tokens,
+                   $stopSql::DOUBLE / len(ws) AS stop_ratio,
+                   len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
+                   least(n_chars::DOUBLE / 400.0, 1.0) AS len_score
+            FROM toks)
+          SELECT doc_id, n_tokens, stop_ratio, diversity, len_score,
+                 round(len_score * 0.4 + diversity * 0.4 + stop_ratio * 0.2, 6) AS quality
+          FROM r ORDER BY doc_id""",
+    "doc_fingerprint" ->
+      s"""WITH $toksSql
+          SELECT doc_id,
+                 list_reduce(
+                   list_prepend(0::BIGINT,
+                     list_transform(ws, w -> (ascii(w[1]) * 256 + length(w))::BIGINT)),
+                   (acc, x) -> (acc * 31 + x) % 2147483647) AS fingerprint
+          FROM toks ORDER BY doc_id""")
+}

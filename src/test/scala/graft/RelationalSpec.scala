@@ -1,0 +1,53 @@
+package graft
+
+import graft.operators.Relational
+import org.apache.spark.sql.functions._
+
+class RelationalSpec extends GraftSpec {
+
+  test("q1 counts a dense ship date") {
+    val n = Relational.q1ShipdateCount(spark, sfDir).collect()(0).getLong(0)
+    assert(n > 0)
+  }
+
+  test("q6 pricing summary has the expected group structure") {
+    val rows = Relational.q6PricingSummary(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 6) // |returnflag| x |linestatus|
+    // avg must equal sum/count within rounding
+    rows.foreach { r =>
+      val sumQty = r.getAs[Double]("sum_qty")
+      val avgQty = r.getAs[Double]("avg_qty")
+      val n = r.getAs[Long]("count_order")
+      assert(math.abs(sumQty / n - avgQty) < 1e-4)
+    }
+  }
+
+  test("q7 top-10 is sorted by revenue desc") {
+    val revs = Relational.q7TopUnshipped(spark, sfDir)
+      .collect().map(_.getAs[Double]("revenue"))
+    assert(revs.length <= 10)
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("pipe-text and parquet scans agree (reference dual-format contract)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
+    for (t <- Seq("lineitem", "orders")) {
+      Tables.load(spark, sfDir, t)
+        .write.mode("overwrite")
+        .option("sep", "|")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(s"$tmp/$t.csv")
+    }
+    val pq = Tables.lineitem(spark, sfDir)
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(col("l_quantity")), max(col("o_orderdate")))
+      .collect()(0)
+    val csvLineitem = Tables.loadCsv(spark, tmp, "lineitem")
+    val csvOrders = Tables.loadCsv(spark, tmp, "orders")
+    val cv = csvLineitem
+      .join(csvOrders, col("l_orderkey") === col("o_orderkey"))
+      .agg(count(lit(1)), sum(col("l_quantity")), max(col("o_orderdate")))
+      .collect()(0)
+    assert(pq == cv)
+  }
+}
