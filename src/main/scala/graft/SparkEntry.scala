@@ -19,11 +19,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.registry ++ TextAnalytics.registry ++ TextQuality.registry ++
-      Dedup.registry ++ Similarity.registry
+      Dedup.registry ++ Similarity.registry ++ InvertedIndex.registry ++
+      EventAnalytics.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalytics.oracleSql ++ TextQuality.oracleSql ++
-      Dedup.oracleSql ++ Similarity.oracleSql
+      Dedup.oracleSql ++ Similarity.oracleSql ++ InvertedIndex.oracleSql ++
+      EventAnalytics.oracleSql
 }

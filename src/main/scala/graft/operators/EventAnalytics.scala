@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Batch-equivalent forms of the reference's a7 streaming computations
+  * over the `events` table (`event_id, ts, user_id, event_type, value`):
+  * hourly tumbling counts (`EventCount.scala:67-70`), region-keyed counts
+  * (`RegionEventCount.scala:77-114`), and the trend detector
+  * (`TrendingArrivals.scala:47-68`).
+  *
+  * These are the DuckDB-checkable batch semantics; the true Structured
+  * Streaming variants (file/memory source, `Trigger.AvailableNow`,
+  * `flatMapGroupsWithState`) live in `graft.streaming` and are verified by
+  * ScalaTest to produce the SAME rows as these batch queries — the
+  * batch/stream agreement is the differential test.
+  *
+  * The taxi geo bounding boxes (`RegionEventCount.scala:66-75`) have no
+  * lon/lat analog in testdata; the band predicate on `value` plays the
+  * same role (P6): a conjunctive range filter that routes each event to a
+  * named region.
+  */
+object EventAnalytics {
+
+  /** Value-band "regions" — the bounding-box analog. */
+  def regionOf(value: Column): Column =
+    when(value >= 75.0, lit("high"))
+      .when(value < 25.0, lit("low"))
+      .otherwise(lit(null).cast("string"))
+
+  /** R1: tumbling hourly count of all events. `window()` is the streaming
+    * primitive; its epoch-aligned start equals DuckDB's time_bucket. */
+  def eventCountHourly(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("hour_start"), col("cnt"))
+      .orderBy("hour_start")
+
+  /** R2: hourly counts keyed by region (events outside both bands drop,
+    * exactly like taxi events outside both geo boxes). */
+  def regionEventCount(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("region", regionOf(col("value")))
+      .filter(col("region").isNotNull)
+      .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("region"), col("w.start").as("hour_start"), col("cnt"))
+      .orderBy("region", "hour_start")
+
+  /** R4 batch form: per (event_type, 10-min window) arrival counts with
+    * the previous window's count and the reference's trend predicate
+    * `cur ≥ 2·prev && cur ≥ 10` (`TrendingArrivals.scala:53`). `prev` is
+    * the count of the window exactly 10 minutes earlier (0 if absent) —
+    * gap semantics identical to the streaming state machine. */
+  def trendingArrivals(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables.events(spark, dir)
+      .groupBy(col("event_type"), window(col("ts"), "10 minutes").as("w"))
+      .agg(count(lit(1)).as("cur"))
+      .select(col("event_type"), col("w.start").as("win_start"), col("cur"))
+    val prev = counts.select(
+      col("event_type"),
+      (col("win_start") + expr("INTERVAL 10 MINUTES")).as("win_start"),
+      col("cur").as("prev"))
+    counts.join(prev, Seq("event_type", "win_start"), "left")
+      .na.fill(0L, Seq("prev"))
+      .withColumn("is_trending", col("cur") >= col("prev") * 2 && col("cur") >= 10)
+      .orderBy("event_type", "win_start")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "event_count_hourly" -> (eventCountHourly _),
+    "region_event_count" -> (regionEventCount _),
+    "trending_arrivals" -> (trendingArrivals _))
+
+  val oracleSql: Map[String, String] = Map(
+    "event_count_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
+         FROM events GROUP BY hour_start ORDER BY hour_start""",
+    "region_event_count" ->
+      """WITH r AS (
+           SELECT CASE WHEN value >= 75.0 THEN 'high'
+                       WHEN value < 25.0 THEN 'low' END AS region, ts
+           FROM events)
+         SELECT region, time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
+         FROM r WHERE region IS NOT NULL
+         GROUP BY region, hour_start ORDER BY region, hour_start""",
+    "trending_arrivals" ->
+      """WITH counts AS (
+           SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+                  count(*) AS cur
+           FROM events GROUP BY event_type, win_start)
+         SELECT c.event_type, c.win_start, c.cur,
+                coalesce(p.cur, 0) AS prev,
+                (c.cur >= coalesce(p.cur, 0) * 2 AND c.cur >= 10) AS is_trending
+         FROM counts c
+         LEFT JOIN counts p
+           ON p.event_type = c.event_type
+          AND p.win_start = c.win_start - INTERVAL '10 minutes'
+         ORDER BY c.event_type, c.win_start""")
+}

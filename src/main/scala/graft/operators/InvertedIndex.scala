@@ -1,0 +1,124 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's a3 surface: compressed inverted indexing
+  * (`BuildInvertedIndexCompressed.java`) and boolean AND/OR retrieval
+  * (`BooleanRetrievalCompressed.java`), re-expressed relationally.
+  *
+  * The reference hand-builds the postings byte format — d-gap + VInt
+  * (`BuildInvertedIndexCompressed.java:127-133`) — and a secondary sort so
+  * each reducer streams `(term, docno)` in order (`:75-80,156-161`). On
+  * Spark the logical structure (`term → sorted postings`) is what we keep:
+  * `groupBy(term).agg(sort_array(collect_list(struct(docno, tf))))`
+  * replaces the secondary sort (SURVEY A12/O6), and parquet's dictionary/
+  * RLE/delta encodings replace the hand-rolled compression when the index
+  * is persisted (S6 → parquet). Point lookups become partition-pruned
+  * filters on the term column.
+  *
+  * Boolean retrieval keeps the reference's postfix stack evaluator
+  * (`BooleanRetrievalCompressed.java:73-92`) as a driver-side fold over
+  * doc-set DataFrames — the "query planner" runs on the driver, the sets
+  * never leave the cluster (T1/T2/T3).
+  */
+object InvertedIndex {
+
+  /** Postfix boolean query over the documents corpus — the testdata analog
+    * of the reference's graded `big data AND hadoop spark OR AND`
+    * (assignment3.md Q3): (key AND value) AND (spark OR stream). */
+  val retrievalQuery: Seq[String] = Seq("key", "value", "AND", "spark", "stream", "OR", "AND")
+
+  /** (doc_id, term, tf) — term frequencies per document. */
+  private def termFreqs(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("term", "doc_id")
+      .agg(count(lit(1)).as("tf"))
+
+  /** Flattened index: one row per posting with the term's document
+    * frequency (A13) — the oracle-friendly projection of the index. */
+  def invertedIndexFlat(spark: SparkSession, dir: String): DataFrame =
+    termFreqs(spark, dir)
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+      .select(col("term"), col("df"), col("doc_id").as("docno"), col("tf"))
+      .orderBy("term", "docno")
+
+  /** Packed index: `term → df, "docno:tf,…"` with postings sorted by docno
+    * — the logical MapFile record (A12), string-serialized so the DuckDB
+    * oracle can hash-match it exactly (integers only, no float formatting).
+    */
+  def invertedIndexPacked(spark: SparkSession, dir: String): DataFrame =
+    termFreqs(spark, dir)
+      .groupBy("term")
+      .agg(
+        count(lit(1)).as("df"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
+            p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))),
+          ",").as("postings"))
+      .orderBy("term")
+
+  /** Postfix stack evaluation: terms push doc-id sets; AND intersects,
+    * OR unions. Returns matching docs with a text excerpt (the S11
+    * "seek the collection at docno" analog is a join back to documents). */
+  def booleanRetrieval(spark: SparkSession, dir: String): DataFrame = {
+    val docSets = termFreqs(spark, dir)
+    def termDocs(t: String) = docSets.filter(col("term") === t).select("doc_id")
+    val result = retrievalQuery.foldLeft(List.empty[DataFrame]) {
+      case (a :: b :: rest, "AND") => b.intersect(a) :: rest
+      case (a :: b :: rest, "OR") => b.union(a).distinct() :: rest
+      case (stack, term) => termDocs(term) :: stack
+    }.head
+    result
+      .join(Tables.documents(spark, dir), "doc_id")
+      .select(col("doc_id"), substring(col("text"), 1, 60).as("excerpt"))
+      .orderBy("doc_id")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "inverted_index_flat" -> (invertedIndexFlat _),
+    "inverted_index_packed" -> (invertedIndexPacked _),
+    "boolean_retrieval" -> (booleanRetrieval _))
+
+  private val tfSql =
+    """toks AS (
+         SELECT doc_id,
+                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
+                            x -> len(x) > 0) AS ws
+         FROM documents),
+       tf AS (
+         SELECT w AS term, doc_id, count(*) AS tf
+         FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+         GROUP BY w, doc_id)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "inverted_index_flat" ->
+      s"""WITH $tfSql
+          SELECT term, count(*) OVER (PARTITION BY term) AS df,
+                 doc_id AS docno, tf
+          FROM tf ORDER BY term, docno""",
+    "inverted_index_packed" ->
+      s"""WITH $tfSql
+          SELECT term, count(*) AS df,
+                 string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+          FROM tf GROUP BY term ORDER BY term""",
+    "boolean_retrieval" ->
+      s"""WITH $tfSql
+          SELECT d.doc_id, substr(d.text, 1, 60) AS excerpt
+          FROM documents d
+          WHERE d.doc_id IN (
+            SELECT doc_id FROM (
+              (SELECT doc_id FROM tf WHERE term = 'key'
+               INTERSECT
+               SELECT doc_id FROM tf WHERE term = 'value')
+              INTERSECT
+              (SELECT doc_id FROM tf WHERE term = 'spark'
+               UNION
+               SELECT doc_id FROM tf WHERE term = 'stream')))
+          ORDER BY d.doc_id""")
+}
