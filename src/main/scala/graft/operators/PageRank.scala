@@ -1,0 +1,133 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's a4 surface: multi-source personalized PageRank
+  * (`RunPersonalizedPageRankBasic.java`) and per-source top-k extraction
+  * (`ExtractTopPersonalizedPageRankNodes.java`).
+  *
+  * Reference mechanics → Spark mapping (SURVEY G1–G5):
+  *  - mass distribution (`:105-148`) → explode the adjacency join:
+  *    ranks ⋈ edges, contribution = rank/outdeg, `groupBy(dst).sum`.
+  *  - log-space `sumLogProbs` (`:595-607`) → plain double sums. The
+  *    reference needs log-space because Writable floats underflow on big
+  *    graphs; doubles with mass ≥ alpha·(1−alpha)^k keep 10 iterations far
+  *    from underflow. Documented deviation; numerics verified in ScalaTest
+  *    against a dense driver-side reference implementation.
+  *  - dangling mass + teleport (`:308-361,525-539`): the driver collects
+  *    one scalar per source per iteration (exactly the reference's
+  *    side-file feedback, §3.3) and folds it into the source's teleport:
+  *    r'(v) = (1−α)·(Σ contribs + D·[v=s]) + α·[v=s].
+  *  - iteration (`:439-444`) → a driver `for` loop over DataFrames with
+  *    eager `localCheckpoint` per iteration to truncate lineage — without
+  *    it the plan doubles every iteration and the optimizer, not the
+  *    cluster, becomes the bottleneck.
+  *
+  * The graph: bipartite part↔supplier edges from lineitem (part p ↔ node
+  * P+s for supplier s), both directions, deduplicated. At 100 TB the
+  * edge build is one distinct over a projected scan; each iteration is
+  * one shuffle keyed by node id — AQE handles degree skew (salt hot nodes
+  * if a power-law graph makes one reducer hot).
+  */
+object PageRank {
+
+  val alpha = 0.15
+  val iterations = 10
+  val sources: Seq[Long] = Seq(0L, 1L)
+  val topK = 20
+
+  /** part↔supplier edges from lineitem; supplier s becomes node maxPart+1+s. */
+  def graphEdges(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+    val offset = Tables.part(spark, dir).agg(max("p_partkey")).collect()(0).getLong(0) + 1L
+    val fwd = li.select(col("l_partkey").as("src"), (col("l_suppkey") + offset).as("dst"))
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+  }
+
+  /** Personalized PageRank ranks for all sources: (source, node, rank). */
+  def personalizedPageRank(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
+    val adj = edges.cache()
+    val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val nodes = adj.select(col("src").as("node")).distinct()
+      .union(spark.createDataFrame(sources.map(Tuple1(_))).toDF("node"))
+      .distinct().cache()
+    val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
+
+    // ranks: one row per (source, node) with nonzero mass; init: source=1.0
+    var ranks = srcDf.select(col("source"), col("source").as("node"), lit(1.0).as("rank"))
+
+    for (_ <- 1 to iterations) {
+      // seed a zero-mass row per source so the teleport term below always
+      // has a row to land on, even when the source gets no incoming mass
+      val seed = srcDf.select(col("source"), col("source").as("node"),
+        lit(0.0).as("contrib"))
+      val contribs = ranks
+        .join(outdeg, col("node") === col("src"))
+        .join(adj, "src")
+        .select(col("source"), col("dst").as("node"),
+          (col("rank") / col("outdeg")).as("contrib"))
+        .unionByName(seed)
+        .groupBy("source", "node")
+        .agg(sum("contrib").as("mass"))
+      // dangling mass per source: rank sitting on nodes with no out-edges
+      val danglingRows = ranks
+        .join(outdeg, col("node") === col("src"), "left_anti")
+        .groupBy("source").agg(sum("rank").as("d"))
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      val dangling = typedLit(sources.map(s => s -> danglingRows.getOrElse(s, 0.0)).toMap)
+      ranks = contribs
+        .withColumn("rank",
+          (lit(1.0) - alpha) *
+            (col("mass") +
+              when(col("node") === col("source"),
+                element_at(dangling, col("source"))).otherwise(0.0)) +
+            when(col("node") === col("source"), alpha).otherwise(0.0))
+        .select("source", "node", "rank")
+        .localCheckpoint(true) // truncate lineage each iteration
+    }
+    ranks
+  }
+
+  /** G5/O5: top-k nodes per source by rank (the window form the reference
+    * builds with bounded priority queues + a single reducer). */
+  def pprTopK(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = personalizedPageRank(spark, dir, graphEdges(spark, dir))
+    ranks
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("rank"), col("node"))))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("node"), round(col("rank"), 6).as("rank"), col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
+  /** O5 standalone: top-5 events by value per event_type — the windowed
+    * top-k operator on its own, DuckDB-checkable (value is untouched
+    * parquet data, bit-exact in both engines). */
+  def topkByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("event_type").orderBy(desc("value"), col("event_id"))))
+      .filter(col("rnk") <= 5)
+      .select(col("event_type"), col("event_id"), col("value"), col("rnk"))
+      .orderBy("event_type", "rnk")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "topk_by_group" -> (topkByGroup _),
+    "ppr_topk" -> (pprTopK _))
+
+  /** ppr_topk is iterative (driver loop) — not oracle-SQL-expressible;
+    * gated by the ScalaTest dense-reference comparison instead. */
+  val oracleSql: Map[String, String] = Map(
+    "topk_by_group" ->
+      """WITH ranked AS (
+           SELECT event_type, event_id, value,
+                  row_number() OVER (
+                    PARTITION BY event_type ORDER BY value DESC, event_id) AS rnk
+           FROM events)
+         SELECT event_type, event_id, value, rnk
+         FROM ranked WHERE rnk <= 5
+         ORDER BY event_type, rnk""")
+}

@@ -1,0 +1,120 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's a6 surface: online logistic-regression spam
+  * classification (`TrainSpamClassifier.scala`, `ApplySpamClassifier.scala`,
+  * `ApplyEnsembleSpamClassifier.scala`) over hashed term features.
+  *
+  * The reference's core semantic quirk is **enforced sequentiality**: it
+  * trains with `groupByKey(1)` so a single reducer folds every instance in
+  * order, updating a mutable weight map (`TrainSpamClassifier.scala:70-99`,
+  * SGD step `w[f] += (y−p)·δ`, δ=0.002). That sequential fold IS the
+  * algorithm (order changes the model), so here it is a
+  * `repartition(1).sortWithinPartitions(...).mapPartitions` fold — the one
+  * place in this engine where a semantic demands giving up parallelism
+  * (SURVEY G6). Everything around it (featurization, scoring, ensembling)
+  * is fully distributed.
+  *
+  * The reference's corpus isn't in-repo (FIXTURES §2), so instances are
+  * derived deterministically from `documents`: features = murmur3-hashed
+  * tokens mod B (exactly the reference's hashed-feature space), label =
+  * presence of the token "spark" (a learnable target whose signal is one
+  * feature — the trained model must discover it, which the ScalaTest
+  * asserts via training-set accuracy).
+  *
+  * Scoring (G7): explode features ⋈ broadcast weights → per-doc sum —
+  * spamminess = Σ w(f), spam iff > 0 (`ApplySpamClassifier.scala:60-82`).
+  * Ensemble (G8): three models on doc_id mod 3 splits; mean score and
+  * majority vote (`ApplyEnsembleSpamClassifier.scala:75-107`).
+  */
+object SpamClassifier {
+
+  val featureBuckets = 1009
+  val delta = 0.002
+  val labelToken = "spark"
+
+  /** (doc_id, label, features[int]) — deterministic hashed featurization. */
+  def instances(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), tokenize(col("text")).as("ws"))
+      .select(
+        col("doc_id"),
+        when(array_contains(col("ws"), labelToken), 1).otherwise(0).as("label"),
+        array_sort(array_distinct(transform(col("ws"),
+          w => pmod(hash(w), lit(featureBuckets))))).as("features"))
+
+  /** G6: sequential single-pass SGD in doc_id order; returns the model as
+    * a small (feature, weight) DataFrame. */
+  def train(spark: SparkSession, instancesDf: DataFrame): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val folded = instancesDf
+      .select(col("doc_id"), col("label"), col("features"))
+      .as[(Long, Int, Seq[Int])]
+      .repartition(1)
+      .sortWithinPartitions("doc_id")
+      .mapPartitions { it =>
+        val w = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+        it.foreach { case (_, label, features) =>
+          val score = features.iterator.map(w).sum
+          val p = 1.0 / (1.0 + math.exp(-score))
+          val g = (label - p) * delta
+          features.foreach(f => w(f) += g)
+        }
+        w.iterator.map { case (f, wt) => (f, wt) }
+      }
+    folded.toDF("feature", "weight")
+  }
+
+  def spamTrain(spark: SparkSession, dir: String): DataFrame =
+    train(spark, instances(spark, dir)).orderBy("feature")
+
+  /** G7: score = Σ w(f) over the doc's features; spam iff score > 0. */
+  def score(instancesDf: DataFrame, model: DataFrame, scoreName: String): DataFrame =
+    instancesDf
+      .select(col("doc_id"), col("label"), explode(col("features")).as("feature"))
+      .join(broadcast(model), Seq("feature"), "left")
+      .na.fill(0.0, Seq("weight"))
+      .groupBy("doc_id", "label")
+      .agg(sum("weight").as(scoreName))
+
+  def spamApply(spark: SparkSession, dir: String): DataFrame = {
+    val inst = instances(spark, dir)
+    score(inst, train(spark, inst), "score")
+      .select(col("doc_id"), col("label"), round(col("score"), 6).as("score"),
+        (col("score") > 0).as("pred_spam"))
+      .orderBy("doc_id")
+  }
+
+  /** G8: three models on disjoint doc_id mod 3 splits; average-score and
+    * majority-vote ensembles. */
+  def spamEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val inst = instances(spark, dir).cache()
+    val scored = (0 until 3).map { k =>
+      val model = train(spark, inst.filter(pmod(col("doc_id"), lit(3)) === k))
+      score(inst, model, s"score$k")
+    }
+    scored.reduce((a, b) => a.join(b, Seq("doc_id", "label")))
+      .withColumn("avg_score",
+        round((col("score0") + col("score1") + col("score2")) / 3.0, 6))
+      .withColumn("votes",
+        (col("score0") > 0).cast("int") + (col("score1") > 0).cast("int") +
+          (col("score2") > 0).cast("int"))
+      .select(col("doc_id"), col("label"), col("avg_score"),
+        (col("avg_score") > 0).as("pred_avg"), (col("votes") >= 2).as("pred_vote"))
+      .orderBy("doc_id")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "spam_train" -> (spamTrain _),
+    "spam_apply" -> (spamApply _),
+    "spam_ensemble" -> (spamEnsemble _))
+
+  /** Sequential SGD isn't SQL-expressible — all three are rows-only here;
+    * determinism + learnability are gated in SpamSpec. */
+  val oracleSql: Map[String, String] = Map.empty
+}

@@ -1,0 +1,69 @@
+package graft
+
+import graft.operators.PageRank
+import org.apache.spark.sql.functions._
+
+class PageRankSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Dense driver-side PPR for cross-checking the distributed loop:
+    * r' = (1−α)(Mᵀr + D·e_s) + α·e_s. */
+  private def densePpr(edges: Seq[(Long, Long)], source: Long,
+      alpha: Double, iters: Int): Map[Long, Double] = {
+    val nodes = (edges.flatMap(e => Seq(e._1, e._2)) :+ source).distinct.sorted
+    val idx = nodes.zipWithIndex.toMap
+    val out = edges.groupBy(_._1).map { case (s, es) => idx(s) -> es.map(e => idx(e._2)) }
+    var r = Array.tabulate(nodes.length)(i => if (nodes(i) == source) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val next = Array.fill(nodes.length)(0.0)
+      var dangling = 0.0
+      for (i <- nodes.indices) {
+        out.get(i) match {
+          case Some(ns) => ns.foreach(j => next(j) += r(i) / ns.length)
+          case None => dangling += r(i)
+        }
+      }
+      val s = idx(source)
+      r = Array.tabulate(nodes.length)(j =>
+        (1 - alpha) * (next(j) + (if (j == s) dangling else 0.0)) +
+          (if (j == s) alpha else 0.0))
+    }
+    nodes.zip(r).toMap
+  }
+
+  test("distributed PPR matches the dense reference on a literal graph") {
+    // 5-node graph with a dangling node (4) and a cycle, as FIXTURES §2 suggests
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+    val edgesDf = edges.toDF("src", "dst")
+    val got = PageRank.personalizedPageRank(spark, sfDir, edgesDf)
+      .collect()
+      .map(r => (r.getAs[Long]("source"), r.getAs[Long]("node")) -> r.getAs[Double]("rank"))
+      .toMap
+    for (s <- PageRank.sources) {
+      val want = densePpr(edges, s, PageRank.alpha, PageRank.iterations)
+      want.foreach { case (node, rank) =>
+        val g = got.getOrElse((s, node), 0.0)
+        assert(math.abs(g - rank) < 1e-9, s"source $s node $node: $g vs $rank")
+      }
+    }
+  }
+
+  test("PPR mass per source sums to 1") {
+    val sums = PageRank.personalizedPageRank(
+        spark, sfDir, PageRank.graphEdges(spark, sfDir))
+      .groupBy("source").agg(sum("rank").as("s"))
+      .collect().map(_.getAs[Double]("s"))
+    assert(sums.length == PageRank.sources.length)
+    sums.foreach(s => assert(math.abs(s - 1.0) < 1e-6, s"mass $s"))
+  }
+
+  test("ppr_topk is ranked and rooted at each source") {
+    val rows = PageRank.pprTopK(spark, sfDir).collect()
+    val bySource = rows.groupBy(_.getAs[Long]("source"))
+    assert(bySource.keySet == PageRank.sources.toSet)
+    bySource.foreach { case (s, rs) =>
+      // the source itself holds the largest personalized mass
+      assert(rs.minBy(_.getAs[Int]("rnk")).getAs[Long]("node") == s)
+    }
+  }
+}

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.SpamClassifier
+
+class SpamSpec extends GraftSpec {
+  import spark.implicits._
+
+  /** Cleanly separable synthetic corpus: features 0–9 appear only in spam,
+    * 10–19 only in ham, 20–29 in both (noise). */
+  private def synthetic(n: Int): org.apache.spark.sql.DataFrame = {
+    val rng = new scala.util.Random(7)
+    (0 until n).map { i =>
+      val label = i % 2
+      val signal = if (label == 1) Seq(i % 10) else Seq(10 + i % 10)
+      val noise = Seq(20 + rng.nextInt(10), 20 + rng.nextInt(10)).distinct
+      (i.toLong, label, (signal ++ noise).sorted)
+    }.toDF("doc_id", "label", "features")
+  }
+
+  test("training is deterministic (sequential fold in fixed order)") {
+    val w1 = SpamClassifier.spamTrain(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val w2 = SpamClassifier.spamTrain(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(w1 == w2)
+    assert(w1.nonEmpty)
+  }
+
+  test("single-pass SGD separates a linearly-separable corpus") {
+    val inst = synthetic(400)
+    val model = SpamClassifier.train(spark, inst)
+    val rows = SpamClassifier.score(inst, model, "score").collect()
+    val acc = rows.count(r =>
+      (r.getAs[Double]("score") > 0) == (r.getAs[Int]("label") == 1)
+    ).toDouble / rows.length
+    assert(acc >= 0.95, s"train accuracy $acc")
+  }
+
+  test("spam queries run end-to-end on documents and stay consistent") {
+    val applied = SpamClassifier.spamApply(spark, sfDir).collect()
+    assert(applied.nonEmpty)
+    // pred must equal score>0 row-wise
+    applied.foreach { r =>
+      assert(r.getAs[Boolean]("pred_spam") == (r.getAs[Double]("score") > 0))
+    }
+    val ens = SpamClassifier.spamEnsemble(spark, sfDir).collect()
+    assert(ens.length == applied.length)
+  }
+}

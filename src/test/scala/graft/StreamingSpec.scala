@@ -1,0 +1,73 @@
+package graft
+
+import graft.operators.EventAnalytics
+import graft.streaming.{KeyedEvent, StreamingJobs}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+class StreamingSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("streaming hourly counts equal the batch query (file source, AvailableNow)") {
+    // land events as µs-timestamped parquet the file source can read
+    val tmp = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val batchDf = Tables.events(spark, sfDir)
+    batchDf.write.mode("overwrite").parquet(s"$tmp/events")
+    val stream = spark.readStream
+      .schema(batchDf.schema)
+      .parquet(s"$tmp/events")
+    val q = StreamingJobs.hourlyCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("hourly_out")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("hourly_out")
+      .collect().map(r => r.getAs[java.time.LocalDateTime](0) -> r.getLong(1)).toMap
+    val want = EventAnalytics.eventCountHourly(spark, sfDir)
+      .collect().map(r => r.getAs[java.time.LocalDateTime](0) -> r.getLong(1)).toMap
+    assert(got == want)
+  }
+
+  test("trend state machine matches the batch trending query on replayed events") {
+    implicit val sc = spark.sqlContext
+    val windowMicros = 10L * 60 * 1000 * 1000
+    val events = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[KeyedEvent]
+      .collect().sortBy(_.tsMicros)
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamingJobs.detectTrends(input.toDS(), windowMicros)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("trend_out")
+      .start()
+    // replay in three ordered batches (the reference's per-minute queueStream)
+    events.grouped(math.max(1, events.length / 3 + 1)).foreach { batch =>
+      input.addData(batch.toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val got = spark.table("trend_out")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    val want = EventAnalytics.trendingArrivals(spark, sfDir).collect().map { r =>
+      val winMicros = r.getAs[java.time.LocalDateTime]("win_start")
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000
+      (r.getAs[String]("event_type"), winMicros) ->
+        (r.getAs[Long]("cur"), r.getAs[Long]("prev"), r.getAs[Boolean]("is_trending"))
+    }.toMap
+    // streaming emits a window only when it closes: every key's last window
+    // is still open, so streaming = batch minus one trailing window per key
+    val keys = want.keys.map(_._1).toSet
+    assert(got.size == want.size - keys.size,
+      s"got ${got.size}, want ${want.size} minus ${keys.size} open windows")
+    got.foreach { case (k, v) =>
+      assert(want.contains(k), s"unexpected window $k")
+      assert(want(k) == v, s"window $k: streaming $v vs batch ${want(k)}")
+    }
+  }
+}
