@@ -20,12 +20,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Relational.registry ++ TextAnalytics.registry ++ TextQuality.registry ++
       Dedup.registry ++ Similarity.registry ++ InvertedIndex.registry ++
-      EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry
+      EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry ++
+      Multimodal.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     Relational.oracleSql ++ TextAnalytics.oracleSql ++ TextQuality.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ InvertedIndex.oracleSql ++
-      EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql
+      EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql ++
+      Multimodal.oracleSql
 }

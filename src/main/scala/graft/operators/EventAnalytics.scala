@@ -69,10 +69,21 @@ object EventAnalytics {
       .orderBy("event_type", "win_start")
   }
 
+  /** A11: the custom logsumexp Aggregator over grouped event values —
+    * the log-domain fold the reference needs for PageRank masses
+    * (`RunPersonalizedPageRankBasic.java:595-607`), exposed as a grouped
+    * aggregate. Values scaled to keep exp() in range. */
+  def logsumexpByGroup(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(round(graft.functions.LogSumExp.logsumexp(col("value") / 100.0), 6).as("lse"))
+      .orderBy("event_type")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
-    "trending_arrivals" -> (trendingArrivals _))
+    "trending_arrivals" -> (trendingArrivals _),
+    "logsumexp_by_group" -> (logsumexpByGroup _))
 
   val oracleSql: Map[String, String] = Map(
     "event_count_hourly" ->
@@ -98,5 +109,14 @@ object EventAnalytics {
          LEFT JOIN counts p
            ON p.event_type = c.event_type
           AND p.win_start = c.win_start - INTERVAL '10 minutes'
-         ORDER BY c.event_type, c.win_start""")
+         ORDER BY c.event_type, c.win_start""",
+    "logsumexp_by_group" ->
+      """WITH m AS (
+           SELECT event_type, max(value / 100.0) AS mx
+           FROM events GROUP BY event_type)
+         SELECT e.event_type,
+                round(mx + ln(sum(exp(value / 100.0 - mx))), 6) AS lse
+         FROM events e JOIN m USING (event_type)
+         GROUP BY e.event_type, mx
+         ORDER BY event_type""")
 }

@@ -1,0 +1,79 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing (extension mandate): media as opaque
+  * `binary` columns with typed metadata, decoded/feature-extracted in
+  * partition-wise batches.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked deterministic STUB — but every Spark-side piece a real
+  * pipeline needs is genuine and tested: the binary column schema, the
+  * partition-batched extraction boundary (`mapPartitions` over a typed
+  * Dataset — the Scala analog of `mapInPandas` batches; a real decoder
+  * would be invoked once per batch, amortizing native-lib setup), the
+  * frame-sampling arithmetic, and the metadata projection that lets
+  * Catalyst prune the heavy blob column when a query only needs metadata.
+  *
+  * The media table derives from `documents` (text → UTF-8 blob) so the
+  * DuckDB oracle can recompute the same features from the text — making
+  * even the stubbed path hash-checkable.
+  */
+object Multimodal {
+
+  val headerBytes = 16
+  val frameBytes = 64
+
+  /** The media table: `(doc_id, media binary, media_type, n_bytes)`. */
+  def mediaTable(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir)
+      .select(
+        col("doc_id"),
+        encode(col("text"), "UTF-8").as("media"),
+        lit("text/plain").as("media_type"),
+        octet_length(col("text")).cast("long").as("n_bytes"))
+
+  /** Partition-batched "decode + feature extract". STUB decode: byte
+    * length, unsigned sum of the first 16 header bytes, and the 64-byte
+    * frame count — a real implementation swaps the per-record lambda for
+    * a batched native decoder call; the dataflow shape is identical. */
+  def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    mediaTable(spark, dir)
+      .select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          var i = 0
+          var headerSum = 0L
+          while (i < math.min(headerBytes, bytes.length)) {
+            headerSum += bytes(i) & 0xff
+            i += 1
+          }
+          val nFrames = (bytes.length + frameBytes - 1) / frameBytes
+          (id, bytes.length.toLong, headerSum, nFrames.toLong)
+        }
+      }
+      .toDF("doc_id", "byte_len", "header_sum", "n_frames")
+      .orderBy("doc_id")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "multimodal_features" -> (mediaFeatures _))
+
+  /** The corpus is ASCII, so byte features equal character features —
+    * which is what makes the stub oracle-checkable. */
+  val oracleSql: Map[String, String] = Map(
+    "multimodal_features" ->
+      s"""SELECT doc_id,
+                 octet_length(encode(text)) AS byte_len,
+                 list_sum(list_transform(
+                   range(1, least(length(text) + 1, ${headerBytes + 1})),
+                   i -> ascii(substr(text, i, 1)))) AS header_sum,
+                 CAST(ceil(octet_length(encode(text))::DOUBLE / $frameBytes) AS BIGINT)
+                   AS n_frames
+          FROM documents ORDER BY doc_id""")
+}

@@ -109,9 +109,24 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ τ).
+    * Brute self-join here (exact, oracle-checkable); at corpus scale the
+    * candidate set comes from the LSH buckets above instead of the cross
+    * product — same rescoring tail, different candidate generator. */
+  val nearDupCosine = 0.4
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(spark, dir)
+    vecs.toDF("vec_a", "va").join(vecs.toDF("vec_b", "vb"), col("vec_a") < col("vec_b"))
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= nearDupCosine)
+      .orderBy("vec_a", "vec_b")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute_cosine" -> (knnBruteCosine _),
-    "ann_lsh_cosine" -> (annLshCosine _))
+    "ann_lsh_cosine" -> (annLshCosine _),
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
 
   /** knn oracle: same cosine in DuckDB on DOUBLE lists, same tie-break.
     * ann_lsh_cosine is hash-seeded Spark-side → rows-only + ScalaTest
@@ -132,5 +147,16 @@ object Similarity {
             FROM scored)
           SELECT query_id, neighbor_id, cosine, rank
           FROM ranked WHERE rank <= $knnK
-          ORDER BY query_id, rank""")
+          ORDER BY query_id, rank""",
+    "dedup_embedding_cosine" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                     AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, cosine FROM scored
+          WHERE cosine >= $nearDupCosine
+          ORDER BY vec_a, vec_b""")
 }

@@ -1,0 +1,54 @@
+package graft
+
+import graft.functions.LogSumExp
+import graft.operators.Multimodal
+import org.apache.spark.sql.functions._
+
+class FunctionsSpec extends GraftSpec {
+  import spark.implicits._
+
+  test("logsumexp matches the naive formula on safe ranges") {
+    val xs = Seq(0.1, 0.5, 1.0, -2.0, 3.3, 0.0)
+    val got = xs.toDF("x").agg(LogSumExp.logsumexp(col("x"))).collect()(0).getDouble(0)
+    val want = math.log(xs.map(math.exp).sum)
+    assert(math.abs(got - want) < 1e-12)
+  }
+
+  test("logsumexp survives magnitudes that underflow naive exp") {
+    val xs = Seq(-1000.0, -1000.5, -999.5)
+    val got = xs.toDF("x").agg(LogSumExp.logsumexp(col("x"))).collect()(0).getDouble(0)
+    // factor out the max: -999.5 + ln(1 + e^-0.5 + e^-1)
+    val want = -999.5 + math.log(1 + math.exp(-0.5) + math.exp(-1.0))
+    assert(math.abs(got - want) < 1e-12)
+    assert(!got.isInfinite)
+  }
+
+  test("logsumexp buffer merge is split-point-insensitive (property sweep)") {
+    val agg = LogSumExp.aggregator
+    val rng = new scala.util.Random(11)
+    for (_ <- 1 to 50) {
+      val xs = List.fill(1 + rng.nextInt(30))(rng.nextDouble() * 100 - 50)
+      val whole = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val split = rng.nextInt(xs.length)
+      val (l, r) = xs.splitAt(split)
+      val merged = agg.finish(agg.merge(
+        l.foldLeft(agg.zero)(agg.reduce),
+        r.foldLeft(agg.zero)(agg.reduce)))
+      assert(math.abs(whole - merged) < 1e-9, s"split $split of $xs")
+    }
+  }
+
+  test("multimodal features agree with direct computation on the blob") {
+    val rows = Multimodal.mediaFeatures(spark, sfDir).collect()
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(rows.length == texts.size)
+    rows.take(50).foreach { r =>
+      val bytes = texts(r.getLong(0)).getBytes("UTF-8")
+      assert(r.getLong(1) == bytes.length)
+      assert(r.getLong(2) == bytes.take(Multimodal.headerBytes).map(_ & 0xff).sum)
+      assert(r.getLong(3) == (bytes.length + Multimodal.frameBytes - 1) / Multimodal.frameBytes)
+    }
+  }
+}
