@@ -59,34 +59,36 @@ object PageRank {
     // ranks: one row per (source, node) with nonzero mass; init: source=1.0
     var ranks = srcDf.select(col("source"), col("source").as("node"), lit(1.0).as("rank"))
 
-    for (_ <- 1 to iterations) {
+    for (iter <- 1 to iterations) {
       // seed a zero-mass row per source so the teleport term below always
       // has a row to land on, even when the source gets no incoming mass
       val seed = srcDf.select(col("source"), col("source").as("node"),
         lit(0.0).as("contrib"))
+      // dangling mass flows to the personalization source (the reference
+      // collects it via side files, `RunPersonalizedPageRankBasic.java:
+      // 525-539`; here it is just one more contribution into the same
+      // shuffle — no extra job, no driver round-trip)
+      val danglingContrib = ranks
+        .join(outdeg, col("node") === col("src"), "left_anti")
+        .select(col("source"), col("source").as("node"), col("rank").as("contrib"))
       val contribs = ranks
         .join(outdeg, col("node") === col("src"))
         .join(adj, "src")
         .select(col("source"), col("dst").as("node"),
           (col("rank") / col("outdeg")).as("contrib"))
+        .unionByName(danglingContrib)
         .unionByName(seed)
         .groupBy("source", "node")
         .agg(sum("contrib").as("mass"))
-      // dangling mass per source: rank sitting on nodes with no out-edges
-      val danglingRows = ranks
-        .join(outdeg, col("node") === col("src"), "left_anti")
-        .groupBy("source").agg(sum("rank").as("d"))
-        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-      val dangling = typedLit(sources.map(s => s -> danglingRows.getOrElse(s, 0.0)).toMap)
       ranks = contribs
         .withColumn("rank",
-          (lit(1.0) - alpha) *
-            (col("mass") +
-              when(col("node") === col("source"),
-                element_at(dangling, col("source"))).otherwise(0.0)) +
+          (lit(1.0) - alpha) * col("mass") +
             when(col("node") === col("source"), alpha).otherwise(0.0))
         .select("source", "node", "rank")
-        .localCheckpoint(true) // truncate lineage each iteration
+        // eager checkpoint EVERY iteration: ranks feeds both the contrib
+        // join and the dangling branch, so an un-truncated plan would
+        // re-execute the shared prefix twice and double per iteration
+        .localCheckpoint(true)
     }
     ranks
   }

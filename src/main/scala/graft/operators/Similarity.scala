@@ -110,16 +110,46 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ τ).
-    * Brute self-join here (exact, oracle-checkable); at corpus scale the
-    * candidate set comes from the LSH buckets above instead of the cross
-    * product — same rescoring tail, different candidate generator. */
+    *
+    * Exact all-pairs — executed as a block nested-loop: the normalized
+    * corpus matrix is broadcast (n×d doubles, bounded) and each partition
+    * streams its vectors against it with a tight primitive-array dot loop.
+    * The naive `zip_with`+`aggregate` self-join form is ~100× slower here:
+    * higher-order array functions don't enter whole-stage codegen, so each
+    * of the n²/2 pairs pays interpreted per-element overhead. At corpora
+    * where the broadcast side no longer fits, the candidate generator
+    * becomes the LSH buckets above (or blocked A×Bᵀ tiles); the rescoring
+    * tail is identical. */
   val nearDupCosine = 0.4
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = emb(spark, dir)
-    vecs.toDF("vec_a", "va").join(vecs.toDF("vec_b", "vb"), col("vec_a") < col("vec_b"))
-      .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cosine"))
-      .filter(col("cosine") >= nearDupCosine)
+    val sp = spark
+    import sp.implicits._
+    val vecs = emb(spark, dir).as[(Long, Seq[Double])]
+    val mat = vecs.collect().sortBy(_._1).map { case (id, v) =>
+      val n = math.sqrt(v.iterator.map(x => x * x).sum)
+      (id, v.iterator.map(_ / n).toArray)
+    }
+    val bc = spark.sparkContext.broadcast(mat)
+    val thr = nearDupCosine
+    vecs
+      .mapPartitions { it =>
+        val m = bc.value
+        it.flatMap { case (ida, va) =>
+          val na = math.sqrt(va.iterator.map(x => x * x).sum)
+          val a = va.iterator.map(_ / na).toArray
+          m.iterator
+            .filter(_._1 > ida)
+            .flatMap { case (idb, b) =>
+              var s = 0.0
+              var j = 0
+              while (j < a.length) { s += a(j) * b(j); j += 1 }
+              // HALF_UP at 6dp, matching round() in Spark SQL and DuckDB
+              val c = math.floor(s * 1e6 + 0.5) / 1e6
+              if (c >= thr) Some((ida, idb, c)) else None
+            }
+        }
+      }
+      .toDF("vec_a", "vec_b", "cosine")
       .orderBy("vec_a", "vec_b")
   }
 
