@@ -80,9 +80,19 @@ object InvertedIndex {
       .orderBy("doc_id")
   }
 
+  /** S6: the MapFile `get(term)` point lookup — a predicate on the index's
+    * term column. Persisted as parquet (sorted by term at write time) the
+    * same filter prunes row groups via min/max stats, which is the
+    * random-access story at scale. */
+  def indexTermLookup(spark: SparkSession, dir: String): DataFrame =
+    invertedIndexPacked(spark, dir)
+      .filter(col("term").isin("spark", "data", "dup"))
+      .orderBy("term")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "inverted_index_flat" -> (invertedIndexFlat _),
     "inverted_index_packed" -> (invertedIndexPacked _),
+    "index_term_lookup" -> (indexTermLookup _),
     "boolean_retrieval" -> (booleanRetrieval _))
 
   private val tfSql =
@@ -107,6 +117,12 @@ object InvertedIndex {
           SELECT term, count(*) AS df,
                  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
           FROM tf GROUP BY term ORDER BY term""",
+    "index_term_lookup" ->
+      s"""WITH $tfSql
+          SELECT term, count(*) AS df,
+                 string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+          FROM tf WHERE term IN ('spark', 'data', 'dup')
+          GROUP BY term ORDER BY term""",
     "boolean_retrieval" ->
       s"""WITH $tfSql
           SELECT d.doc_id, substr(d.text, 1, 60) AS excerpt

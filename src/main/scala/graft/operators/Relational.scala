@@ -163,6 +163,43 @@ object Relational {
       .limit(10)
   }
 
+  /** J3/P5: explicit semi-join — orders with at least one lineitem shipped
+    * after the date (the reference fakes this with cogroup-nonEmpty
+    * filters, `Q2.scala:62`, and broadcast `contains`, `Q7.scala:72`).
+    * `left_semi` shuffles only the keys and short-circuits per match. */
+  def q8SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > tsLit(q7Date))
+      .select(col("l_orderkey"))
+    Tables.orders(spark, dir)
+      .join(li, col("o_orderkey") === col("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** The same TPC-H Q1 block through the SQL entry point (`spark.sql`
+    * over registered temp views) — exercising the parser/analyzer path
+    * rather than the DataFrame DSL; plans converge to the same physical
+    * plan as [[q6PricingSummary]]. */
+  def q6PricingSummarySql(spark: SparkSession, dir: String): DataFrame = {
+    Tables.lineitem(spark, dir).createOrReplaceTempView("lineitem")
+    spark.sql(
+      s"""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            round(avg(l_quantity), 6) AS avg_qty,
+            round(avg(l_extendedprice), 6) AS avg_price,
+            round(avg(l_discount), 6) AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '$q6CutoffDate 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q1_shipdate_count" -> (q1ShipdateCount _),
     "q2_order_priority" -> (q2OrderPriority _),
@@ -170,7 +207,9 @@ object Relational {
     "q4_nation_count" -> (q4NationCount _),
     "q5_monthly_nation" -> (q5MonthlyNation _),
     "q6_pricing_summary" -> (q6PricingSummary _),
-    "q7_top_unshipped" -> (q7TopUnshipped _))
+    "q6_pricing_summary_sql" -> (q6PricingSummarySql _),
+    "q7_top_unshipped" -> (q7TopUnshipped _),
+    "q8_semi_join" -> (q8SemiJoin _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -230,5 +269,28 @@ object Relational {
           WHERE o_orderdate < TIMESTAMP '$q7Date 00:00:00'
             AND l_shipdate > TIMESTAMP '$q7Date 00:00:00'
           GROUP BY c_name, l_orderkey, o_orderdate, o_orderstatus
-          ORDER BY revenue DESC, l_orderkey LIMIT 10""")
+          ORDER BY revenue DESC, l_orderkey LIMIT 10""",
+    "q6_pricing_summary_sql" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            round(sum(l_quantity), 2) AS sum_qty,
+            round(sum(l_extendedprice), 2) AS sum_base_price,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+            round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+            round(avg(l_quantity), 6) AS avg_qty,
+            round(avg(l_extendedprice), 6) AS avg_price,
+            round(avg(l_discount), 6) AS avg_disc,
+            count(*) AS count_order
+          FROM lineitem
+          WHERE l_shipdate <= TIMESTAMP '$q6CutoffDate 00:00:00'
+          GROUP BY l_returnflag, l_linestatus
+          ORDER BY l_returnflag, l_linestatus""",
+    "q8_semi_join" ->
+      s"""SELECT o_orderpriority, count(*) AS cnt
+          FROM orders
+          WHERE EXISTS (
+            SELECT 1 FROM lineitem
+            WHERE l_orderkey = o_orderkey
+              AND l_shipdate > TIMESTAMP '$q7Date 00:00:00')
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
 }

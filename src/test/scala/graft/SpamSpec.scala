@@ -36,6 +36,22 @@ class SpamSpec extends GraftSpec {
     assert(acc >= 0.95, s"train accuracy $acc")
   }
 
+  test("1-ROCA% metric (reference G9, compute_spam_metrics.c): synthetic model beats chance") {
+    // AUC via rank-sum inversion counting, exactly the reference metric's
+    // core (bootstrap resampling omitted — test-side only per SURVEY §5)
+    val inst = synthetic(400)
+    val model = SpamClassifier.train(spark, inst)
+    val scored = SpamClassifier.score(inst, model, "score").collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Double]("score")))
+    val ranked = scored.sortBy(_._2).zipWithIndex // rank by score asc
+    val nPos = scored.count(_._1 == 1).toDouble
+    val nNeg = scored.length - nPos
+    val posRankSum = ranked.collect { case ((1, _), i) => (i + 1).toDouble }.sum
+    val auc = (posRankSum - nPos * (nPos + 1) / 2) / (nPos * nNeg)
+    val rocaPct = (1.0 - auc) * 100
+    assert(rocaPct < 5.0, s"1-ROCA% $rocaPct")
+  }
+
   test("spam queries run end-to-end on documents and stay consistent") {
     val applied = SpamClassifier.spamApply(spark, sfDir).collect()
     assert(applied.nonEmpty)
