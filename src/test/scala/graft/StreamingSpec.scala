@@ -39,8 +39,10 @@ class StreamingSpec extends GraftSpec {
       .as[KeyedEvent]
       .collect().sortBy(_.tsMicros)
     val input = MemoryStream[KeyedEvent]
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
     val q = StreamingJobs.detectTrends(input.toDS(), windowMicros)
       .writeStream.outputMode("append")
+      .option("checkpointLocation", ckpt) // R7: durable state checkpoint
       .format("memory").queryName("trend_out")
       .start()
     // replay in three ordered batches (the reference's per-minute queueStream)
