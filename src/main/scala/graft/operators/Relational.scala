@@ -178,6 +178,25 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  /** Two-level dimension rollup: revenue per region (nation→region chain,
+    * both broadcast). Completes coverage of the star schema's region arm. */
+  def q9RegionRollup(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "r_name")
+    Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name")
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
+
   /** The same TPC-H Q1 block through the SQL entry point (`spark.sql`
     * over registered temp views) — exercising the parser/analyzer path
     * rather than the DataFrame DSL; plans converge to the same physical
@@ -209,7 +228,8 @@ object Relational {
     "q6_pricing_summary" -> (q6PricingSummary _),
     "q6_pricing_summary_sql" -> (q6PricingSummarySql _),
     "q7_top_unshipped" -> (q7TopUnshipped _),
-    "q8_semi_join" -> (q8SemiJoin _))
+    "q8_semi_join" -> (q8SemiJoin _),
+    "q9_region_rollup" -> (q9RegionRollup _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -292,5 +312,16 @@ object Relational {
             WHERE l_orderkey = o_orderkey
               AND l_shipdate > TIMESTAMP '$q7Date 00:00:00')
           GROUP BY o_orderpriority
-          ORDER BY o_orderpriority""")
+          ORDER BY o_orderpriority""",
+    "q9_region_rollup" ->
+      """SELECT r_name,
+            round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name
+          ORDER BY r_name""")
 }

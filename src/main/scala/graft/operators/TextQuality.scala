@@ -32,14 +32,20 @@ object TextQuality {
   private def stopCount(ws: Column): Column =
     size(filter(ws, w => w.isInCollection(enStopwords)))
 
-  /** Token counting: whitespace tokens, distinct tokens, character and
-    * average-length stats. */
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
+    * non-alphanumeric marks — the shape LLM byte-pair pre-tokenization
+    * uses, portable between Java regex and DuckDB RE2. */
+  val bpePattern = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token counting: whitespace tokens, distinct tokens, BPE-ish tokens,
+    * character and average-length stats. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .select(
         col("doc_id"),
         size(col("ws")).as("n_tokens"),
         size(array_distinct(col("ws"))).as("n_distinct"),
+        regexp_count(lower(col("text")), lit(bpePattern)).as("n_bpe_tokens"),
         length(col("text")).as("len_chars"),
         (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double")
           / size(col("ws"))).as("avg_token_len"))
@@ -67,11 +73,14 @@ object TextQuality {
       .withColumn("stop_ratio", stopCount(col("ws")).cast("double") / col("n_tokens"))
       .withColumn("diversity",
         size(array_distinct(col("ws"))).cast("double") / col("n_tokens"))
+      .withColumn("punct_ratio",
+        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double")
+          / length(col("text")))
       .withColumn("len_score",
         least(col("n_chars").cast("double") / 400.0, lit(1.0)))
       .select(
         col("doc_id"), col("n_tokens"), col("stop_ratio"), col("diversity"),
-        col("len_score"),
+        col("punct_ratio"), col("len_score"),
         round(col("len_score") * 0.4 + col("diversity") * 0.4 + col("stop_ratio") * 0.2, 6)
           .as("quality"))
       .orderBy("doc_id")
@@ -111,6 +120,7 @@ object TextQuality {
           SELECT doc_id,
                  len(ws) AS n_tokens,
                  len(list_distinct(ws)) AS n_distinct,
+                 len(regexp_extract_all(lower(text), '$bpePattern')) AS n_bpe_tokens,
                  length(text) AS len_chars,
                  list_sum(list_transform(ws, w -> length(w)))::DOUBLE / len(ws) AS avg_token_len
           FROM toks ORDER BY doc_id""",
@@ -127,9 +137,11 @@ object TextQuality {
             SELECT doc_id, n_chars, len(ws) AS n_tokens,
                    $stopSql::DOUBLE / len(ws) AS stop_ratio,
                    len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / length(text) AS punct_ratio,
                    least(n_chars::DOUBLE / 400.0, 1.0) AS len_score
             FROM toks)
-          SELECT doc_id, n_tokens, stop_ratio, diversity, len_score,
+          SELECT doc_id, n_tokens, stop_ratio, diversity, punct_ratio, len_score,
                  round(len_score * 0.4 + diversity * 0.4 + stop_ratio * 0.2, 6) AS quality
           FROM r ORDER BY doc_id""",
     "doc_fingerprint" ->
