@@ -51,9 +51,6 @@ object PageRank {
   def personalizedPageRank(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
     val adj = edges.cache()
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    val nodes = adj.select(col("src").as("node")).distinct()
-      .union(spark.createDataFrame(sources.map(Tuple1(_))).toDF("node"))
-      .distinct().cache()
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
 
     // ranks: one row per (source, node) with nonzero mass; init: source=1.0

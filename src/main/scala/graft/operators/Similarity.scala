@@ -153,9 +153,92 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** IVF (inverted-file) ANN — the other scale path next to LSH:
+    *  1. train a coarse quantizer (Lloyd's k-means) driver-side on a
+    *     bounded SAMPLE of the corpus (standard IVF practice: the
+    *     quantizer sees thousands of vectors even when the corpus has
+    *     billions);
+    *  2. assign every vector to its nearest centroid — distributed,
+    *     one scan with the centroid table broadcast;
+    *  3. a query probes only the nProbe nearest cells; candidates are
+    *     exact-rescored. Probe cost scales with cell occupancy (~n/k per
+    *     cell), not corpus size.
+    * Deterministic: init = first k sample vectors by id, fixed iteration
+    * count, no RNG. */
+  val ivfCells = 16
+  val ivfProbes = 4
+  val ivfSampleSize = 256
+  val ivfIters = 5
+
+  private def l2Sq(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0
+    var j = 0
+    while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
+    s
+  }
+
+  private[graft] def trainQuantizer(sample: Array[Array[Double]]): Array[Array[Double]] = {
+    var centroids = sample.take(ivfCells).map(_.clone())
+    for (_ <- 1 to ivfIters) {
+      val sums = Array.fill(ivfCells)(new Array[Double](sample.head.length))
+      val counts = new Array[Long](ivfCells)
+      sample.foreach { v =>
+        var best = 0
+        var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val d = l2Sq(v, centroids(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        val s = sums(best)
+        var j = 0
+        while (j < v.length) { s(j) += v(j); j += 1 }
+      }
+      centroids = centroids.indices.map { c =>
+        if (counts(c) == 0) centroids(c)
+        else sums(c).map(_ / counts(c))
+      }.toArray
+    }
+    centroids
+  }
+
+  def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val vecs = emb(spark, dir)
+    val sample = vecs.filter(col("vec_id") < ivfSampleSize)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+    val centroids = trainQuantizer(sample)
+    val bcCentroids = spark.sparkContext.broadcast(centroids)
+
+    def nearestCells(n: Int) = udf { (v: Seq[Double]) =>
+      val arr = v.toArray
+      bcCentroids.value.indices
+        .sortBy(c => l2Sq(arr, bcCentroids.value(c)))
+        .take(n)
+    }
+    val assigned = vecs
+      .withColumn("cell", nearestCells(1)(col("v"))(0))
+    val queryCells = vecs.filter(col("vec_id") < nQueries)
+      .withColumn("cell", explode(nearestCells(ivfProbes)(col("v"))))
+      .toDF("query_id", "qv", "cell")
+    queryCells.join(assigned, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .dropDuplicates("query_id", "vec_id")
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rank") <= knnK)
+      .orderBy("query_id", "rank")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_brute_cosine" -> (knnBruteCosine _),
     "ann_lsh_cosine" -> (annLshCosine _),
+    "ann_ivf_cosine" -> (annIvfCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
 
   /** knn oracle: same cosine in DuckDB on DOUBLE lists, same tie-break.

@@ -22,6 +22,24 @@ class SimilaritySpec extends GraftSpec {
     }
   }
 
+  test("IVF ANN achieves reasonable recall vs brute force") {
+    val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
+    val approx = neighborSets(Similarity.annIvfCosine(spark, sfDir))
+    val hits = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size
+    }.sum
+    val recall = hits.toDouble / (exact.size * Similarity.knnK)
+    assert(recall >= 0.2, s"IVF recall $recall too low")
+  }
+
+  test("IVF quantizer is deterministic and returns k centroids") {
+    val sample = Array.tabulate(64)(i => Array.tabulate(8)(j => (i * 31 + j * 7 % 13).toDouble))
+    val c1 = Similarity.trainQuantizer(sample)
+    val c2 = Similarity.trainQuantizer(sample)
+    assert(c1.length == Similarity.ivfCells)
+    assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
     val approx = neighborSets(Similarity.annLshCosine(spark, sfDir))
