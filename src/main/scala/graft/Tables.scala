@@ -118,9 +118,11 @@ object Tables {
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     load(spark, dir, "events")
+      // `div` (integral) — `/` on longs is double division and truncates
+      // 1µs low for ~1.5% of real nano timestamps
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(
-          (org.apache.spark.sql.functions.col("ts") / 1000L).cast("long"))
+          org.apache.spark.sql.functions.expr("ts div 1000"))
           .cast(TimestampNTZType))
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")

@@ -21,6 +21,13 @@ object TextFunctions {
   def tokenize(c: Column): Column =
     filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
 
+  /** DuckDB mirror of [[tokenize]] over a column named `text` — the single
+    * source of truth for every oracle CTE; a tokenizer change that touches
+    * only one side would silently break the hash-compare of every text
+    * operator. */
+  val tokenizeSql: String =
+    "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
+
   /** F6: adjacent-pair (bigram) structs from a token array.
     * `zip_with` pads the shorter side with null, so the trailing
     * (last, null) pair is filtered out. Reference: `tokens.sliding(2)`

@@ -76,7 +76,9 @@ object Dedup {
     val filtered = sh.withColumn("f", count(lit(1)).over(Window.partitionBy("sh")))
       .filter(col("f") <= maxShingleFreq)
       .select("doc_id", "sh")
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    // sizes from the SAME filtered set: a capped shingle must leave both
+    // the intersection and the union or Jaccard is biased low
+    val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val inter = filtered.as("a")
       .join(filtered.as("b"), Seq("sh"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -184,10 +186,9 @@ object Dedup {
     "dedup_simhash" -> (dedupSimhash _))
 
   private val shingleSql =
-    """toks AS (
+    s"""toks AS (
          SELECT doc_id,
-                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                            x -> len(x) > 0) AS ws
+                ${graft.functions.TextFunctions.tokenizeSql} AS ws
          FROM documents),
        sh AS (
          SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS sh
@@ -196,10 +197,9 @@ object Dedup {
 
   val oracleSql: Map[String, String] = Map(
     "dedup_exact" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
            SELECT doc_id,
-                  list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                              x -> len(x) > 0) AS ws
+                  ${graft.functions.TextFunctions.tokenizeSql} AS ws
            FROM documents)
          SELECT md5(array_to_string(ws, ' ')) AS sig,
                 min(doc_id) AS rep_doc_id, count(*) AS n_copies

@@ -96,10 +96,9 @@ object InvertedIndex {
     "boolean_retrieval" -> (booleanRetrieval _))
 
   private val tfSql =
-    """toks AS (
+    s"""toks AS (
          SELECT doc_id,
-                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                            x -> len(x) > 0) AS ws
+                ${graft.functions.TextFunctions.tokenizeSql} AS ws
          FROM documents),
        tf AS (
          SELECT w AS term, doc_id, count(*) AS tf

@@ -51,6 +51,12 @@ object PageRank {
   def personalizedPageRank(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
     val adj = edges.cache()
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    try personalizedPageRankLoop(spark, adj, outdeg)
+    finally { adj.unpersist(); outdeg.unpersist() } // don't leak cached blocks across queries
+  }
+
+  private def personalizedPageRankLoop(spark: SparkSession,
+      adj: DataFrame, outdeg: DataFrame): DataFrame = {
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
 
     // ranks: one row per (source, node) with nonzero mass; init: source=1.0

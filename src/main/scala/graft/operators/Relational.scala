@@ -11,12 +11,14 @@ import org.apache.spark.sql.functions._
   * joins (`Q2.scala:61-65`), manual pre-filters. Here each query is a
   * logical plan and Catalyst chooses the physical strategy:
   *
-  *  - dimension joins (part, supplier, customer, nation) fall under
-  *    `autoBroadcastJoinThreshold` → broadcast-hash-join, no shuffle of the
-  *    fact side. We add an explicit `broadcast()` hint where the small side
-  *    is small *after a filter* (stats may not see that) — that hint is what
-  *    keeps the plan broadcast-able at 1000 executors too, where shipping
-  *    the filtered keys beats shuffling 100 TB of lineitem.
+  *  - dimension joins fall under `autoBroadcastJoinThreshold` →
+  *    broadcast-hash-join, no shuffle of the fact side; AQE re-plans at
+  *    runtime when post-filter sizes surprise the estimator. Explicit
+  *    `broadcast()` hints are reserved for sides whose cardinality is
+  *    bounded regardless of scale factor (nation: 25, region: 5) — a hint
+  *    on anything that grows with the fact tables (customer, part, a date
+  *    slice of lineitem) would force an over-limit broadcast at 100 TB
+  *    exactly where the plan must not do that.
   *  - fact⋈fact (lineitem⋈orders) stays a shuffle join on the join key;
   *    at scale AQE handles skew/coalescing.
   *  - date filters are literal comparisons on the timestamp column, so they
@@ -54,14 +56,16 @@ object Relational {
   /** Reference Q2 (`Q2.scala:44-76`): for lineitems shipped on a date, the
     * clerk (here: o_orderpriority) of the owning order, by orderkey, first 20.
     * The reference cogroups the full tables (`Q2.scala:61`); here the filter
-    * lands first and the filtered lineitem side is broadcast — at 100 TB the
-    * date slice is the small side, so the orders table is never shuffled. */
+    * lands first and AQE decides the join strategy at runtime — the date
+    * slice is often broadcastable, but a one-day slice of a 100 TB lineitem
+    * still scales with the fact table, so the decision belongs to runtime
+    * stats, not a hard-coded hint. */
   def q2OrderPriority(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") === tsLit(shipDate))
       .select("l_orderkey")
     Tables.orders(spark, dir)
-      .join(broadcast(li), col("o_orderkey") === col("l_orderkey"))
+      .join(li, col("o_orderkey") === col("l_orderkey"))
       .select(col("o_orderpriority"), col("l_orderkey"))
       .orderBy("l_orderkey")
       .limit(20)
@@ -69,15 +73,15 @@ object Relational {
 
   /** Reference Q3 (`Q3.scala:43-76`): part/supplier names for lineitems
     * shipped on a date, by orderkey, first 20. The reference collects both
-    * dims to the driver and broadcasts maps by hand; here they are plain
-    * broadcast-hash-joins (dims are bounded: part/supplier grow far slower
-    * than lineitem). */
+    * dims to the driver and broadcasts maps by hand; here Catalyst/AQE
+    * picks broadcast-hash when the dim fits (part/supplier scale with SF,
+    * so the choice stays with runtime stats rather than a hint). */
   def q3PartSupplier(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") === tsLit(shipDate))
       .select("l_orderkey", "l_partkey", "l_suppkey")
-    li.join(broadcast(Tables.part(spark, dir)), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(Tables.supplier(spark, dir)), col("l_suppkey") === col("s_suppkey"))
+    li.join(Tables.part(spark, dir), col("l_partkey") === col("p_partkey"))
+      .join(Tables.supplier(spark, dir), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), col("p_name"), col("s_name"))
       .orderBy("l_orderkey", "p_name", "s_name")
       .limit(20)
@@ -85,14 +89,15 @@ object Relational {
 
   /** Reference Q4 (`Q4.scala:51-102`): lineitems shipped on a date counted
     * per customer nation. lineitem⋈orders shuffles on orderkey (both big);
-    * customer/nation broadcast. Aggregation is partial map-side first. */
+    * nation (bounded) is hinted broadcast, customer is AQE's call.
+    * Aggregation is partial map-side first. */
   def q4NationCount(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir)
       .filter(col("l_shipdate") === tsLit(shipDate))
       .select("l_orderkey")
     li.join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_nationkey")),
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
         col("o_custkey") === col("c_custkey"))
       .join(broadcast(Tables.nation(spark, dir)),
         col("c_nationkey") === col("n_nationkey"))
@@ -103,10 +108,11 @@ object Relational {
 
   /** Reference Q5 (`Q5.scala:40-95`): monthly lineitem counts for two
     * nations, the whole time range (no date filter). Semi-join reduction:
-    * customers of the two nations → their orders → lineitem, with the
-    * filtered customer set broadcast so the only shuffle is
-    * lineitem⋈orders. Month via `date_format` (reference substrings the
-    * date string, `Q5.scala:81`). */
+    * customers of the two nations → their orders → lineitem; only the
+    * 25-row nation filter carries a broadcast hint — the reduced customer
+    * and order sets still scale with the fact tables, so their join
+    * strategy is AQE's runtime call. Month via `date_format` (reference
+    * substrings the date string, `Q5.scala:81`). */
   def q5MonthlyNation(spark: SparkSession, dir: String): DataFrame = {
     val cust = Tables.customer(spark, dir)
       .join(broadcast(Tables.nation(spark, dir)
@@ -114,10 +120,10 @@ object Relational {
         col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey", "n_name")
     val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
-      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .join(cust, col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "n_name")
     Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
-      .join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(ord, col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("n_name"), date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"))
       .agg(count(lit(1)).as("cnt"))
       .orderBy("n_name", "ship_month")
@@ -155,7 +161,7 @@ object Relational {
       .filter(col("l_shipdate") > tsLit(q7Date))
       .select("l_orderkey", "l_extendedprice", "l_discount")
     li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(Tables.customer(spark, dir).select("c_custkey", "c_name")),
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
         col("o_custkey") === col("c_custkey"))
       .groupBy(col("c_name"), col("l_orderkey"), col("o_orderdate"), col("o_orderstatus"))
       .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
@@ -189,7 +195,7 @@ object Relational {
       .select("l_orderkey", "l_extendedprice", "l_discount")
       .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(dims), col("o_custkey") === col("c_custkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
       .groupBy("r_name")
       .agg(
         round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),

@@ -130,6 +130,10 @@ object Similarity {
       (id, v.iterator.map(_ / n).toArray)
     }
     val bc = spark.sparkContext.broadcast(mat)
+    // kernel prefilter is conservative (τ − 1e-6); the exact threshold is
+    // applied to the ROUNDED cosine by the same round() both engines use,
+    // and both engines compute the identical normalize-then-dot IEEE
+    // sequence, so boundary pairs agree bit-for-bit
     val thr = nearDupCosine
     vecs
       .mapPartitions { it =>
@@ -143,13 +147,13 @@ object Similarity {
               var s = 0.0
               var j = 0
               while (j < a.length) { s += a(j) * b(j); j += 1 }
-              // HALF_UP at 6dp, matching round() in Spark SQL and DuckDB
-              val c = math.floor(s * 1e6 + 0.5) / 1e6
-              if (c >= thr) Some((ida, idb, c)) else None
+              if (s >= thr - 1e-6) Some((ida, idb, s)) else None
             }
         }
       }
-      .toDF("vec_a", "vec_b", "cosine")
+      .toDF("vec_a", "vec_b", "raw")
+      .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("cosine"))
+      .filter(col("cosine") >= thr)
       .orderBy("vec_a", "vec_b")
   }
 
@@ -262,12 +266,14 @@ object Similarity {
           FROM ranked WHERE rank <= $knnK
           ORDER BY query_id, rank""",
     "dedup_embedding_cosine" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+          v AS (
+            SELECT vec_id,
+                   list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+            FROM raw),
           scored AS (
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-                   round(list_dot_product(a.v, b.v) /
-                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-                     AS cosine
+                   round(list_dot_product(a.v, b.v), 6) AS cosine
             FROM v a JOIN v b ON a.vec_id < b.vec_id)
           SELECT vec_a, vec_b, cosine FROM scored
           WHERE cosine >= $nearDupCosine

@@ -93,11 +93,20 @@ object SpamClassifier {
   /** G8: three models on disjoint doc_id mod 3 splits; average-score and
     * majority-vote ensembles. */
   def spamEnsemble(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
     val inst = instances(spark, dir).cache()
-    val scored = (0 until 3).map { k =>
-      val model = train(spark, inst.filter(pmod(col("doc_id"), lit(3)) === k))
-      score(inst, model, s"score$k")
-    }
+    // materialize each (tiny) model eagerly while inst is cached, then
+    // release the cache — scoring re-scans instances but no cached blocks
+    // leak past this query
+    val models = try {
+      (0 until 3).map { k =>
+        train(spark, inst.filter(pmod(col("doc_id"), lit(3)) === k))
+          .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+          .toDF("feature", "weight")
+      }
+    } finally inst.unpersist()
+    val scored = (0 until 3).map { k => score(instances(spark, dir), models(k), s"score$k") }
     scored.reduce((a, b) => a.join(b, Seq("doc_id", "label")))
       .withColumn("avg_score",
         round((col("score0") + col("score1") + col("score2")) / 3.0, 6))

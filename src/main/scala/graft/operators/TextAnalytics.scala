@@ -149,10 +149,9 @@ object TextAnalytics {
 
   /** Shared tokenizer CTE fragment for the DuckDB oracles. */
   private val toksSql =
-    """toks AS (
+    s"""toks AS (
          SELECT doc_id,
-                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                            x -> len(x) > 0) AS ws
+                ${graft.functions.TextFunctions.tokenizeSql} AS ws
          FROM documents)"""
 
   private val bigramSql =

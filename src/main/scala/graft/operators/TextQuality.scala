@@ -105,10 +105,9 @@ object TextQuality {
     "doc_fingerprint" -> (docFingerprint _))
 
   private val toksSql =
-    """toks AS (
+    s"""toks AS (
          SELECT doc_id, text, lang, n_chars,
-                list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'),
-                            x -> len(x) > 0) AS ws
+                ${graft.functions.TextFunctions.tokenizeSql} AS ws
          FROM documents)"""
 
   private val stopSql =
