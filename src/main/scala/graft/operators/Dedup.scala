@@ -27,6 +27,14 @@ import org.apache.spark.sql.functions._
   *    distance 3 without a cartesian product (pigeonhole: ≤3 differing
   *    bits leave ≥1 of 4 bands identical).
   *
+  * Algorithms follow the published formulations: MinHash resemblance
+  * sketching (Broder, "On the resemblance and containment of documents",
+  * 1997) with the standard LSH banding analysis (Leskovec/Rajaraman/Ullman,
+  * Mining of Massive Datasets ch.3), and SimHash random-projection
+  * fingerprints (Charikar, "Similarity estimation techniques from rounding
+  * algorithms", STOC 2002) with the Hamming-band trick from Manku et al.,
+  * "Detecting near-duplicates for web crawling", WWW 2007.
+  *
   * MinHash/SimHash use Spark's `xxhash64` (seeded, deterministic) — not
   * SQL-portable, so those two register rows-only checks; their correctness
   * gate is the ScalaTest comparing LSH candidate pairs against the

@@ -157,7 +157,10 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  /** IVF (inverted-file) ANN — the other scale path next to LSH:
+  /** IVF (inverted-file) ANN — the other scale path next to LSH (coarse
+    * quantization as in Jégou/Douze/Schmid, "Product quantization for
+    * nearest neighbor search", TPAMI 2011 — without the PQ residual
+    * codes; cells store full vectors here):
     *  1. train a coarse quantizer (Lloyd's k-means) driver-side on a
     *     bounded SAMPLE of the corpus (standard IVF practice: the
     *     quantizer sees thousands of vectors even when the corpus has

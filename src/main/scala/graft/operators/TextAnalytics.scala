@@ -59,6 +59,21 @@ object TextAnalytics {
       .groupBy("word").agg(count(lit(1)).as("cnt"))
       .orderBy(desc("cnt"), col("word"))
 
+  /** A1 under key skew: two-phase salted aggregation. Word frequencies are
+    * Zipfian, so a single hot word can pin one reducer; salting first
+    * aggregates on (word, salt) — spreading a hot key over `salts`
+    * reducers — then re-aggregates the partials on word alone. Result is
+    * identical to [[wordCount]] (same oracle); only the shuffle shape
+    * differs. AQE's skew handling covers joins, but aggregation skew is
+    * still the query author's job at 100 TB. */
+  val salts = 8
+  def wordCountSalted(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(explode(col("ws")).as("word"), pmod(col("doc_id"), lit(salts)).as("salt"))
+      .groupBy("word", "salt").agg(count(lit(1)).as("partial"))
+      .groupBy("word").agg(sum("partial").as("cnt"))
+      .orderBy("word")
+
   /** A8: bigram relative frequency, pairs form — P(w2|w1) as one row per
     * bigram. The w1-marginal is a window sum, not a second job. */
   def bigramRelFreqPairs(spark: SparkSession, dir: String): DataFrame = {
@@ -141,6 +156,7 @@ object TextAnalytics {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "wordcount" -> (wordCount _),
+    "wordcount_salted" -> (wordCountSalted _),
     "next_word_count" -> (nextWordCount _),
     "bigram_relfreq_pairs" -> (bigramRelFreqPairs _),
     "bigram_relfreq_stripes" -> (bigramRelFreqStripes _),
@@ -184,6 +200,12 @@ object TextAnalytics {
 
   val oracleSql: Map[String, String] = Map(
     "wordcount" ->
+      s"""WITH $toksSql
+          SELECT w AS word, count(*) AS cnt
+          FROM (SELECT unnest(ws) AS w FROM toks)
+          GROUP BY w ORDER BY word""",
+    // salted variant computes the identical result — same oracle
+    "wordcount_salted" ->
       s"""WITH $toksSql
           SELECT w AS word, count(*) AS cnt
           FROM (SELECT unnest(ws) AS w FROM toks)
