@@ -30,6 +30,39 @@ class StreamingSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("region-keyed trend machine matches batch semantics (R2+R4 composition)") {
+    implicit val sc = spark.sqlContext
+    val windowMicros = 60L * 60 * 1000 * 1000 // hourly, matching region_event_count
+    val events = Tables.events(spark, sfDir)
+      .withColumn("region", graft.operators.EventAnalytics.regionOf(col("value")))
+      .filter(col("region").isNotNull)
+      .select(col("region").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[KeyedEvent]
+      .collect().sortBy(_.tsMicros)
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamingJobs.detectTrends(input.toDS(), windowMicros)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("region_trend_out")
+      .start()
+    input.addData(events.toSeq)
+    q.processAllAvailable()
+    q.stop()
+    // closed windows must carry the same counts as the batch region query
+    val got = spark.table("region_trend_out").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val want = graft.operators.EventAnalytics.regionEventCount(spark, sfDir).collect()
+      .map { r =>
+        val micros = r.getAs[java.time.LocalDateTime]("hour_start")
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000
+        (r.getAs[String]("region"), micros) -> r.getAs[Long]("cnt")
+      }.toMap
+    assert(got.nonEmpty)
+    got.foreach { case (k, cur) =>
+      assert(want.get(k).contains(cur), s"window $k: stream $cur vs batch ${want.get(k)}")
+    }
+  }
+
   test("trend state machine matches the batch trending query on replayed events") {
     implicit val sc = spark.sqlContext
     val windowMicros = 10L * 60 * 1000 * 1000
