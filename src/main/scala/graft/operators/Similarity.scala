@@ -48,9 +48,11 @@ object Similarity {
   private def dot(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
-  private def norm(a: Column): Column = sqrt(dot(a, a))
-
-  private def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+  /** Native codegen'd expression (graft.functions.CosineSimilarity) — the
+    * zip_with/aggregate form evaluates through interpreted lambdas. Same
+    * IEEE sequence, so oracle hashes are unchanged. */
+  private def cosine(a: Column, b: Column): Column =
+    graft.functions.CosineSimilarity.cosine_similarity(a, b)
 
   /** Exact brute-force cosine top-k for the query slice. */
   def knnBruteCosine(spark: SparkSession, dir: String): DataFrame = {

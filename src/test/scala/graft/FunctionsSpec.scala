@@ -38,6 +38,27 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("native cosine_similarity expression matches driver-side math (codegen path)") {
+    import graft.functions.CosineSimilarity.cosine_similarity
+    val rows = Seq(
+      (Seq(1.0, 0.0, 2.0), Seq(0.5, 1.0, -1.0)),
+      (Seq(1.0, 1.0), Seq(1.0, 1.0)),
+      (Seq(0.0, 0.0), Seq(1.0, 2.0)), // zero norm → 0.0
+      (Seq(1.0), Seq(1.0, 2.0)))      // length mismatch → 0.0
+      .toDF("a", "b")
+      // through a real plan (projection inside whole-stage codegen)
+      .select(cosine_similarity(col("a"), col("b")).as("c"))
+      .collect().map(_.getDouble(0))
+    def ref(a: Seq[Double], b: Seq[Double]) = {
+      val dot = a.zip(b).map { case (x, y) => x * y }.sum
+      dot / (math.sqrt(a.map(x => x * x).sum) * math.sqrt(b.map(x => x * x).sum))
+    }
+    assert(math.abs(rows(0) - ref(Seq(1.0, 0.0, 2.0), Seq(0.5, 1.0, -1.0))) < 1e-15)
+    assert(math.abs(rows(1) - 1.0) < 1e-15)
+    assert(rows(2) == 0.0)
+    assert(rows(3) == 0.0)
+  }
+
   test("multimodal features agree with direct computation on the blob") {
     val rows = Multimodal.mediaFeatures(spark, sfDir).collect()
     val texts = Tables.documents(spark, sfDir)
