@@ -96,6 +96,56 @@ object PageRank {
     ranks
   }
 
+  /** Log-space PPR — the reference's actual numeric domain
+    * (`RunPersonalizedPageRankBasic.java:341-348,595-607`): ranks held as
+    * log-masses, incoming mass folded with the custom logsumexp
+    * Aggregator (A11), teleport/dangling merged via the same stable
+    * log-add. On huge graphs with tiny per-node masses this is what keeps
+    * float underflow from zeroing the tail; PageRankSpec asserts
+    * exp(logRank) matches the normal-space loop to 1e-9. */
+  def personalizedPageRankLog(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
+    import graft.functions.LogSumExp.logsumexp
+    val adj = edges.cache()
+    val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    try {
+      val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
+      val logAlpha = math.log(alpha)
+      val log1mAlpha = math.log1p(-alpha)
+      var ranks = srcDf.select(col("source"), col("source").as("node"),
+        lit(0.0).as("logRank")) // log(1)
+      for (_ <- 1 to iterations) {
+        val seed = srcDf.select(col("source"), col("source").as("node"),
+          lit(Double.NegativeInfinity).as("logContrib")) // log(0)
+        val danglingContrib = ranks
+          .join(outdeg, col("node") === col("src"), "left_anti")
+          .select(col("source"), col("source").as("node"),
+            col("logRank").as("logContrib"))
+        val contribs = ranks
+          .join(outdeg, col("node") === col("src"))
+          .join(adj, "src")
+          .select(col("source"), col("dst").as("node"),
+            (col("logRank") - log(col("outdeg"))).as("logContrib"))
+          .unionByName(danglingContrib)
+          .unionByName(seed)
+          .groupBy("source", "node")
+          .agg(logsumexp(col("logContrib")).as("logMass"))
+        ranks = contribs
+          .withColumn("logRank",
+            when(col("node") === col("source"),
+              // logsumexp(log α, log(1−α)+logMass) — the reference's
+              // teleport fold, sumLogProbs(alpha-term, mass-term)
+              greatest(lit(logAlpha), col("logMass") + log1mAlpha) +
+                log1p(exp(
+                  least(lit(logAlpha), col("logMass") + log1mAlpha) -
+                    greatest(lit(logAlpha), col("logMass") + log1mAlpha))))
+              .otherwise(col("logMass") + log1mAlpha))
+          .select("source", "node", "logRank")
+          .localCheckpoint(true)
+      }
+      ranks
+    } finally { adj.unpersist(); outdeg.unpersist() }
+  }
+
   /** G5/O5: top-k nodes per source by rank (the window form the reference
     * builds with bounded priority queues + a single reducer). */
   def pprTopK(spark: SparkSession, dir: String): DataFrame = {

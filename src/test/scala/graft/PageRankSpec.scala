@@ -48,6 +48,24 @@ class PageRankSpec extends GraftSpec {
     }
   }
 
+  test("log-space PPR (reference numeric domain) agrees with normal space") {
+    val edges = Seq((0L, 1L), (0L, 2L), (1L, 2L), (2L, 0L), (2L, 3L), (3L, 4L))
+    val edgesDf = edges.toDF("src", "dst")
+    val normal = PageRank.personalizedPageRank(spark, sfDir, edgesDf)
+      .collect()
+      .map(r => (r.getAs[Long]("source"), r.getAs[Long]("node")) -> r.getAs[Double]("rank"))
+      .toMap
+    val logSpace = PageRank.personalizedPageRankLog(spark, sfDir, edgesDf)
+      .collect()
+      .map(r => (r.getAs[Long]("source"), r.getAs[Long]("node")) ->
+        math.exp(r.getAs[Double]("logRank")))
+      .toMap
+    assert(logSpace.keySet == normal.keySet)
+    logSpace.foreach { case (k, v) =>
+      assert(math.abs(v - normal(k)) < 1e-9, s"$k: log-space $v vs ${normal(k)}")
+    }
+  }
+
   test("PPR mass per source sums to 1") {
     val sums = PageRank.personalizedPageRank(
         spark, sfDir, PageRank.graphEdges(spark, sfDir))
