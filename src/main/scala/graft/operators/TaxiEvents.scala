@@ -1,0 +1,54 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The reference's a7 taxi-event ingestion, on the reference's OWN graded
+  * dataset (`/root/reference/taxi-data`, complete per FIXTURES §2):
+  * positional CSV with a per-row layout switch — `yellow` rows carry
+  * dropoff lon/lat at indexes 10/11, `green` rows at 8/9
+  * (`RegionEventCount.scala:79-90`, SURVEY P7) — and the graded Goldman
+  * Sachs / Citigroup bounding boxes (`RegionEventCount.scala:66-75`,
+  * SURVEY P6).
+  *
+  * Everything is Column expressions over a raw text scan: the layout
+  * dispatch is a `when/otherwise`, the geo filter a conjunctive range
+  * predicate — one pass, no UDF, codegen-friendly. TaxiSpec verifies the
+  * distributed pipeline against an independent driver-side parse of the
+  * same files and feeds the events through the streaming trend detector.
+  */
+object TaxiEvents {
+
+  /** Graded bounding boxes (lonMin, lonMax, latMin, latMax). */
+  val goldman = (-74.0144185, -74.013777, 40.7138745, 40.7152275)
+  val citigroup = (-74.012083, -74.009867, 40.720053, 40.7217236)
+
+  private def inBox(lon: Column, lat: Column,
+      box: (Double, Double, Double, Double)): Column =
+    lon > box._1 && lon < box._2 && lat > box._3 && lat < box._4
+
+  /** Raw taxi CSV lines → (region, dropoff_ts) for events inside either
+    * box; rows outside both boxes (or malformed) drop out. */
+  def parse(raw: DataFrame): DataFrame = {
+    val c = split(col("value"), ",")
+    val lon = when(c.getItem(0) === "yellow", c.getItem(10))
+      .otherwise(c.getItem(8)).cast("double")
+    val lat = when(c.getItem(0) === "yellow", c.getItem(11))
+      .otherwise(c.getItem(9)).cast("double")
+    val region = when(inBox(lon, lat, goldman), lit("goldman"))
+      .when(inBox(lon, lat, citigroup), lit("citigroup"))
+    raw
+      .select(
+        region.as("region"),
+        to_timestamp(c.getItem(3), "yyyy-MM-dd HH:mm:ss").as("ts"))
+      .filter(col("region").isNotNull && col("ts").isNotNull)
+  }
+
+  /** R2 on the real data: hourly dropoff counts per company. */
+  def regionHourly(spark: SparkSession, taxiDir: String): DataFrame =
+    parse(spark.read.text(taxiDir))
+      .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("region"), col("w.start").as("hour_start"), col("cnt"))
+      .orderBy("region", "hour_start")
+}
