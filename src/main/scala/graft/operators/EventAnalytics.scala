@@ -79,13 +79,31 @@ object EventAnalytics {
       .agg(round(graft.functions.LogSumExp.logsumexp(col("value") / 100.0), 6).as("lse"))
       .orderBy("event_type")
 
+  /** Semi-structured surface: the `props` column carries JSON; extract a
+    * typed field with the codegen'd JSON path expression and aggregate.
+    * At scale this is the schema-on-read pattern for event payloads —
+    * extraction happens post-pushdown on only the projected column. */
+  def eventsJsonExtract(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(sum("k").as("sum_k"), count(col("k")).as("n_with_k"))
+      .orderBy("event_type")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
     "trending_arrivals" -> (trendingArrivals _),
     "logsumexp_by_group" -> (logsumexpByGroup _))
 
   val oracleSql: Map[String, String] = Map(
+    "events_json_extract" ->
+      """SELECT event_type,
+                sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                count(json_extract_string(props, '$.k')) AS n_with_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "event_count_hourly" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
          FROM events GROUP BY hour_start ORDER BY hour_start""",

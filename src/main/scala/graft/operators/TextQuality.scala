@@ -51,16 +51,31 @@ object TextQuality {
           / size(col("ws"))).as("avg_token_len"))
       .orderBy("doc_id")
 
-  /** Language ID: stopword-ratio heuristic (the container has no langid
-    * lib; the heuristic itself is the operator). */
+  /** Common English character trigrams for the n-gram profile score —
+    * the classic n-gram language-ID signal (fixed tiny profile, mirrored
+    * in the oracle). */
+  val enTrigrams: Seq[String] = Seq("the", "ing", "and", "ter", "ata", "ion")
+
+  /** Language ID: n-gram profile + stopword-ratio heuristic (the
+    * container has no langid lib; the heuristic itself is the operator).
+    * trigram_hits counts occurrences of the profile trigrams in the raw
+    * text; prediction fires on either signal. */
   def langId(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("stop_ratio",
         stopCount(col("ws")).cast("double") / size(col("ws")))
+      .withColumn("trigram_hits",
+        enTrigrams.map(t => regexp_count(lower(col("text")), lit(t)))
+          .reduce(_ + _).cast("long"))
+      .withColumn("trigram_ratio",
+        col("trigram_hits").cast("double") / greatest(length(col("text")) - 2, lit(1)))
       .select(
         col("doc_id"),
         col("stop_ratio"),
-        when(col("stop_ratio") >= langThreshold, lit("en")).otherwise(lit("unknown"))
+        col("trigram_hits"),
+        col("trigram_ratio"),
+        when(col("stop_ratio") >= langThreshold || col("trigram_ratio") >= langThreshold,
+          lit("en")).otherwise(lit("unknown"))
           .as("pred_lang"),
         col("lang").as("true_lang"))
       .orderBy("doc_id")
@@ -125,9 +140,18 @@ object TextQuality {
           FROM toks ORDER BY doc_id""",
     "lang_id" ->
       s"""WITH $toksSql,
-          r AS (SELECT doc_id, lang, $stopSql::DOUBLE / len(ws) AS stop_ratio FROM toks)
-          SELECT doc_id, stop_ratio,
-                 CASE WHEN stop_ratio >= $langThreshold THEN 'en' ELSE 'unknown' END AS pred_lang,
+          r AS (
+            SELECT doc_id, lang,
+                   $stopSql::DOUBLE / len(ws) AS stop_ratio,
+                   (${enTrigrams.map(t => s"len(regexp_extract_all(lower(text), '$t'))").mkString(" + ")})::BIGINT
+                     AS trigram_hits,
+                   greatest(length(text) - 2, 1) AS denom
+            FROM toks)
+          SELECT doc_id, stop_ratio, trigram_hits,
+                 trigram_hits::DOUBLE / denom AS trigram_ratio,
+                 CASE WHEN stop_ratio >= $langThreshold
+                        OR trigram_hits::DOUBLE / denom >= $langThreshold
+                      THEN 'en' ELSE 'unknown' END AS pred_lang,
                  lang AS true_lang
           FROM r ORDER BY doc_id""",
     "doc_quality" ->
