@@ -91,7 +91,32 @@ object EventAnalytics {
       .agg(sum("k").as("sum_k"), count(col("k")).as("n_with_k"))
       .orderBy("event_type")
 
+  /** Sketch aggregation (absent from the reference, essential at 100 TB):
+    * HyperLogLog++ distinct-user estimates per event type next to the
+    * exact count. Estimates are engine-specific → rows-only check here;
+    * the ScalaTest pins the estimate within 5% of exact. */
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  /** Exact interpolated percentiles per group — Spark `percentile` and
+    * DuckDB `quantile_cont` share the linear-interpolation definition. */
+  def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"))
+      .orderBy("event_type")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "approx_distinct_users" -> (approxDistinctUsers _),
+    "value_percentiles" -> (valuePercentiles _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
@@ -99,6 +124,12 @@ object EventAnalytics {
     "logsumexp_by_group" -> (logsumexpByGroup _))
 
   val oracleSql: Map[String, String] = Map(
+    "value_percentiles" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90,
+                round(quantile_cont(value, 0.99), 6) AS p99
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "events_json_extract" ->
       """SELECT event_type,
                 sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,

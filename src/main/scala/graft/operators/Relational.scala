@@ -203,6 +203,38 @@ object Relational {
       .orderBy("r_name")
   }
 
+  /** Grouping sets beyond the reference's surface (it has none, SURVEY
+    * §2.4): revenue ROLLUP over region → nation with subtotal rows. NULL
+    * group keys are coalesced to 'ALL' on both engines so the hash
+    * compare is null-free. */
+  def q10RegionNationRollup(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+    joined
+      .rollup(col("r_name"), col("n_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue"))
+      .orderBy("region", "nation")
+  }
+
+  /** Distinct aggregation (absent from the reference): exact distinct
+    * customers per order priority — the shuffle-heavy exact form. */
+  def q11DistinctCustomers(spark: SparkSession, dir: String): DataFrame =
+    Tables.orders(spark, dir)
+      .groupBy("o_orderpriority")
+      .agg(countDistinct(col("o_custkey")).as("n_customers"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("o_orderpriority")
+
   /** The same TPC-H Q1 block through the SQL entry point (`spark.sql`
     * over registered temp views) — exercising the parser/analyzer path
     * rather than the DataFrame DSL; plans converge to the same physical
@@ -235,7 +267,9 @@ object Relational {
     "q6_pricing_summary_sql" -> (q6PricingSummarySql _),
     "q7_top_unshipped" -> (q7TopUnshipped _),
     "q8_semi_join" -> (q8SemiJoin _),
-    "q9_region_rollup" -> (q9RegionRollup _))
+    "q9_region_rollup" -> (q9RegionRollup _),
+    "q10_rollup_sets" -> (q10RegionNationRollup _),
+    "q11_distinct_customers" -> (q11DistinctCustomers _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -329,5 +363,23 @@ object Relational {
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY r_name
-          ORDER BY r_name""")
+          ORDER BY r_name""",
+    "q10_rollup_sets" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+                coalesce(n_name, 'ALL') AS nation,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)
+          ORDER BY region, nation""",
+    "q11_distinct_customers" ->
+      """SELECT o_orderpriority,
+                count(DISTINCT o_custkey) AS n_customers,
+                count(*) AS n_orders
+          FROM orders
+          GROUP BY o_orderpriority
+          ORDER BY o_orderpriority""")
 }

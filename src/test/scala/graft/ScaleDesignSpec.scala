@@ -55,6 +55,17 @@ class ScaleDesignSpec extends GraftSpec {
     }
   }
 
+  test("HLL distinct estimate stays within 5% of exact") {
+    val rows = graft.operators.EventAnalytics.approxDistinctUsers(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val approx = r.getAs[Long]("approx_users").toDouble
+      val exact = r.getAs[Long]("exact_users").toDouble
+      assert(math.abs(approx - exact) / exact <= 0.05,
+        s"${r.getString(0)}: approx $approx vs exact $exact")
+    }
+  }
+
   test("dimension joins choose broadcast-hash (plan shape)") {
     val plan = graft.operators.Relational.q3PartSupplier(spark, sfDir)
       .queryExecution.executedPlan.toString
