@@ -38,6 +38,17 @@ object EventAnalytics {
       .select(col("w.start").as("hour_start"), col("cnt"))
       .orderBy("hour_start")
 
+  /** Sliding (not just tumbling) window — beyond the reference, which
+    * only ever uses window == slide (`EventCount.scala:67-70`): 1-hour
+    * windows sliding every 30 minutes; each event lands in two windows.
+    * The oracle expands the same two bucket memberships by hand. */
+  def eventCountSliding(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .select(col("w.start").as("win_start"), col("cnt"))
+      .orderBy("win_start")
+
   /** R2: hourly counts keyed by region (events outside both bands drop,
     * exactly like taxi events outside both geo boxes). */
   def regionEventCount(spark: SparkSession, dir: String): DataFrame =
@@ -117,6 +128,7 @@ object EventAnalytics {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_users" -> (approxDistinctUsers _),
     "value_percentiles" -> (valuePercentiles _),
+    "event_count_sliding" -> (eventCountSliding _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
@@ -130,6 +142,14 @@ object EventAnalytics {
                 round(quantile_cont(value, 0.9), 6) AS p90,
                 round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "event_count_sliding" ->
+      """WITH m AS (
+           SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
+                          time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes'])
+                    AS win_start
+           FROM events)
+         SELECT win_start, count(*) AS cnt
+         FROM m GROUP BY win_start ORDER BY win_start""",
     "events_json_extract" ->
       """SELECT event_type,
                 sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,

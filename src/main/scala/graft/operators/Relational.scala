@@ -235,6 +235,45 @@ object Relational {
         count(lit(1)).as("n_orders"))
       .orderBy("o_orderpriority")
 
+  /** Outer + anti joins (the join types the reference never builds,
+    * SURVEY §2.3 "Not present"): per order priority, how many orders have
+    * NO lineitem shipped after the date — left-anti — next to the total
+    * with a left-outer null-probe cross-check. */
+  def q12OuterAnti(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") > tsLit(q7Date))
+      .select(col("l_orderkey")).distinct()
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+    val anti = ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_anti")
+      .groupBy("o_orderpriority").agg(count(lit(1)).as("n_unshipped"))
+    val outer = ord.join(li, col("o_orderkey") === col("l_orderkey"), "left_outer")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        count(col("l_orderkey")).as("n_shipped"))
+    outer.join(anti, Seq("o_orderpriority"), "left_outer")
+      .na.fill(0L, Seq("n_unshipped"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Ordered analytic window (SURVEY §2.5 — the surface the reference
+    * only approximates by hand): running revenue per customer across
+    * their orders in date order. Deterministic frame order via the
+    * unique orderkey tiebreak keeps the cumulative double sums
+    * bit-aligned with DuckDB. */
+  def q13RunningRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_custkey")
+      .orderBy("o_orderdate", "o_orderkey")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.orders(spark, dir)
+      .filter(col("o_custkey") < 100)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+        col("o_totalprice"))
+      .withColumn("running_total", round(sum(col("o_totalprice")).over(w), 2))
+      .select("o_custkey", "o_orderkey", "running_total")
+      .orderBy("o_custkey", "o_orderkey")
+  }
+
   /** The same TPC-H Q1 block through the SQL entry point (`spark.sql`
     * over registered temp views) — exercising the parser/analyzer path
     * rather than the DataFrame DSL; plans converge to the same physical
@@ -269,7 +308,9 @@ object Relational {
     "q8_semi_join" -> (q8SemiJoin _),
     "q9_region_rollup" -> (q9RegionRollup _),
     "q10_rollup_sets" -> (q10RegionNationRollup _),
-    "q11_distinct_customers" -> (q11DistinctCustomers _))
+    "q11_distinct_customers" -> (q11DistinctCustomers _),
+    "q12_outer_anti" -> (q12OuterAnti _),
+    "q13_running_revenue" -> (q13RunningRevenue _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -381,5 +422,33 @@ object Relational {
                 count(*) AS n_orders
           FROM orders
           GROUP BY o_orderpriority
-          ORDER BY o_orderpriority""")
+          ORDER BY o_orderpriority""",
+    "q12_outer_anti" ->
+      s"""WITH li AS (
+            SELECT DISTINCT l_orderkey FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '$q7Date 00:00:00'),
+          outer_side AS (
+            SELECT o_orderpriority, count(*) AS n_orders,
+                   count(l_orderkey) AS n_shipped
+            FROM orders LEFT JOIN li ON o_orderkey = l_orderkey
+            GROUP BY o_orderpriority),
+          anti_side AS (
+            SELECT o_orderpriority, count(*) AS n_unshipped
+            FROM orders
+            WHERE NOT EXISTS (SELECT 1 FROM li WHERE l_orderkey = o_orderkey)
+            GROUP BY o_orderpriority)
+          SELECT o.o_orderpriority, o.n_orders, o.n_shipped,
+                 coalesce(a.n_unshipped, 0) AS n_unshipped
+          FROM outer_side o LEFT JOIN anti_side a USING (o_orderpriority)
+          ORDER BY o.o_orderpriority""",
+    "q13_running_revenue" ->
+      """SELECT o_custkey, o_orderkey,
+                round(sum(o_totalprice) OVER (
+                  PARTITION BY o_custkey
+                  ORDER BY o_orderdate, o_orderkey
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+                  AS running_total
+          FROM orders
+          WHERE o_custkey < 100
+          ORDER BY o_custkey, o_orderkey""")
 }
