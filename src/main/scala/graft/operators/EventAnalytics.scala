@@ -49,6 +49,17 @@ object EventAnalytics {
       .select(col("w.start").as("win_start"), col("cnt"))
       .orderBy("win_start")
 
+  /** Session windows (absent from the reference, SURVEY §2.9 "not
+    * present"): per-user sessions closed by a 30-minute inactivity gap.
+    * `session_window` is the streaming-native form; the oracle rebuilds
+    * identical sessions with the gaps-and-islands window idiom. */
+  def userSessions(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+
   /** R2: hourly counts keyed by region (events outside both bands drop,
     * exactly like taxi events outside both geo boxes). */
   def regionEventCount(spark: SparkSession, dir: String): DataFrame =
@@ -129,6 +140,7 @@ object EventAnalytics {
     "approx_distinct_users" -> (approxDistinctUsers _),
     "value_percentiles" -> (valuePercentiles _),
     "event_count_sliding" -> (eventCountSliding _),
+    "user_sessions" -> (userSessions _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
@@ -142,6 +154,25 @@ object EventAnalytics {
                 round(quantile_cont(value, 0.9), 6) AS p90,
                 round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "user_sessions" ->
+      """WITH e AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (
+           SELECT user_id, ts,
+                  CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         g AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         FROM g GROUP BY user_id, session_id
+         ORDER BY user_id, session_start""",
     "event_count_sliding" ->
       """WITH m AS (
            SELECT unnest([time_bucket(INTERVAL '30 minutes', ts),
