@@ -61,8 +61,34 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** Frame sampling: every 4th 64-byte frame of each blob as its own row
+    * (the video frame-sample / audio chunking shape), with a per-frame
+    * checksum. Pure column expressions — `substring` on binary slices
+    * frames, `posexplode` emits them — so the sampler stays codegen'd and
+    * shuffle-free. */
+  val frameStride = 4
+  def mediaFrameSample(spark: SparkSession, dir: String): DataFrame = {
+    val nFrames = ceil(col("n_bytes").cast("double") / frameBytes).cast("int")
+    val sampled = transform(
+      sequence(lit(0), greatest(ceil(nFrames.cast("double") / frameStride).cast("int") - 1, lit(0))),
+      i => i * frameStride)
+    val frame = decode(
+      col("media").substr(col("frame_id") * frameBytes + 1, lit(frameBytes)), "UTF-8")
+    mediaTable(spark, dir)
+      .filter(col("n_bytes") > 0)
+      .select(col("doc_id"), col("media"), posexplode(sampled).as(Seq("pos", "frame_id")))
+      .select(col("doc_id"), col("frame_id"),
+        length(frame).as("frame_len"),
+        aggregate(
+          transform(sequence(lit(1), length(frame)),
+            j => ascii(frame.substr(j, lit(1))).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("frame_sum"))
+      .orderBy("doc_id", "frame_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "multimodal_features" -> (mediaFeatures _))
+    "multimodal_features" -> (mediaFeatures _),
+    "multimodal_frame_sample" -> (mediaFrameSample _))
 
   /** The corpus is ASCII, so byte features equal character features —
     * which is what makes the stub oracle-checkable. */
@@ -75,5 +101,18 @@ object Multimodal {
                    i -> ascii(substr(text, i, 1)))) AS header_sum,
                  CAST(ceil(octet_length(encode(text))::DOUBLE / $frameBytes) AS BIGINT)
                    AS n_frames
-          FROM documents ORDER BY doc_id""")
+          FROM documents ORDER BY doc_id""",
+    "multimodal_frame_sample" ->
+      s"""WITH d AS (
+            SELECT doc_id, text,
+                   CAST(ceil(length(text)::DOUBLE / $frameBytes) AS INT) AS nf
+            FROM documents WHERE length(text) > 0),
+          fr AS (
+            SELECT doc_id, i AS frame_id,
+                   substr(text, i * $frameBytes + 1, $frameBytes) AS frame
+            FROM d, unnest(range(0, nf, $frameStride)) AS u(i))
+          SELECT doc_id, frame_id, length(frame) AS frame_len,
+                 list_sum(list_transform(range(1, length(frame) + 1),
+                                         j -> ascii(frame[j]))) AS frame_sum
+          FROM fr ORDER BY doc_id, frame_id""")
 }
