@@ -187,7 +187,44 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Near-dup CLUSTERS: connected components over the Jaccard pair graph
+    * — the production dedup shape (pairs → groups → keep one
+    * representative). Iterative min-label propagation, the
+    * small-star/large-star family's simple member: each node repeatedly
+    * adopts the minimum label in its neighborhood. Iteration count only
+    * needs to exceed the cluster diameter (near-dup clusters are shallow;
+    * at corpus scale this is the standard alternating-rounds CC on the
+    * same shuffle key). Emits every clustered doc with its component
+    * representative. */
+  val ccIterations = 10
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = dedupNgramJaccard(spark, dir).select("doc_a", "doc_b")
+    // undirected edge list, both directions
+    val edges = pairs
+      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+      .toDF("node", "peer")
+      .cache()
+    try {
+      var labels = edges.select(col("node")).distinct()
+        .withColumn("label", col("node"))
+      for (_ <- 1 to ccIterations) {
+        labels = edges
+          .join(labels.toDF("peer", "peerLabel"), "peer")
+          .groupBy("node").agg(min("peerLabel").as("nbrMin"))
+          .join(labels, "node")
+          .select(col("node"), least(col("label"), col("nbrMin")).as("label"))
+          .localCheckpoint(true)
+      }
+      labels
+        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
+        .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+          col("cluster_size"))
+        .orderBy("doc_id")
+    } finally edges.unpersist()
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_clusters" -> (dedupClusters _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -224,5 +261,30 @@ object Dedup {
           JOIN sz x ON doc_a = x.doc_id
           JOIN sz y ON doc_b = y.doc_id
           WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
-          ORDER BY doc_a, doc_b""")
+          ORDER BY doc_a, doc_b""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sz x ON doc_a = x.doc_id
+            JOIN sz y ON doc_b = y.doc_id
+            WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold),
+          edges AS (
+            SELECT doc_a AS node, doc_b AS peer FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs),
+          reach(node, rep) AS (
+            SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+            UNION
+            SELECT e.peer, r.rep FROM reach r JOIN edges e ON e.node = r.node),
+          comp AS (
+            SELECT node AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY node)
+          SELECT doc_id, cluster_rep,
+                 count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+          FROM comp ORDER BY doc_id""")
 }

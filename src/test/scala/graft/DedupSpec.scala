@@ -24,6 +24,25 @@ class DedupSpec extends GraftSpec {
       s"LSH recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("cluster dedup: components agree with driver-side union-find over the pairs") {
+    val pairs = Dedup.dedupNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+      .map(n => n -> find(n)).toMap
+    val got = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_rep")).toMap
+    assert(got == want)
+  }
+
   test("simhash banding finds exactly the Hamming<=3 pairs (vs brute force)") {
     val fps = Dedup.simhashFingerprint(spark, sfDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
