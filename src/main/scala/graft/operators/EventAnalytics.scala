@@ -38,6 +38,26 @@ object EventAnalytics {
       .select(col("w.start").as("hour_start"), col("cnt"))
       .orderBy("hour_start")
 
+  /** As-of join (a mandate-named operator Spark lacks natively): for every
+    * event, the timestamp of that user's most recent PREVIOUS 'error'
+    * event. Implemented by composition — the preferred rung of the
+    * custom-operator ladder: tag the build side, then an ordered running
+    * `max` over the per-user window. One shuffle on the key, no custom
+    * physical operator needed; semantics match DuckDB's native ASOF JOIN
+    * (backward, inclusive) which the oracle mirrors with the same window
+    * formulation. */
+  def asofLastError(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id")
+      .orderBy("ts", "event_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    Tables.events(spark, dir)
+      .withColumn("err_ts", when(col("event_type") === "error", col("ts")))
+      .withColumn("last_error_ts", max(col("err_ts")).over(w))
+      .select("event_id", "user_id", "ts", "last_error_ts")
+      .orderBy("event_id")
+  }
+
   /** Sliding (not just tumbling) window — beyond the reference, which
     * only ever uses window == slide (`EventCount.scala:67-70`): 1-hour
     * windows sliding every 30 minutes; each event lands in two windows.
@@ -141,6 +161,7 @@ object EventAnalytics {
     "value_percentiles" -> (valuePercentiles _),
     "event_count_sliding" -> (eventCountSliding _),
     "user_sessions" -> (userSessions _),
+    "asof_last_error" -> (asofLastError _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
@@ -154,6 +175,14 @@ object EventAnalytics {
                 round(quantile_cont(value, 0.9), 6) AS p90,
                 round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "asof_last_error" ->
+      """SELECT event_id, user_id, ts,
+                max(CASE WHEN event_type = 'error' THEN ts END) OVER (
+                  PARTITION BY user_id
+                  ORDER BY ts, event_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS last_error_ts
+         FROM events ORDER BY event_id""",
     "user_sessions" ->
       """WITH e AS (
            SELECT user_id, ts,
