@@ -58,6 +58,31 @@ object EventAnalytics {
       .orderBy("event_id")
   }
 
+  /** Range (interval) join — the other mandate-named join Spark lacks as
+    * a native operator: purchases paired with same-user errors within the
+    * preceding 5 minutes. Bucketing both sides to the interval width and
+    * joining on (user, bucket ± 1) turns the inequality join into an
+    * equi-join + residual filter — the scale path; a bare inequality
+    * condition would fall back to a nested-loop join. */
+  def intervalJoinErrors(spark: SparkSession, dir: String): DataFrame = {
+    val intervalSec = 300L
+    val ev = Tables.events(spark, dir)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts").as("p_ts"))
+      .withColumn("bucket", (unix_timestamp(col("p_ts").cast("timestamp")) / intervalSec).cast("long"))
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
+      .withColumn("e_bucket", (unix_timestamp(col("e_ts").cast("timestamp")) / intervalSec).cast("long"))
+    purchases
+      .withColumn("probe_bucket", explode(array(col("bucket") - 1, col("bucket"))))
+      .join(errors, col("probe_bucket") === col("e_bucket") &&
+        purchases("user_id") === errors("user_id"))
+      .filter(col("e_ts") <= col("p_ts") &&
+        col("e_ts") > col("p_ts") - expr(s"INTERVAL $intervalSec SECONDS"))
+      .select(col("purchase_id"), col("error_id"), purchases("user_id"))
+      .orderBy("purchase_id", "error_id")
+  }
+
   /** Sliding (not just tumbling) window — beyond the reference, which
     * only ever uses window == slide (`EventCount.scala:67-70`): 1-hour
     * windows sliding every 30 minutes; each event lands in two windows.
@@ -162,6 +187,7 @@ object EventAnalytics {
     "event_count_sliding" -> (eventCountSliding _),
     "user_sessions" -> (userSessions _),
     "asof_last_error" -> (asofLastError _),
+    "interval_join_errors" -> (intervalJoinErrors _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
@@ -175,6 +201,15 @@ object EventAnalytics {
                 round(quantile_cont(value, 0.9), 6) AS p90,
                 round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY event_type ORDER BY event_type""",
+    "interval_join_errors" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id
+         FROM events p
+         JOIN events e
+           ON p.event_type = 'purchase' AND e.event_type = 'error'
+          AND e.user_id = p.user_id
+          AND e.ts <= p.ts
+          AND e.ts > p.ts - INTERVAL '300 seconds'
+         ORDER BY purchase_id, error_id""",
     "asof_last_error" ->
       """SELECT event_id, user_id, ts,
                 max(CASE WHEN event_type = 'error' THEN ts END) OVER (

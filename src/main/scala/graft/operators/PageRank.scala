@@ -58,6 +58,14 @@ object PageRank {
   private def personalizedPageRankLoop(spark: SparkSession,
       adj: DataFrame, outdeg: DataFrame): DataFrame = {
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
+    // static graph property, checked once: rank can only ever sit on a
+    // source or an edge target, so if every such node has out-edges the
+    // graph produces no dangling mass and the per-iteration left_anti
+    // branch is skipped entirely
+    val hasDangling = !adj.select(col("dst").as("node"))
+      .union(srcDf.select(col("source").as("node")))
+      .join(outdeg, col("node") === col("src"), "left_anti")
+      .isEmpty
 
     // ranks: one row per (source, node) with nonzero mass; init: source=1.0
     var ranks = srcDf.select(col("source"), col("source").as("node"), lit(1.0).as("rank"))
@@ -71,15 +79,16 @@ object PageRank {
       // collects it via side files, `RunPersonalizedPageRankBasic.java:
       // 525-539`; here it is just one more contribution into the same
       // shuffle — no extra job, no driver round-trip)
-      val danglingContrib = ranks
-        .join(outdeg, col("node") === col("src"), "left_anti")
-        .select(col("source"), col("source").as("node"), col("rank").as("contrib"))
-      val contribs = ranks
+      val edgeContribs = ranks
         .join(outdeg, col("node") === col("src"))
         .join(adj, "src")
         .select(col("source"), col("dst").as("node"),
           (col("rank") / col("outdeg")).as("contrib"))
-        .unionByName(danglingContrib)
+      val contribs = (if (hasDangling)
+        edgeContribs.unionByName(ranks
+          .join(outdeg, col("node") === col("src"), "left_anti")
+          .select(col("source"), col("source").as("node"), col("rank").as("contrib")))
+      else edgeContribs)
         .unionByName(seed)
         .groupBy("source", "node")
         .agg(sum("contrib").as("mass"))
