@@ -38,6 +38,27 @@ object StreamingJobs {
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").cast("timestamp_ntz").as("hour_start"), col("cnt"))
 
+  /** Stream-stream interval join (absent from the reference's DStream
+    * surface entirely): purchases joined with same-user errors in the
+    * preceding 5 minutes. Watermarks on BOTH sides bound the state store
+    * — each side buffers only rows younger than watermark + interval;
+    * without them a stream-stream join would hold its entire history. */
+  def streamIntervalJoin(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val e = errors
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").cast("timestamp").as("e_ts"))
+      .withWatermark("e_ts", "10 minutes")
+    p.join(e, expr(
+      """p_user = e_user AND
+         e_ts <= p_ts AND
+         e_ts > p_ts - INTERVAL 300 SECONDS"""))
+      .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
+  }
+
   /** R4: the trend state machine — `flatMapGroupsWithState` keyed by
     * company. A window closes when a later-window event for the same key
     * arrives; the closed window emits with the reference predicate

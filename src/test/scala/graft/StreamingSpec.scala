@@ -30,6 +30,27 @@ class StreamingSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("stream-stream interval join equals the batch interval join") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    val ev = Tables.events(spark, sfDir)
+    ev.filter(col("event_type") === "purchase").write.parquet(s"$tmp/purchases")
+    ev.filter(col("event_type") === "error").write.parquet(s"$tmp/errors")
+    val pStream = spark.readStream.schema(ev.schema).parquet(s"$tmp/purchases")
+    val eStream = spark.readStream.schema(ev.schema).parquet(s"$tmp/errors")
+    val q = StreamingJobs.streamIntervalJoin(pStream, eStream)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("ssj_out")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.table("ssj_out").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = graft.operators.EventAnalytics.intervalJoinErrors(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"stream $got vs batch $want")
+  }
+
   test("region-keyed trend machine matches batch semantics (R2+R4 composition)") {
     implicit val sc = spark.sqlContext
     val windowMicros = 60L * 60 * 1000 * 1000 // hourly, matching region_event_count
