@@ -207,13 +207,25 @@ object Dedup {
     try {
       var labels = edges.select(col("node")).distinct()
         .withColumn("label", col("node"))
-      for (_ <- 1 to ccIterations) {
-        labels = edges
+        .localCheckpoint(true)
+      // label propagation converges in ≤ diameter rounds; stop as soon as a
+      // round changes nothing (the fixed cap is a safety bound, not the
+      // expected cost — near-dup components are shallow)
+      var converged = false
+      var iter = 0
+      while (!converged && iter < ccIterations) {
+        val next = edges
           .join(labels.toDF("peer", "peerLabel"), "peer")
           .groupBy("node").agg(min("peerLabel").as("nbrMin"))
           .join(labels, "node")
           .select(col("node"), least(col("label"), col("nbrMin")).as("label"))
           .localCheckpoint(true)
+        converged = next.toDF("node", "newLabel")
+          .join(labels, "node")
+          .filter(col("newLabel") =!= col("label"))
+          .isEmpty
+        labels = next
+        iter += 1
       }
       labels
         .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
