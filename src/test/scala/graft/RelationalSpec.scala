@@ -29,6 +29,19 @@ class RelationalSpec extends GraftSpec {
     assert(revs.sameElements(revs.sortBy(-_)))
   }
 
+  test("malformed pipe-text rows degrade to nulls, not job failures (PERMISSIVE)") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$tmp/nation.csv"),
+      "0|NATION_0|0\nnot-a-number|BROKEN|also-bad\n1|NATION_1|1\n")
+    val df = Tables.loadCsv(spark, tmp, "nation")
+    val rows = df.collect()
+    assert(rows.length == 3)
+    // good rows parse; the corrupt row surfaces as nulls in typed columns
+    assert(rows.count(_.isNullAt(0)) == 1)
+    assert(rows.filter(!_.isNullAt(0)).map(_.getInt(0)).sorted.toSeq == Seq(0, 1))
+  }
+
   test("pipe-text and parquet scans agree (reference dual-format contract)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-csv").toString
     for (t <- Seq("lineitem", "orders")) {
