@@ -21,7 +21,7 @@ object SparkEntry {
     Relational.registry ++ TextAnalytics.registry ++ TextQuality.registry ++
       Dedup.registry ++ Similarity.registry ++ InvertedIndex.registry ++
       EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry ++
-      Multimodal.registry
+      Multimodal.registry ++ DocEmbedding.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */

@@ -123,10 +123,15 @@ object Similarity {
     * becomes the LSH buckets above (or blocked A×Bᵀ tiles); the rescoring
     * tail is identical. */
   val nearDupCosine = 0.4
-  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+
+  /** Shared block-nested-loop all-pairs kernel over any (id, vector)
+    * dataset — used by both the `embeddings`-table near-dup and the
+    * text-derived document-embedding near-dup. */
+  private[operators] def cosinePairsKernel(spark: SparkSession,
+      vecs: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
+      threshold: Double): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val vecs = emb(spark, dir).as[(Long, Seq[Double])]
     val mat = vecs.collect().sortBy(_._1).map { case (id, v) =>
       val n = math.sqrt(v.iterator.map(x => x * x).sum)
       (id, v.iterator.map(_ / n).toArray)
@@ -136,7 +141,7 @@ object Similarity {
     // applied to the ROUNDED cosine by the same round() both engines use,
     // and both engines compute the identical normalize-then-dot IEEE
     // sequence, so boundary pairs agree bit-for-bit
-    val thr = nearDupCosine
+    val thr = threshold
     vecs
       .mapPartitions { it =>
         val m = bc.value
@@ -157,6 +162,12 @@ object Similarity {
       .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("cosine"))
       .filter(col("cosine") >= thr)
       .orderBy("vec_a", "vec_b")
+  }
+
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    cosinePairsKernel(spark, emb(spark, dir).as[(Long, Seq[Double])], nearDupCosine)
   }
 
   /** IVF (inverted-file) ANN — the other scale path next to LSH (coarse

@@ -1,0 +1,25 @@
+package graft
+
+import graft.operators.{Dedup, DocEmbedding}
+
+class DocEmbeddingSpec extends GraftSpec {
+
+  test("hashing-trick embeddings recover the exact Jaccard near-dup pairs") {
+    val jaccard = Dedup.dedupNgramJaccard(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val emb = DocEmbedding.docEmbeddingNearDup(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(jaccard.nonEmpty)
+    val recalled = jaccard.intersect(emb).size.toDouble / jaccard.size
+    assert(recalled >= 0.9, s"embedding recall of Jaccard pairs: $recalled")
+  }
+
+  test("document vectors are deterministic and dense") {
+    val v1 = DocEmbedding.docVectors(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    val v2 = DocEmbedding.docVectors(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+    assert(v1 == v2)
+    assert(v1.values.forall(_.length == DocEmbedding.embDim))
+  }
+}
