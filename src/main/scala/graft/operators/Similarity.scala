@@ -132,7 +132,11 @@ object Similarity {
       threshold: Double): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val mat = vecs.collect().sortBy(_._1).map { case (id, v) =>
+    // the input feeds both the broadcast build side (collect) and the
+    // streamed probe side — materialize once so upstream vector
+    // construction doesn't run twice
+    val vecsM = vecs.localCheckpoint(true)
+    val mat = vecsM.collect().sortBy(_._1).map { case (id, v) =>
       val n = math.sqrt(v.iterator.map(x => x * x).sum)
       (id, v.iterator.map(_ / n).toArray)
     }
@@ -142,7 +146,7 @@ object Similarity {
     // and both engines compute the identical normalize-then-dot IEEE
     // sequence, so boundary pairs agree bit-for-bit
     val thr = threshold
-    vecs
+    vecsM
       .mapPartitions { it =>
         val m = bc.value
         it.flatMap { case (ida, va) =>
