@@ -30,6 +30,20 @@ class StreamingSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("window counts conserve events (property: per-window sums equal totals)") {
+    val total = Tables.events(spark, sfDir).count()
+    val hourly = graft.operators.EventAnalytics.eventCountHourly(spark, sfDir)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(hourly == total)
+    val sessions = graft.operators.EventAnalytics.userSessions(spark, sfDir)
+      .agg(sum("n_events")).collect()(0).getLong(0)
+    assert(sessions == total)
+    // sliding 1h/30min: every event lands in exactly two windows
+    val sliding = graft.operators.EventAnalytics.eventCountSliding(spark, sfDir)
+      .agg(sum("cnt")).collect()(0).getLong(0)
+    assert(sliding == total * 2)
+  }
+
   test("stream-stream interval join equals the batch interval join") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-ssj").toString
     val ev = Tables.events(spark, sfDir)
