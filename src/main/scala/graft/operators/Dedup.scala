@@ -235,8 +235,23 @@ object Dedup {
     } finally edges.unpersist()
   }
 
+  /** The consumable end of the pipeline: the deduplicated corpus. Every
+    * doc survives except non-representative members of a near-dup
+    * cluster. Anti-join against the cluster table — at scale this is the
+    * one pass that actually shrinks the dataset. */
+  def dedupSurvivors(spark: SparkSession, dir: String): DataFrame = {
+    val dropped = dedupClusters(spark, dir)
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select("doc_id")
+    Tables.documents(spark, dir)
+      .join(dropped, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_survivors" -> (dedupSurvivors _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -298,5 +313,32 @@ object Dedup {
             SELECT node AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY node)
           SELECT doc_id, cluster_rep,
                  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
-          FROM comp ORDER BY doc_id""")
+          FROM comp ORDER BY doc_id""",
+    "dedup_survivors" ->
+      s"""WITH RECURSIVE $shingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b FROM inter
+            JOIN sz x ON doc_a = x.doc_id
+            JOIN sz y ON doc_b = y.doc_id
+            WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold),
+          edges AS (
+            SELECT doc_a AS node, doc_b AS peer FROM pairs
+            UNION ALL
+            SELECT doc_b, doc_a FROM pairs),
+          reach(node, rep) AS (
+            SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+            UNION
+            SELECT e.peer, r.rep FROM reach r JOIN edges e ON e.node = r.node),
+          dropped AS (
+            SELECT node AS doc_id FROM reach
+            GROUP BY node HAVING node <> min(rep))
+          SELECT d.doc_id, d.n_chars
+          FROM documents d
+          WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+          ORDER BY d.doc_id""")
 }
