@@ -73,6 +73,21 @@ object SpamClassifier {
   def spamTrain(spark: SparkSession, dir: String): DataFrame =
     train(spark, instances(spark, dir)).orderBy("feature")
 
+  /** O7/F12: the reference shuffles training order with random sort keys
+    * before the sequential fold (`TrainSpamClassifier.scala:63-68`).
+    * `rand(seed)` is deterministic for a fixed input partitioning, so the
+    * shuffled model is stable run-to-run — SpamSpec asserts it. The fold
+    * consumes rows in shuffled order via a precomputed rank. */
+  def spamTrainShuffled(spark: SparkSession, dir: String): DataFrame = {
+    val shuffled = instances(spark, dir)
+      .withColumn("shuffle_key", rand(42))
+      .withColumn("doc_id",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("shuffle_key", "doc_id")).cast("long"))
+      .select("doc_id", "label", "features")
+    train(spark, shuffled).orderBy("feature")
+  }
+
   /** G7: score = Σ w(f) over the doc's features; spam iff score > 0. */
   def score(instancesDf: DataFrame, model: DataFrame, scoreName: String): DataFrame =
     instancesDf
@@ -120,6 +135,7 @@ object SpamClassifier {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "spam_train" -> (spamTrain _),
+    "spam_train_shuffled" -> (spamTrainShuffled _),
     "spam_apply" -> (spamApply _),
     "spam_ensemble" -> (spamEnsemble _))
 

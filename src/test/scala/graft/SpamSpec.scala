@@ -26,6 +26,18 @@ class SpamSpec extends GraftSpec {
     assert(w1.nonEmpty)
   }
 
+  test("seeded shuffle training is deterministic but order-sensitive") {
+    val s1 = SpamClassifier.spamTrainShuffled(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    val s2 = SpamClassifier.spamTrainShuffled(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(s1 == s2, "seeded shuffle must be reproducible")
+    val unshuffled = SpamClassifier.spamTrain(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    // sequential SGD is order-sensitive: a different order is a different model
+    assert(s1 != unshuffled)
+  }
+
   test("single-pass SGD separates a linearly-separable corpus") {
     val inst = synthetic(400)
     val model = SpamClassifier.train(spark, inst)
