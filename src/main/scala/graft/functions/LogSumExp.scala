@@ -24,7 +24,13 @@ object LogSumExp {
     new Aggregator[Double, Buf, Double] {
       def zero: Buf = Buf(Double.NegativeInfinity, 0.0)
       def reduce(b: Buf, x: Double): Buf =
-        if (x <= b.m) Buf(b.m, b.s + math.exp(x - b.m))
+        // −∞ inputs contribute exp(−∞)=0, but must not reach the arithmetic
+        // below: with an empty buffer (b.m = −∞) the x ≤ b.m branch would
+        // compute exp(−∞ − −∞) = NaN and poison the whole group. Mirrors
+        // the merge() guards (reference sumLogProbs has the same case).
+        if (x == Double.NegativeInfinity) b
+        else if (b.m == Double.NegativeInfinity) Buf(x, 1.0)
+        else if (x <= b.m) Buf(b.m, b.s + math.exp(x - b.m))
         else Buf(x, b.s * math.exp(b.m - x) + 1.0)
       def merge(a: Buf, b: Buf): Buf =
         if (a.m == Double.NegativeInfinity) b

@@ -247,7 +247,7 @@ object EventAnalytics {
          FROM m GROUP BY win_start ORDER BY win_start""",
     "events_json_extract" ->
       """SELECT event_type,
-                sum(json_extract_string(props, '$.k')::BIGINT) AS sum_k,
+                sum(json_extract_string(props, '$.k')::BIGINT)::BIGINT AS sum_k,
                 count(json_extract_string(props, '$.k')) AS n_with_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "event_count_hourly" ->

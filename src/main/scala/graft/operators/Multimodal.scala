@@ -98,7 +98,7 @@ object Multimodal {
                  octet_length(encode(text)) AS byte_len,
                  list_sum(list_transform(
                    range(1, least(length(text) + 1, ${headerBytes + 1})),
-                   i -> ascii(substr(text, i, 1)))) AS header_sum,
+                   i -> ascii(substr(text, i, 1))))::BIGINT AS header_sum,
                  CAST(ceil(octet_length(encode(text))::DOUBLE / $frameBytes) AS BIGINT)
                    AS n_frames
           FROM documents ORDER BY doc_id""",
@@ -113,6 +113,6 @@ object Multimodal {
             FROM d, unnest(range(0, nf, $frameStride)) AS u(i))
           SELECT doc_id, frame_id, length(frame) AS frame_len,
                  list_sum(list_transform(range(1, length(frame) + 1),
-                                         j -> ascii(frame[j]))) AS frame_sum
+                                         j -> ascii(frame[j])))::BIGINT AS frame_sum
           FROM fr ORDER BY doc_id, frame_id""")
 }

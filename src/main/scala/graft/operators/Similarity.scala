@@ -113,55 +113,92 @@ object Similarity {
 
   /** Embedding-cosine near-duplicate pairs (vec_a < vec_b, cosine ≥ τ).
     *
-    * Exact all-pairs — executed as a block nested-loop: the normalized
-    * corpus matrix is broadcast (n×d doubles, bounded) and each partition
-    * streams its vectors against it with a tight primitive-array dot loop.
-    * The naive `zip_with`+`aggregate` self-join form is ~100× slower here:
-    * higher-order array functions don't enter whole-stage codegen, so each
-    * of the n²/2 pairs pays interpreted per-element overhead. At corpora
-    * where the broadcast side no longer fits, the candidate generator
-    * becomes the LSH buckets above (or blocked A×Bᵀ tiles); the rescoring
-    * tail is identical. */
+    * Exact all-pairs — executed as blocked A×Bᵀ tiles: vectors are
+    * normalized once, hashed into B blocks of ~[[pairsVecsPerBlock]]
+    * vectors, and every block-pair tile (B(B+1)/2 of them) runs a tight
+    * primitive-array dot loop inside one task. Nothing is collected to
+    * the driver; block rows move through ordinary shuffle joins, so the
+    * kernel distributes across however many executors the tiles need.
+    * The naive `zip_with`+`aggregate` self-join form is ~100× slower:
+    * higher-order array functions don't enter whole-stage codegen, so
+    * each of the n²/2 pairs pays interpreted per-element overhead.
+    * Exact all-pairs is inherently O(n²) WORK — at corpora where even
+    * perfectly-distributed n² is infeasible, the LSH buckets above (or
+    * the IVF cells) become the candidate generator and this kernel's
+    * rescoring tail runs per bucket. */
   val nearDupCosine = 0.4
 
-  /** Shared block-nested-loop all-pairs kernel over any (id, vector)
-    * dataset — used by both the `embeddings`-table near-dup and the
-    * text-derived document-embedding near-dup. */
+  /** Target vectors per block for the tile kernel: one tile = a
+    * ~(2048)²·d fused-multiply loop, a few hundred ms of CPU — big
+    * enough to amortize task overhead, small enough that two blocks of
+    * vectors (~2·2048·d·8 bytes) sit comfortably in task memory. */
+  val pairsVecsPerBlock = 2048L
+
+  /** Shared exact all-pairs tile kernel over any (id, vector) dataset —
+    * used by both the `embeddings`-table near-dup and the text-derived
+    * document-embedding near-dup. Output is identical to a naive
+    * all-pairs scan: same normalize-then-dot IEEE sequence, canonical
+    * (vec_a < vec_b) orientation. */
   private[operators] def cosinePairsKernel(spark: SparkSession,
       vecs: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
       threshold: Double): DataFrame = {
     val sp = spark
     import sp.implicits._
-    // the input feeds both the broadcast build side (collect) and the
-    // streamed probe side — materialize once so upstream vector
-    // construction doesn't run twice
-    val vecsM = vecs.localCheckpoint(true)
-    val mat = vecsM.collect().sortBy(_._1).map { case (id, v) =>
+    // normalize once and materialize: the block table feeds BOTH sides of
+    // the tile join, so without truncation the upstream vector
+    // construction (and its shuffles) would run twice
+    val normed = vecs.map { case (id, v) =>
       val n = math.sqrt(v.iterator.map(x => x * x).sum)
       (id, v.iterator.map(_ / n).toArray)
-    }
-    val bc = spark.sparkContext.broadcast(mat)
+    }.localCheckpoint(true)
+    val total = normed.count()
+    // floor of 8 blocks keeps small corpora parallel; above that, blocks
+    // scale with n so each tile stays a bounded unit of work
+    val nBlocks = math.max(8L, (total + pairsVecsPerBlock - 1) / pairsVecsPerBlock)
+    val blocks = normed
+      .groupByKey { case (id, _) => id % nBlocks }
+      .mapGroups((blk, it) => (blk, it.toArray.sortBy(_._1)))
+      .localCheckpoint(true) // feeds both tile sides
+    val bdf = blocks.toDF("blk", "items")
+    // tile index (ba ≤ bb): pure ints, tiny; block payloads replicate to
+    // their tiles through equi-joins (shuffle-friendly — no giant
+    // broadcast of the whole corpus)
+    val tileIdx = spark.range(nBlocks).toDF("ba")
+      .join(spark.range(nBlocks).toDF("bb"), col("ba") <= col("bb"))
+    val tiles = tileIdx
+      .join(bdf.select(col("blk").as("ba"), col("items").as("ia")), "ba")
+      .join(bdf.select(col("blk").as("bb"), col("items").as("ib")), "bb")
+      .select(col("ba"), col("ia"), col("bb"), col("ib"))
+      .as[(Long, Array[(Long, Array[Double])], Long, Array[(Long, Array[Double])])]
     // kernel prefilter is conservative (τ − 1e-6); the exact threshold is
     // applied to the ROUNDED cosine by the same round() both engines use,
     // and both engines compute the identical normalize-then-dot IEEE
     // sequence, so boundary pairs agree bit-for-bit
     val thr = threshold
-    vecsM
-      .mapPartitions { it =>
-        val m = bc.value
-        it.flatMap { case (ida, va) =>
-          val na = math.sqrt(va.iterator.map(x => x * x).sum)
-          val a = va.iterator.map(_ / na).toArray
-          m.iterator
-            .filter(_._1 > ida)
-            .flatMap { case (idb, b) =>
-              var s = 0.0
-              var j = 0
-              while (j < a.length) { s += a(j) * b(j); j += 1 }
-              if (s >= thr - 1e-6) Some((ida, idb, s)) else None
-            }
+    tiles.flatMap { case (ba, ia, bb, ib) =>
+      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      var i = 0
+      while (i < ia.length) {
+        val ida = ia(i)._1
+        val a = ia(i)._2
+        // same-block tile: j starts past i (ids sorted → ida < idb);
+        // cross-block tile: full sweep, pair canonicalized below
+        var j = if (ba == bb) i + 1 else 0
+        while (j < ib.length) {
+          val idb = ib(j)._1
+          val b = ib(j)._2
+          var s = 0.0
+          var k = 0
+          while (k < a.length) { s += a(k) * b(k); k += 1 }
+          if (s >= thr - 1e-6) {
+            if (ida < idb) out += ((ida, idb, s)) else out += ((idb, ida, s))
+          }
+          j += 1
         }
+        i += 1
       }
+      out
+    }
       .toDF("vec_a", "vec_b", "raw")
       .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("cosine"))
       .filter(col("cosine") >= thr)
@@ -235,18 +272,25 @@ object Similarity {
     val sample = vecs.filter(col("vec_id") < ivfSampleSize)
       .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
     val centroids = trainQuantizer(sample)
-    val bcCentroids = spark.sparkContext.broadcast(centroids)
 
-    def nearestCells(n: Int) = udf { (v: Seq[Double]) =>
-      val arr = v.toArray
-      bcCentroids.value.indices
-        .sortBy(c => l2Sq(arr, bcCentroids.value(c)))
-        .take(n)
+    // Cell assignment as pure Column expressions (no ScalaUDF in the
+    // plan): the centroid table rides in as a literal array<array<double>>
+    // (16×64 doubles — tiny), per-cell squared L2 via zip_with+aggregate,
+    // argmin/top-n via array_sort on (distance, cell) structs. Struct sort
+    // tie-breaks by cell ascending, matching a stable sort over cell ids.
+    val centLit = typedlit(centroids.map(_.toSeq).toSeq)
+    def nearestCells(v: Column, n: Int): Column = {
+      val scored = transform(sequence(lit(0), lit(ivfCells - 1)), c =>
+        struct(
+          aggregate(zip_with(v, element_at(centLit, c + 1),
+            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d).as("d"),
+          c.as("cell")))
+      transform(slice(array_sort(scored), 1, n), s => s("cell"))
     }
     val assigned = vecs
-      .withColumn("cell", nearestCells(1)(col("v"))(0))
+      .withColumn("cell", nearestCells(col("v"), 1)(0))
     val queryCells = vecs.filter(col("vec_id") < nQueries)
-      .withColumn("cell", explode(nearestCells(ivfProbes)(col("v"))))
+      .withColumn("cell", explode(nearestCells(col("v"), ivfProbes)))
       .toDF("query_id", "qv", "cell")
     queryCells.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))

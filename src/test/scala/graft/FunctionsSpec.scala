@@ -23,6 +23,31 @@ class FunctionsSpec extends GraftSpec {
     assert(!got.isInfinite)
   }
 
+  test("logsumexp tolerates -Inf inputs in any position (log(0) probability rows)") {
+    val agg = LogSumExp.aggregator
+    val inf = Double.NegativeInfinity
+    // -Inf FIRST into an empty buffer used to poison the group with NaN:
+    // reduce hit exp(-Inf - -Inf) = NaN before the guards existed.
+    val streams = Seq(
+      List(inf, 0.0, 1.0), List(0.0, inf, 1.0), List(0.0, 1.0, inf),
+      List(inf, inf, -2.0), List(inf), List(inf, inf))
+    streams.foreach { xs =>
+      val got = agg.finish(xs.foldLeft(agg.zero)(agg.reduce))
+      val finite = xs.filter(_ != inf)
+      val want = if (finite.isEmpty) inf else math.log(finite.map(math.exp).sum)
+      assert(!got.isNaN, s"NaN for $xs")
+      assert(got == want || math.abs(got - want) < 1e-12, s"$got != $want for $xs")
+    }
+    // and through a real grouped plan with the -Inf seed row leading the
+    // partition stream (ascending sort puts -Inf first — the PPR seed shape)
+    val rows = Seq(("a", inf), ("a", 0.0), ("b", inf)).toDF("k", "x")
+      .repartition(1).sortWithinPartitions("x")
+      .groupBy("k").agg(LogSumExp.logsumexp(col("x")).as("lse"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(rows("a") - 0.0) < 1e-12)
+    assert(rows("b") == inf)
+  }
+
   test("logsumexp buffer merge is split-point-insensitive (property sweep)") {
     val agg = LogSumExp.aggregator
     val rng = new scala.util.Random(11)

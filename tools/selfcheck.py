@@ -43,7 +43,10 @@ def main():
         if name not in oracle:
             status = "rows-only"
             ok = len(spark_df) > 0
-            n_noop += 1
+            if ok:
+                n_noop += 1
+            else:
+                n_fail += 1  # an empty rows-only result must fail the gate
             print(f"{'PASS' if ok else 'FAIL'} {name:32s} ({status}, {len(spark_df)} rows)")
             continue
         try:
