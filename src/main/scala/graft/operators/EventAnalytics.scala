@@ -160,14 +160,26 @@ object EventAnalytics {
 
   /** Sketch aggregation (absent from the reference, essential at 100 TB):
     * HyperLogLog++ distinct-user estimates per event type next to the
-    * exact count. Estimates are engine-specific → rows-only check here;
-    * the ScalaTest pins the estimate within 5% of exact. */
-  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    * exact count. The raw estimate is engine-specific, so the REGISTERED
+    * query emits the exact count plus the sketch's accuracy CONTRACT
+    * (|approx−exact|/exact ≤ 5%) — the oracle checks the exact column
+    * exactly and asserts the contract holds, which makes the sketch
+    * hash-verifiable without pretending DuckDB reproduces HLL++ bits.
+    * The raw estimate stays available via [[approxDistinctUsersRaw]]
+    * (ScalaTest pins it within 5% of exact). */
+  def approxDistinctUsersRaw(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy("event_type")
       .agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         countDistinct(col("user_id")).as("exact_users"))
+      .orderBy("event_type")
+
+  def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
+    approxDistinctUsersRaw(spark, dir)
+      .select(col("event_type"), col("exact_users"),
+        (abs(col("approx_users") - col("exact_users")) <=
+          col("exact_users") * 0.05).as("approx_within_5pct"))
       .orderBy("event_type")
 
   /** Exact interpolated percentiles per group — Spark `percentile` and
@@ -195,6 +207,12 @@ object EventAnalytics {
     "logsumexp_by_group" -> (logsumexpByGroup _))
 
   val oracleSql: Map[String, String] = Map(
+    // the exact column is compared exactly; TRUE asserts the sketch's
+    // 5% accuracy contract (a property oracle for the HLL estimate)
+    "approx_distinct_users" ->
+      """SELECT event_type, count(DISTINCT user_id) AS exact_users,
+                TRUE AS approx_within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
     "value_percentiles" ->
       """SELECT event_type,
                 round(quantile_cont(value, 0.5), 6) AS p50,

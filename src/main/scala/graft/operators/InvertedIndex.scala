@@ -32,6 +32,19 @@ object InvertedIndex {
     * (assignment3.md Q3): (key AND value) AND (spark OR stream). */
   val retrievalQuery: Seq[String] = Seq("key", "value", "AND", "spark", "stream", "OR", "AND")
 
+  /** Additional graded query shapes (the reference evaluates several
+    * postfix forms interactively, `BooleanRetrievalCompressed.java:73-92`):
+    * the direct `big data AND hadoop spark OR AND` analog on testdata
+    * vocabulary, a rare-term AND over an OR, and a 3-way OR chain. */
+  val retrievalQueries: Map[String, Seq[String]] = Map(
+    "boolean_retrieval" -> retrievalQuery,
+    "boolean_retrieval_graded" ->
+      Seq("big", "data", "AND", "hash", "spark", "OR", "AND"),
+    "boolean_retrieval_rare_and" ->
+      Seq("dup", "fast", "OR", "slow", "AND"),
+    "boolean_retrieval_or_chain" ->
+      Seq("query", "window", "OR", "sort", "OR"))
+
   /** (doc_id, term, tf) — term frequencies per document. */
   private def termFreqs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
@@ -63,13 +76,15 @@ object InvertedIndex {
           ",").as("postings"))
       .orderBy("term")
 
-  /** Postfix stack evaluation: terms push doc-id sets; AND intersects,
-    * OR unions. Returns matching docs with a text excerpt (the S11
-    * "seek the collection at docno" analog is a join back to documents). */
-  def booleanRetrieval(spark: SparkSession, dir: String): DataFrame = {
+  /** Postfix stack evaluation, parameterized on the query: terms push
+    * doc-id sets; AND intersects, OR unions. Returns matching docs with a
+    * text excerpt (the S11 "seek the collection at docno" analog is a join
+    * back to documents). The query plan is assembled driver-side (it IS
+    * the query planner), but the doc-id sets never leave the cluster. */
+  def booleanRetrieval(query: Seq[String])(spark: SparkSession, dir: String): DataFrame = {
     val docSets = termFreqs(spark, dir)
     def termDocs(t: String) = docSets.filter(col("term") === t).select("doc_id")
-    val result = retrievalQuery.foldLeft(List.empty[DataFrame]) {
+    val result = query.foldLeft(List.empty[DataFrame]) {
       case (a :: b :: rest, "AND") => b.intersect(a) :: rest
       case (a :: b :: rest, "OR") => b.union(a).distinct() :: rest
       case (stack, term) => termDocs(term) :: stack
@@ -80,22 +95,57 @@ object InvertedIndex {
       .orderBy("doc_id")
   }
 
-  /** S6: the MapFile `get(term)` point lookup — a predicate on the index's
-    * term column. Persisted as parquet (sorted by term at write time) the
-    * same filter prunes row groups via min/max stats, which is the
-    * random-access story at scale. */
+  /** Mirror of the postfix fold in DuckDB set SQL — generated from the
+    * same query list so the Spark evaluator and the oracle can never
+    * drift. */
+  private def booleanRetrievalSql(query: Seq[String]): String = {
+    val docSet = query.foldLeft(List.empty[String]) {
+      case (a :: b :: rest, "AND") => s"($b INTERSECT $a)" :: rest
+      case (a :: b :: rest, "OR") => s"($b UNION $a)" :: rest
+      case (stack, term) => s"(SELECT doc_id FROM tf WHERE term = '$term')" :: stack
+    }.head
+    s"""WITH $tfSql
+        SELECT d.doc_id, substr(d.text, 1, 60) AS excerpt
+        FROM documents d
+        WHERE d.doc_id IN (SELECT doc_id FROM $docSet)
+        ORDER BY d.doc_id"""
+  }
+
+  /** The on-disk index artifact (reference S6: the MapFile the index job
+    * WRITES and retrieval re-opens, `BuildInvertedIndexCompressed.java:210`
+    * / `BooleanRetrievalCompressed.java:140-147`): the packed index
+    * range-partitioned and sorted by term, persisted as parquet. Sorting
+    * at write time gives every row group a tight term min/max band, so a
+    * term-equality filter on re-read prunes to the one row group holding
+    * the term — the random-access story at scale. Built once per
+    * (session, corpus); parquet dictionary/RLE encodings replace the
+    * reference's hand-rolled d-gap+VInt compression. */
+  private val indexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  def persistedIndex(spark: SparkSession, dir: String): DataFrame =
+    indexMemo.getOrElseUpdate((spark, dir), {
+      val path = s"target/graft-index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+      invertedIndexPacked(spark, dir)
+        .repartitionByRange(8, col("term"))
+        .sortWithinPartitions("term")
+        .write.mode("overwrite").parquet(path)
+      spark.read.parquet(path)
+    })
+
+  /** S6: the MapFile `get(term)` point lookup — a predicate pushed into
+    * the PERSISTED index scan (row-group pruning via term min/max). */
   def indexTermLookup(spark: SparkSession, dir: String): DataFrame =
-    invertedIndexPacked(spark, dir)
+    persistedIndex(spark, dir)
       .filter(col("term").isin("spark", "data", "dup"))
       .orderBy("term")
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "inverted_index_flat" -> (invertedIndexFlat _),
     "inverted_index_packed" -> (invertedIndexPacked _),
-    "index_term_lookup" -> (indexTermLookup _),
-    "boolean_retrieval" -> (booleanRetrieval _))
+    "index_term_lookup" -> (indexTermLookup _)) ++
+    retrievalQueries.map { case (name, q) => name -> booleanRetrieval(q) _ }
 
-  private val tfSql =
+  private[operators] val tfSql =
     s"""toks AS (
          SELECT doc_id,
                 ${graft.functions.TextFunctions.tokenizeSql} AS ws
@@ -122,18 +172,5 @@ object InvertedIndex {
                  string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
           FROM tf WHERE term IN ('spark', 'data', 'dup')
           GROUP BY term ORDER BY term""",
-    "boolean_retrieval" ->
-      s"""WITH $tfSql
-          SELECT d.doc_id, substr(d.text, 1, 60) AS excerpt
-          FROM documents d
-          WHERE d.doc_id IN (
-            SELECT doc_id FROM (
-              (SELECT doc_id FROM tf WHERE term = 'key'
-               INTERSECT
-               SELECT doc_id FROM tf WHERE term = 'value')
-              INTERSECT
-              (SELECT doc_id FROM tf WHERE term = 'spark'
-               UNION
-               SELECT doc_id FROM tf WHERE term = 'stream')))
-          ORDER BY d.doc_id""")
+  ) ++ retrievalQueries.map { case (name, q) => name -> booleanRetrievalSql(q) }
 }

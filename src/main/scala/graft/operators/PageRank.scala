@@ -160,8 +160,11 @@ object PageRank {
   def pprTopK(spark: SparkSession, dir: String): DataFrame = {
     val ranks = personalizedPageRank(spark, dir, graphEdges(spark, dir))
     ranks
+      // rank by the ROUNDED value (node tiebreak): the oracle engine's
+      // summation order differs in the last ulp, so ordering on the raw
+      // double would let sub-1e-6 noise pick different top-k rows
       .withColumn("rnk", row_number().over(
-        Window.partitionBy("source").orderBy(desc("rank"), col("node"))))
+        Window.partitionBy("source").orderBy(round(col("rank"), 6).desc, col("node"))))
       .filter(col("rnk") <= topK)
       .select(col("source"), col("node"), round(col("rank"), 6).as("rank"), col("rnk"))
       .orderBy("source", "rnk")
@@ -182,9 +185,56 @@ object PageRank {
     "topk_by_group" -> (topkByGroup _),
     "ppr_topk" -> (pprTopK _))
 
-  /** ppr_topk is iterative (driver loop) — not oracle-SQL-expressible;
-    * gated by the ScalaTest dense-reference comparison instead. */
+  /** The PPR oracle: the driver loop is a FIXED 10 iterations, so it
+    * unrolls into 10 chained CTEs generated from the same constants the
+    * Spark loop uses — same graph build, same contribution/teleport
+    * algebra, same rounded-rank top-k. Cross-engine float discipline:
+    * both engines compute rank/outdeg and the 0.85·mass+0.15 teleport as
+    * the identical double ops; only the summation ORDER differs (ulp
+    * noise ≪ the 6dp rounding both sides apply). */
+  private def pprOracleSql: String = {
+    val iters = (1 to iterations).map { k =>
+      s"""r$k AS MATERIALIZED (
+            SELECT source, node,
+                   (1.0::DOUBLE - $alpha::DOUBLE) * sum(contrib) +
+                   CASE WHEN node = source THEN $alpha::DOUBLE
+                        ELSE 0.0::DOUBLE END AS rank
+            FROM (
+              SELECT r.source, e.dst AS node, r.rank / o.outdeg AS contrib
+              FROM r${k - 1} r
+              JOIN outdeg o ON r.node = o.src
+              JOIN edges e ON r.node = e.src
+              UNION ALL
+              SELECT r.source, r.source AS node, r.rank AS contrib
+              FROM r${k - 1} r LEFT JOIN outdeg o ON r.node = o.src
+              WHERE o.src IS NULL
+              UNION ALL
+              SELECT source, source AS node, 0.0::DOUBLE AS contrib FROM srcs)
+            GROUP BY source, node)"""
+    }.mkString(",\n")
+    s"""WITH off AS (SELECT max(p_partkey) + 1 AS o FROM part),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT l_partkey AS src, l_suppkey + (SELECT o FROM off) AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT l_suppkey + (SELECT o FROM off) AS src, l_partkey AS dst
+            FROM lineitem)),
+        outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        srcs AS (SELECT CAST(unnest([${sources.mkString(", ")}]) AS BIGINT) AS source),
+        r0 AS (SELECT source, source AS node, 1.0::DOUBLE AS rank FROM srcs),
+        $iters,
+        ranked AS (
+          SELECT source, node, round(rank, 6) AS rank,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY round(rank, 6) DESC, node) AS rnk
+          FROM r$iterations)
+        SELECT source, node, rank, rnk FROM ranked WHERE rnk <= $topK
+        ORDER BY source, rnk"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "ppr_topk" -> pprOracleSql,
     "topk_by_group" ->
       """WITH ranked AS (
            SELECT event_type, event_id, value,

@@ -46,6 +46,23 @@ class InvertedIndexSpec extends GraftSpec {
     assert(result.collect().map(_.getLong(0)).sorted.toSeq == Seq(0L, 3L))
   }
 
+  test("term lookup hits the persisted index with the filter pushed to the scan (S6)") {
+    val lookup = InvertedIndex.indexTermLookup(spark, sfDir)
+    val plan = lookup.queryExecution.executedPlan.toString
+    // the lookup must read the on-disk artifact, not rebuild the index...
+    assert(plan.contains("FileScan parquet"), s"no parquet scan in:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(term"),
+      "lookup rebuilt the index instead of reading the persisted artifact")
+    // ...with the term predicate pushed down so row groups prune on the
+    // term min/max written by the range-partitioned sort
+    assert(plan.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$plan")
+    // and the artifact must agree with a fresh in-memory build
+    val want = InvertedIndex.invertedIndexPacked(spark, sfDir)
+      .filter(col("term").isin("spark", "data", "dup")).orderBy("term")
+      .collect().toSeq
+    assert(lookup.collect().toSeq == want)
+  }
+
   test("packed index df equals postings length (A13 invariant) on testdata") {
     val rows = InvertedIndex.invertedIndexPacked(spark, sfDir).collect()
     rows.foreach { r =>

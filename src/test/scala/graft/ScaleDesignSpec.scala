@@ -56,7 +56,7 @@ class ScaleDesignSpec extends GraftSpec {
   }
 
   test("HLL distinct estimate stays within 5% of exact") {
-    val rows = graft.operators.EventAnalytics.approxDistinctUsers(spark, sfDir).collect()
+    val rows = graft.operators.EventAnalytics.approxDistinctUsersRaw(spark, sfDir).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
       val approx = r.getAs[Long]("approx_users").toDouble
