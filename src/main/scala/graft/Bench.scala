@@ -38,18 +38,35 @@ object Bench {
       }
     }
 
+    // the dedup/index families memoize shared prefixes (shingle table,
+    // pair graph, persisted index) per (session, dir); clearing between
+    // runs keeps min-of-two honest — run 2 must re-pay the shared build,
+    // not report a memo hit as the query's cost. Within a run the first
+    // family query carries the shared-prefix cost and the rest reuse it,
+    // which is the intended production shape (build once, consume many).
+    def clearMemos(): Unit = {
+      graft.operators.Dedup.clearMemos()
+      graft.operators.InvertedIndex.clearMemos()
+    }
+
     val names = SparkEntry.queries.keys.toSeq.sorted
     names.foreach(exec(_, warmDir)) // warm-up at the smallest SF
+    clearMemos()
     // two timed runs, keep the min — absorbs GC/JIT noise between queries
     val run1 = names.map(n => n -> exec(n, sfDir)).toMap
+    clearMemos()
     val results = names.map { n =>
       val t2 = exec(n, sfDir)
       n -> (if (run1(n) < 0 || t2 < 0) -1.0 else math.min(run1(n), t2))
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // millisecond precision: keeps the full line under the harness's
+    // 2000-char stdout tail window so every per-query number is parseable
+    // (9-dp doubles pushed the 60+-query line past it)
+    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -14,6 +14,19 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // surface every df.observe metric (e.g. Dedup's stop_shingle_guard
+    // drop counts) in the verify log: if a capped plan ever diverges from
+    // its oracle at a larger scale, the dropped volume is in the log next
+    // to the failure instead of silently absorbed
+    spark.listenerManager.register(new org.apache.spark.sql.util.QueryExecutionListener {
+      def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    ns: Long): Unit =
+        qe.observedMetrics.foreach { case (name, row) =>
+          System.err.println(s"[verify] observed $name: $row")
+        }
+      def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+                    e: Exception): Unit = ()
+    })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")

@@ -28,6 +28,21 @@ object TextFunctions {
   val tokenizeSql: String =
     "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), x -> len(x) > 0)"
 
+  /** Cross-engine deterministic integer hash: the leading `hexChars` hex
+    * digits of md5, parsed as an integer. md5 is bit-identical in Spark
+    * and DuckDB, so hash-derived featurizations (simhash, hashing-trick
+    * features, stratified sampling) become SQL-oracle-able. Keep
+    * `hexChars ≤ 15` (60 bits) to stay clear of BIGINT sign overflow. */
+  def md5Int(c: Column, hexChars: Int): Column =
+    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+
+  /** DuckDB mirror of [[md5Int]] over the SQL expression `e`: hex decode
+    * via a shift-sum list comprehension — integer arithmetic throughout
+    * (a 16^k double power would lose exactness past 2^53). */
+  def md5IntSql(e: String, hexChars: Int): String =
+    s"""(list_sum([((strpos('0123456789abcdef', substr(md5($e), x, 1)) - 1)::BIGINT
+        << (($hexChars - x) * 4)) for x in range(1, ${hexChars + 1})]))::BIGINT"""
+
   /** F6: adjacent-pair (bigram) structs from a token array.
     * `zip_with` pads the shorter side with null, so the trailing
     * (last, null) pair is filtered out. Reference: `tokens.sliding(2)`

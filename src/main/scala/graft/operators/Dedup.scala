@@ -35,10 +35,12 @@ import org.apache.spark.sql.functions._
   * algorithms", STOC 2002) with the Hamming-band trick from Manku et al.,
   * "Detecting near-duplicates for web crawling", WWW 2007.
   *
-  * MinHash/SimHash use Spark's `xxhash64` (seeded, deterministic) — not
-  * SQL-portable, so those two register rows-only checks; their correctness
-  * gate is the ScalaTest comparing LSH candidate pairs against the
-  * brute-force Jaccard pairs on the same data.
+  * MinHash uses Spark's `xxhash64` (seeded, deterministic) — not
+  * SQL-portable — but its OUTPUT (exact-Jaccard-verified candidates) is
+  * oracle-checked against the exhaustive pair set, since banding recall is
+  * complete on this corpus; the ScalaTest additionally gates recall
+  * structurally. SimHash is built on an md5-derived 60-bit token hash,
+  * bit-identical in DuckDB, so its whole pipeline is oracle-checked.
   */
 object Dedup {
 
@@ -56,7 +58,7 @@ object Dedup {
   val maxShingleFreq = 1000
   val minhashK = 64
   val minhashBands = 16 // 16 bands x 4 rows
-  val simhashBandBits = 16
+  val simhashBandBits = 15 // 4 bands over the 60-bit md5-derived fingerprint
 
   private def toks(spark: SparkSession, dir: String) =
     Tables.documents(spark, dir).select(col("doc_id"), tokenize(col("text")).as("ws"))
@@ -86,8 +88,13 @@ object Dedup {
   private val shinglesMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def docShinglesShared(spark: SparkSession, dir: String): DataFrame =
-    shinglesMemo.getOrElseUpdate((spark, dir),
-      docShingles(spark, dir).localCheckpoint(true))
+    // synchronized: TrieMap.getOrElseUpdate may evaluate the thunk twice
+    // under concurrent first access, which would run the checkpoint job
+    // twice; the lock serializes only the first build per key
+    shinglesMemo.synchronized {
+      shinglesMemo.getOrElseUpdate((spark, dir),
+        docShingles(spark, dir).localCheckpoint(true))
+    }
 
   /** Verified Jaccard pair graph, materialized once per (session, dir):
     * `dedup_clusters` and `dedup_survivors` both consume it, and the
@@ -96,8 +103,18 @@ object Dedup {
   private val pairsMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
   private def jaccardPairsShared(spark: SparkSession, dir: String): DataFrame =
-    pairsMemo.getOrElseUpdate((spark, dir),
-      ngramJaccardPairs(spark, dir).localCheckpoint(true))
+    pairsMemo.synchronized {
+      pairsMemo.getOrElseUpdate((spark, dir),
+        ngramJaccardPairs(spark, dir).localCheckpoint(true))
+    }
+
+  /** The memos assume the data under `dir` is immutable for the JVM
+    * lifetime (true for the driver's static testdata — rewriting a dir
+    * within a session would serve stale results). Bench calls this between
+    * timed runs so the second run re-pays the family's shared prefix
+    * instead of reporting a memo hit as the query's cost; checkpointed
+    * blocks are released by the ContextCleaner once unreferenced. */
+  def clearMemos(): Unit = { shinglesMemo.clear(); pairsMemo.clear() }
 
   /** Exact dedup: group by the md5 of whitespace-normalized lowercase
     * text; emit one row per distinct content with representative id and
@@ -194,27 +211,38 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** SimHash fingerprints: sign-sum of the 64 bit positions of
-    * xxhash64(token) weighted by term frequency. */
+  /** Cross-engine 60-bit token hash: the leading 15 hex chars of md5,
+    * parsed as an integer. md5 is bit-identical in Spark and DuckDB, and
+    * 60 bits stays clear of BIGINT sign-bit overflow in both engines —
+    * which makes every simhash computation integer-exact and therefore
+    * SQL-oracle-able (the reason this replaces the earlier xxhash64). */
+  val simhashBits = 60
+  private def md5Hash60(c: Column): Column =
+    graft.functions.TextFunctions.md5Int(c, 15)
+
+  /** SimHash fingerprints: sign-sum of the 60 bit positions of
+    * md5-60(token) weighted by term frequency. All-integer arithmetic —
+    * no float tie risk anywhere in the pipeline. */
   def simhashFingerprint(spark: SparkSession, dir: String): DataFrame = {
     val tf = toks(spark, dir)
       .select(col("doc_id"), explode(col("ws")).as("w"))
       .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-      .withColumn("h", xxhash64(col("w")))
+      .withColumn("h", md5Hash60(col("w")))
     // per bit b: sum(tf * (bit set ? 1 : -1)); fingerprint bit b = sum > 0
-    val bitCols = (0 until 64).map { b =>
+    val bitCols = (0 until simhashBits).map { b =>
       sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf")).otherwise(-col("tf")))
         .as(s"s$b")
     }
     val sums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val fp = (0 until 64).map(b =>
+    val fp = (0 until simhashBits).map(b =>
       when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))
     sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
   }
 
-  /** SimHash near-dup pairs via 16-bit banding (finds all pairs with
-    * Hamming distance ≤ 3), verified by exact popcount distance. */
+  /** SimHash near-dup pairs via 15-bit banding (4 bands over 60 bits —
+    * pigeonhole-complete for Hamming distance ≤ 3), verified by exact
+    * popcount distance. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
     val fp = simhashFingerprint(spark, dir)
     val bands = fp.select(
@@ -228,7 +256,9 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         col("a.simhash").as("fa"), col("b.simhash").as("fb"))
       .distinct()
-      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))))
+      // cast: Spark bit_count is INT, DuckDB's is TINYINT — BIGINT on
+      // both sides keeps the oracle schema compare exact
+      .withColumn("hamming", bit_count(col("fa").bitwiseXOR(col("fb"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select("doc_a", "doc_b", "hamming")
       .orderBy("doc_a", "doc_b")
@@ -318,16 +348,26 @@ object Dedup {
          FROM toks, unnest(range(1, len(ws) - 1)) AS u(i)
          WHERE len(ws) >= 3)"""
 
+  /** Oracle mirror of the stop-shingle guard: the capped (doc, shingle)
+    * set. The Spark plan and the oracle apply the SAME cap, so they agree
+    * at every scale — including one where the cap actually binds — rather
+    * than only where every shingle frequency is under the cap. */
+  private val cappedShingleSql =
+    s"""shc AS (
+         SELECT s.doc_id, s.sh FROM sh s
+         JOIN (SELECT sh FROM sh GROUP BY sh
+               HAVING count(*) <= $maxShingleFreq) ok USING (sh))"""
+
   val oracleSql: Map[String, String] = Map(
-    "dedup_exact" ->
-      s"""WITH toks AS (
-           SELECT doc_id,
-                  ${graft.functions.TextFunctions.tokenizeSql} AS ws
-           FROM documents)
-         SELECT md5(array_to_string(ws, ' ')) AS sig,
-                min(doc_id) AS rep_doc_id, count(*) AS n_copies
-         FROM toks GROUP BY sig ORDER BY rep_doc_id""",
-    "dedup_ngram_jaccard" ->
+    // The LSH output is DEFINED as "candidate pairs verified by exact
+    // Jaccard ≥ τ", so the exhaustive-pairs oracle matches exactly iff
+    // banding recall is complete on this corpus. It is, by a wide margin:
+    // a true τ=0.8 pair escapes all 16 bands with p = (1−0.8⁴)¹⁶ ≈ 2e-4,
+    // and the planted near-dups sit at J ≈ 0.98 (p ≈ 2e-18); the
+    // hash-compare at sf0.01 and the sf0.1 sweep both confirm equality.
+    // Uncapped shingles on both sides (the minhash path does not apply
+    // the stop-shingle guard — banding already bounds its fan-out).
+    "dedup_minhash_lsh" ->
       s"""WITH $shingleSql,
           sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
           inter AS (
@@ -340,12 +380,68 @@ object Dedup {
           JOIN sz y ON doc_b = y.doc_id
           WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
           ORDER BY doc_a, doc_b""",
-    "dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleSql,
-          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    // Full simhash pipeline in SQL: md5-60 token hashes → tf-weighted
+    // per-bit sign sums → fingerprint → exhaustive Hamming ≤ 3 pairs.
+    // The Spark side bands instead of brute-forcing, but 15-bit×4 banding
+    // is pigeonhole-COMPLETE for distance ≤ 3, so the outputs are equal
+    // by construction (DedupSpec asserts banded == brute on the same
+    // fingerprints); all-integer arithmetic — no float tie risk.
+    "dedup_simhash" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+                  ${graft.functions.TextFunctions.tokenizeSql} AS ws
+           FROM documents),
+         tf AS (
+           SELECT doc_id, w, count(*) AS tf
+           FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+           GROUP BY doc_id, w),
+         th AS (
+           SELECT doc_id, tf,
+                  ${graft.functions.TextFunctions.md5IntSql("w", 15)} AS h
+           FROM tf),
+         bits AS (
+           SELECT doc_id, b,
+                  sum(CASE WHEN (h >> b) & 1 = 1 THEN tf ELSE -tf END) AS s
+           FROM th, unnest(range(0, $simhashBits)) AS u(b)
+           GROUP BY doc_id, b),
+         fp AS (
+           SELECT doc_id,
+                  sum(CASE WHEN s > 0 THEN (1::BIGINT << b) ELSE 0 END)::BIGINT AS simhash
+           FROM bits GROUP BY doc_id)
+         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                bit_count(xor(a.simhash, b.simhash))::BIGINT AS hamming
+         FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+         WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+         ORDER BY doc_a, doc_b""",
+    "dedup_exact" ->
+      s"""WITH toks AS (
+           SELECT doc_id,
+                  ${graft.functions.TextFunctions.tokenizeSql} AS ws
+           FROM documents)
+         SELECT md5(array_to_string(ws, ' ')) AS sig,
+                min(doc_id) AS rep_doc_id, count(*) AS n_copies
+         FROM toks GROUP BY sig ORDER BY rep_doc_id""",
+    "dedup_ngram_jaccard" ->
+      s"""WITH $shingleSql,
+          $cappedShingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
           inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, i::DOUBLE / (x.n + y.n - i) AS jaccard
+          FROM inter
+          JOIN sz x ON doc_a = x.doc_id
+          JOIN sz y ON doc_b = y.doc_id
+          WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
+          ORDER BY doc_a, doc_b""",
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE $shingleSql,
+          $cappedShingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
           pairs AS (
             SELECT doc_a, doc_b FROM inter
@@ -367,10 +463,11 @@ object Dedup {
           FROM comp ORDER BY doc_id""",
     "dedup_survivors" ->
       s"""WITH RECURSIVE $shingleSql,
-          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          $cappedShingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
           inter AS (
             SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
             GROUP BY 1, 2),
           pairs AS (
             SELECT doc_a, doc_b FROM inter

@@ -20,11 +20,22 @@ import org.apache.spark.sql.functions._
   * is fully distributed.
   *
   * The reference's corpus isn't in-repo (FIXTURES §2), so instances are
-  * derived deterministically from `documents`: features = murmur3-hashed
-  * tokens mod B (exactly the reference's hashed-feature space), label =
-  * presence of the token "spark" (a learnable target whose signal is one
-  * feature — the trained model must discover it, which the ScalaTest
-  * asserts via training-set accuracy).
+  * derived deterministically from `documents`: features = md5-hashed
+  * tokens mod B (the reference's hashed-feature space with a
+  * cross-engine-replicable hash), label = presence of the token "spark"
+  * (a learnable target whose signal is one feature — the trained model
+  * must discover it, which the ScalaTest asserts via training-set
+  * accuracy).
+  *
+  * Oracle story: the sequential fold is replicated in DuckDB as a
+  * recursive CTE carrying the weight list as state — one recursion step
+  * per training instance, the same IEEE operations in the same order
+  * (the weight-sum iterates features in sorted order on both sides).
+  * The only transcendental is `exp` in the logistic; outputs are rounded
+  * to 6dp per the float discipline, which absorbs any last-ulp libm skew.
+  * `spam_train`, `spam_apply` and `spam_ensemble` are fully
+  * oracle-checked; only `spam_train_shuffled` stays rows-only (its
+  * shuffle key is Spark's `rand(42)`, not SQL-replicable).
   *
   * Scoring (G7): explode features ⋈ broadcast weights → per-doc sum —
   * spamminess = Σ w(f), spam iff > 0 (`ApplySpamClassifier.scala:60-82`).
@@ -37,7 +48,8 @@ object SpamClassifier {
   val delta = 0.002
   val labelToken = "spark"
 
-  /** (doc_id, label, features[int]) — deterministic hashed featurization. */
+  /** (doc_id, label, features[long]) — deterministic hashed featurization
+    * with the cross-engine md5-32-bit hash (see TextFunctions.md5Int). */
   def instances(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), tokenize(col("text")).as("ws"))
@@ -45,21 +57,24 @@ object SpamClassifier {
         col("doc_id"),
         when(array_contains(col("ws"), labelToken), 1).otherwise(0).as("label"),
         array_sort(array_distinct(transform(col("ws"),
-          w => pmod(hash(w), lit(featureBuckets))))).as("features"))
+          w => pmod(md5Int(w, 8), lit(featureBuckets.toLong))))).as("features"))
 
   /** G6: sequential single-pass SGD in doc_id order; returns the model as
-    * a small (feature, weight) DataFrame. */
+    * a small (feature, weight) DataFrame with RAW weights (rounding is an
+    * output concern — scoring consumes the raw model). */
   def train(spark: SparkSession, instancesDf: DataFrame): DataFrame = {
     val sp = spark
     import sp.implicits._
     val folded = instancesDf
       .select(col("doc_id"), col("label"), col("features"))
-      .as[(Long, Int, Seq[Int])]
+      .as[(Long, Int, Seq[Long])]
       .repartition(1)
       .sortWithinPartitions("doc_id")
       .mapPartitions { it =>
-        val w = scala.collection.mutable.Map.empty[Int, Double].withDefaultValue(0.0)
+        val w = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
         it.foreach { case (_, label, features) =>
+          // features are sorted — the oracle's weight-sum comprehension
+          // iterates the same order, so the IEEE sum is identical
           val score = features.iterator.map(w).sum
           val p = 1.0 / (1.0 + math.exp(-score))
           val g = (label - p) * delta
@@ -71,7 +86,9 @@ object SpamClassifier {
   }
 
   def spamTrain(spark: SparkSession, dir: String): DataFrame =
-    train(spark, instances(spark, dir)).orderBy("feature")
+    train(spark, instances(spark, dir))
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+      .orderBy("feature")
 
   /** O7/F12: the reference shuffles training order with random sort keys
     * before the sequential fold (`TrainSpamClassifier.scala:63-68`).
@@ -85,7 +102,9 @@ object SpamClassifier {
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("shuffle_key", "doc_id")).cast("long"))
       .select("doc_id", "label", "features")
-    train(spark, shuffled).orderBy("feature")
+    train(spark, shuffled)
+      .select(col("feature"), round(col("weight"), 6).as("weight"))
+      .orderBy("feature")
   }
 
   /** G7: score = Σ w(f) over the doc's features; spam iff score > 0. */
@@ -99,14 +118,17 @@ object SpamClassifier {
 
   def spamApply(spark: SparkSession, dir: String): DataFrame = {
     val inst = instances(spark, dir)
-    score(inst, train(spark, inst), "score")
-      .select(col("doc_id"), col("label"), round(col("score"), 6).as("score"),
-        (col("score") > 0).as("pred_spam"))
+    score(inst, train(spark, inst), "raw_score")
+      // threshold applies to the ROUNDED score on both engines (float
+      // discipline): the rounded value is the published one, so the
+      // prediction must be a function of it
+      .select(col("doc_id"), col("label"), round(col("raw_score"), 6).as("score"))
+      .withColumn("pred_spam", col("score") > 0)
       .orderBy("doc_id")
   }
 
   /** G8: three models on disjoint doc_id mod 3 splits; average-score and
-    * majority-vote ensembles. */
+    * majority-vote ensembles, both over the per-model ROUNDED scores. */
   def spamEnsemble(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
@@ -117,11 +139,15 @@ object SpamClassifier {
     val models = try {
       (0 until 3).map { k =>
         train(spark, inst.filter(pmod(col("doc_id"), lit(3)) === k))
-          .collect().map(r => (r.getInt(0), r.getDouble(1))).toSeq
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
           .toDF("feature", "weight")
       }
     } finally inst.unpersist()
-    val scored = (0 until 3).map { k => score(instances(spark, dir), models(k), s"score$k") }
+    val scored = (0 until 3).map { k =>
+      score(instances(spark, dir), models(k), s"raw$k")
+        .withColumn(s"score$k", round(col(s"raw$k"), 6))
+        .drop(s"raw$k")
+    }
     scored.reduce((a, b) => a.join(b, Seq("doc_id", "label")))
       .withColumn("avg_score",
         round((col("score0") + col("score1") + col("score2")) / 3.0, 6))
@@ -139,7 +165,80 @@ object SpamClassifier {
     "spam_apply" -> (spamApply _),
     "spam_ensemble" -> (spamEnsemble _))
 
-  /** Sequential SGD isn't SQL-expressible — all three are rows-only here;
-    * determinism + learnability are gated in SpamSpec. */
-  val oracleSql: Map[String, String] = Map.empty
+  /** Featurized instances CTE — the exact mirror of [[instances]]. */
+  private val instSql =
+    s"""inst AS (
+         SELECT doc_id,
+                CASE WHEN list_contains(ws, '$labelToken') THEN 1 ELSE 0 END AS label,
+                list_sort(list_distinct(
+                  [${md5IntSql("w", 8)} % $featureBuckets for w in ws])) AS features
+         FROM (SELECT doc_id, $tokenizeSql AS ws FROM documents))"""
+
+  /** The sequential SGD fold as a recursive CTE: state = the weight list,
+    * one recursion step per instance in training order. `suffix` names the
+    * CTEs so the ensemble can instantiate three independent trainers;
+    * `where` restricts the training split. */
+  private def sgdSql(suffix: String, where: String): String =
+    s"""docs$suffix AS (
+         SELECT row_number() OVER (ORDER BY doc_id) AS i, label, features
+         FROM inst $where),
+       sgd$suffix(i, w) AS (
+         SELECT 0::BIGINT, []::STRUCT(f BIGINT, wt DOUBLE)[]
+         UNION ALL
+         SELECT u.i,
+           [CASE WHEN list_contains(u.feats, x.f)
+                 THEN {'f': x.f, 'wt': x.wt + u.g} ELSE x END for x in u.w]
+           || [{'f': f, 'wt': u.g} for f in u.feats
+               if NOT list_contains([x.f for x in u.w], f)]
+         FROM (
+           SELECT d.i AS i, s.w AS w, d.features AS feats,
+                  (d.label - 1.0/(1.0 + exp(-coalesce(list_sum(
+                    [coalesce(list_sum([x.wt for x in s.w if x.f = f]), 0.0)
+                     for f in d.features]), 0.0)))) * $delta AS g
+           FROM sgd$suffix s JOIN docs$suffix d ON d.i = s.i + 1
+         ) u),
+       model$suffix AS (
+         SELECT x.f AS feature, x.wt AS weight
+         FROM (SELECT unnest(w) AS x FROM sgd$suffix
+               WHERE i = (SELECT max(i) FROM sgd$suffix)))"""
+
+  /** Scoring CTE over the full instance set with model `m$suffix` —
+    * explode + left join + sum, mirroring [[score]]. */
+  private def scoredSql(suffix: String): String =
+    s"""scored$suffix AS (
+         SELECT t.doc_id, t.label, coalesce(sum(m.weight), 0.0) AS score
+         FROM (SELECT doc_id, label, unnest(features) AS feature FROM inst) t
+         LEFT JOIN model$suffix m USING (feature)
+         GROUP BY t.doc_id, t.label)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "spam_train" ->
+      s"""WITH RECURSIVE $instSql, ${sgdSql("", "")}
+          SELECT feature, round(weight, 6) AS weight
+          FROM model ORDER BY feature""",
+    "spam_apply" ->
+      s"""WITH RECURSIVE $instSql, ${sgdSql("", "")}, ${scoredSql("")}
+          SELECT doc_id, label, round(score, 6) AS score,
+                 round(score, 6) > 0 AS pred_spam
+          FROM scored ORDER BY doc_id""",
+    "spam_ensemble" ->
+      s"""WITH RECURSIVE $instSql,
+          ${sgdSql("0", "WHERE doc_id % 3 = 0")},
+          ${sgdSql("1", "WHERE doc_id % 3 = 1")},
+          ${sgdSql("2", "WHERE doc_id % 3 = 2")},
+          ${scoredSql("0")}, ${scoredSql("1")}, ${scoredSql("2")},
+          rounded AS (
+            SELECT a.doc_id, a.label,
+                   round(a.score, 6) AS s0, round(b.score, 6) AS s1,
+                   round(c.score, 6) AS s2
+            FROM scored0 a
+            JOIN scored1 b ON a.doc_id = b.doc_id AND a.label = b.label
+            JOIN scored2 c ON a.doc_id = c.doc_id AND a.label = c.label)
+          SELECT doc_id, label,
+                 round((s0 + s1 + s2) / 3.0, 6) AS avg_score,
+                 round((s0 + s1 + s2) / 3.0, 6) > 0 AS pred_avg,
+                 (CASE WHEN s0 > 0 THEN 1 ELSE 0 END +
+                  CASE WHEN s1 > 0 THEN 1 ELSE 0 END +
+                  CASE WHEN s2 > 0 THEN 1 ELSE 0 END) >= 2 AS pred_vote
+          FROM rounded ORDER BY doc_id""")
 }

@@ -13,27 +13,27 @@ class SpamSpec extends GraftSpec {
       val label = i % 2
       val signal = if (label == 1) Seq(i % 10) else Seq(10 + i % 10)
       val noise = Seq(20 + rng.nextInt(10), 20 + rng.nextInt(10)).distinct
-      (i.toLong, label, (signal ++ noise).sorted)
+      (i.toLong, label, (signal ++ noise).sorted.map(_.toLong))
     }.toDF("doc_id", "label", "features")
   }
 
   test("training is deterministic (sequential fold in fixed order)") {
     val w1 = SpamClassifier.spamTrain(spark, sfDir).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val w2 = SpamClassifier.spamTrain(spark, sfDir).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(w1 == w2)
     assert(w1.nonEmpty)
   }
 
   test("seeded shuffle training is deterministic but order-sensitive") {
     val s1 = SpamClassifier.spamTrainShuffled(spark, sfDir).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     val s2 = SpamClassifier.spamTrainShuffled(spark, sfDir).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     assert(s1 == s2, "seeded shuffle must be reproducible")
     val unshuffled = SpamClassifier.spamTrain(spark, sfDir).collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
     // sequential SGD is order-sensitive: a different order is a different model
     assert(s1 != unshuffled)
   }
