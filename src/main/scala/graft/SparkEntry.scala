@@ -29,5 +29,5 @@ object SparkEntry {
     Relational.oracleSql ++ TextAnalytics.oracleSql ++ TextQuality.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ InvertedIndex.oracleSql ++
       EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql ++
-      Multimodal.oracleSql
+      Multimodal.oracleSql ++ DocEmbedding.oracleSql
 }

@@ -11,17 +11,20 @@ import org.apache.spark.sql.functions._
   * the pre-built `embeddings` table).
   *
   * Pipeline, all Column expressions until the shared pair kernel:
-  *  1. token hashing trick: feature id = murmur3(token) mod B — the
+  *  1. token hashing trick: feature id = md5-32(token) mod B — the
   *     vocabulary-free featurization used at corpus scale;
   *  2. signed random projection to `embDim` dims: the projection entry
-  *     for (feature, dim) is ±1 from a seeded hash (an Achlioptas-style
+  *     for (feature, dim) is ±1 from md5 parity (an Achlioptas-style
   *     sparse JL projection with the matrix virtualized into the hash —
   *     nothing is materialized or shipped);
   *  3. per-doc sums → dense vector; near-identical token multisets map to
   *     near-identical vectors, so cosine ≥ τ recovers the Jaccard
   *     near-dups (DocEmbeddingSpec pins recall against the exact pairs).
   *
-  * Hash-seeded → rows-only check; the ScalaTest is the gate.
+  * Fully oracle-checked: the md5-derived hashes replicate in SQL, the
+  * vector components are integer-valued doubles (sums are exact in any
+  * aggregation order), and the normalize-then-dot sequence is the same
+  * one the green `dedup_embedding_cosine` oracle already pins.
   */
 object DocEmbedding {
 
@@ -38,13 +41,16 @@ object DocEmbedding {
   def docVectors(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
-      .groupBy(col("doc_id"), pmod(hash(col("w")), lit(featureBuckets)).as("feature"))
+      .groupBy(col("doc_id"),
+        pmod(md5Int(col("w"), 8), lit(featureBuckets.toLong)).as("feature"))
       .agg(count(lit(1)).as("cnt"))
     // dim d component: Σ_features cnt · sign(feature, d); the ±1 sign is
-    // murmur3(feature, d) parity — the virtualized projection matrix
+    // the parity of md5("feature_d") — the virtualized projection matrix
+    // (one hex char of md5 suffices for a parity bit)
     val dimCols = (0 until embDim).map { d =>
       sum(col("cnt") *
-        (pmod(hash(col("feature"), lit(d)), lit(2)) * 2 - 1).cast("double"))
+        (pmod(md5Int(concat_ws("_", col("feature"), lit(d)), 1), lit(2L)) * 2 - 1)
+          .cast("double"))
         .as(s"d$d")
     }
     tf.groupBy("doc_id")
@@ -64,5 +70,35 @@ object DocEmbedding {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_embedding_neardup" -> (docEmbeddingNearDup _))
 
-  val oracleSql: Map[String, String] = Map.empty
+  /** Full-pipeline mirror: md5 hashing trick → signed projection →
+    * normalize → exhaustive pair cosine. Component sums are exact
+    * (integer-valued doubles), so SQL aggregation order is immaterial;
+    * the normalize/dot IEEE sequence matches the kernel's. */
+  val oracleSql: Map[String, String] = Map(
+    "doc_embedding_neardup" ->
+      s"""WITH toks AS (SELECT doc_id, $tokenizeSql AS ws FROM documents),
+          tf AS (
+            SELECT doc_id, ${md5IntSql("w", 8)} % $featureBuckets AS feature,
+                   count(*) AS cnt
+            FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+            GROUP BY doc_id, feature),
+          comp AS (
+            SELECT doc_id, d,
+                   sum(cnt * (CASE WHEN
+                     ${md5IntSql("feature::VARCHAR || '_' || d::VARCHAR", 1)} % 2 = 1
+                     THEN 1.0 ELSE -1.0 END)) AS s
+            FROM tf CROSS JOIN unnest(range(0, $embDim)) AS u(d)
+            GROUP BY doc_id, d),
+          vec AS (SELECT doc_id, list(s ORDER BY d) AS e FROM comp GROUP BY doc_id),
+          v AS (
+            SELECT doc_id,
+                   list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+            FROM vec),
+          scored AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(list_dot_product(a.v, b.v), 6) AS cosine
+            FROM v a JOIN v b ON a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, cosine FROM scored
+          WHERE cosine >= $cosineThreshold
+          ORDER BY doc_a, doc_b""")
 }

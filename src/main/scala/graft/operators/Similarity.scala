@@ -309,10 +309,56 @@ object Similarity {
     "ann_ivf_cosine" -> (annIvfCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
 
-  /** knn oracle: same cosine in DuckDB on DOUBLE lists, same tie-break.
-    * ann_lsh_cosine is hash-seeded Spark-side → rows-only + ScalaTest
-    * recall gate vs the brute-force result. */
+  /** The hyperplanes as SQL literal rows — data-INDEPENDENT (seeded
+    * driver-side), so the oracle can carry them verbatim and replicate
+    * the whole LSH pipeline: bucket bits → candidate join → exact
+    * rescore → top-k. Double literals use Java's shortest round-trip
+    * decimal form, which DuckDB parses back to the identical bits. */
+  private def planeValuesSql: String =
+    hyperplanes().zipWithIndex.flatMap { case (table, t) =>
+      table.zipWithIndex.map { case (plane, p) =>
+        plane.mkString(s"($t, $p, [", ", ", "]::DOUBLE[])")
+      }
+    }.mkString(",\n            ")
+
+  /** knn/lsh oracles: same cosine in DuckDB on DOUBLE lists, same
+    * tie-break; lsh additionally replays the sign-bit bucketing against
+    * the literal hyperplanes. ann_ivf_cosine stays rows-only + ScalaTest
+    * recall gate: its Lloyd iterations average arbitrary doubles in a
+    * driver-determined sequential order that SQL aggregation cannot
+    * replicate bit-for-bit (unlike the integer-exact md5 pipelines). */
   val oracleSql: Map[String, String] = Map(
+    "ann_lsh_cosine" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          planes(t, p, pl) AS (VALUES
+            $planeValuesSql),
+          b AS (
+            SELECT vec_id, t,
+                   string_agg(CASE WHEN list_dot_product(v, pl) >= 0
+                              THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+            FROM v CROSS JOIN planes
+            GROUP BY vec_id, t),
+          qb AS (SELECT vec_id AS query_id, t, bucket FROM b
+                 WHERE vec_id < $nQueries),
+          cand AS (
+            SELECT DISTINCT query_id, b.vec_id AS neighbor_id
+            FROM b JOIN qb USING (t, bucket)
+            WHERE b.vec_id <> qb.query_id),
+          scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(q.v, n.v) /
+                         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)
+                     AS cosine
+            FROM cand
+            JOIN v q ON query_id = q.vec_id
+            JOIN v n ON neighbor_id = n.vec_id),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, cosine, rank
+          FROM ranked WHERE rank <= $knnK
+          ORDER BY query_id, rank""",
     "knn_brute_cosine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < $nQueries),

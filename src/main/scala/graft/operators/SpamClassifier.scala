@@ -33,9 +33,8 @@ import org.apache.spark.sql.functions._
   * (the weight-sum iterates features in sorted order on both sides).
   * The only transcendental is `exp` in the logistic; outputs are rounded
   * to 6dp per the float discipline, which absorbs any last-ulp libm skew.
-  * `spam_train`, `spam_apply` and `spam_ensemble` are fully
-  * oracle-checked; only `spam_train_shuffled` stays rows-only (its
-  * shuffle key is Spark's `rand(42)`, not SQL-replicable).
+  * All four spam queries are fully oracle-checked — the shuffled
+  * trainer's permutation key is md5(doc_id), replicable in SQL.
   *
   * Scoring (G7): explode features ⋈ broadcast weights → per-doc sum —
   * spamminess = Σ w(f), spam iff > 0 (`ApplySpamClassifier.scala:60-82`).
@@ -92,12 +91,15 @@ object SpamClassifier {
 
   /** O7/F12: the reference shuffles training order with random sort keys
     * before the sequential fold (`TrainSpamClassifier.scala:63-68`).
-    * `rand(seed)` is deterministic for a fixed input partitioning, so the
-    * shuffled model is stable run-to-run — SpamSpec asserts it. The fold
-    * consumes rows in shuffled order via a precomputed rank. */
+    * The shuffle key is md5(doc_id) — a deterministic pseudo-random
+    * permutation (uniform, uncorrelated with doc order) rather than
+    * `rand(seed)`: same statistical effect on SGD, but reproducible
+    * bit-for-bit on any engine and any partitioning, which makes the
+    * shuffled trainer fully oracle-checkable. The fold consumes rows in
+    * shuffled order via a precomputed rank. */
   def spamTrainShuffled(spark: SparkSession, dir: String): DataFrame = {
     val shuffled = instances(spark, dir)
-      .withColumn("shuffle_key", rand(42))
+      .withColumn("shuffle_key", md5(col("doc_id").cast("string")))
       .withColumn("doc_id",
         row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy("shuffle_key", "doc_id")).cast("long"))
@@ -178,9 +180,10 @@ object SpamClassifier {
     * one recursion step per instance in training order. `suffix` names the
     * CTEs so the ensemble can instantiate three independent trainers;
     * `where` restricts the training split. */
-  private def sgdSql(suffix: String, where: String): String =
+  private def sgdSql(suffix: String, where: String,
+                     orderBy: String = "doc_id"): String =
     s"""docs$suffix AS (
-         SELECT row_number() OVER (ORDER BY doc_id) AS i, label, features
+         SELECT row_number() OVER (ORDER BY $orderBy) AS i, label, features
          FROM inst $where),
        sgd$suffix(i, w) AS (
          SELECT 0::BIGINT, []::STRUCT(f BIGINT, wt DOUBLE)[]
@@ -214,6 +217,14 @@ object SpamClassifier {
   val oracleSql: Map[String, String] = Map(
     "spam_train" ->
       s"""WITH RECURSIVE $instSql, ${sgdSql("", "")}
+          SELECT feature, round(weight, 6) AS weight
+          FROM model ORDER BY feature""",
+    // same fold, md5-permuted training order — md5's hex is compared
+    // bytewise identically in both engines, doc_id breaks (impossible)
+    // ties, so the recursion visits instances in the exact Spark order
+    "spam_train_shuffled" ->
+      s"""WITH RECURSIVE $instSql,
+          ${sgdSql("", "", orderBy = "md5(doc_id::VARCHAR), doc_id")}
           SELECT feature, round(weight, 6) AS weight
           FROM model ORDER BY feature""",
     "spam_apply" ->
