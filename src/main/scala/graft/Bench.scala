@@ -49,7 +49,10 @@ object Bench {
       graft.operators.InvertedIndex.clearMemos()
     }
 
-    val names = SparkEntry.queries.keys.toSeq.sorted
+    // _csv queries are the dual-format parity surface — same logical
+    // plans as their parquet twins over a text re-materialization; timing
+    // them would double-count the workload and bloat the JSON line
+    val names = SparkEntry.queries.keys.toSeq.filterNot(_.endsWith("_csv")).sorted
     names.foreach(exec(_, warmDir)) // warm-up at the smallest SF
     clearMemos()
     // two timed runs, keep the min — absorbs GC/JIT noise between queries

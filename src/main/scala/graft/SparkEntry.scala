@@ -18,7 +18,8 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Relational.registry ++ TextAnalytics.registry ++ TextQuality.registry ++
+    Relational.registry ++ Relational.csvRegistry ++
+      TextAnalytics.registry ++ TextQuality.registry ++
       Dedup.registry ++ Similarity.registry ++ InvertedIndex.registry ++
       EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry ++
       Multimodal.registry ++ DocEmbedding.registry
@@ -26,7 +27,8 @@ object SparkEntry {
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    Relational.oracleSql ++ TextAnalytics.oracleSql ++ TextQuality.oracleSql ++
+    Relational.oracleSql ++ Relational.csvOracleSql ++
+      TextAnalytics.oracleSql ++ TextQuality.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ InvertedIndex.oracleSql ++
       EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql ++
       Multimodal.oracleSql ++ DocEmbedding.oracleSql

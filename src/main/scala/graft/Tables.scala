@@ -88,11 +88,53 @@ object Tables {
       StructField("label", IntegerType)))
   )
 
+  /** Dir prefix that routes a load through the pipe-text path: the table
+    * is materialized once per real dir as pipe-delimited text (from the
+    * parquet canonical copy) and then parsed back with the explicit
+    * schema — the reference's dual-format grading surface (S2,
+    * `assignment5_marks.md` tests 2–27: text and parquet runs must
+    * agree). A `_csv`-suffixed registry query is its parquet twin run
+    * through this prefix and hash-checked against the SAME oracle. */
+  val CsvDirPrefix = "csv:"
+
+  /** Relational tables only: `events` needs the nanos-as-long parquet
+    * shim and `documents`/`embeddings` carry free text / float arrays
+    * that a delimiter round-trip is the wrong surface for. */
+  private val csvTables =
+    Set("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
+
+  private val csvMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
+  private def csvCopy(spark: SparkSession, realDir: String, name: String): String =
+    csvMemo.synchronized {
+      csvMemo.getOrElseUpdate((spark, realDir, name), {
+        val digest = java.security.MessageDigest.getInstance("MD5")
+          .digest(realDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+        val path = "target/graft-csv/" +
+          s"${realDir.replaceAll("[^A-Za-z0-9.]", "_")}-$digest/$name"
+        spark.read.parquet(s"$realDir/$name.parquet")
+          .write.mode("overwrite")
+          .option("sep", "|")
+          .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+          .csv(path)
+        path
+      })
+    }
+
   /** Parquet scan (primary path). Kept as a DataFrame so pushdown/pruning
     * survive — the reference defeats both by calling `.rdd` (`Q1.scala:59`).
+    * A `csv:`-prefixed dir reads the pipe-text materialization instead.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(s"$dir/$name.parquet")
+    if (dir.startsWith(CsvDirPrefix)) {
+      require(csvTables(name), s"no csv path for table $name")
+      val realDir = dir.stripPrefix(CsvDirPrefix)
+      spark.read
+        .schema(schemas(name))
+        .option("sep", "|")
+        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+        .csv(csvCopy(spark, realDir, name))
+    } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Pipe-delimited text scan with the same explicit schema — the
     * reference's `.tbl` surface (`Q1.scala:53`, S2 in SURVEY §2.1).

@@ -451,4 +451,16 @@ object Relational {
           FROM orders
           WHERE o_custkey < 100
           ORDER BY o_custkey, o_orderkey""")
+
+  /** The reference's dual-format grading contract: every relational query
+    * re-registered on the pipe-text path (`Tables.CsvDirPrefix`), checked
+    * against the SAME oracle as its parquet twin — a hash match proves
+    * text parse ≡ parquet scan end-to-end, per query. Bench skips these
+    * (format parity, not a distinct physical workload). */
+  val csvRegistry: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (k, fn) =>
+      s"${k}_csv" -> ((s: SparkSession, d: String) => fn(s, graft.Tables.CsvDirPrefix + d))
+    }
+  val csvOracleSql: Map[String, String] =
+    oracleSql.map { case (k, sql) => s"${k}_csv" -> sql }
 }

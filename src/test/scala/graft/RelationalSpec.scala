@@ -63,4 +63,15 @@ class RelationalSpec extends GraftSpec {
       .collect()(0)
     assert(pq == cv)
   }
+
+  test("csv: dir prefix routes the scan through text, row-identical to parquet") {
+    // the physical plan must actually read csv — guards against the
+    // prefix silently falling through to the parquet branch
+    val csvScan = Tables.load(spark, Tables.CsvDirPrefix + sfDir, "nation")
+      .queryExecution.executedPlan.toString
+    assert(csvScan.toLowerCase.contains("csv"), s"expected a csv scan:\n$csvScan")
+    val viaCsv = Relational.q5MonthlyNation(spark, Tables.CsvDirPrefix + sfDir).collect().toSeq
+    val viaPq = Relational.q5MonthlyNation(spark, sfDir).collect().toSeq
+    assert(viaCsv == viaPq)
+  }
 }
