@@ -22,7 +22,7 @@ object SparkEntry {
       TextAnalytics.registry ++ TextQuality.registry ++
       Dedup.registry ++ Similarity.registry ++ InvertedIndex.registry ++
       EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry ++
-      Multimodal.registry ++ DocEmbedding.registry
+      Multimodal.registry ++ DocEmbedding.registry ++ CorpusPipeline.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +31,5 @@ object SparkEntry {
       TextAnalytics.oracleSql ++ TextQuality.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ InvertedIndex.oracleSql ++
       EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql ++
-      Multimodal.oracleSql ++ DocEmbedding.oracleSql
+      Multimodal.oracleSql ++ DocEmbedding.oracleSql ++ CorpusPipeline.oracleSql
 }

@@ -1,0 +1,205 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators — the remaining stages a training-data
+  * pipeline runs between raw text and a training shard (extension
+  * mandate, next to Dedup/TextQuality/DocEmbedding):
+  *
+  *  - `sample_stratified`: deterministic per-language downsampling by
+  *    hash threshold — the standard "md5(id) mod 1000 < rate" corpus
+  *    sampling. Map-only, no shuffle, resample-stable (re-runs keep the
+  *    same rows), and language mix is controlled by one rate table.
+  *  - `doc_repetition`: intra-document repetition signals (the Gopher /
+  *    MassiveText-style duplicate-n-gram filters, Rae et al. 2021
+  *    §A1.1): per-doc bigram counts → duplicate fraction + hottest
+  *    bigram. One shuffle keyed by (doc_id, bigram) with map-side
+  *    partial aggregation; all ratios are exact int/int doubles.
+  *  - `text_normalize`: lowercase + punctuation strip + whitespace
+  *    collapse, with before/after sizes. Pure per-row expressions.
+  *  - `corpus_funnel`: the end-to-end retention report — total →
+  *    length-filtered → quality-filtered → exact-deduplicated →
+  *    hash-sampled — as ONE query: a conditional-aggregation pass over
+  *    the scan plus one dedup shuffle, stacked into (stage, n_docs)
+  *    rows. At 100 TB this is the shape of a daily curation audit: two
+  *    jobs, no driver-side counting loop.
+  *
+  * Everything is md5-keyed (cross-engine exact) and fully
+  * oracle-checked.
+  */
+object CorpusPipeline {
+
+  /** Per-mille keep rates per language stratum (fixed rate table). */
+  val sampleRates: Seq[(String, Int)] =
+    Seq("en" -> 500, "de" -> 300, "es" -> 300, "fr" -> 300, "zh" -> 200)
+  val defaultRate = 100
+
+  /** Flat per-mille rate for the funnel's final sampling stage. */
+  val funnelRate = 300
+  val funnelMinChars = 200
+  val funnelMinQuality = 0.5
+
+  private def docs(spark: SparkSession, dir: String) =
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
+        tokenize(col("text")).as("ws"))
+
+  /** Hash bucket in [0, 1000): the sampling coordinate. 15 hex chars of
+    * md5 over the decimal doc_id — uniform, deterministic, identical in
+    * SQL. */
+  private def bucket(c: org.apache.spark.sql.Column) =
+    pmod(md5Int(c.cast("string"), 15), lit(1000L))
+
+  def sampleStratified(spark: SparkSession, dir: String): DataFrame = {
+    val rate = sampleRates.foldRight(lit(defaultRate)) { case ((l, r), e) =>
+      when(col("lang") === l, lit(r)).otherwise(e)
+    }
+    docs(spark, dir)
+      .withColumn("bucket", bucket(col("doc_id")))
+      .withColumn("rate_permille", rate.cast("long"))
+      .filter(col("bucket") < col("rate_permille"))
+      .select("doc_id", "lang", "bucket", "rate_permille")
+      .orderBy("doc_id")
+  }
+
+  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .select(col("doc_id"), explode(bigrams(col("ws"))).as("bg"))
+      .groupBy(col("doc_id"), concat_ws(" ", col("bg.w1"), col("bg.w2")).as("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(
+        sum("cnt").as("n_bigrams"),
+        count(lit(1)).as("n_distinct"),
+        max("cnt").as("max_repeat"))
+      // exact: (bigint − bigint) / bigint on values ≪ 2^53
+      .withColumn("dup_frac",
+        (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))
+      .orderBy("doc_id")
+
+  /** Normalization: lowercase, strip everything outside [a-z0-9 ] and
+    * explicit whitespace, collapse runs, trim. The character classes are
+    * spelled out (not \\s) so Java regex and RE2 agree byte-for-byte. */
+  def textNormalize(spark: SparkSession, dir: String): DataFrame =
+    docs(spark, dir)
+      .withColumn("norm_text",
+        trim(regexp_replace(
+          regexp_replace(lower(col("text")), "[^a-z0-9 \t\n\r\f]", " "),
+          "[ \t\n\r\f]+", " ")))
+      .select(
+        col("doc_id"),
+        length(col("text")).as("n_before"),
+        length(col("norm_text")).as("n_after"),
+        col("norm_text"))
+      .orderBy("doc_id")
+
+  def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextQuality.docQuality(spark, dir).select("doc_id", "quality")
+    val j = docs(spark, dir)
+      .select(col("doc_id"), col("n_chars"),
+        md5(array_join(col("ws"), " ")).as("sig"))
+      .join(q, "doc_id")
+    val keep = col("n_chars") >= funnelMinChars && col("quality") >= funnelMinQuality
+    // one pass for the row-level stages (conditional aggregation) ...
+    val flat = j.agg(
+      count(lit(1)).as("total"),
+      count(when(col("n_chars") >= funnelMinChars, 1)).as("nonshort"),
+      count(when(keep, 1)).as("good"))
+    // ... one dedup shuffle for the set-level stages; the survivor is the
+    // min doc_id per signature, sampled on ITS hash bucket
+    val reps = j.filter(keep).groupBy("sig").agg(min("doc_id").as("rep_doc"))
+    val dd = reps.agg(
+      count(lit(1)).as("uniq"),
+      count(when(bucket(col("rep_doc")) < funnelRate, 1)).as("sampled"))
+    flat.crossJoin(dd).selectExpr(
+      """stack(5,
+           '1_total', total,
+           '2_nonshort', nonshort,
+           '3_quality', good,
+           '4_exact_unique', uniq,
+           '5_sampled', sampled) AS (stage, n_docs)""")
+      .orderBy("stage")
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "sample_stratified" -> (sampleStratified _),
+    "doc_repetition" -> (docRepetition _),
+    "text_normalize" -> (textNormalize _),
+    "corpus_funnel" -> (corpusFunnel _))
+
+  private val toksSql =
+    s"""toks AS (
+         SELECT doc_id, text, lang, n_chars, $tokenizeSql AS ws
+         FROM documents)"""
+
+  private def bucketSql(e: String) =
+    s"(${md5IntSql(s"($e)::VARCHAR", 15)} % 1000)"
+
+  val oracleSql: Map[String, String] = Map(
+    "sample_stratified" ->
+      s"""WITH b AS (
+            SELECT doc_id, lang, ${bucketSql("doc_id")} AS bucket,
+                   (CASE ${sampleRates.map { case (l, r) => s"WHEN lang = '$l' THEN $r" }.mkString(" ")}
+                         ELSE $defaultRate END)::BIGINT AS rate_permille
+            FROM documents)
+          SELECT doc_id, lang, bucket, rate_permille
+          FROM b WHERE bucket < rate_permille
+          ORDER BY doc_id""",
+    "doc_repetition" ->
+      s"""WITH $toksSql,
+          bg AS (
+            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram, count(*) AS cnt
+            FROM toks, unnest(range(1, len(ws))) AS u(i)
+            WHERE len(ws) >= 2
+            GROUP BY doc_id, bigram)
+          SELECT doc_id,
+                 sum(cnt)::BIGINT AS n_bigrams,
+                 count(*) AS n_distinct,
+                 max(cnt) AS max_repeat,
+                 (sum(cnt) - count(*))::DOUBLE / sum(cnt) AS dup_frac
+          FROM bg GROUP BY doc_id
+          ORDER BY doc_id""",
+    "text_normalize" ->
+      s"""WITH n AS (
+            SELECT doc_id, text,
+                   trim(regexp_replace(
+                     regexp_replace(lower(text), '[^a-z0-9 \\t\\n\\r\\f]', ' ', 'g'),
+                     '[ \\t\\n\\r\\f]+', ' ', 'g')) AS norm_text
+            FROM documents)
+          SELECT doc_id, length(text) AS n_before,
+                 length(norm_text) AS n_after, norm_text
+          FROM n ORDER BY doc_id""",
+    "corpus_funnel" ->
+      s"""WITH $toksSql,
+          q AS (
+            SELECT doc_id,
+                   round(least(n_chars::DOUBLE / 400.0, 1.0) * 0.4 +
+                         (len(list_distinct(ws))::DOUBLE / len(ws)) * 0.4 +
+                         (${TextQuality.stopCountSql}::DOUBLE / len(ws)) * 0.2, 6)
+                     AS quality
+            FROM toks),
+          j AS (
+            SELECT t.doc_id, t.n_chars,
+                   md5(array_to_string(t.ws, ' ')) AS sig, q.quality
+            FROM toks t JOIN q USING (doc_id)),
+          reps AS (
+            SELECT min(doc_id) AS rep_doc FROM j
+            WHERE n_chars >= $funnelMinChars AND quality >= $funnelMinQuality
+            GROUP BY sig)
+          SELECT '1_total' AS stage, (SELECT count(*) FROM j) AS n_docs
+          UNION ALL
+          SELECT '2_nonshort', (SELECT count(*) FROM j WHERE n_chars >= $funnelMinChars)
+          UNION ALL
+          SELECT '3_quality', (SELECT count(*) FROM j
+                               WHERE n_chars >= $funnelMinChars
+                                 AND quality >= $funnelMinQuality)
+          UNION ALL
+          SELECT '4_exact_unique', (SELECT count(*) FROM reps)
+          UNION ALL
+          SELECT '5_sampled', (SELECT count(*) FROM reps
+                               WHERE ${bucketSql("rep_doc")} < $funnelRate)
+          ORDER BY stage""")
+}

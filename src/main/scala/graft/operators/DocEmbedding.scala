@@ -37,6 +37,20 @@ object DocEmbedding {
     * with exact Jaccard before dropping documents. */
   val cosineThreshold = 0.94
 
+  /** Packed sign matrix: bit d of entry f = parity of the first md5 hex
+    * char of "f_d" (exactly `md5Int(concat_ws("_", f, d), 1) % 2`). */
+  private lazy val signMatrix: Seq[Long] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until featureBuckets).map { f =>
+      (0 until embDim).foldLeft(0L) { (acc, d) =>
+        val hex = md.digest(s"${f}_$d".getBytes("UTF-8"))
+        // first hex char = high nibble of byte 0; its parity = bit 4
+        val parity = (hex(0) >> 4) & 1
+        acc | (parity.toLong << d)
+      }
+    }
+  }
+
   /** (doc_id, v) dense document vectors. */
   def docVectors(spark: SparkSession, dir: String): DataFrame = {
     val tf = Tables.documents(spark, dir)
@@ -45,12 +59,17 @@ object DocEmbedding {
         pmod(md5Int(col("w"), 8), lit(featureBuckets.toLong)).as("feature"))
       .agg(count(lit(1)).as("cnt"))
     // dim d component: Σ_features cnt · sign(feature, d); the ±1 sign is
-    // the parity of md5("feature_d") — the virtualized projection matrix
-    // (one hex char of md5 suffices for a parity bit)
+    // the parity of md5("feature_d") — the virtualized projection matrix.
+    // The matrix is FINITE (B × embDim parity bits), so it is evaluated
+    // once driver-side and shipped as a literal of B packed bitmasks: per
+    // row the sign is one array index + bit test instead of embDim md5
+    // evaluations (identical values — the literal IS the md5 parity, as
+    // the SQL oracle recomputes symbolically per (feature, dim)).
+    val signLit = typedlit(signMatrix)
+    val signBits = element_at(signLit, (col("feature") + 1).cast("int"))
     val dimCols = (0 until embDim).map { d =>
       sum(col("cnt") *
-        (pmod(md5Int(concat_ws("_", col("feature"), lit(d)), 1), lit(2L)) * 2 - 1)
-          .cast("double"))
+        (shiftright(signBits, d).bitwiseAND(1) * 2 - 1).cast("double"))
         .as(s"d$d")
     }
     tf.groupBy("doc_id")

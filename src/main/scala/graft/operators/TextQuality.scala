@@ -125,8 +125,10 @@ object TextQuality {
                 ${graft.functions.TextFunctions.tokenizeSql} AS ws
          FROM documents)"""
 
-  private val stopSql =
+  /** Shared with CorpusPipeline's funnel oracle (same quality formula). */
+  private[operators] val stopCountSql =
     s"len(list_filter(ws, w -> w IN (${enStopwords.map(w => s"'$w'").mkString(", ")})))"
+  private val stopSql = stopCountSql
 
   val oracleSql: Map[String, String] = Map(
     "token_stats" ->
