@@ -15,9 +15,9 @@ import org.apache.spark.sql.functions._
   *    same rows), and language mix is controlled by one rate table.
   *  - `doc_repetition`: intra-document repetition signals (the Gopher /
   *    MassiveText-style duplicate-n-gram filters, Rae et al. 2021
-  *    §A1.1): per-doc bigram counts → duplicate fraction + hottest
-  *    bigram. One shuffle keyed by (doc_id, bigram) with map-side
-  *    partial aggregation; all ratios are exact int/int doubles.
+  *    §A1.1): per-doc bigram duplicate fraction + hottest-bigram run.
+  *    Entirely per-row array expressions — no shuffle at all; all
+  *    ratios are exact int/int doubles.
   *  - `text_normalize`: lowercase + punctuation strip + whitespace
   *    collapse, with before/after sizes. Pure per-row expressions.
   *  - `corpus_funnel`: the end-to-end retention report — total →
@@ -65,20 +65,40 @@ object CorpusPipeline {
       .orderBy("doc_id")
   }
 
-  def docRepetition(spark: SparkSession, dir: String): DataFrame =
+  /** Shuffle-FREE by construction: a document's bigrams all live in its
+    * own row, so every statistic is an array expression — explode +
+    * groupBy would shuffle the full bigram volume to recompute what a
+    * per-row fold already knows. max_repeat = longest run in the sorted
+    * bigram array (O(n log n) per doc; fine while single docs stay
+    * bounded — a multi-GB pathological doc would need the explode form).
+    */
+  def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    val runFold = (bg: org.apache.spark.sql.Column) =>
+      aggregate(
+        array_sort(bg),
+        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+        (st, x) => {
+          val run = when(x === st.getField("prev"), st.getField("run") + 1)
+            .otherwise(lit(1L))
+          struct(x.as("prev"), run.as("run"),
+            greatest(st.getField("best"), run).as("best"))
+        },
+        st => st.getField("best"))
     docs(spark, dir)
-      .select(col("doc_id"), explode(bigrams(col("ws"))).as("bg"))
-      .groupBy(col("doc_id"), concat_ws(" ", col("bg.w1"), col("bg.w2")).as("bigram"))
-      .agg(count(lit(1)).as("cnt"))
-      .groupBy("doc_id")
-      .agg(
-        sum("cnt").as("n_bigrams"),
-        count(lit(1)).as("n_distinct"),
-        max("cnt").as("max_repeat"))
+      .select(col("doc_id"),
+        transform(bigrams(col("ws")),
+          b => concat_ws(" ", b.getField("w1"), b.getField("w2"))).as("bg"))
+      .filter(size(col("bg")) >= 1)
+      .select(
+        col("doc_id"),
+        size(col("bg")).cast("long").as("n_bigrams"),
+        size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
+        runFold(col("bg")).as("max_repeat"))
       // exact: (bigint − bigint) / bigint on values ≪ 2^53
       .withColumn("dup_frac",
         (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))
       .orderBy("doc_id")
+  }
 
   /** Normalization: lowercase, strip everything outside [a-z0-9 ] and
     * explicit whitespace, collapse runs, trim. The character classes are
@@ -150,18 +170,17 @@ object CorpusPipeline {
           ORDER BY doc_id""",
     "doc_repetition" ->
       s"""WITH $toksSql,
-          bg AS (
-            SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS bigram, count(*) AS cnt
-            FROM toks, unnest(range(1, len(ws))) AS u(i)
-            WHERE len(ws) >= 2
-            GROUP BY doc_id, bigram)
+          b AS (
+            SELECT doc_id,
+                   [ws[i] || ' ' || ws[i + 1] for i in range(1, len(ws))] AS bg
+            FROM toks WHERE len(ws) >= 2)
           SELECT doc_id,
-                 sum(cnt)::BIGINT AS n_bigrams,
-                 count(*) AS n_distinct,
-                 max(cnt) AS max_repeat,
-                 (sum(cnt) - count(*))::DOUBLE / sum(cnt) AS dup_frac
-          FROM bg GROUP BY doc_id
-          ORDER BY doc_id""",
+                 len(bg)::BIGINT AS n_bigrams,
+                 len(list_distinct(bg))::BIGINT AS n_distinct,
+                 list_max(list_transform(list_distinct(bg),
+                   x -> len(list_filter(bg, y -> y = x))))::BIGINT AS max_repeat,
+                 (len(bg) - len(list_distinct(bg)))::DOUBLE / len(bg) AS dup_frac
+          FROM b ORDER BY doc_id""",
     "text_normalize" ->
       s"""WITH n AS (
             SELECT doc_id, text,

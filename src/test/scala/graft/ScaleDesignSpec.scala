@@ -77,4 +77,30 @@ class ScaleDesignSpec extends GraftSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(l_shipdate"), plan)
   }
+
+  test("stratified sampling is a shuffle-free map-only scan") {
+    val plan = graft.operators.CorpusPipeline.sampleStratified(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the only exchange allowed is the final presentation sort's range
+    // partitioning; no hash shuffle anywhere in the sampling itself
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("doc_repetition is shuffle-free (per-row array statistics)") {
+    val plan = graft.operators.CorpusPipeline.docRepetition(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // a doc's bigrams live in its own row — no exchange except the
+    // presentation sort's range partitioning
+    assert(!plan.contains("Exchange hashpartitioning"), plan)
+  }
+
+  test("corpus funnel runs as two aggregation branches, no per-stage jobs") {
+    val df = graft.operators.CorpusPipeline.corpusFunnel(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+    // the five stages come from stacked conditional aggregates — the
+    // plan must NOT contain five separate scans of documents
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans <= 4, s"funnel rescans the corpus per stage ($scans scans):\n$plan")
+    assert(df.count() == 5)
+  }
 }
