@@ -59,6 +59,28 @@ object StreamingJobs {
       .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
   }
 
+  /** Streaming exact dedup — the ingest-side form of the batch
+    * `Dedup.dedupExact`: drop re-crawled duplicate documents AS THEY
+    * ARRIVE. The dedup key is the same md5 over whitespace-normalized
+    * tokens, so a doc kept here is exactly a batch-dedup representative
+    * (first arrival wins; StreamingSpec feeds doc_id order and asserts
+    * set equality with the batch representatives).
+    *
+    * `dropDuplicatesWithinWatermark` is the piece that scales: state
+    * holds only signatures younger than the watermark horizon, where a
+    * plain `dropDuplicates` on an unbounded stream would grow its state
+    * store with every signature ever seen. Re-crawls beyond the horizon
+    * pass through again — the standard trade, handled downstream by the
+    * batch dedup over the landed corpus. */
+  def dedupStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "1 hour")
+      .withColumn("sig",
+        md5(array_join(graft.functions.TextFunctions.tokenize(col("text")), " ")))
+      .dropDuplicatesWithinWatermark("sig")
+      .select("doc_id", "sig", "ts")
+
   /** R4: the trend state machine — `flatMapGroupsWithState` keyed by
     * company. A window closes when a later-window event for the same key
     * arrives; the closed window emits with the reference predicate

@@ -6,6 +6,9 @@ import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
+/** Top-level so spark.implicits can derive its Encoder. */
+case class TimedDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
 class StreamingSpec extends GraftSpec {
   import spark.implicits._
 
@@ -172,5 +175,32 @@ class StreamingSpec extends GraftSpec {
       assert(want.contains(k), s"unexpected window $k")
       assert(want(k) == v, s"window $k: streaming $v vs batch ${want(k)}")
     }
+  }
+
+  test("streaming dedup keeps exactly the batch dedup representatives") {
+    implicit val sc = spark.sqlContext
+    // documents arriving in doc_id order, one synthetic second apart —
+    // first arrival per signature == min doc_id per signature
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().sortBy(_.getLong(0))
+      .map(r => TimedDoc(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(1700000000000L + r.getLong(0) * 1000)))
+    val input = MemoryStream[TimedDoc]
+    val q = graft.streaming.StreamingJobs.dedupStream(input.toDF())
+      .writeStream.outputMode("append")
+      .format("memory").queryName("dedup_stream_out")
+      .start()
+    // two batches to cross a micro-batch boundary mid-stream
+    val (b1, b2) = docs.splitAt(docs.length / 2)
+    input.addData(b1.toSeq); q.processAllAvailable()
+    input.addData(b2.toSeq); q.processAllAvailable()
+    q.stop()
+    val kept = spark.table("dedup_stream_out").collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    val want = graft.operators.Dedup.dedupExact(spark, sfDir).collect()
+      .map(_.getAs[Long]("rep_doc_id")).toSet
+    assert(kept == want,
+      s"stream-kept ${kept.size} docs vs batch reps ${want.size}; " +
+        s"diff=${(kept diff want) ++ (want diff kept)}")
   }
 }
