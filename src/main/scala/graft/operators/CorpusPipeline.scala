@@ -85,10 +85,14 @@ object CorpusPipeline {
         },
         st => st.getField("best"))
     docs(spark, dir)
+      // equivalent to filtering on a nonempty bigram array, but the
+      // pushed-down predicate only re-evaluates tokenize, not the whole
+      // bigram construction (Catalyst pushes filters through projects by
+      // re-inlining their expressions)
+      .filter(size(col("ws")) >= 2)
       .select(col("doc_id"),
         transform(bigrams(col("ws")),
           b => concat_ws(" ", b.getField("w1"), b.getField("w2"))).as("bg"))
-      .filter(size(col("bg")) >= 1)
       .select(
         col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),
