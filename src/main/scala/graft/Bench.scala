@@ -17,12 +17,16 @@ object Bench {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // A/B hook for custom rewrites (e.g. graft.plans.TopKRewrite)
+    sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")
+      .foreach(spark.conf.set("spark.sql.optimizer.excludedRules", _))
 
     def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

@@ -15,11 +15,16 @@ object Explain {
       else SparkEntry.queries.keys.toSeq.sorted
     val spark = SparkSession.builder()
       .master("local[4]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // A/B a rewrite: SPARK_GRAFT_EXCLUDE_RULES=graft.plans.TopKRewrite
+    // shows the stock plan next to the extension plan
+    sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")
+      .foreach(spark.conf.set("spark.sql.optimizer.excludedRules", _))
     names.foreach { name =>
       println(s"\n===== $name =====")
       try println(SparkEntry.queries(name)(spark, sfDir).queryExecution.explainString(

@@ -1,0 +1,160 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, UnaryNode, Window}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnspecifiedDistribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+
+/** SURVEY O5 / mandate rung (c): the reference's bounded-priority-queue
+  * top-k (`ExtractTopPersonalizedPageRankNodes.java:102-135`, a mapper
+  * holding a fixed-size PQ so only k candidates per group ever reach the
+  * reducer) as a REAL Catalyst extension — logical node + optimizer rule
+  * + planner strategy + two-phase physical operator, registered through
+  * `SparkSessionExtensions`.
+  *
+  * The rule recognizes the canonical Spark top-k idiom
+  *
+  *   df.withColumn("rnk", row_number().over(Window.partitionBy(K).orderBy(S)))
+  *     .filter(col("rnk") <= k)
+  *
+  * and plants [[TopKPerKey]] under the Window. The planner lowers it to
+  * PARTIAL → shuffle → FINAL bounded-PQ passes, so each upstream task
+  * forwards at most k rows per key (in-mapper combining for top-k), the
+  * shuffle moves O(keys·k) rows instead of the full input, and the
+  * window's sort runs on ≤ k rows per key. At 100 TB this turns the
+  * worst operator in the naive plan (a full per-key sort of everything)
+  * into a scan-bound pass with a tiny shuffle.
+  *
+  * Semantics: the kept row SET equals what the row_number filter keeps
+  * whenever the window order is total (every registered query tiebreaks
+  * to totality); under ties both plans keep some valid k-subset, which
+  * is row_number's contract anyway. The Window node itself is left in
+  * place to assign the final ranks — on the pruned input its cost is
+  * negligible, and dropping it would change the query's schema.
+  *
+  * State: one k-bounded heap per key per task — the same memory contract
+  * as the reference's mapper PQ; keys per task are bounded by the
+  * upstream partitioning at worst, and the heaps never exceed k rows.
+  */
+case class TopKPerKey(k: Int, partExprs: Seq[Expression],
+    orderSpec: Seq[SortOrder], child: LogicalPlan) extends UnaryNode {
+  override def output: Seq[Attribute] = child.output
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan): TopKPerKey =
+    copy(child = newChild)
+}
+
+/** Optimizer rule: Filter(rank ≤ k, Window(row_number, …)) ⇒ plant
+  * TopKPerKey below the Window. Conservative on purpose: exactly one
+  * window expression, a plain `<=`/`<` integer bound on its attribute,
+  * a non-empty order, and no prior rewrite. */
+object TopKRewrite extends Rule[LogicalPlan] {
+
+  /** PQ-per-key memory guard: beyond this, the plain sort is fine. */
+  val maxK = 10000
+
+  private def boundOf(cond: Expression, rank: Attribute): Option[Int] = cond match {
+    case LessThanOrEqual(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rank) =>
+      Some(v)
+    case LessThan(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rank) =>
+      Some(v - 1)
+    case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) if a.semanticEquals(rank) =>
+      Some(v)
+    case _ => None
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+    case f @ Filter(cond, w: Window)
+        if w.windowExpressions.size == 1 && !w.child.isInstanceOf[TopKPerKey] =>
+      w.windowExpressions.head match {
+        case a @ Alias(WindowExpression(RowNumber(),
+            WindowSpecDefinition(_, order, _)), _) if order.nonEmpty =>
+          boundOf(cond, a.toAttribute) match {
+            case Some(k) if k > 0 && k <= maxK =>
+              f.copy(child = w.copy(child =
+                TopKPerKey(k, w.partitionSpec, order, w.child)))
+            case _ => f
+          }
+        case _ => f
+      }
+  }
+}
+
+/** Planner strategy: lower the logical node to partial→final execs; the
+  * final's required distribution makes EnsureRequirements insert the
+  * (now tiny) shuffle between them. */
+object TopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case TopKPerKey(k, part, order, child) =>
+      GraftTopKExec(k, part, order, partial = false,
+        GraftTopKExec(k, part, order, partial = true, planLater(child))) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Bounded-PQ pass: keeps the k first rows per key under `orderSpec`.
+  * `partial = true` runs before the shuffle on whatever partitioning the
+  * child has (per-task pruning); `partial = false` requires clustering
+  * by key and produces the exact per-key top-k. */
+case class GraftTopKExec(k: Int, partExprs: Seq[Expression],
+    orderSpec: Seq[SortOrder], partial: Boolean, child: SparkPlan)
+    extends UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning: Partitioning = child.outputPartitioning
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partial) UnspecifiedDistribution :: Nil
+    else ClusteredDistribution(partExprs) :: Nil
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val kk = k
+    val part = partExprs
+    val order = orderSpec
+    val childOutput = child.output
+    child.execute().mapPartitions { iter =>
+      // executor-side construction: projections/orderings are codegen'd
+      // per task, never serialized from the driver
+      val keyProj = UnsafeProjection.create(part, childOutput)
+      val ord = RowOrdering.create(order, childOutput)
+      val rowOrd: Ordering[InternalRow] = (x: InternalRow, y: InternalRow) =>
+        ord.compare(x, y)
+      // heap head = the WORST retained row (max under the sort order):
+      // a new row enters iff it sorts strictly before the head
+      val heaps = scala.collection.mutable.LinkedHashMap
+        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+      iter.foreach { row =>
+        val key = keyProj(row)
+        heaps.get(key) match {
+          case Some(h) =>
+            if (h.size < kk) h += row.copy()
+            else if (ord.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
+          case None =>
+            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            h += row.copy()
+            heaps.put(key.copy(), h)
+        }
+      }
+      heaps.valuesIterator.flatMap(_.iterator)
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan): GraftTopKExec =
+    copy(child = newChild)
+
+  override def nodeName: String =
+    if (partial) "GraftTopKPartial" else "GraftTopKFinal"
+}
+
+/** `spark.sql.extensions=graft.plans.GraftExtensions` installs the rule
+  * and strategy; without it every query still runs identically on the
+  * stock window plan (the rewrite is a pure optimization). */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectOptimizerRule(_ => TopKRewrite)
+    e.injectPlannerStrategy(_ => TopKStrategy)
+  }
+}

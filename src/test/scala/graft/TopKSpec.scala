@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The SparkSessionExtensions surface: TopKRewrite + GraftTopKExec
+  * (bounded-PQ top-k, SURVEY O5 / mandate rung (c)). */
+class TopKSpec extends GraftSpec {
+
+  private val excludeKey = "spark.sql.optimizer.excludedRules"
+
+  test("rewrite plants the two-phase bounded-PQ operator under rank filters") {
+    val plan = graft.operators.PageRank.topkByGroup(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPartial"), plan)
+    assert(plan.contains("GraftTopKFinal"), plan)
+    // the partial pass runs BEFORE the exchange: at scale each task
+    // forwards at most k rows per key into the shuffle
+    val partialIdx = plan.indexOf("GraftTopKPartial")
+    val exchangeIdx = plan.lastIndexOf("Exchange hashpartitioning")
+    assert(exchangeIdx >= 0 && exchangeIdx < partialIdx,
+      s"partial must sit below the shuffle:\n$plan")
+  }
+
+  test("windows without a rank bound are left untouched") {
+    val plan = graft.operators.Relational.q13RunningRevenue(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("GraftTopK"), plan)
+  }
+
+  test("rewritten plan returns exactly the stock plan's rows") {
+    def run() = graft.operators.PageRank.topkByGroup(spark, sfDir).collect().toSeq
+    val rewritten = run()
+    spark.conf.set(excludeKey, "graft.plans.TopKRewrite")
+    try {
+      val stockPlan = graft.operators.PageRank.topkByGroup(spark, sfDir)
+        .queryExecution.executedPlan.toString
+      assert(!stockPlan.contains("GraftTopK"), "exclusion did not disable the rule")
+      assert(run() == rewritten)
+    } finally spark.conf.unset(excludeKey)
+  }
+
+  test("bounded-PQ agrees with a driver-side reference on adversarial groups") {
+    val sp = spark
+    import sp.implicits._
+    // skewed groups, duplicate order values (ties broken by id — total
+    // order), one singleton group, one group smaller than k
+    val rows = (0 until 2000).map { i =>
+      val g = if (i < 1500) "hot" else if (i < 1999) s"g${i % 7}" else "solo"
+      (g, (i * 37 % 101).toDouble, i.toLong)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val k = 5
+    val got = df.withColumn("rnk",
+        row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(desc("v"), col("id"))))
+      .filter(col("rnk") <= k)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    assert(df.queryExecution.sparkSession.sessionState.conf
+      .getConfString(excludeKey, "") == "", "rule must be active for this test")
+    val want = rows.groupBy(_._1).flatMap { case (g, rs) =>
+      rs.sortBy(r => (-r._2, r._3)).take(k).zipWithIndex
+        .map { case ((_, v, id), i) => (g, v, id, i + 1) }
+    }.toSet
+    assert(got == want)
+  }
+}
