@@ -86,9 +86,33 @@ object Multimodal {
       .orderBy("doc_id", "frame_id")
   }
 
+  /** Resize: nearest-neighbor downsample analog on the opaque blob —
+    * keep every `resizeStride`-th byte (a real pipeline swaps the byte
+    * decimation for a batched image resize; schema, pruning, and the
+    * per-record arithmetic shape are what's exercised). Output carries
+    * sizes plus a checksum of the resized payload, so the oracle
+    * verifies the exact bytes kept, not just counts. Pure column
+    * expressions, shuffle-free. */
+  val resizeStride = 8
+  def mediaResize(spark: SparkSession, dir: String): DataFrame = {
+    val resized = transform(
+      sequence(lit(0), floor((col("n_bytes") - 1) / resizeStride).cast("int")),
+      i => ascii(decode(col("media").substr(i * resizeStride + 1, lit(1)), "UTF-8"))
+        .cast("long"))
+    mediaTable(spark, dir)
+      .filter(col("n_bytes") > 0)
+      .select(
+        col("doc_id"),
+        col("n_bytes").as("orig_len"),
+        size(resized).cast("long").as("resized_len"),
+        aggregate(resized, lit(0L), (acc, x) => acc + x).as("resized_sum"))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (mediaFeatures _),
-    "multimodal_frame_sample" -> (mediaFrameSample _))
+    "multimodal_frame_sample" -> (mediaFrameSample _),
+    "multimodal_resize" -> (mediaResize _))
 
   /** The corpus is ASCII, so byte features equal character features —
     * which is what makes the stub oracle-checkable. */
@@ -102,6 +126,16 @@ object Multimodal {
                  CAST(ceil(octet_length(encode(text))::DOUBLE / $frameBytes) AS BIGINT)
                    AS n_frames
           FROM documents ORDER BY doc_id""",
+    "multimodal_resize" ->
+      s"""WITH r AS (
+            SELECT doc_id, octet_length(encode(text)) AS orig_len,
+                   [ascii(substr(text, i * $resizeStride + 1, 1))::BIGINT
+                    for i in range(0, ((length(text) - 1) // $resizeStride) + 1)] AS kept
+            FROM documents WHERE length(text) > 0)
+          SELECT doc_id, orig_len,
+                 len(kept)::BIGINT AS resized_len,
+                 list_sum(kept)::BIGINT AS resized_sum
+          FROM r ORDER BY doc_id""",
     "multimodal_frame_sample" ->
       s"""WITH d AS (
             SELECT doc_id, text,
