@@ -98,6 +98,11 @@ object SpamClassifier {
     * shuffled trainer fully oracle-checkable. The fold consumes rows in
     * shuffled order via a precomputed rank. */
   def spamTrainShuffled(spark: SparkSession, dir: String): DataFrame = {
+    // the unpartitioned window (Spark warns "no partition defined") is
+    // the SEMANTIC here: one global total training order. The data at
+    // this point is the instance stream that feeds an enforced
+    // single-partition sequential fold anyway — there is no parallel
+    // version of "train in this exact order".
     val shuffled = instances(spark, dir)
       .withColumn("shuffle_key", md5(col("doc_id").cast("string")))
       .withColumn("doc_id",
