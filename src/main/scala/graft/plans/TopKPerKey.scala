@@ -64,6 +64,14 @@ object TopKRewrite extends Rule[LogicalPlan] {
       Some(v - 1)
     case GreaterThanOrEqual(Literal(v: Int, _), a: Attribute) if a.semanticEquals(rank) =>
       Some(v)
+    // rank = k (k=1 is the argmax-per-group idiom): the rank-k row is
+    // inside the per-key top-k set, and on a total order the window
+    // assigns the pruned set the same ranks, so the equality filter
+    // still selects exactly that row
+    case EqualTo(a: Attribute, Literal(v: Int, _)) if a.semanticEquals(rank) =>
+      Some(v)
+    case EqualTo(Literal(v: Int, _), a: Attribute) if a.semanticEquals(rank) =>
+      Some(v)
     case _ => None
   }
 

@@ -21,6 +21,18 @@ class TopKSpec extends GraftSpec {
       s"partial must sit below the shuffle:\n$plan")
   }
 
+  test("rank equality (argmax-per-group) also lowers to the bounded PQ") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", 3L), ("a", 7L), ("b", 5L), ("a", 1L)).toDF("g", "v")
+      .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy("g").orderBy(desc("v"))))
+      .filter(col("rnk") === 1)
+    assert(df.queryExecution.executedPlan.toString.contains("GraftTopK"))
+    assert(df.select("g", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      == Set(("a", 7L), ("b", 5L)))
+  }
+
   test("windows without a rank bound are left untouched") {
     val plan = graft.operators.Relational.q13RunningRevenue(spark, sfDir)
       .queryExecution.executedPlan.toString
