@@ -77,10 +77,17 @@ object TopKRewrite extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case f @ Filter(cond, w: Window)
-        if w.windowExpressions.size == 1 && !w.child.isInstanceOf[TopKPerKey] =>
+        if w.windowExpressions.size == 1 && !w.child.isInstanceOf[TopKPerKey] &&
+          // empty partitionSpec = GLOBAL top-k: ClusteredDistribution
+          // rejects empty clustering, and a global k-limit is the sort
+          // engine's job (TakeOrdered / WindowGroupLimit) — skip it.
+          // Non-deterministic keys/orders must not be re-evaluated in an
+          // extra operator.
+          w.partitionSpec.nonEmpty && w.partitionSpec.forall(_.deterministic) =>
       w.windowExpressions.head match {
         case a @ Alias(WindowExpression(RowNumber(),
-            WindowSpecDefinition(_, order, _)), _) if order.nonEmpty =>
+            WindowSpecDefinition(_, order, _)), _)
+            if order.nonEmpty && order.forall(_.deterministic) =>
           boundOf(cond, a.toAttribute) match {
             case Some(k) if k > 0 && k <= maxK =>
               f.copy(child = w.copy(child =

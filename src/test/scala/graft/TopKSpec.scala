@@ -33,6 +33,17 @@ class TopKSpec extends GraftSpec {
       == Set(("a", 7L), ("b", 5L)))
   }
 
+  test("global (unpartitioned) rank filters are not rewritten and still run") {
+    val sp = spark
+    import sp.implicits._
+    val df = Seq(("a", 3L), ("b", 7L), ("c", 5L)).toDF("g", "v")
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(desc("v"))))
+      .filter(col("rnk") <= 2)
+    assert(!df.queryExecution.executedPlan.toString.contains("GraftTopK"))
+    assert(df.select("g").collect().map(_.getString(0)).toSet == Set("b", "c"))
+  }
+
   test("windows without a rank bound are left untouched") {
     val plan = graft.operators.Relational.q13RunningRevenue(spark, sfDir)
       .queryExecution.executedPlan.toString
