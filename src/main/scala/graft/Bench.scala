@@ -73,7 +73,11 @@ object Bench {
     // millisecond precision: keeps the full line under the harness's
     // 2000-char stdout tail window so every per-query number is parseable
     // (9-dp doubles pushed the 60+-query line past it)
-    def fmt(v: Double): String = if (v < 0) "-1" else f"$v%.3f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum

@@ -103,19 +103,30 @@ object Tables {
   private val csvTables =
     Set("lineitem", "orders", "customer", "supplier", "part", "nation", "region")
 
+  /** Collision-free local artifact path for a source dir: readable
+    * sanitized prefix + md5 digest (the prefix alone can collide after
+    * sanitization, "sf0.1" vs "sf0_1"). Shared by the csv
+    * materialization here and InvertedIndex.persistedIndex. */
+  private[graft] def artifactPath(base: String, dir: String): String = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
+    s"$base/${dir.replaceAll("[^A-Za-z0-9.]", "_")}-$digest"
+  }
+
+  /** One option set for the pipe-text surface — writer and readers must
+    * agree or the parity path silently parses nulls. */
+  private val csvOptions =
+    Map("sep" -> "|", "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss")
+
   private val csvMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]
   private def csvCopy(spark: SparkSession, realDir: String, name: String): String =
     csvMemo.synchronized {
       csvMemo.getOrElseUpdate((spark, realDir, name), {
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(realDir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-        val path = "target/graft-csv/" +
-          s"${realDir.replaceAll("[^A-Za-z0-9.]", "_")}-$digest/$name"
+        val path = s"${artifactPath("target/graft-csv", realDir)}/$name"
         spark.read.parquet(s"$realDir/$name.parquet")
           .write.mode("overwrite")
-          .option("sep", "|")
-          .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
+          .options(csvOptions)
           .csv(path)
         path
       })
@@ -129,22 +140,20 @@ object Tables {
     if (dir.startsWith(CsvDirPrefix)) {
       require(csvTables(name), s"no csv path for table $name")
       val realDir = dir.stripPrefix(CsvDirPrefix)
-      spark.read
-        .schema(schemas(name))
-        .option("sep", "|")
-        .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
-        .csv(csvCopy(spark, realDir, name))
+      readCsvPath(spark, csvCopy(spark, realDir, name), name)
     } else spark.read.parquet(s"$dir/$name.parquet")
 
   /** Pipe-delimited text scan with the same explicit schema — the
     * reference's `.tbl` surface (`Q1.scala:53`, S2 in SURVEY §2.1).
     */
   def loadCsv(spark: SparkSession, dir: String, name: String): DataFrame =
+    readCsvPath(spark, s"$dir/$name.csv", name)
+
+  private def readCsvPath(spark: SparkSession, path: String, name: String): DataFrame =
     spark.read
       .schema(schemas(name))
-      .option("sep", "|")
-      .option("timestampNTZFormat", "yyyy-MM-dd HH:mm:ss")
-      .csv(s"$dir/$name.csv")
+      .options(csvOptions)
+      .csv(path)
 
   def lineitem(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "orders")

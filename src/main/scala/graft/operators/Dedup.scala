@@ -244,10 +244,15 @@ object Dedup {
     * pigeonhole-complete for Hamming distance ≤ 3), verified by exact
     * popcount distance. */
   def dedupSimhash(spark: SparkSession, dir: String): DataFrame = {
+    // bands derived from the constants so a retune cannot leave bits
+    // uncovered; completeness for Hamming ≤ 3 needs ≥ 4 bands
+    val nBands = simhashBits / simhashBandBits
+    require(nBands * simhashBandBits == simhashBits && nBands >= 4,
+      s"banding must tile all $simhashBits bits with ≥ 4 bands")
     val fp = simhashFingerprint(spark, dir)
     val bands = fp.select(
       col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
+      posexplode(array((0 until nBands).map(b =>
         shiftright(col("simhash"), b * simhashBandBits)
           .bitwiseAND((1L << simhashBandBits) - 1)): _*)))
       .toDF("doc_id", "simhash", "band", "key")

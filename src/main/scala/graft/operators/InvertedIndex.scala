@@ -130,13 +130,7 @@ object InvertedIndex {
     // two overwrites of the same artifact path)
     indexMemo.synchronized {
       indexMemo.getOrElseUpdate((spark, dir), {
-        // path = sanitized dir + md5(dir) suffix: the readable prefix can
-        // collide after sanitization ("sf0.1" vs "sf0_1"), the digest
-        // cannot, so distinct dirs never share (and overwrite) an artifact
-        val digest = java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(8)
-        val path =
-          s"target/graft-index/${dir.replaceAll("[^A-Za-z0-9.]", "_")}-$digest"
+        val path = graft.Tables.artifactPath("target/graft-index", dir)
         invertedIndexPacked(spark, dir)
           .repartitionByRange(8, col("term"))
           .sortWithinPartitions("term")
