@@ -111,10 +111,24 @@ object TopKStrategy extends SparkStrategy {
   }
 }
 
+object GraftTopKExec {
+  /** Partial-pass state bound: above this many distinct keys in one
+    * task, NEW keys stop being tracked and their rows pass through
+    * unpruned — graceful degradation to stock shuffle volume for the
+    * heavy-cardinality tail instead of an unbounded map (the sort-based
+    * built-in spills; a hash-based partial must cap). Correctness is
+    * unaffected: the final pass computes the exact top-k regardless of
+    * how much the partial pruned. Test hook: var, not a conf knob. */
+  private[graft] var maxPartialKeys: Int = 1 << 20
+}
+
 /** Bounded-PQ pass: keeps the k first rows per key under `orderSpec`.
   * `partial = true` runs before the shuffle on whatever partitioning the
-  * child has (per-task pruning); `partial = false` requires clustering
-  * by key and produces the exact per-key top-k. */
+  * child has (per-task pruning, state capped by
+  * [[GraftTopKExec.maxPartialKeys]]); `partial = false` requires
+  * clustering by key and produces the exact per-key top-k — its state is
+  * its own output (keys × k rows per partition), the same contract as a
+  * hash aggregation before spill. */
 case class GraftTopKExec(k: Int, partExprs: Seq[Expression],
     orderSpec: Seq[SortOrder], partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -130,6 +144,8 @@ case class GraftTopKExec(k: Int, partExprs: Seq[Expression],
     val part = partExprs
     val order = orderSpec
     val childOutput = child.output
+    val isPartial = partial
+    val keyCap = GraftTopKExec.maxPartialKeys
     child.execute().mapPartitions { iter =>
       // executor-side construction: projections/orderings are codegen'd
       // per task, never serialized from the driver
@@ -141,19 +157,30 @@ case class GraftTopKExec(k: Int, partExprs: Seq[Expression],
       // a new row enters iff it sorts strictly before the head
       val heaps = scala.collection.mutable.LinkedHashMap
         .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      iter.foreach { row =>
+      // overflow rows STREAM out as they arrive (no buffering — the cap
+      // exists precisely to bound this task's memory); retained heap
+      // contents flush after the input is exhausted (the right side of
+      // ++ is by-name, so heaps are complete when it is evaluated)
+      iter.flatMap { row =>
         val key = keyProj(row)
         heaps.get(key) match {
           case Some(h) =>
-            if (h.size < kk) h += row.copy()
+            if (h.size < kk) { h += row.copy() }
             else if (ord.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
+            Iterator.empty
           case None =>
-            val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
-            h += row.copy()
-            heaps.put(key.copy(), h)
+            if (isPartial && heaps.size >= keyCap) {
+              // key-cardinality overflow: stop tracking new keys; their
+              // rows flow through unpruned and the final pass stays exact
+              Iterator.single(row)
+            } else {
+              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+              h += row.copy()
+              heaps.put(key.copy(), h)
+              Iterator.empty
+            }
         }
-      }
-      heaps.valuesIterator.flatMap(_.iterator)
+      } ++ heaps.valuesIterator.flatMap(_.iterator)
     }
   }
 

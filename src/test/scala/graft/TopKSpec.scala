@@ -62,6 +62,26 @@ class TopKSpec extends GraftSpec {
     } finally spark.conf.unset(excludeKey)
   }
 
+  test("partial-pass key-cardinality overflow degrades gracefully, stays exact") {
+    val sp = spark
+    import sp.implicits._
+    val prev = graft.plans.GraftTopKExec.maxPartialKeys
+    graft.plans.GraftTopKExec.maxPartialKeys = 2 // force overflow: >2 keys/task
+    try {
+      val df = (0 until 400).map(i => (s"g${i % 20}", i.toLong)).toDF("g", "v")
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(desc("v"))))
+        .filter(col("rnk") <= 3)
+      assert(df.queryExecution.executedPlan.toString.contains("GraftTopKPartial"))
+      val got = df.select("g", "v").collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // note: .toSeq before flatMap — Map.flatMap over pair results
+      // rebuilds a Map and collapses the 3 rows per key to 1
+      val want = (0 until 400).map(i => (s"g${i % 20}", i.toLong))
+        .groupBy(_._1).toSeq.flatMap { case (_, rs) => rs.sortBy(-_._2).take(3) }.toSet
+      assert(got == want)
+    } finally graft.plans.GraftTopKExec.maxPartialKeys = prev
+  }
+
   test("bounded-PQ agrees with a driver-side reference on adversarial groups") {
     val sp = spark
     import sp.implicits._
