@@ -174,7 +174,7 @@ object SpamClassifier {
 
   /** Featurized instances CTE — the exact mirror of [[instances]]. */
   private val instSql =
-    s"""inst AS (
+    s"""inst AS MATERIALIZED (
          SELECT doc_id,
                 CASE WHEN list_contains(ws, '$labelToken') THEN 1 ELSE 0 END AS label,
                 list_sort(list_distinct(
@@ -187,7 +187,11 @@ object SpamClassifier {
     * `where` restricts the training split. */
   private def sgdSql(suffix: String, where: String,
                      orderBy: String = "doc_id"): String =
-    s"""docs$suffix AS (
+    // MATERIALIZED: the recursive fold joins docs once per step — an
+    // inlined CTE would re-tokenize and re-rank the corpus every one of
+    // the N recursion steps (quadratic; the reason the sf0.1 oracle
+    // sweep used to crawl)
+    s"""docs$suffix AS MATERIALIZED (
          SELECT row_number() OVER (ORDER BY $orderBy) AS i, label, features
          FROM inst $where),
        sgd$suffix(i, w) AS (
