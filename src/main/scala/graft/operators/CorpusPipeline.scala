@@ -148,6 +148,19 @@ object CorpusPipeline {
       .orderBy("stage")
   }
 
+  /** Output sharding — the write side of the curation pipeline: land the
+    * corpus partitioned by language, the lake layout that lets every
+    * downstream per-language job (sampling, per-lang dedup, shard
+    * packing) prune whole directories instead of scanning the corpus.
+    * Hive-style `lang=<v>/` partitions carry the column in the path, so
+    * a `lang = 'en'` filter becomes a PartitionFilter — zero data files
+    * of other languages are even listed. Side-effecting, so test-gated
+    * (CorpusPipelineSpec asserts pruning + per-shard row fidelity)
+    * rather than registered. */
+  def writeLanguageShards(spark: SparkSession, dir: String, outPath: String): Unit =
+    Tables.documents(spark, dir)
+      .write.partitionBy("lang").mode("overwrite").parquet(outPath)
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "doc_repetition" -> (docRepetition _),

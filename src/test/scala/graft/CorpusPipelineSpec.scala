@@ -39,6 +39,24 @@ class CorpusPipelineSpec extends GraftSpec {
     assert(once.filter(col("n_after") > col("n_before")).count() == 0)
   }
 
+  test("language shards prune at the partition level and lose no rows") {
+    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
+    CorpusPipeline.writeLanguageShards(spark, sfDir, out)
+    val back = spark.read.parquet(out)
+    // per-language counts survive the shard round-trip
+    val want = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val got = back.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want)
+    // a lang filter must become a PartitionFilter on the scan — pruning
+    // directories, not reading-and-discarding rows
+    val plan = back.filter(col("lang") === "en")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
+      s"expected partition pruning:\n$plan")
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val stages = CorpusPipeline.corpusFunnel(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
