@@ -159,6 +159,10 @@ object CorpusPipeline {
     * rather than registered. */
   def writeLanguageShards(spark: SparkSession, dir: String, outPath: String): Unit =
     Tables.documents(spark, dir)
+      // cluster by the partition column first: without it every upstream
+      // task emits one file per language it happens to contain (P×L
+      // small files); clustered, each language lands in ~one writer
+      .repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -118,8 +118,10 @@ object GraftTopKExec {
     * heavy-cardinality tail instead of an unbounded map (the sort-based
     * built-in spills; a hash-based partial must cap). Correctness is
     * unaffected: the final pass computes the exact top-k regardless of
-    * how much the partial pruned. Test hook: var, not a conf knob. */
-  private[graft] var maxPartialKeys: Int = 1 << 20
+    * how much the partial pruned. Test hook: var, not a conf knob;
+    * volatile because doExecute reads it from AQE's stage-
+    * materialization threads, not the thread that set it. */
+  @volatile private[graft] var maxPartialKeys: Int = 1 << 20
 }
 
 /** Bounded-PQ pass: keeps the k first rows per key under `orderSpec`.

@@ -40,21 +40,33 @@ class CorpusPipelineSpec extends GraftSpec {
   }
 
   test("language shards prune at the partition level and lose no rows") {
-    val out = java.nio.file.Files.createTempDirectory("graft-shards").toString
-    CorpusPipeline.writeLanguageShards(spark, sfDir, out)
-    val back = spark.read.parquet(out)
-    // per-language counts survive the shard round-trip
-    val want = Tables.documents(spark, sfDir).groupBy("lang").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val got = back.groupBy("lang").count()
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(got == want)
-    // a lang filter must become a PartitionFilter on the scan — pruning
-    // directories, not reading-and-discarding rows
-    val plan = back.filter(col("lang") === "en")
-      .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("lang"),
-      s"expected partition pruning:\n$plan")
+    // under target/ so sbt clean reclaims it (tempdirs would accumulate)
+    val out = s"target/graft-shards-test/${System.nanoTime()}"
+    try {
+      CorpusPipeline.writeLanguageShards(spark, sfDir, out)
+      val back = spark.read.parquet(out)
+      // per-language counts survive the shard round-trip
+      val want = Tables.documents(spark, sfDir).groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = back.groupBy("lang").count()
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+      // the lang predicate must appear INSIDE the PartitionFilters
+      // bracket — the plan string prints "PartitionFilters: []" even
+      // when nothing is pushed, so contains("PartitionFilters") alone
+      // would be vacuous
+      val plan = back.filter(col("lang") === "en")
+        .queryExecution.executedPlan.toString
+      assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+        s"expected the lang filter pushed as a partition filter:\n$plan")
+      // clustered write: one file per language partition, not P×L
+      for (l <- got.keys) {
+        val files = new java.io.File(s"$out/lang=$l")
+          .listFiles().count(_.getName.endsWith(".parquet"))
+        assert(files == 1, s"lang=$l has $files files, expected 1")
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
   test("funnel stages are monotonically non-increasing") {
