@@ -224,31 +224,48 @@ object Similarity {
     *  3. a query probes only the nProbe nearest cells; candidates are
     *     exact-rescored. Probe cost scales with cell occupancy (~n/k per
     *     cell), not corpus size.
-    * Deterministic: init = first k sample vectors by id, fixed iteration
-    * count, no RNG. */
+    * Deterministic AND integer-exact: training + assignment run on a
+    * milli-unit integer grid — vectors quantized as floor(x·1000),
+    * Lloyd's updates as integer sums (exact in ANY aggregation order)
+    * with floor-divided integer centroids, argmin on integer distances
+    * (tie → lowest cell). Every comparison the quantizer makes is
+    * integer arithmetic, so the whole train→assign→probe pipeline is
+    * bit-reproducible in any engine; only the final candidate RESCORE
+    * touches floating point, under the same round-6 cosine discipline as
+    * knn/lsh. This is what makes ann_ivf_cosine exact-oracle-checkable
+    * (the earlier form averaged raw doubles in driver order — not
+    * SQL-replicable). The grid costs ~0.1% relative distance error on
+    * unit-scale embeddings — irrelevant to a COARSE quantizer whose only
+    * job is bucketing (recall gate in SimilaritySpec is unchanged). */
   val ivfCells = 16
   val ivfProbes = 4
   val ivfSampleSize = 256
   val ivfIters = 5
+  val milliScale = 1000.0
 
-  private def l2Sq(a: Array[Double], b: Array[Double]): Double = {
-    var s = 0.0
+  private def l2SqLong(a: Array[Long], b: Array[Long]): Long = {
+    var s = 0L
     var j = 0
     while (j < a.length) { val d = a(j) - b(j); s += d * d; j += 1 }
     s
   }
 
-  private[graft] def trainQuantizer(sample: Array[Array[Double]]): Array[Array[Double]] = {
+  /** Integer-exact Lloyd's over milli-quantized vectors. Empty cells
+    * keep their previous centroid. floorDiv(Σ, n) == floor(Σ::DOUBLE/n)
+    * for |Σ| ≪ 2^53: when n ∤ Σ the true quotient sits ≥ 1/n — far more
+    * than one ulp — from the nearest integer, so the DuckDB mirror's
+    * double-division floor lands on the same value. */
+  private[graft] def trainQuantizer(sample: Array[Array[Long]]): Array[Array[Long]] = {
     var centroids = sample.take(ivfCells).map(_.clone())
     for (_ <- 1 to ivfIters) {
-      val sums = Array.fill(ivfCells)(new Array[Double](sample.head.length))
+      val sums = Array.fill(ivfCells)(new Array[Long](sample.head.length))
       val counts = new Array[Long](ivfCells)
       sample.foreach { v =>
         var best = 0
-        var bestD = Double.MaxValue
+        var bestD = Long.MaxValue
         var c = 0
         while (c < centroids.length) {
-          val d = l2Sq(v, centroids(c))
+          val d = l2SqLong(v, centroids(c))
           if (d < bestD) { bestD = d; best = c }
           c += 1
         }
@@ -259,39 +276,48 @@ object Similarity {
       }
       centroids = centroids.indices.map { c =>
         if (counts(c) == 0) centroids(c)
-        else sums(c).map(_ / counts(c))
+        else sums(c).map(x => Math.floorDiv(x, counts(c)))
       }.toArray
     }
     centroids
   }
+
+  /** Milli-grid quantization — the same IEEE multiply + floor on both
+    * engines (DuckDB mirror: `floor(x * 1000)::BIGINT`). */
+  private def quantize(v: Column): Column =
+    transform(v, x => floor(x * milliScale))
 
   def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
     val vecs = emb(spark, dir)
     val sample = vecs.filter(col("vec_id") < ivfSampleSize)
-      .as[(Long, Seq[Double])].collect().sortBy(_._1).map(_._2.toArray)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map(_._2.map(x => math.floor(x * milliScale).toLong).toArray)
     val centroids = trainQuantizer(sample)
 
     // Cell assignment as pure Column expressions (no ScalaUDF in the
-    // plan): the centroid table rides in as a literal array<array<double>>
-    // (16×64 doubles — tiny), per-cell squared L2 via zip_with+aggregate,
-    // argmin/top-n via array_sort on (distance, cell) structs. Struct sort
-    // tie-breaks by cell ascending, matching a stable sort over cell ids.
+    // plan): the centroid table rides in as a literal array<array<long>>
+    // (16×64 longs — tiny), per-cell squared L2 via zip_with+aggregate
+    // in pure integer arithmetic, argmin/top-n via array_sort on
+    // (distance, cell) structs. Struct sort tie-breaks by cell
+    // ascending, matching the trainer's first-minimal-index rule.
     val centLit = typedlit(centroids.map(_.toSeq).toSeq)
-    def nearestCells(v: Column, n: Int): Column = {
+    def nearestCells(vq: Column, n: Int): Column = {
       val scored = transform(sequence(lit(0), lit(ivfCells - 1)), c =>
         struct(
-          aggregate(zip_with(v, element_at(centLit, c + 1),
-            (x, y) => (x - y) * (x - y)), lit(0.0), (acc, d) => acc + d).as("d"),
+          aggregate(zip_with(vq, element_at(centLit, c + 1),
+            (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d).as("d"),
           c.as("cell")))
       transform(slice(array_sort(scored), 1, n), s => s("cell"))
     }
-    val assigned = vecs
-      .withColumn("cell", nearestCells(col("v"), 1)(0))
-    val queryCells = vecs.filter(col("vec_id") < nQueries)
-      .withColumn("cell", explode(nearestCells(col("v"), ivfProbes)))
-      .toDF("query_id", "qv", "cell")
+    val withQ = vecs.withColumn("vq", quantize(col("v")))
+    val assigned = withQ
+      .withColumn("cell", nearestCells(col("vq"), 1)(0))
+      .select(col("vec_id"), col("v"), col("cell"))
+    val queryCells = withQ.filter(col("vec_id") < nQueries)
+      .withColumn("cell", explode(nearestCells(col("vq"), ivfProbes)))
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("cell"))
     queryCells.join(assigned, Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .dropDuplicates("query_id", "vec_id")
@@ -321,13 +347,87 @@ object Similarity {
       }
     }.mkString(",\n            ")
 
+  /** ann_ivf_cosine oracle: replays the ENTIRE integer-exact pipeline —
+    * milli-grid quantization, [[ivfIters]] unrolled Lloyd iterations
+    * (integer distance argmin, integer cell sums, floor-divided
+    * centroids), full-corpus assignment, query probing — in DuckDB SQL,
+    * then rescores candidates with the same round-6 cosine as knn/lsh.
+    * Integer sums are exact in any aggregation order, so no part of the
+    * quantizer depends on engine evaluation order. */
+  private def ivfDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(range($dim), d -> ($a[d+1]-$b[d+1])*($a[d+1]-$b[d+1])))::BIGINT"
+
+  private def ivfOracleSql: String = {
+    val iters = (1 to ivfIters).map { i =>
+      s"""assign$i AS (
+            SELECT vec_id, cell, vq FROM (
+              SELECT s.vec_id, c.cell, s.vq,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY ${ivfDistSql("s.vq", "c.c")}, c.cell) AS rn
+              FROM samp s CROSS JOIN cent${i - 1} c)
+            WHERE rn = 1),
+          cent$i AS (
+            SELECT p.cell, coalesce(n.c, p.c) AS c
+            FROM cent${i - 1} p
+            LEFT JOIN (
+              SELECT cell, list(cd ORDER BY d) AS c
+              FROM (SELECT cell, d,
+                           floor(sum(vq[d+1])::DOUBLE / count(*))::BIGINT AS cd
+                    FROM assign$i, unnest(range($dim)) AS u(d)
+                    GROUP BY cell, d)
+              GROUP BY cell) n
+            ON p.cell = n.cell)"""
+    }.mkString(",\n          ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          w AS (SELECT vec_id, v,
+                       list_transform(v, x -> floor(x * 1000)::BIGINT) AS vq
+                FROM v),
+          samp AS (SELECT vec_id, vq FROM w WHERE vec_id < $ivfSampleSize),
+          cent0 AS (SELECT vec_id::INT AS cell, vq AS c FROM samp
+                    WHERE vec_id < $ivfCells),
+          $iters,
+          assigned AS (
+            SELECT vec_id, v, cell FROM (
+              SELECT w.vec_id, w.v, c.cell,
+                     row_number() OVER (PARTITION BY w.vec_id
+                       ORDER BY ${ivfDistSql("w.vq", "c.c")}, c.cell) AS rn
+              FROM w CROSS JOIN cent$ivfIters c)
+            WHERE rn = 1),
+          qcells AS (
+            SELECT vec_id AS query_id, v AS qv, cell FROM (
+              SELECT w.vec_id, w.v, c.cell,
+                     row_number() OVER (PARTITION BY w.vec_id
+                       ORDER BY ${ivfDistSql("w.vq", "c.c")}, c.cell) AS rn
+              FROM w CROSS JOIN cent$ivfIters c
+              WHERE w.vec_id < $nQueries)
+            WHERE rn <= $ivfProbes),
+          cand AS (
+            SELECT DISTINCT query_id, a.vec_id AS neighbor_id
+            FROM qcells q JOIN assigned a USING (cell)
+            WHERE a.vec_id <> q.query_id),
+          scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(q.v, n.v) /
+                         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)
+                     AS cosine
+            FROM cand
+            JOIN v q ON query_id = q.vec_id
+            JOIN v n ON neighbor_id = n.vec_id),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, cosine, rank
+          FROM ranked WHERE rank <= $knnK
+          ORDER BY query_id, rank"""
+  }
+
   /** knn/lsh oracles: same cosine in DuckDB on DOUBLE lists, same
     * tie-break; lsh additionally replays the sign-bit bucketing against
-    * the literal hyperplanes. ann_ivf_cosine stays rows-only + ScalaTest
-    * recall gate: its Lloyd iterations average arbitrary doubles in a
-    * driver-determined sequential order that SQL aggregation cannot
-    * replicate bit-for-bit (unlike the integer-exact md5 pipelines). */
+    * the literal hyperplanes; ivf replays the integer-exact quantizer
+    * (see [[ivfOracleSql]]). */
   val oracleSql: Map[String, String] = Map(
+    "ann_ivf_cosine" -> ivfOracleSql,
     "ann_lsh_cosine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           planes(t, p, pl) AS (VALUES

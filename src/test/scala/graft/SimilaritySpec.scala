@@ -33,7 +33,7 @@ class SimilaritySpec extends GraftSpec {
   }
 
   test("IVF quantizer is deterministic and returns k centroids") {
-    val sample = Array.tabulate(64)(i => Array.tabulate(8)(j => (i * 31 + j * 7 % 13).toDouble))
+    val sample = Array.tabulate(64)(i => Array.tabulate(8)(j => (i * 31 + j * 7 % 13).toLong))
     val c1 = Similarity.trainQuantizer(sample)
     val c2 = Similarity.trainQuantizer(sample)
     assert(c1.length == Similarity.ivfCells)
