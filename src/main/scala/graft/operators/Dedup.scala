@@ -335,7 +335,47 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Benchmark decontamination — the training-data hygiene pass that
+    * flags corpus documents overlapping a held-out evaluation set
+    * (n-gram collision, the standard contamination test: see e.g. the
+    * GPT-3 appendix C / Dodge et al. 2021 C4 audit methodology — both
+    * public): any corpus doc sharing word-3-grams with a benchmark doc
+    * gets its overlap counted; docs whose shingle set is ≥
+    * [[contamThreshold]] covered by benchmark shingles are flagged for
+    * removal.
+    *
+    * The benchmark here is a deterministic held-out slice (doc_id ≡
+    * [[benchRem]] mod [[benchMod]] — stands in for a real eval suite).
+    * Scale shape: a benchmark suite is FIXED SIZE (thousands of docs,
+    * millions of shingles) regardless of corpus size, so its distinct
+    * shingle set is explicitly `broadcast()` — the corpus side streams
+    * map-only through the hash join, and the only shuffle is the per-doc
+    * overlap count. No corpus×corpus product anywhere, unlike the dedup
+    * self-joins. */
+  val benchMod = 50
+  val benchRem = 7
+  val contamThreshold = 0.5
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShinglesShared(spark, dir)
+    val benchSh = sh.filter(col("doc_id") % benchMod === benchRem)
+      .select("sh").distinct()
+    val corpus = sh.filter(col("doc_id") % benchMod =!= benchRem)
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val overlap = corpus.join(broadcast(benchSh), "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    // single int/int division ships raw (bit-identical cross-engine);
+    // the flag threshold applies to that same raw value on both sides
+    overlap.join(sizes, "doc_id")
+      .withColumn("contam_ratio",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("flagged", col("contam_ratio") >= contamThreshold)
+      .select("doc_id", "n_overlap", "n_shingles", "contam_ratio", "flagged")
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "decontaminate" -> (decontaminate _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_exact" -> (dedupExact _),
@@ -364,6 +404,18 @@ object Dedup {
                HAVING count(*) <= $maxShingleFreq) ok USING (sh))"""
 
   val oracleSql: Map[String, String] = Map(
+    "decontaminate" ->
+      s"""WITH $shingleSql,
+          bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $benchMod = $benchRem),
+          corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % $benchMod <> $benchRem),
+          sz AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+          ov AS (SELECT doc_id, count(*) AS n_overlap
+                 FROM corpus JOIN bsh USING (sh) GROUP BY doc_id)
+          SELECT o.doc_id, n_overlap, n_shingles,
+                 n_overlap::DOUBLE / n_shingles AS contam_ratio,
+                 n_overlap::DOUBLE / n_shingles >= $contamThreshold AS flagged
+          FROM ov o JOIN sz USING (doc_id)
+          ORDER BY doc_id""",
     // The LSH output is DEFINED as "candidate pairs verified by exact
     // Jaccard ≥ τ", so the exhaustive-pairs oracle matches exactly iff
     // banding recall is complete on this corpus. It is, by a wide margin:

@@ -43,6 +43,45 @@ class DedupSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("decontaminate: benchmark excluded, flags consistent, benchmark side broadcast") {
+    val df = Dedup.decontaminate(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty, "some corpus docs should collide with benchmark shingles")
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id % Dedup.benchMod != Dedup.benchRem,
+        s"benchmark doc $id must not appear in the corpus-side output")
+      val ratio = r.getAs[Double]("contam_ratio")
+      val flagged = r.getAs[Boolean]("flagged")
+      assert(r.getAs[Long]("n_overlap") <= r.getAs[Long]("n_shingles"))
+      assert(flagged == (ratio >= Dedup.contamThreshold))
+    }
+    // independent oracle: recompute flagged docs from raw shingle sets
+    val sh = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map { r =>
+        val ws = r.getAs[String]("text").toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        r.getAs[Long]("doc_id") -> ws.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap
+    val benchSet = sh.collect {
+      case (id, s) if id % Dedup.benchMod == Dedup.benchRem => s
+    }.foldLeft(Set.empty[String])(_ ++ _)
+    val wantFlagged = sh.collect {
+      case (id, s) if id % Dedup.benchMod != Dedup.benchRem && s.nonEmpty &&
+        s.count(benchSet) .toDouble / s.size >= Dedup.contamThreshold => id
+    }.toSet
+    val gotFlagged = rows.filter(_.getAs[Boolean]("flagged"))
+      .map(_.getAs[Long]("doc_id")).toSet
+    assert(gotFlagged == wantFlagged)
+    // the fixed-size benchmark side must ride a broadcast join; the
+    // corpus side must never be broadcast
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan)
+  }
+
   test("simhash banding finds exactly the Hamming<=3 pairs (vs brute force)") {
     val fps = Dedup.simhashFingerprint(spark, sfDir)
       .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("simhash"))
