@@ -106,6 +106,39 @@ object Relational {
       .orderBy("n_nationkey")
   }
 
+  /** O8/J1 under JOIN-key skew: the identical Q4 result computed through
+    * a SALTED shuffle join. In a sort-merge/shuffle-hash join a single
+    * hot key lands every matching row in one task; AQE's skew-join split
+    * fixes skewed PARTITIONS at runtime but cannot split one giant KEY
+    * whose matches must still meet in a single stream. Salting re-keys
+    * the join on (key, salt): the big probe side derives salt from a
+    * value that varies WITHIN the hot key (l_linenumber — uniform within
+    * an order), and the smaller build side replicates each row
+    * [[joinSalts]] times so every composite key still finds its match.
+    * The hot key's rows now spread over `joinSalts` independent tasks;
+    * the price is ×salts build-side shuffle volume, which is why the
+    * REPLICATED side must be the smaller one and why this stays a
+    * technique for residual skew, not a default. Output — and oracle —
+    * are exactly q4's. */
+  val joinSalts = 8
+  def q4NationCountSalted(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") === tsLit(shipDate))
+      .select(col("l_orderkey"),
+        pmod(col("l_linenumber"), lit(joinSalts)).as("salt"))
+    val ord = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .withColumn("salt", explode(sequence(lit(0), lit(joinSalts - 1))))
+    li.join(ord,
+        col("l_orderkey") === col("o_orderkey") && li("salt") === ord("salt"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_nationkey"), col("n_name"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy("n_nationkey")
+  }
+
   /** Reference Q5 (`Q5.scala:40-95`): monthly lineitem counts for two
     * nations, the whole time range (no date filter). Semi-join reduction:
     * customers of the two nations → their orders → lineitem; only the
@@ -301,6 +334,7 @@ object Relational {
     "q2_order_priority" -> (q2OrderPriority _),
     "q3_part_supplier" -> (q3PartSupplier _),
     "q4_nation_count" -> (q4NationCount _),
+    "q4_nation_count_salted" -> (q4NationCountSalted _),
     "q5_monthly_nation" -> (q5MonthlyNation _),
     "q6_pricing_summary" -> (q6PricingSummary _),
     "q6_pricing_summary_sql" -> (q6PricingSummarySql _),
@@ -330,6 +364,16 @@ object Relational {
           WHERE l_shipdate = TIMESTAMP '$shipDate 00:00:00'
           ORDER BY l_orderkey, p_name, s_name LIMIT 20""",
     "q4_nation_count" ->
+      s"""SELECT n_nationkey, n_name, count(*) AS cnt
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          WHERE l_shipdate = TIMESTAMP '$shipDate 00:00:00'
+          GROUP BY n_nationkey, n_name
+          ORDER BY n_nationkey""",
+    // salted variant computes the identical result — same oracle as q4
+    "q4_nation_count_salted" ->
       s"""SELECT n_nationkey, n_name, count(*) AS cnt
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey

@@ -55,6 +55,22 @@ class ScaleDesignSpec extends GraftSpec {
     }
   }
 
+  test("salted join keys on (orderkey, salt) and matches the plain join") {
+    // disable auto-broadcast so the fact-dim join actually shuffles —
+    // the configuration where join-key skew exists and salting matters
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val salted = graft.operators.Relational.q4NationCountSalted(spark, sfDir)
+      val plan = salted.queryExecution.executedPlan.toString
+      // the composite key must reach the physical join: every matching
+      // row of a hot orderkey no longer meets in a single task
+      assert(plan.contains("salt"), s"salt key missing from the plan:\n$plan")
+      val plain = graft.operators.Relational.q4NationCount(spark, sfDir)
+      assert(salted.collect().toSeq == plain.collect().toSeq)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("HLL distinct estimate stays within 5% of exact") {
     val rows = graft.operators.EventAnalytics.approxDistinctUsersRaw(spark, sfDir).collect()
     assert(rows.nonEmpty)
