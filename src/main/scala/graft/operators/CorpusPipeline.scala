@@ -148,6 +148,58 @@ object CorpusPipeline {
       .orderBy("stage")
   }
 
+  /** Balanced per-language sample: EXACTLY [[balancedK]] docs per
+    * language (or all of them, for strata smaller than k), chosen by
+    * md5-hash order — the deterministic equivalent of a uniform random
+    * k-per-stratum draw, and the standard way to build an
+    * equal-representation eval slice from a skewed corpus. Unlike
+    * [[sampleStratified]]'s rate threshold (whose output SIZE varies
+    * with the stratum), hash-rank gives exact counts. The
+    * row_number-over-hash + rank filter is precisely the window shape
+    * graft.plans.TopKRewrite lowers to the bounded-PQ operator: each
+    * partition keeps a k-row heap per language instead of full-sorting
+    * its stratum. */
+  val balancedK = 50
+  def sampleBalanced(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("h"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("h", md5Int(col("doc_id").cast("string"), 15))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= balancedK)
+      .select("doc_id", "lang", "rk")
+      .orderBy("lang", "rk")
+  }
+
+  /** Sequence packing — the training-batch construction step: assign
+    * documents to fixed token-budget packs (context windows) by running
+    * token count, emitting each doc's pack id and its token offset
+    * inside the pack. Deterministic rule: docs in doc_id order within a
+    * language shard; a doc starts at the running total of its
+    * predecessors and belongs to pack floor(offset / budget) — the
+    * greedy concat-then-chunk packing used when sequences are joined
+    * with separators and split at context boundaries. The prefix sum is
+    * windowed PER SHARD (lang), so packing parallelizes across shards —
+    * a single global window would serialize the corpus through one
+    * partition; at 100 TB the shard key is (lang, shard_date, ...) and
+    * each shard's window stays partition-sized. All-integer arithmetic. */
+  val packBudget = 2048
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs(spark, dir)
+      .select(col("doc_id"), col("lang"), size(col("ws")).cast("long").as("n_tokens"))
+      .withColumn("cum_before", coalesce(sum("n_tokens").over(w), lit(0L)))
+      // floor(int/int in doubles) is exact here: cum ≪ 2^53 and a
+      // non-divisible quotient sits ≥ 1/budget from any integer
+      .withColumn("pack_id", floor(col("cum_before").cast("double") / packBudget))
+      .withColumn("pack_offset", col("cum_before") - col("pack_id") * packBudget)
+      .select("doc_id", "lang", "n_tokens", "pack_id", "pack_offset")
+      .orderBy("lang", "doc_id")
+  }
+
   /** Output sharding — the write side of the curation pipeline: land the
     * corpus partitioned by language, the lake layout that lets every
     * downstream per-language job (sampling, per-lang dedup, shard
@@ -167,6 +219,8 @@ object CorpusPipeline {
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
+    "sample_balanced" -> (sampleBalanced _),
+    "pack_sequences" -> (packSequences _),
     "doc_repetition" -> (docRepetition _),
     "text_normalize" -> (textNormalize _),
     "corpus_funnel" -> (corpusFunnel _))
@@ -180,6 +234,34 @@ object CorpusPipeline {
     s"(${md5IntSql(s"($e)::VARCHAR", 15)} % 1000)"
 
   val oracleSql: Map[String, String] = Map(
+    "sample_balanced" ->
+      s"""WITH h AS (
+            SELECT doc_id, lang,
+                   ${md5IntSql("(doc_id)::VARCHAR", 15)} AS h
+            FROM documents),
+          r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
+            FROM h)
+          SELECT doc_id, lang, rk FROM r WHERE rk <= $balancedK
+          ORDER BY lang, rk""",
+    "pack_sequences" ->
+      s"""WITH $toksSql,
+          t AS (SELECT doc_id, lang, len(ws)::BIGINT AS n_tokens FROM toks),
+          c AS (
+            SELECT doc_id, lang, n_tokens,
+                   coalesce(sum(n_tokens) OVER (
+                     PARTITION BY lang ORDER BY doc_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)::BIGINT
+                     AS cum_before
+            FROM t),
+          p AS (
+            SELECT doc_id, lang, n_tokens, cum_before,
+                   floor(cum_before::DOUBLE / $packBudget)::BIGINT AS pack_id
+            FROM c)
+          SELECT doc_id, lang, n_tokens, pack_id,
+                 (cum_before - pack_id * $packBudget)::BIGINT AS pack_offset
+          FROM p ORDER BY lang, doc_id""",
     "sample_stratified" ->
       s"""WITH b AS (
             SELECT doc_id, lang, ${bucketSql("doc_id")} AS bucket,

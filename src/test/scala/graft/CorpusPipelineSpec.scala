@@ -69,6 +69,35 @@ class CorpusPipelineSpec extends GraftSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(out))
   }
 
+  test("balanced sample: exact k per language, lowered to the bounded-PQ top-k") {
+    val df = CorpusPipeline.sampleBalanced(spark, sfDir)
+    val perLang = df.collect().groupBy(_.getAs[String]("lang"))
+    val strata = Tables.documents(spark, sfDir).groupBy("lang").count()
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("count")).toMap
+    assert(perLang.keySet == strata.keySet)
+    perLang.foreach { case (l, rows) =>
+      assert(rows.length == math.min(CorpusPipeline.balancedK.toLong, strata(l)),
+        s"lang $l: got ${rows.length} of stratum ${strata(l)}")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPartial") && plan.contains("GraftTopKFinal"), plan)
+  }
+
+  test("sequence packing matches a driver-side greedy fold per shard") {
+    val got = CorpusPipeline.packSequences(spark, sfDir).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_tokens"), r.getAs[Long]("pack_id"), r.getAs[Long]("pack_offset")))
+    assert(got.nonEmpty)
+    got.groupBy(_._1).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._2).foreach { case (_, _, n, packId, off) =>
+        assert(packId == cum / CorpusPipeline.packBudget)
+        assert(off == cum % CorpusPipeline.packBudget)
+        cum += n
+      }
+    }
+  }
+
   test("funnel stages are monotonically non-increasing") {
     val stages = CorpusPipeline.corpusFunnel(spark, sfDir).collect()
       .map(r => r.getString(0) -> r.getLong(1)).toMap
