@@ -174,21 +174,26 @@ object Dedup {
     sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
-  /** MinHash+LSH near-dup pairs: band the K-wide signature, bucket-join on
-    * (band, slice), verify candidates with exact Jaccard. */
-  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  /** (band, slice) bucket keys from a K-wide minhash signature — shared
+    * by the full self-dedup and the incremental batch-vs-corpus dedup. */
+  private def signatureBands(sig: DataFrame): DataFrame = {
     val rowsPerBand = minhashK / minhashBands
-    // one materialized shingle table feeds BOTH the signature build and
-    // the exact-Jaccard verification below — previously two full
-    // tokenize+explode passes over the corpus
-    val sh = docShinglesShared(spark, dir)
-    val sig = minhashSignature(sh)
-    val bands = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode(array((0 until minhashBands).map(b =>
         struct((0 until rowsPerBand).map(r =>
           col(s"h${b * rowsPerBand + r}").as(s"r$r")): _*)): _*)))
       .toDF("doc_id", "band", "slice")
+  }
+
+  /** MinHash+LSH near-dup pairs: band the K-wide signature, bucket-join on
+    * (band, slice), verify candidates with exact Jaccard. */
+  def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    // one materialized shingle table feeds BOTH the signature build and
+    // the exact-Jaccard verification below — previously two full
+    // tokenize+explode passes over the corpus
+    val sh = docShinglesShared(spark, dir)
+    val bands = signatureBands(minhashSignature(sh))
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band", "slice"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -374,8 +379,50 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Incremental dedup — the daily-ingest shape: near-dups of a NEW
+    * batch against the EXISTING corpus only (new×old; new×new intra-batch
+    * dups are the self-dedup's job). The batch here is the deterministic
+    * slice doc_id ≡ [[incrementalRem]] mod [[incrementalMod]] — a
+    * stand-in for "today's crawl".
+    *
+    * Scale shape — the reason this exists as its own operator: a full
+    * re-dedup of corpus+batch costs (N+B)² work; the incremental form
+    * costs B×occupancy. The corpus-side minhash signatures are a
+    * PERSISTED artifact in production (built once, appended per batch —
+    * here they come from the same memoized signature build), so each
+    * ingest only computes signatures for B new docs, bucket-joins them
+    * against the standing band index, and exact-verifies the candidates.
+    * Nothing rescans the old corpus text except the verification join on
+    * the candidates' own shingles. */
+  val incrementalMod = 4
+  val incrementalRem = 3
+
+  def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShinglesShared(spark, dir)
+    val bands = signatureBands(minhashSignature(sh))
+    val isNew = col("doc_id") % incrementalMod === incrementalRem
+    val candidates = bands.filter(isNew).toDF("doc_new", "band", "slice")
+      .join(bands.filter(!isNew).toDF("doc_old", "band", "slice"),
+        Seq("band", "slice"))
+      .select("doc_new", "doc_old").distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    candidates
+      .join(sh.toDF("doc_new", "sh"), "doc_new")
+      .join(sh.toDF("doc_old", "sh"), Seq("doc_old", "sh"))
+      .groupBy("doc_new", "doc_old")
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.toDF("doc_new", "na"), "doc_new")
+      .join(sizes.toDF("doc_old", "nb"), "doc_old")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("doc_new", "doc_old", "jaccard")
+      .orderBy("doc_new", "doc_old")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "decontaminate" -> (decontaminate _),
+    "dedup_incremental" -> (dedupIncremental _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_exact" -> (dedupExact _),
@@ -416,6 +463,25 @@ object Dedup {
                  n_overlap::DOUBLE / n_shingles >= $contamThreshold AS flagged
           FROM ov o JOIN sz USING (doc_id)
           ORDER BY doc_id""",
+    // Same banding-recall-completeness argument as dedup_minhash_lsh
+    // (below): the oracle is the exhaustive cross-side pair set, which
+    // the banded candidates recover exactly on this corpus. Uncapped
+    // shingles on both sides, like the minhash path.
+    "dedup_incremental" ->
+      s"""WITH $shingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_new, b.doc_id AS doc_old, count(*) AS i
+            FROM sh a JOIN sh b ON a.sh = b.sh
+            WHERE a.doc_id % $incrementalMod = $incrementalRem
+              AND b.doc_id % $incrementalMod <> $incrementalRem
+            GROUP BY 1, 2)
+          SELECT doc_new, doc_old, i::DOUBLE / (x.n + y.n - i) AS jaccard
+          FROM inter
+          JOIN sz x ON doc_new = x.doc_id
+          JOIN sz y ON doc_old = y.doc_id
+          WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
+          ORDER BY doc_new, doc_old""",
     // The LSH output is DEFINED as "candidate pairs verified by exact
     // Jaccard ≥ τ", so the exhaustive-pairs oracle matches exactly iff
     // banding recall is complete on this corpus. It is, by a wide margin:

@@ -43,6 +43,21 @@ class DedupSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("incremental dedup equals the cross-side slice of the full self-dedup") {
+    val full = pairSet(Dedup.dedupMinhashLsh(spark, sfDir))
+    def isNew(id: Long) = id % Dedup.incrementalMod == Dedup.incrementalRem
+    // full pairs are canonical (a < b); incremental pairs are oriented
+    // (new, old) — re-orient the cross-side subset for comparison
+    val wantCross = full.collect {
+      case (a, b) if isNew(a) != isNew(b) => if (isNew(a)) (a, b) else (b, a)
+    }
+    val got = Dedup.dedupIncremental(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_new"), r.getAs[Long]("doc_old"))).toSet
+    assert(got.nonEmpty, "expected some batch-vs-corpus near-dups in testdata")
+    assert(got == wantCross)
+    got.foreach { case (n, o) => assert(isNew(n) && !isNew(o)) }
+  }
+
   test("decontaminate: benchmark excluded, flags consistent, benchmark side broadcast") {
     val df = Dedup.decontaminate(spark, sfDir)
     val rows = df.collect()
