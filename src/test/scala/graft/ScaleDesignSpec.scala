@@ -71,6 +71,43 @@ class ScaleDesignSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
+    // the 100 TB play: a selective filter on one join side materializes a
+    // bloom filter that is pushed into the OTHER side's scan, so the fact
+    // table drops non-matching rows at read time instead of carrying them
+    // to the shuffle. Thresholds lowered because testdata is tiny; at
+    // production sizes the defaults (10 MB creation side) self-select.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      // creation side must stay UNDER this bound (bloom build cost cap);
+      // application side must EXCEED the scan-size bound to be worth it
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1GB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+      val ord = Tables.orders(spark, sfDir)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey", "o_orderpriority")
+      val j = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("cnt"))
+      val optimized = j.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain"),
+        s"expected an injected bloom filter on the fact side:\n$optimized")
+      // and the filtered result is still correct
+      val expected = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir)
+            .filter(col("o_orderpriority") === "1-URGENT"),
+          col("l_orderkey") === col("o_orderkey")).count()
+      assert(j.collect().map(_.getAs[Long]("cnt")).sum == expected)
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("HLL distinct estimate stays within 5% of exact") {
     val rows = graft.operators.EventAnalytics.approxDistinctUsersRaw(spark, sfDir).collect()
     assert(rows.nonEmpty)
