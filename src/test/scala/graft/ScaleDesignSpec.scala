@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Evidence for the scale-design claims: observable metrics (SURVEY A14),
@@ -69,6 +70,56 @@ class ScaleDesignSpec extends GraftSpec {
       val plain = graft.operators.Relational.q4NationCount(spark, sfDir)
       assert(salted.collect().toSeq == plain.collect().toSeq)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("time-clustered layout: disjoint file ranges, row-group pruning measured") {
+    val base = java.nio.file.Files.createTempDirectory("graft-layout").toString
+    val clustered = s"$base/clustered"
+    val scattered = s"$base/scattered"
+    try {
+      graft.operators.EventAnalytics.writeTimeClustered(spark, sfDir, clustered)
+      Tables.events(spark, sfDir)
+        .withColumn("ts_micros", unix_micros(col("ts").cast("timestamp")))
+        .repartition(8, col("user_id"))
+        .write.mode("overwrite").parquet(scattered)
+      // range clustering ⇒ per-file ts intervals are pairwise disjoint
+      val files = new java.io.File(clustered).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getPath)
+      val ranges = files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min("ts").as("lo"), max("ts").as("hi")).collect()(0)
+        (r.getAs[java.time.LocalDateTime]("lo"), r.getAs[java.time.LocalDateTime]("hi"))
+      }.sortBy(_._1.toString) // ISO-8601: lexicographic == chronological
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) =>
+          assert(!lo.isBefore(hi), s"overlapping file ranges: $hi vs $lo")
+        case _ =>
+      }
+      // same pushed time-range filter, both layouts: the clustered scan
+      // must emit far fewer rows (row groups outside the window skipped).
+      // The predicate rides the BIGINT ts_micros shadow column — measured
+      // fact: Spark pushes TIMESTAMP_NTZ filters into the scan node but
+      // ParquetFilters declines the type, so NTZ stats never skip a row
+      // group; integer stats do.
+      def scanRows(path: String): (Long, Long) = {
+        val all = spark.read.parquet(path)
+        val Row(lo: Long, hi: Long) =
+          all.agg(min("ts_micros"), max("ts_micros")).collect()(0)
+        val cut = lo + (hi - lo) / 8
+        val df = all.filter(col("ts_micros") <= lit(cut))
+        // execute THIS DataFrame's plan: count() would build (and meter)
+        // a separate QueryExecution, leaving these metrics at zero
+        val n = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan.collectLeaves().head
+        (scan.metrics("numOutputRows").value, n)
+      }
+      val (clusteredScan, nc) = scanRows(clustered)
+      val (scatteredScan, ns) = scanRows(scattered)
+      assert(nc == ns, "both layouts must return the same matching rows")
+      assert(clusteredScan < scatteredScan / 3,
+        s"clustered scan read $clusteredScan rows vs scattered $scatteredScan — no pruning")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
