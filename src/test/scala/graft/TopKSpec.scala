@@ -82,6 +82,32 @@ class TopKSpec extends GraftSpec {
     } finally graft.plans.GraftTopKExec.maxPartialKeys = prev
   }
 
+  test("randomized differential: bounded PQ == driver reference over 20 seeded shapes") {
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(4242)
+    for (trial <- 1 to 20) {
+      val nRows = 1 + rng.nextInt(500)
+      val nKeys = 1 + rng.nextInt(12)
+      val k = 1 + rng.nextInt(6)
+      val rows = (0 until nRows).map { i =>
+        (s"k${rng.nextInt(nKeys)}", rng.nextInt(40).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(desc("v"), col("id"))))
+        .filter(col("rnk") <= k)
+      assert(df.queryExecution.executedPlan.toString.contains("GraftTopK"),
+        s"trial $trial not lowered")
+      val got = df.select("g", "v", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      val want = rows.groupBy(_._1).flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).take(k)
+      }.toSet
+      assert(got == want, s"trial $trial (n=$nRows keys=$nKeys k=$k) diverged")
+    }
+  }
+
   test("bounded-PQ agrees with a driver-side reference on adversarial groups") {
     val sp = spark
     import sp.implicits._
