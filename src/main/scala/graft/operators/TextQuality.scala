@@ -113,10 +113,51 @@ object TextQuality {
           (acc, x) => (acc * 31 + x) % 2147483647L).as("fingerprint"))
       .orderBy("doc_id")
 
+  /** Unigram log-probability scoring — the statistical language-model
+    * filter stage (the CCNet/C4-style "perplexity" gate, here with the
+    * corpus's own unigram model standing in for an external LM): score
+    * every document by the mean log10 probability of its tokens under
+    * corpus-wide unigram frequencies. Low scores = rare-token documents
+    * (boilerplate, codes, noise); the score feeds the same
+    * threshold-filter role as doc_quality but is statistical, not
+    * heuristic.
+    *
+    * Cross-engine exactness: per-token log10(cnt/N) rounds to 6dp (the
+    * PMI-proven transcendental discipline), then integerizes as
+    * round(v·1e6) micro-units — from there everything is integer sums
+    * (order-free in any engine) until one final int/int division.
+    *
+    * Scale shape: one shuffle for global term frequencies, one pre-
+    * aggregation of (doc, token) tf pairs (bounding the join volume by
+    * distinct doc-term pairs, not total tokens), one shuffle-join on the
+    * token key (Zipf-headed — the hot-key remedies are the salting /
+    * broadcast-head plays demonstrated elsewhere), one per-doc
+    * aggregation. The total-token count rides in as a broadcast scalar,
+    * not a collect. */
+  def docLogprob(spark: SparkSession, dir: String): DataFrame = {
+    val tok = docs(spark, dir).select(col("doc_id"), explode(col("ws")).as("w"))
+    val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+    val total = tok.agg(count(lit(1)).as("n"))
+    val m = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col("w"),
+        round(round(log10(col("cnt").cast("double") / col("n")), 6) * 1e6, 0)
+          .cast("long").as("m"))
+    tf.join(m, "w")
+      .groupBy("doc_id")
+      .agg(sum(col("tf")).as("n_toks"),
+        sum(col("tf") * col("m")).as("logprob_micro"))
+      .withColumn("avg_logprob",
+        col("logprob_micro").cast("double") / (col("n_toks") * 1000000L))
+      .select("doc_id", "n_toks", "logprob_micro", "avg_logprob")
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "doc_quality" -> (docQuality _),
+    "doc_logprob" -> (docLogprob _),
     "doc_fingerprint" -> (docFingerprint _))
 
   private val toksSql =
@@ -131,6 +172,21 @@ object TextQuality {
   private val stopSql = stopCountSql
 
   val oracleSql: Map[String, String] = Map(
+    "doc_logprob" ->
+      s"""WITH $toksSql,
+          tok AS (SELECT doc_id, unnest(ws) AS w FROM toks),
+          tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+          gf AS (SELECT w, count(*) AS cnt FROM tok GROUP BY w),
+          tot AS (SELECT count(*) AS n FROM tok),
+          m AS (SELECT w,
+                       round(round(log10(cnt::DOUBLE / n), 6) * 1000000)::BIGINT AS m
+                FROM gf, tot)
+          SELECT doc_id,
+                 sum(tf)::BIGINT AS n_toks,
+                 sum(tf * m)::BIGINT AS logprob_micro,
+                 (sum(tf * m))::DOUBLE / (sum(tf) * 1000000) AS avg_logprob
+          FROM tf JOIN m USING (w)
+          GROUP BY doc_id ORDER BY doc_id""",
     "token_stats" ->
       s"""WITH $toksSql
           SELECT doc_id,

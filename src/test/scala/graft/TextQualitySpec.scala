@@ -1,0 +1,36 @@
+package graft
+
+import graft.operators.TextQuality
+
+class TextQualitySpec extends GraftSpec {
+
+  test("doc_logprob matches a driver-side unigram-model recompute") {
+    val rows = TextQuality.docLogprob(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).toMap
+    val withToks = docs.filter(_._2.nonEmpty)
+    assert(rows.length == withToks.size, "one row per non-empty doc")
+    val n = withToks.values.map(_.size.toLong).sum
+    val gf = withToks.values.flatten.groupBy(identity)
+      .map { case (w, ws) => w -> ws.size.toLong }
+    // mirror Spark's round(x, d): BigDecimal HALF_UP at the given scale
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val micro = gf.map { case (w, c) =>
+      w -> BigDecimal(r6(math.log10(c.toDouble / n)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val ws = withToks(id)
+      val wantSum = ws.map(micro).sum
+      assert(r.getAs[Long]("n_toks") == ws.size.toLong)
+      assert(r.getAs[Long]("logprob_micro") == wantSum,
+        s"doc $id micro sum mismatch")
+      val avg = r.getAs[Double]("avg_logprob")
+      assert(avg == wantSum.toDouble / (ws.size.toLong * 1000000L))
+      assert(avg < 0, s"doc $id: unigram log-prob must be negative, got $avg")
+    }
+  }
+}
