@@ -108,13 +108,27 @@ object Dedup {
         ngramJaccardPairs(spark, dir).localCheckpoint(true))
     }
 
+  /** The minhash (band, slice) index — the standing artifact an
+    * incremental ingest probes — materialized once per (session, dir)
+    * and shared by [[dedupMinhashLsh]] and [[dedupIncremental]]; in
+    * production this is the persisted table appended per batch. */
+  private val bandsMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def signatureBandsShared(spark: SparkSession, dir: String): DataFrame =
+    bandsMemo.synchronized {
+      bandsMemo.getOrElseUpdate((spark, dir),
+        signatureBands(minhashSignature(docShinglesShared(spark, dir)))
+          .localCheckpoint(true))
+    }
+
   /** The memos assume the data under `dir` is immutable for the JVM
     * lifetime (true for the driver's static testdata — rewriting a dir
     * within a session would serve stale results). Bench calls this between
     * timed runs so the second run re-pays the family's shared prefix
     * instead of reporting a memo hit as the query's cost; checkpointed
     * blocks are released by the ContextCleaner once unreferenced. */
-  def clearMemos(): Unit = { shinglesMemo.clear(); pairsMemo.clear() }
+  def clearMemos(): Unit =
+    { shinglesMemo.clear(); pairsMemo.clear(); bandsMemo.clear() }
 
   /** Exact dedup: group by the md5 of whitespace-normalized lowercase
     * text; emit one row per distinct content with representative id and
@@ -193,7 +207,7 @@ object Dedup {
     // the exact-Jaccard verification below — previously two full
     // tokenize+explode passes over the corpus
     val sh = docShinglesShared(spark, dir)
-    val bands = signatureBands(minhashSignature(sh))
+    val bands = signatureBandsShared(spark, dir)
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band", "slice"))
       .filter(col("a.doc_id") < col("b.doc_id"))
@@ -399,7 +413,7 @@ object Dedup {
 
   def dedupIncremental(spark: SparkSession, dir: String): DataFrame = {
     val sh = docShinglesShared(spark, dir)
-    val bands = signatureBands(minhashSignature(sh))
+    val bands = signatureBandsShared(spark, dir)
     val isNew = col("doc_id") % incrementalMod === incrementalRem
     val candidates = bands.filter(isNew).toDF("doc_new", "band", "slice")
       .join(bands.filter(!isNew).toDF("doc_old", "band", "slice"),

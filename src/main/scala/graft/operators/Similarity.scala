@@ -383,8 +383,9 @@ object Similarity {
                        list_transform(v, x -> floor(x * 1000)::BIGINT) AS vq
                 FROM v),
           samp AS (SELECT vec_id, vq FROM w WHERE vec_id < $ivfSampleSize),
-          cent0 AS (SELECT vec_id::INT AS cell, vq AS c FROM samp
-                    WHERE vec_id < $ivfCells),
+          cent0 AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, vq AS c
+            FROM samp ORDER BY vec_id LIMIT $ivfCells),
           $iters,
           assigned AS (
             SELECT vec_id, v, cell FROM (

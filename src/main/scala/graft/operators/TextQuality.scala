@@ -127,19 +127,21 @@ object TextQuality {
     * round(v·1e6) micro-units — from there everything is integer sums
     * (order-free in any engine) until one final int/int division.
     *
-    * Scale shape: one shuffle for global term frequencies, one pre-
-    * aggregation of (doc, token) tf pairs (bounding the join volume by
-    * distinct doc-term pairs, not total tokens), one shuffle-join on the
-    * token key (Zipf-headed — the hot-key remedies are the salting /
-    * broadcast-head plays demonstrated elsewhere), one per-doc
-    * aggregation. The total-token count rides in as a broadcast scalar,
-    * not a collect. */
+    * Scale shape: ONE pass over the corpus — the (doc, token) tf
+    * aggregate is the only operator that reads the exploded tokens;
+    * global term frequencies roll up from tf (sum of tf per token) and
+    * the corpus total rolls up from those, so the three aggregation
+    * levels stack on a single shared exchange instead of re-scanning
+    * the corpus per branch. The final token-keyed join is Zipf-headed —
+    * the hot-key remedies are the salting / broadcast-head plays
+    * demonstrated elsewhere. The total-token count rides in as a
+    * broadcast scalar, not a collect. */
   def docLogprob(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir).select(col("doc_id"), explode(col("ws")).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val total = tok.agg(count(lit(1)).as("n"))
-    val m = tok.groupBy("w").agg(count(lit(1)).as("cnt"))
-      .crossJoin(broadcast(total))
+    val gf = tf.groupBy("w").agg(sum(col("tf")).as("cnt"))
+    val total = gf.agg(sum(col("cnt")).as("n"))
+    val m = gf.crossJoin(broadcast(total))
       .select(col("w"),
         round(round(log10(col("cnt").cast("double") / col("n")), 6) * 1e6, 0)
           .cast("long").as("m"))

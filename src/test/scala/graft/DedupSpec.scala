@@ -92,9 +92,22 @@ class DedupSpec extends GraftSpec {
       .map(_.getAs[Long]("doc_id")).toSet
     assert(gotFlagged == wantFlagged)
     // the fixed-size benchmark side must ride a broadcast join; the
-    // corpus side must never be broadcast
-    val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    // corpus side must never be broadcast — check the shingle-keyed
+    // join's BUILD side subtree, not just that some broadcast join
+    // exists (AQE also converts the small doc_id-keyed tail join)
+    val bhj = physicalNodes(df).collect {
+      case j: org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+        if j.leftKeys.map(_.toString).exists(_.startsWith("sh#")) => j
+    }
+    assert(bhj.nonEmpty, physicalNodes(df).mkString("\n"))
+    val build = bhj.head.buildSide match {
+      case org.apache.spark.sql.catalyst.optimizer.BuildLeft  => bhj.head.left
+      case org.apache.spark.sql.catalyst.optimizer.BuildRight => bhj.head.right
+    }
+    val buildStr = build.toString
+    assert(buildStr.contains(s"% ${Dedup.benchMod}") &&
+      buildStr.contains(s"= ${Dedup.benchRem}") && !buildStr.contains("NOT"),
+      s"broadcast build side is not the benchmark slice:\n$buildStr")
   }
 
   test("simhash banding finds exactly the Hamming<=3 pairs (vs brute force)") {

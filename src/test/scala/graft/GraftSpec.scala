@@ -20,4 +20,26 @@ object TestSession {
 abstract class GraftSpec extends AnyFunSuite {
   lazy val spark: SparkSession = TestSession.spark
   val sfDir = "/root/testdata/sf0.001"
+
+  /** Every physical node of an executed plan, descending through the
+    * AQE wrappers that `TreeNode.collect` treats as leaves
+    * (AdaptiveSparkPlanExec and the QueryStageExec family each hold
+    * their subplan in a field, not in `children`). Call only after the
+    * DataFrame has been executed so AQE has finalized. */
+  def physicalNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    def flatten(p: SparkPlan): Seq[SparkPlan] = {
+      val inner = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec        => Seq(q.plan)
+        case r: ReusedExchangeExec    => Seq(r.child)
+        case other                    => other.children
+      }
+      p +: inner.flatMap(flatten)
+    }
+    flatten(df.queryExecution.executedPlan)
+  }
 }

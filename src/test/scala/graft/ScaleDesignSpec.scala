@@ -63,12 +63,18 @@ class ScaleDesignSpec extends GraftSpec {
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val salted = graft.operators.Relational.q4NationCountSalted(spark, sfDir)
-      val plan = salted.queryExecution.executedPlan.toString
-      // the composite key must reach the physical join: every matching
-      // row of a hot orderkey no longer meets in a single task
-      assert(plan.contains("salt"), s"salt key missing from the plan:\n$plan")
+      val saltedRows = salted.collect().toSeq // execute first: finalizes AQE
+      // the composite key must reach the physical join NODE's key list —
+      // a bare substring match would also hit the Project that merely
+      // computes the salt column
+      val joinKeys = physicalNodes(salted).collect {
+        case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.leftKeys
+        case j: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => j.leftKeys
+      }.flatten.map(_.toString)
+      assert(joinKeys.exists(_.contains("salt")),
+        s"salt key missing from the physical join keys: $joinKeys")
       val plain = graft.operators.Relational.q4NationCount(spark, sfDir)
-      assert(salted.collect().toSeq == plain.collect().toSeq)
+      assert(saltedRows == plain.collect().toSeq)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
