@@ -14,6 +14,13 @@ run / fork := true
 // pass the forked JVM's stdout through verbatim: the bench/verify JSON
 // lines must reach the harness without sbt's "[info] " logger prefix
 run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+// the harness reads only the last 2000 chars of stdout; sbt's trailing
+// "[success] Total time: …" line would spend ~80 of them, so keep the
+// bench JSON line the final stdout content
+ThisBuild / showSuccess := false
+// showSuccess is read by sbt's logger, not by tasks — exclude it from
+// the unused-key lint so the warning doesn't lead the stdout capture
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
