@@ -114,9 +114,15 @@ object Tables {
   }
 
   /** One option set for the pipe-text surface — writer and readers must
-    * agree or the parity path silently parses nulls. */
+    * agree or the parity path silently parses nulls. `nullValue` is an
+    * explicit sentinel (not the "" default): with the default, a written
+    * empty string reads back as NULL — harmless on current TPC-H data
+    * where string fields are non-empty, but a silent parity breaker the
+    * moment a table carries "" values. With `\N`, NULL → `\N` → NULL and
+    * `""` → `""` (quoted by the writer, not the null sentinel) → `""`. */
   private val csvOptions =
-    Map("sep" -> "|", "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss")
+    Map("sep" -> "|", "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss",
+      "nullValue" -> "\\N")
 
   private val csvMemo =
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), String]

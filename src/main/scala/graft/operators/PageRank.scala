@@ -187,9 +187,25 @@ object PageRank {
       .select(col("event_type"), col("event_id"), col("value"), col("rnk"))
       .orderBy("event_type", "rnk")
 
+  /** The log-space loop's registered form — the reference's ACTUAL numeric
+    * path (`RunPersonalizedPageRankBasic.java:341-348,595-607` runs the
+    * whole computation on log-masses with `sumLogProbs`). Emits the
+    * per-source top-k by rounded log-rank (monotonic with rank, same
+    * tiebreak discipline as [[pprTopK]]). */
+  def pprTopKLog(spark: SparkSession, dir: String): DataFrame = {
+    val ranks = personalizedPageRankLog(spark, dir, graphEdges(spark, dir))
+    ranks
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(round(col("logRank"), 6).desc, col("node"))))
+      .filter(col("rnk") <= topK)
+      .select(col("source"), col("node"), round(col("logRank"), 6).as("log_rank"), col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "topk_by_group" -> (topkByGroup _),
-    "ppr_topk" -> (pprTopK _))
+    "ppr_topk" -> (pprTopK _),
+    "ppr_topk_log" -> (pprTopKLog _))
 
   /** The PPR oracle: the driver loop is a FIXED 10 iterations, so it
     * unrolls into 10 chained CTEs generated from the same constants the
@@ -239,8 +255,76 @@ object PageRank {
         ORDER BY source, rnk"""
   }
 
+  /** The log-space PPR oracle: the same 10 unrolled iterations, but every
+    * mass is a log-mass and the per-(source,node) combine is the
+    * max+ln(Σexp(x−m)) fold (the proven `logsumexp_by_group` oracle
+    * shape, two-step because SQL can't nest aggregates). The teleport is
+    * the reference's `sumLogProbs(log α, log(1−α)+logMass)` expressed
+    * with the identical greatest/least algebra the Spark loop uses.
+    * Float discipline:
+    *  - the log α / log1p(−α) constants are the Scala doubles embedded in
+    *    shortest-round-trip decimal (bit-identical after parse);
+    *  - DuckDB 1.0 has no log1p, so the oracle folds with ln(1+exp(d));
+    *    d ≤ 0 always, and |ln(1+y) − log1p(y)| ≤ 1 ulp of the result for
+    *    y ∈ (2⁻⁵², 1] while below that both sides are ≪ the 6dp rounding
+    *    both engines apply — the same transcendental-skew absorb that
+    *    keeps the PMI/log10 family green;
+    *  - all-(−∞) groups (the seed row before any mass returns to the
+    *    source) produce NaN in the discarded CASE branch only. */
+  private def pprLogOracleSql: String = {
+    val la = math.log(alpha)
+    val l1a = math.log1p(-alpha)
+    val iters = (1 to iterations).map { k =>
+      s"""c$k AS (
+            SELECT r.source, e.dst AS node, r.logRank - ln(o.outdeg) AS lc
+            FROM lr${k - 1} r
+            JOIN outdeg o ON r.node = o.src
+            JOIN edges e ON r.node = e.src
+            UNION ALL
+            SELECT r.source, r.source AS node, r.logRank AS lc
+            FROM lr${k - 1} r LEFT JOIN outdeg o ON r.node = o.src
+            WHERE o.src IS NULL
+            UNION ALL
+            SELECT source, source AS node, '-infinity'::DOUBLE AS lc FROM srcs),
+          m$k AS (SELECT source, node, max(lc) AS mx FROM c$k GROUP BY 1, 2),
+          lr$k AS MATERIALIZED (
+            SELECT source, node,
+                   CASE WHEN node = source THEN
+                     greatest($la::DOUBLE, lm + $l1a::DOUBLE) +
+                       ln(1.0::DOUBLE + exp(least($la::DOUBLE, lm + $l1a::DOUBLE) -
+                            greatest($la::DOUBLE, lm + $l1a::DOUBLE)))
+                   ELSE lm + $l1a::DOUBLE END AS logRank
+            FROM (
+              SELECT c.source, c.node,
+                     CASE WHEN m.mx = '-infinity'::DOUBLE THEN '-infinity'::DOUBLE
+                          ELSE m.mx + ln(sum(exp(c.lc - m.mx))) END AS lm
+              FROM c$k c JOIN m$k m USING (source, node)
+              GROUP BY c.source, c.node, m.mx))"""
+    }.mkString(",\n")
+    s"""WITH off AS (SELECT max(p_partkey) + 1 AS o FROM part),
+        edges AS MATERIALIZED (
+          SELECT DISTINCT src, dst FROM (
+            SELECT l_partkey AS src, l_suppkey + (SELECT o FROM off) AS dst
+            FROM lineitem
+            UNION ALL
+            SELECT l_suppkey + (SELECT o FROM off) AS src, l_partkey AS dst
+            FROM lineitem)),
+        outdeg AS MATERIALIZED (SELECT src, count(*) AS outdeg FROM edges GROUP BY src),
+        srcs AS (SELECT CAST(unnest([${sources.mkString(", ")}]) AS BIGINT) AS source),
+        lr0 AS (SELECT source, source AS node, 0.0::DOUBLE AS logRank FROM srcs),
+        $iters,
+        ranked AS (
+          SELECT source, node, round(logRank, 6) AS log_rank,
+                 row_number() OVER (
+                   PARTITION BY source ORDER BY round(logRank, 6) DESC, node) AS rnk
+          FROM lr$iterations)
+        SELECT source, node, log_rank, rnk FROM ranked WHERE rnk <= $topK
+        ORDER BY source, rnk"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "ppr_topk" -> pprOracleSql,
+    "ppr_topk_log" -> pprLogOracleSql,
     "topk_by_group" ->
       """WITH ranked AS (
            SELECT event_type, event_id, value,
