@@ -54,13 +54,16 @@ object Bench {
     }
 
     // _csv queries are the dual-format parity surface — same logical
-    // plans as their parquet twins over a text re-materialization; timing
-    // them would double-count the workload and bloat the JSON line.
+    // plans as their parquet twins over a text re-materialization — and
+    // _exact queries are the size-guarded quadratic correctness baselines
+    // behind the banded near-dup defaults; timing either family would
+    // double-count the workload and bloat the JSON line.
     // SPARK_GRAFT_BENCH_FILTER (regex) narrows the set for local
     // iteration; the driver runs unfiltered.
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
     val names = SparkEntry.queries.keys.toSeq
-      .filterNot(_.endsWith("_csv")).filter(_.matches(nameFilter)).sorted
+      .filterNot(n => n.endsWith("_csv") || n.endsWith("_exact"))
+      .filter(_.matches(nameFilter)).sorted
     names.foreach(exec(_, warmDir)) // warm-up at the smallest SF
     clearMemos()
     // two timed runs, keep the min — absorbs GC/JIT noise between queries

@@ -77,8 +77,29 @@ object DocEmbedding {
       .select(col("doc_id"), array((0 until embDim).map(d => col(s"d$d")): _*).as("v"))
   }
 
-  /** Near-dup doc pairs by embedding cosine (shared all-pairs kernel). */
-  def docEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame = {
+  /** Near-dup banding for the hashing-trick vectors. The tiny shared
+    * vocabulary keeps ALL doc vectors correlated (raw background p99 ≈
+    * 0.896 vs the weakest true pair at 0.940 — measured at sf0.01), so
+    * the banding needs 8-bit keys to buy any separation and 12 tables to
+    * hold per-pair recall ≈ 0.997 at the threshold. Banding runs on the
+    * RAW vectors: mean-centering (the textbook decorrelation trick)
+    * was measured and REJECTED — a borderline raw-0.94 pair can fall to
+    * centered cosine 0.30, destroying recall. */
+  val ndTables = 12
+  val ndBits = 8
+  val ndSeed = 202
+  private lazy val docPlanes =
+    Similarity.gaussianPlanes(ndTables, ndBits, embDim, ndSeed)
+
+  /** Near-dup doc pairs by embedding cosine — LSH-banded default; the
+    * all-pairs kernel survives as the `_exact` correctness baseline. */
+  def docEmbeddingNearDup(spark: SparkSession, dir: String): DataFrame =
+    Similarity.lshBandedPairs(
+      docVectors(spark, dir).toDF("vec_id", "v"), docPlanes, cosineThreshold)
+      .toDF("doc_a", "doc_b", "cosine")
+
+  /** Exact all-pairs baseline (size-guarded in the kernel). */
+  def docEmbeddingExact(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
     Similarity.cosinePairsKernel(spark,
@@ -87,14 +108,38 @@ object DocEmbedding {
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "doc_embedding_neardup" -> (docEmbeddingNearDup _))
+    "doc_embedding_neardup" -> (docEmbeddingNearDup _),
+    "doc_embedding_exact" -> (docEmbeddingExact _))
 
-  /** Full-pipeline mirror: md5 hashing trick → signed projection →
-    * normalize → exhaustive pair cosine. Component sums are exact
-    * (integer-valued doubles), so SQL aggregation order is immaterial;
-    * the normalize/dot IEEE sequence matches the kernel's. */
+  /** The shared vector-build pipeline: md5 hashing trick → signed
+    * projection → dense per-doc vectors. Component sums are exact
+    * (integer-valued doubles), so SQL aggregation order is immaterial. */
+  private def vecPipelineSql: String =
+    s"""toks AS (SELECT doc_id, $tokenizeSql AS ws FROM documents),
+          tf AS (
+            SELECT doc_id, ${md5IntSql("w", 8)} % $featureBuckets AS feature,
+                   count(*) AS cnt
+            FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+            GROUP BY doc_id, feature),
+          comp AS (
+            SELECT doc_id, d,
+                   sum(cnt * (CASE WHEN
+                     ${md5IntSql("feature::VARCHAR || '_' || d::VARCHAR", 1)} % 2 = 1
+                     THEN 1.0 ELSE -1.0 END)) AS s
+            FROM tf CROSS JOIN unnest(range(0, $embDim)) AS u(d)
+            GROUP BY doc_id, d),
+          vec AS (SELECT doc_id, list(s ORDER BY d) AS e FROM comp GROUP BY doc_id)"""
+
+  /** doc_embedding_neardup replays the banded default end-to-end (vector
+    * build → literal-plane bucketing → candidate join → codegen-sequence
+    * rescore); doc_embedding_exact keeps the exhaustive normalize-then-dot
+    * mirror of the tile kernel. */
   val oracleSql: Map[String, String] = Map(
-    "doc_embedding_neardup" ->
+    "doc_embedding_neardup" -> Similarity.bandedPairsOracleSql(
+      s"""$vecPipelineSql,
+          v AS (SELECT doc_id, e AS v FROM vec)""",
+      "doc_id", docPlanes, cosineThreshold, "doc_a", "doc_b"),
+    "doc_embedding_exact" ->
       s"""WITH toks AS (SELECT doc_id, $tokenizeSql AS ws FROM documents),
           tf AS (
             SELECT doc_id, ${md5IntSql("w", 8)} % $featureBuckets AS feature,

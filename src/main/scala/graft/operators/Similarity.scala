@@ -70,15 +70,23 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
-  /** Deterministic hyperplanes: lshTables × lshHyperplanes × dim gaussians. */
-  private[operators] def hyperplanes(): Array[Array[Array[Double]]] = {
-    val rng = new scala.util.Random(lshSeed)
-    Array.fill(lshTables, lshHyperplanes, dim)(rng.nextGaussian())
+  /** Deterministic seeded gaussians: tables × planesPerTable × d.
+    * Generation order is the nested fill order, so the same (seed,
+    * shape) always reproduces the same planes — both here and as the
+    * oracle's literal VALUES rows. */
+  private[operators] def gaussianPlanes(tables: Int, planesPerTable: Int,
+      d: Int, seed: Int): Array[Array[Array[Double]]] = {
+    val rng = new scala.util.Random(seed)
+    Array.fill(tables, planesPerTable, d)(rng.nextGaussian())
   }
 
+  /** Deterministic hyperplanes: lshTables × lshHyperplanes × dim gaussians. */
+  private[operators] def hyperplanes(): Array[Array[Array[Double]]] =
+    gaussianPlanes(lshTables, lshHyperplanes, dim, lshSeed)
+
   /** Bucket keys per vector: one string of sign bits per table. */
-  private def withBuckets(vecs: DataFrame): DataFrame = {
-    val planes = hyperplanes()
+  private def withBucketsOf(vecs: DataFrame,
+      planes: Array[Array[Array[Double]]]): DataFrame = {
     val bucketCols = planes.zipWithIndex.map { case (table, t) =>
       val bits = table.map { plane =>
         val planeCol = array(plane.map(lit): _*)
@@ -91,6 +99,9 @@ object Similarity {
       .select(col("vec_id"), col("v"),
         col("tb.table").as("table"), col("tb.bucket").as("bucket"))
   }
+
+  private def withBuckets(vecs: DataFrame): DataFrame =
+    withBucketsOf(vecs, hyperplanes())
 
   /** ANN top-k via random-hyperplane LSH, exact-rescored on candidates. */
   def annLshCosine(spark: SparkSession, dir: String): DataFrame = {
@@ -139,6 +150,11 @@ object Similarity {
     * document-embedding near-dup. Output is identical to a naive
     * all-pairs scan: same normalize-then-dot IEEE sequence, canonical
     * (vec_a < vec_b) orientation. */
+  /** Size guard for the exact kernel: beyond this many vectors the
+    * quadratic work is indefensible and callers must use the banded
+    * default ([[lshBandedPairs]]). */
+  val maxExactVectors = 1L << 17
+
   private[operators] def cosinePairsKernel(spark: SparkSession,
       vecs: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
       threshold: Double): DataFrame = {
@@ -152,6 +168,9 @@ object Similarity {
       (id, v.iterator.map(_ / n).toArray)
     }.localCheckpoint(true)
     val total = normed.count()
+    require(total <= maxExactVectors,
+      s"exact all-pairs kernel is O(n²) — $total vectors exceeds " +
+        s"maxExactVectors=$maxExactVectors; use the LSH-banded default")
     // floor of 8 blocks keeps small corpora parallel; above that, blocks
     // scale with n so each tile stays a bounded unit of work
     val nBlocks = math.max(8L, (total + pairsVecsPerBlock - 1) / pairsVecsPerBlock)
@@ -205,7 +224,70 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame = {
+  /** LSH-banded near-dup pair generator — the DEFAULT plan for
+    * embedding-cosine dedup (the all-pairs kernel is the size-guarded
+    * correctness baseline). Candidates are pairs sharing any
+    * (table, bucket) sign-bit key; each candidate is exact-rescored with
+    * the codegen'd cosine and the threshold applies to the ROUNDED value,
+    * so precision is exact and the only approximation is banding recall
+    * (tunable via tables × bits; parameters below are sized so the
+    * weakest true pair on the measured corpus geometry survives with
+    * ≥ 98% probability).
+    *
+    * Scale shape: the corpus never self-joins — everything keys on
+    * narrow (table, bucket) ids, join fan-out is bounded by bucket
+    * occupancy, duplicate candidates from multiple tables cost
+    * re-computed cosines (CPU) rather than a pre-join distinct shuffle
+    * of vector payloads, and the distinct runs on the thresholded
+    * survivors only. Candidate selectivity is a property of the DATA:
+    * at production thresholds (τ ≥ 0.9 on clustered corpora) banding
+    * prunes hard; this testdata is near-isotropic at τ = 0.4, the
+    * worst regime for any cosine LSH, and the plan shape is still the
+    * one that scales — see PLANS.md. */
+  private[operators] def lshBandedPairs(vecs: DataFrame,
+      planes: Array[Array[Array[Double]]], threshold: Double): DataFrame = {
+    // materialize the vectors once: they feed the bucket build and both
+    // rescore joins (for doc embeddings the upstream build is its own
+    // aggregation pipeline — recomputing it 3× would dominate)
+    val vv = vecs.localCheckpoint(true)
+    // the band join stays NARROW — (vec_id, table, bucket) only. Vector
+    // payloads must not ride the candidate join: a bucket of occupancy f
+    // emits f² rows, and carrying two d-dim arrays through that blow-up
+    // shuffles O(f²·d) bytes where O(f²) ids suffice (measured 4-10×
+    // end-to-end at sf0.1). Rescore joins the vectors back by id —
+    // bounded-size side, broadcast by AQE here; an ordinary shuffle join
+    // keyed on ids at corpus scale.
+    val bands = withBucketsOf(vv, planes).select("vec_id", "table", "bucket")
+    val cand = bands.as("a").join(bands.as("b"), Seq("table", "bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
+      .dropDuplicates()
+    cand
+      .join(vv.toDF("vec_a", "va"), "vec_a")
+      .join(vv.toDF("vec_b", "vb"), "vec_b")
+      .select(col("vec_a"), col("vec_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+      .orderBy("vec_a", "vec_b")
+  }
+
+  /** Near-dup banding for the `embeddings` table: τ = 0.4 sits at 66°,
+    * barely above the isotropic background (worst true pair 0.401,
+    * background p99 0.289 at sf0.01) — 4-bit bands keep per-pair recall
+    * ≈ 0.98 at the threshold; 24 tables is the price of that recall in
+    * this geometry. */
+  val ndTables = 24
+  val ndBits = 4
+  val ndSeed = 101
+  private lazy val ndPlanesEmb = gaussianPlanes(ndTables, ndBits, dim, ndSeed)
+
+  def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
+    lshBandedPairs(emb(spark, dir), ndPlanesEmb, nearDupCosine)
+
+  /** The exact all-pairs baseline, registered as its own query (`_exact`)
+    * and size-guarded in the kernel — at corpus scale the banded default
+    * above is the only defensible plan. */
+  def dedupEmbeddingExact(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
     cosinePairsKernel(spark, emb(spark, dir).as[(Long, Seq[Double])], nearDupCosine)
@@ -333,19 +415,55 @@ object Similarity {
     "knn_brute_cosine" -> (knnBruteCosine _),
     "ann_lsh_cosine" -> (annLshCosine _),
     "ann_ivf_cosine" -> (annIvfCosine _),
-    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _))
+    "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
+    "dedup_embedding_exact" -> (dedupEmbeddingExact _))
 
-  /** The hyperplanes as SQL literal rows — data-INDEPENDENT (seeded
+  /** A plane set as SQL literal rows — data-INDEPENDENT (seeded
     * driver-side), so the oracle can carry them verbatim and replicate
     * the whole LSH pipeline: bucket bits → candidate join → exact
-    * rescore → top-k. Double literals use Java's shortest round-trip
-    * decimal form, which DuckDB parses back to the identical bits. */
-  private def planeValuesSql: String =
-    hyperplanes().zipWithIndex.flatMap { case (table, t) =>
+    * rescore. Double literals use Java's shortest round-trip decimal
+    * form, which DuckDB parses back to the identical bits. */
+  private[operators] def planesSql(planes: Array[Array[Array[Double]]]): String =
+    planes.zipWithIndex.flatMap { case (table, t) =>
       table.zipWithIndex.map { case (plane, p) =>
         plane.mkString(s"($t, $p, [", ", ", "]::DOUBLE[])")
       }
     }.mkString(",\n            ")
+
+  private def planeValuesSql: String = planesSql(hyperplanes())
+
+  /** Oracle for the banded near-dup default: replays the ENTIRE pipeline
+    * — sign-bit bucketing against the literal planes, the bucket
+    * candidate join, the dot/(‖a‖·‖b‖) rescore (the codegen'd
+    * expression's IEEE sequence), threshold on the ROUNDED cosine —
+    * so Spark and DuckDB agree exactly regardless of banding recall. */
+  private[operators] def bandedPairsOracleSql(vecCte: String, idCol: String,
+      planes: Array[Array[Array[Double]]], threshold: Double,
+      outA: String, outB: String): String =
+    s"""WITH $vecCte,
+        planes(t, p, pl) AS (VALUES
+          ${planesSql(planes)}),
+        b AS (
+          SELECT $idCol AS id, t,
+                 string_agg(CASE WHEN list_dot_product(v, pl) >= 0
+                            THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
+          FROM v CROSS JOIN planes
+          GROUP BY $idCol, t),
+        cand AS (
+          SELECT DISTINCT x.id AS ia, y.id AS ib
+          FROM b x JOIN b y USING (t, bucket)
+          WHERE x.id < y.id),
+        scored AS (
+          SELECT ia AS $outA, ib AS $outB,
+                 round(list_dot_product(p.v, q.v) /
+                       (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(q.v, q.v))), 6)
+                   AS cosine
+          FROM cand
+          JOIN v p ON ia = p.$idCol
+          JOIN v q ON ib = q.$idCol)
+        SELECT $outA, $outB, cosine FROM scored
+        WHERE cosine >= $threshold
+        ORDER BY $outA, $outB"""
 
   /** ann_ivf_cosine oracle: replays the ENTIRE integer-exact pipeline —
     * milli-grid quantization, [[ivfIters]] unrolled Lloyd iterations
@@ -476,7 +594,10 @@ object Similarity {
           SELECT query_id, neighbor_id, cosine, rank
           FROM ranked WHERE rank <= $knnK
           ORDER BY query_id, rank""",
-    "dedup_embedding_cosine" ->
+    "dedup_embedding_cosine" -> bandedPairsOracleSql(
+      "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+      "vec_id", ndPlanesEmb, nearDupCosine, "vec_a", "vec_b"),
+    "dedup_embedding_exact" ->
       s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           v AS (
             SELECT vec_id,

@@ -14,6 +14,17 @@ class DocEmbeddingSpec extends GraftSpec {
     assert(recalled >= 0.9, s"embedding recall of Jaccard pairs: $recalled")
   }
 
+  test("banded doc near-dup: subset of the exact kernel with near-total recall") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val exact = pairs(DocEmbedding.docEmbeddingExact(spark, sfDir))
+    val banded = pairs(DocEmbedding.docEmbeddingNearDup(spark, sfDir))
+    assert(exact.nonEmpty)
+    assert(banded.subsetOf(exact), s"banded produced non-pairs: ${banded -- exact}")
+    assert(banded.size >= (exact.size * 0.9).toInt,
+      s"banding recall too low: ${banded.size}/${exact.size}")
+  }
+
   test("document vectors are deterministic and dense") {
     val v1 = DocEmbedding.docVectors(spark, sfDir).collect()
       .map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap

@@ -40,6 +40,38 @@ class SimilaritySpec extends GraftSpec {
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
+  test("banded near-dup default: no object-space kernel, bucket-keyed candidate join") {
+    val df = Similarity.dedupEmbeddingCosine(spark, sfDir)
+    df.collect()
+    val nodes = physicalNodes(df)
+    // the all-pairs tile kernel materializes through object space — its
+    // absence is what "no full-corpus tile join in the default plan" means
+    assert(!nodes.exists(n => n.nodeName.contains("MapPartitions") ||
+      n.nodeName.contains("DeserializeToObject")),
+      nodes.map(_.nodeName).mkString(", "))
+    val joins = nodes.collect {
+      case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
+    }
+    assert(joins.exists(_.leftKeys.map(_.toString).exists(_.contains("bucket"))),
+      joins.map(_.leftKeys.mkString(";")).mkString("\n"))
+    // and the exact baseline IS the object kernel (sanity: the assertion
+    // above is actually able to see kernel nodes when they exist)
+    val exact = Similarity.dedupEmbeddingExact(spark, sfDir)
+    exact.collect()
+    assert(physicalNodes(exact).exists(_.nodeName.contains("MapPartitions")))
+  }
+
+  test("banded near-dup pairs: exact precision, near-total recall vs all-pairs") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exact = pairs(Similarity.dedupEmbeddingExact(spark, sfDir))
+    val banded = pairs(Similarity.dedupEmbeddingCosine(spark, sfDir))
+    assert(exact.nonEmpty)
+    assert(banded.subsetOf(exact), s"banded produced non-pairs: ${banded -- exact}")
+    assert(banded.size >= (exact.size * 0.9).toInt,
+      s"banding recall too low: ${banded.size}/${exact.size}")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
     val approx = neighborSets(Similarity.annLshCosine(spark, sfDir))
