@@ -290,54 +290,78 @@ object Dedup {
 
   /** Near-dup CLUSTERS: connected components over the Jaccard pair graph
     * — the production dedup shape (pairs → groups → keep one
-    * representative). Iterative min-label propagation, the
-    * small-star/large-star family's simple member: each node repeatedly
-    * adopts the minimum label in its neighborhood. Iteration count only
-    * needs to exceed the cluster diameter (near-dup clusters are shallow;
-    * at corpus scale this is the standard alternating-rounds CC on the
-    * same shuffle key). Emits every clustered doc with its component
+    * representative). Emits every clustered doc with its component
     * representative. */
   val ccIterations = 10
-  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
-    // the verified pair graph is the memoized artifact shared with
-    // dedup_survivors — the quadratic shingle self-join runs once per
-    // (session, dir), not once per downstream query
-    val pairs = jaccardPairsShared(spark, dir).select("doc_a", "doc_b")
+
+  /** Distributed connected components by min-label propagation WITH
+    * pointer doubling (the hash-to-min family — Rastogi et al., "Finding
+    * connected components in MapReduce", ICDE 2013): each round every
+    * node (1) adopts the minimum label in its neighborhood, then
+    * (2) jumps to its label's label. The jump is what makes the round
+    * count O(log diameter) instead of O(diameter) — [[ccIterations]]
+    * rounds cover components of diameter ≈ 2^[[ccIterations]], so a
+    * chain-shaped near-dup component (the adversarial case for plain
+    * propagation) converges instead of silently truncating.
+    *
+    * Convergence is REQUIRED, loudly: if the cap is ever hit while a
+    * round still changed labels, this throws rather than returning
+    * partially-propagated clusters — wrong clusters at corpus scale
+    * would silently drop the wrong documents downstream. */
+  private[graft] def connectedComponents(pairs: DataFrame,
+      maxRounds: Int = ccIterations): DataFrame = {
     // undirected edge list, both directions
-    val edges = pairs
-      .unionByName(pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    val edges = pairs.toDF("a", "b")
+      .unionByName(pairs.toDF("b", "a").select("a", "b"))
       .toDF("node", "peer")
       .cache()
     try {
       var labels = edges.select(col("node")).distinct()
         .withColumn("label", col("node"))
         .localCheckpoint(true)
-      // label propagation converges in ≤ diameter rounds; stop as soon as a
-      // round changes nothing (the fixed cap is a safety bound, not the
-      // expected cost — near-dup components are shallow)
       var converged = false
       var iter = 0
-      while (!converged && iter < ccIterations) {
-        // carry the changed-flag inside the checkpointed round so the
-        // convergence probe only scans checkpointed partitions instead of
-        // re-running the round's joins as a second job
-        val next = edges
+      while (!converged && iter < maxRounds) {
+        // (1) neighborhood min — one shuffle keyed by node
+        val stepped = edges
           .join(labels.toDF("peer", "peerLabel"), "peer")
           .groupBy("node").agg(min("peerLabel").as("nbrMin"))
           .join(labels, "node")
-          .select(col("node"), least(col("label"), col("nbrMin")).as("label"),
-            (col("nbrMin") < col("label")).as("changed"))
+          .select(col("node"), least(col("label"), col("nbrMin")).as("l1"))
+        // (2) pointer jump: l2 = label(l1). Every label value is a node id
+        // of the same component, so the lookup join always hits; the left
+        // join + coalesce is belt-and-braces against an empty lookup.
+        // carry the changed-flag inside the checkpointed round so the
+        // convergence probe only scans checkpointed partitions
+        val next = stepped
+          .join(stepped.toDF("jumpKey", "l2"), col("l1") === col("jumpKey"), "left")
+          .select(col("node"), coalesce(col("l2"), col("l1")).as("label"))
+          .join(labels.toDF("node", "prev"), "node")
+          .select(col("node"), col("label"),
+            (col("label") < col("prev")).as("changed"))
           .localCheckpoint(true)
         converged = next.filter(col("changed")).isEmpty
         labels = next.select("node", "label")
         iter += 1
       }
+      require(converged,
+        s"connected components did not converge in $maxRounds pointer-doubling " +
+          s"rounds (component diameter > ~2^$maxRounds) — refusing to return " +
+          "partially-propagated clusters")
       labels
-        .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
-        .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
-          col("cluster_size"))
-        .orderBy("doc_id")
     } finally edges.unpersist()
+  }
+
+  def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
+    // the verified pair graph is the memoized artifact shared with
+    // dedup_survivors — the quadratic shingle self-join runs once per
+    // (session, dir), not once per downstream query
+    val pairs = jaccardPairsShared(spark, dir).select("doc_a", "doc_b")
+    connectedComponents(pairs)
+      .withColumn("cluster_size", count(lit(1)).over(Window.partitionBy("label")))
+      .select(col("node").as("doc_id"), col("label").as("cluster_rep"),
+        col("cluster_size"))
+      .orderBy("doc_id")
   }
 
   /** The consumable end of the pipeline: the deduplicated corpus. Every

@@ -43,6 +43,26 @@ class DedupSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("connected components converge on a chain far deeper than the round cap") {
+    // diameter-100 path graph: plain min-label propagation would need 100
+    // rounds and the old 10-round cap returned partial labels SILENTLY;
+    // pointer doubling must converge inside the cap (2^10 ≫ 100) — and if
+    // it ever cannot, connectedComponents throws instead of returning
+    val sp = spark
+    import sp.implicits._
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert(labels.size == 101)
+    assert(labels.values.forall(_ == 0L), s"unconverged labels: ${labels.filter(_._2 != 0L)}")
+    // two disjoint components keep distinct representatives
+    val two = ((0L until 5L).map(i => (i, i + 1)) ++
+      (100L until 110L).map(i => (i, i + 1))).toDF("doc_a", "doc_b")
+    val reps = Dedup.connectedComponents(two).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("label")).toMap
+    assert((0L to 5L).forall(reps(_) == 0L) && (100L to 110L).forall(reps(_) == 100L))
+  }
+
   test("incremental dedup equals the cross-side slice of the full self-dedup") {
     val full = pairSet(Dedup.dedupMinhashLsh(spark, sfDir))
     def isNew(id: Long) = id % Dedup.incrementalMod == Dedup.incrementalRem
