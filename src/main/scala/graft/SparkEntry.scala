@@ -22,7 +22,8 @@ object SparkEntry {
       TextAnalytics.registry ++ TextQuality.registry ++
       Dedup.registry ++ Similarity.registry ++ InvertedIndex.registry ++
       EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry ++
-      Multimodal.registry ++ DocEmbedding.registry ++ CorpusPipeline.registry
+      Multimodal.registry ++ DocEmbedding.registry ++ CorpusPipeline.registry ++
+      TaxiEvents.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -31,5 +32,6 @@ object SparkEntry {
       TextAnalytics.oracleSql ++ TextQuality.oracleSql ++
       Dedup.oracleSql ++ Similarity.oracleSql ++ InvertedIndex.oracleSql ++
       EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql ++
-      Multimodal.oracleSql ++ DocEmbedding.oracleSql ++ CorpusPipeline.oracleSql
+      Multimodal.oracleSql ++ DocEmbedding.oracleSql ++ CorpusPipeline.oracleSql ++
+      TaxiEvents.oracleSql
 }

@@ -49,6 +49,52 @@ object TaxiEvents {
     parse(spark.read.text(taxiDir))
       .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("cnt"))
-      .select(col("region"), col("w.start").as("hour_start"), col("cnt"))
+      .select(col("region"),
+        col("w.start").cast("timestamp_ntz").as("hour_start"), col("cnt"))
       .orderBy("region", "hour_start")
+
+  /** The reference's graded dataset is a FIXED path, not a per-sf table —
+    * the registered query ignores the sf dir (every scale factor sees the
+    * same 1,440 real files, like the reference's own grading). */
+  val taxiDataDir = "/root/reference/taxi-data"
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "taxi_region_hourly" ->
+      ((s: SparkSession, _: String) => regionHourly(s, taxiDataDir)))
+
+  /** Oracle over the SAME raw files: DuckDB reads whole lines (a 0x01
+    * delimiter that never occurs in the data), splits positionally, and
+    * replays the yellow/green layout dispatch, the bounding boxes, and
+    * the hour bucket. `try_cast`/`try_strptime` mirror Spark's
+    * null-on-malformed cast semantics; lon/lat strings parse to identical
+    * IEEE doubles in both engines, and the box predicate compares those
+    * raw doubles — no arithmetic, no rounding needed. */
+  val oracleSql: Map[String, String] = Map(
+    "taxi_region_hourly" -> {
+      val g = goldman
+      val c = citigroup
+      s"""WITH raw AS (
+           SELECT column0 AS value
+           FROM read_csv('$taxiDataDir/part-*.csv',
+                         delim=e'\\x01', header=false, quote='', escape='',
+                         columns={'column0': 'VARCHAR'})),
+         p AS (SELECT string_split(value, ',') AS c FROM raw),
+         f AS (
+           SELECT CASE WHEN c[1] = 'yellow' THEN try_cast(c[11] AS DOUBLE)
+                       ELSE try_cast(c[9] AS DOUBLE) END AS lon,
+                  CASE WHEN c[1] = 'yellow' THEN try_cast(c[12] AS DOUBLE)
+                       ELSE try_cast(c[10] AS DOUBLE) END AS lat,
+                  try_strptime(c[4], '%Y-%m-%d %H:%M:%S') AS ts
+           FROM p),
+         r AS (
+           SELECT CASE WHEN lon > ${g._1} AND lon < ${g._2}
+                        AND lat > ${g._3} AND lat < ${g._4} THEN 'goldman'
+                       WHEN lon > ${c._1} AND lon < ${c._2}
+                        AND lat > ${c._3} AND lat < ${c._4} THEN 'citigroup'
+                  END AS region, ts
+           FROM f)
+         SELECT region, date_trunc('hour', ts) AS hour_start, count(*) AS cnt
+         FROM r WHERE region IS NOT NULL AND ts IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2"""
+    })
 }
