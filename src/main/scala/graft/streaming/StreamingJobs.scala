@@ -11,8 +11,12 @@ case class KeyedEvent(key: String, tsMicros: Long)
 /** Per-key detector state: the open window and the previous window's
   * count — the Structured Streaming form of the reference's
   * `mapWithState` tuple `(cur, batchTimeMs, prev)`
-  * (`TrendingArrivals.scala:47-68`). */
-case class TrendState(winStart: Long, cur: Long, prev: Long)
+  * (`TrendingArrivals.scala:47-68`). With allowed lateness the state
+  * additionally BUFFERS the most recently closed window (`pend*`) so
+  * late events within one window of the open one fold in before the
+  * window is emitted; `pendStart = -1` means nothing is buffered. */
+case class TrendState(winStart: Long, cur: Long, prev: Long,
+    pendStart: Long = -1L, pendCur: Long = 0L, pendPrev: Long = 0L)
 
 /** Emitted when a window closes. */
 case class WindowResult(key: String, winStartMicros: Long, cur: Long,
@@ -88,31 +92,67 @@ object StreamingJobs {
     * preceding window (gap ⇒ prev = 0), matching
     * `EventAnalytics.trendingArrivals` exactly.
     *
-    * In-order delivery is assumed (the reference's queueStream replay is
-    * strictly ordered); out-of-order events older than the open window
-    * are dropped — the place a production version would add a watermark
-    * + allowed-lateness buffer in the state.
-    */
+    * `allowedLatenessWindows = 0` (default) assumes in-order delivery
+    * (the reference's queueStream replay is strictly ordered): a window
+    * emits the moment a later window opens, and events older than the
+    * open window drop. `= 1` buffers the most recently closed window in
+    * state instead of emitting it immediately; late events that belong
+    * to it (anything within one window of the open one) fold in, and it
+    * emits only when the NEXT window transition finalizes it. Emission
+    * is therefore deferred by one window and a finite stream holds TWO
+    * un-emitted windows per key — the standard lateness/latency trade;
+    * events more than one window late still drop (they would need a
+    * retraction, which Append mode cannot express). */
   def detectTrends(events: Dataset[KeyedEvent], windowMicros: Long,
-      minCount: Long = 10L): Dataset[WindowResult] = {
+      minCount: Long = 10L, allowedLatenessWindows: Int = 0): Dataset[WindowResult] = {
+    require(allowedLatenessWindows == 0 || allowedLatenessWindows == 1,
+      "allowedLatenessWindows must be 0 or 1 (one buffered window)")
     val spark = events.sparkSession
     import spark.implicits._
+    val buffered = allowedLatenessWindows == 1
     events
       .groupByKey(_.key)
       .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
         (key: String, it: Iterator[KeyedEvent], state: GroupState[TrendState]) =>
           val out = scala.collection.mutable.ListBuffer.empty[WindowResult]
+          def emit(winStart: Long, cur: Long, prev: Long): Unit =
+            out += WindowResult(key, winStart, cur, prev,
+              cur >= 2L * prev && cur >= minCount)
           var st = state.getOption.getOrElse(TrendState(-1L, 0L, 0L))
           it.toSeq.sortBy(_.tsMicros).foreach { e =>
             val w = e.tsMicros - e.tsMicros % windowMicros
             if (st.winStart == -1L) st = TrendState(w, 1L, 0L)
             else if (w == st.winStart) st = st.copy(cur = st.cur + 1L)
             else if (w > st.winStart) {
-              out += WindowResult(key, st.winStart, st.cur, st.prev,
-                st.cur >= 2L * st.prev && st.cur >= minCount)
-              val prev = if (w == st.winStart + windowMicros) st.cur else 0L
-              st = TrendState(w, 1L, prev)
-            } // w < winStart: late event older than the open window — dropped
+              if (buffered) {
+                // the buffered window is final now — the open one replaces
+                // it in the buffer, with its prev link resolved LAZILY so
+                // late folds into the buffer were counted
+                if (st.pendStart != -1L) emit(st.pendStart, st.pendCur, st.pendPrev)
+                val openPrev =
+                  if (st.pendStart != -1L && st.winStart == st.pendStart + windowMicros)
+                    st.pendCur
+                  else 0L
+                st = TrendState(w, 1L, 0L, st.winStart, st.cur, openPrev)
+              } else {
+                emit(st.winStart, st.cur, st.prev)
+                val prev = if (w == st.winStart + windowMicros) st.cur else 0L
+                st = TrendState(w, 1L, prev)
+              }
+            } else if (buffered && w == st.pendStart)
+              // late event for the buffered window — folds in (this is the
+              // whole point of the buffer)
+              st = st.copy(pendCur = st.pendCur + 1L)
+            else if (buffered && w > st.pendStart && w >= st.winStart - windowMicros) {
+              // late event OPENS the gap window directly behind the open
+              // one (its first event arrived late): it becomes the buffer;
+              // whatever was buffered before it is final
+              if (st.pendStart != -1L) emit(st.pendStart, st.pendCur, st.pendPrev)
+              val prev =
+                if (st.pendStart != -1L && w == st.pendStart + windowMicros) st.pendCur
+                else 0L
+              st = st.copy(pendStart = w, pendCur = 1L, pendPrev = prev)
+            } // else: beyond the lateness horizon — dropped
           }
           state.update(st)
           out.iterator

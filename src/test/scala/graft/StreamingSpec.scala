@@ -177,6 +177,56 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("trend machine with allowed lateness folds out-of-order events (vs batch)") {
+    implicit val sc = spark.sqlContext
+    val W = 600L * 1000 * 1000 // 10-minute windows in micros
+    val rng = new scala.util.Random(4242)
+    // synthetic corpus: 3 keys × 14 windows, some windows empty (gaps),
+    // counts chosen so several trending flags fire at minCount = 3
+    val events = (for {
+      key <- Seq("a", "b", "c")
+      win <- 0 until 14 if (win + key.hashCode) % 5 != 0 // leave gaps
+      n = 1 + math.abs((win * 7 + key.hashCode) % 6)
+      i <- 0 until n
+    } yield KeyedEvent(key, win * W + (i * W / 17) % W)).toArray
+    // bounded disorder: sort by ts + jitter, |jitter| < W/2 ⇒ every event
+    // arrives before any event two windows ahead — inside the one-window
+    // lateness horizon, so NOTHING may drop
+    val shuffled = events.sortBy(e => e.tsMicros + rng.nextLong(W) - W / 2)
+    def run(name: String, evs: Seq[KeyedEvent]): Map[(String, Long), (Long, Long, Boolean)] = {
+      val input = MemoryStream[KeyedEvent]
+      val q = StreamingJobs.detectTrends(input.toDS(), W, minCount = 3L,
+        allowedLatenessWindows = 1)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      evs.grouped(math.max(1, evs.length / 5 + 1)).foreach { b =>
+        input.addData(b); q.processAllAvailable()
+      }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    }
+    val gotShuffled = run("late_trend_shuffled", shuffled.toSeq)
+    val gotOrdered = run("late_trend_ordered", events.sortBy(_.tsMicros).toSeq)
+    // batch truth with full late folds
+    val counts = events.groupBy(e => (e.key, e.tsMicros - e.tsMicros % W))
+      .map { case (k, es) => k -> es.length.toLong }
+    val want = counts.map { case ((k, w), cur) =>
+      val prev = counts.getOrElse((k, w - W), 0L)
+      (k, w) -> (cur, prev, cur >= 2 * prev && cur >= 3L)
+    }
+    // a finite stream holds the last TWO populated windows per key in
+    // state (open + lateness buffer) — everything else must have emitted
+    val held = counts.keys.groupBy(_._1).values.flatMap(_.toSeq.sortBy(-_._2).take(2)).toSet
+    val expected = want.filter { case (k, _) => !held(k) }
+    assert(expected.nonEmpty && expected.exists(_._2._3), "test corpus too small")
+    assert(gotShuffled == expected,
+      s"shuffled run diverged: missing=${expected.keySet -- gotShuffled.keySet} " +
+        s"extra=${gotShuffled.keySet -- expected.keySet} " +
+        s"wrong=${gotShuffled.filter(kv => expected.get(kv._1).exists(_ != kv._2))}")
+    assert(gotOrdered == expected, "in-order run with lateness diverged from batch")
+  }
+
   test("streaming dedup keeps exactly the batch dedup representatives") {
     implicit val sc = spark.sqlContext
     // documents arriving in doc_id order, one synthetic second apart —
