@@ -130,6 +130,18 @@ object Dedup {
   def clearMemos(): Unit =
     { shinglesMemo.clear(); pairsMemo.clear(); bandsMemo.clear() }
 
+  /** Force-materialize the family's shared artifacts (shingle table,
+    * verified pair graph, minhash band index). Bench times this as its
+    * own `dedup_family_build` metric so the per-query numbers report
+    * MARGINAL cost instead of whichever family member happens to run
+    * first absorbing the shared build — the production shape is exactly
+    * this: build the standing artifacts once, consume them many times. */
+  def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
+    docShinglesShared(spark, dir)
+    jaccardPairsShared(spark, dir)
+    signatureBandsShared(spark, dir)
+  }
+
   /** Exact dedup: group by the md5 of whitespace-normalized lowercase
     * text; emit one row per distinct content with representative id and
     * copy count. */
