@@ -155,8 +155,15 @@ object Dedup {
   /** Brute-force n-gram Jaccard near-dup pairs (J ≥ threshold),
     * un-ordered — the shared core behind the registered query and the
     * cluster/survivor chain. */
-  private def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame = {
-    val sh = docShinglesShared(spark, dir)
+  private def ngramJaccardPairs(spark: SparkSession, dir: String): DataFrame =
+    jaccardPairsFromShingles(docShinglesShared(spark, dir))
+
+  /** The cap + self-join core over any (doc_id, sh) shingle table —
+    * factored out so the binding-cap case is testable on a synthetic
+    * corpus (testdata can never push a shingle past [[maxShingleFreq]];
+    * ScaleDesignSpec rehearses the cap actually firing and asserts the
+    * capped plan agrees with a capped driver-side oracle). */
+  private[graft] def jaccardPairsFromShingles(sh: DataFrame): DataFrame = {
     val filtered = sh.withColumn("f", count(lit(1)).over(Window.partitionBy("sh")))
       // observed BEFORE the guard filters, so the dropped volume is a
       // first-class metric of every run that crosses the cap

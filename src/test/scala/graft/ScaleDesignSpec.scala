@@ -30,6 +30,67 @@ class ScaleDesignSpec extends GraftSpec {
     } finally spark.listenerManager.unregister(listener)
   }
 
+  test("stop-shingle cap: capped plan equals capped oracle when the cap BINDS") {
+    // testdata can never bind the 1000-doc cap (500 docs at oracle scale),
+    // so the agreement-under-binding-cap case is rehearsed synthetically:
+    // one boilerplate shingle in 1204 docs (> maxShingleFreq) plus two
+    // handcrafted near-dup pairs, one of which crosses the τ=0.8 line
+    // ONLY if the hot shingle is counted — i.e. the cap changes its fate.
+    val sp = spark
+    import sp.implicits._
+    val hot = "xx yy zz"
+    val rows = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def doc(id: Long, shingles: Seq[String]): Unit =
+      shingles.foreach(s => rows += ((id, s)))
+    val shared01 = (0 until 9).map(i => s"s$i")
+    val shared23 = (0 until 7).map(i => s"t$i")
+    doc(0L, hot +: shared01 :+ "u0") // capped: ∩=9, sizes 10/10 → J=9/11 ≥ 0.8
+    doc(1L, hot +: shared01 :+ "u1")
+    doc(2L, hot +: shared23 :+ "u2") // capped: ∩=7, 8/8 → J=7/9 < 0.8;
+    doc(3L, hot +: shared23 :+ "u3") // UNCAPPED would be 8/10 = 0.8 — kept!
+    (4L until 1204L).foreach(i => doc(i, Seq(hot, s"a$i", s"b$i")))
+    val sh = rows.toSeq.toDF("doc_id", "sh")
+
+    // capture the guard's drop metrics
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      @volatile var dropped = -1L
+      def onSuccess(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          ns: Long): Unit =
+        qe.observedMetrics.get("stop_shingle_guard")
+          .foreach(r => dropped = r.getAs[Long]("dropped_shingle_rows"))
+      def onFailure(fn: String, qe: org.apache.spark.sql.execution.QueryExecution,
+          e: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    val got =
+      try {
+        val pairs = graft.operators.Dedup.jaccardPairsFromShingles(sh).collect()
+          .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")) ->
+            r.getAs[Double]("jaccard")).toMap
+        val deadline = System.currentTimeMillis() + 10000
+        while (listener.dropped == -1L && System.currentTimeMillis() < deadline)
+          Thread.sleep(50)
+        pairs
+      } finally spark.listenerManager.unregister(listener)
+    assert(listener.dropped == 1204L,
+      s"expected the hot shingle's 1204 rows dropped, saw ${listener.dropped}")
+
+    // capped driver-side oracle: same cap, same Jaccard, same IEEE division
+    val byShingle = rows.groupBy(_._2)
+    val kept = rows.filter(r => byShingle(r._2).size <= graft.operators.Dedup.maxShingleFreq)
+    val docSets = kept.groupBy(_._1).map { case (id, rs) => id -> rs.map(_._2).toSet }
+    val want = (for {
+      a <- docSets.keys; b <- docSets.keys if a < b
+      inter = docSets(a).intersect(docSets(b)).size
+      if inter > 0
+      j = inter.toDouble / (docSets(a).size + docSets(b).size - inter)
+      if j >= graft.operators.Dedup.jaccardThreshold
+    } yield (a, b) -> j).toMap
+    assert(got == want, s"capped plan $got vs capped oracle $want")
+    assert(got.contains((0L, 1L)) && !got.contains((2L, 3L)),
+      "the cap-boundary pair must flip OUT under the binding cap")
+  }
+
   test("bucketed tables join without a shuffle exchange") {
     spark.sql("DROP TABLE IF EXISTS li_b")
     spark.sql("DROP TABLE IF EXISTS ord_b")
