@@ -112,25 +112,37 @@ object TopKStrategy extends SparkStrategy {
 }
 
 object GraftTopKExec {
-  /** Partial-pass state bound: above this many distinct keys in one
-    * task, NEW keys stop being tracked and their rows pass through
-    * unpruned — graceful degradation to stock shuffle volume for the
-    * heavy-cardinality tail instead of an unbounded map (the sort-based
-    * built-in spills; a hash-based partial must cap). Correctness is
-    * unaffected: the final pass computes the exact top-k regardless of
-    * how much the partial pruned. Test hook: var, not a conf knob;
-    * volatile because doExecute reads it from AQE's stage-
-    * materialization threads, not the thread that set it. */
-  @volatile private[graft] var maxPartialKeys: Int = 1 << 20
+  /** Partial-pass state bound in RETAINED ROWS, not keys: the map holds
+    * up to k rows per key, so the key cap is derived as
+    * `maxPartialRows / k` — a k=10 query may track ~400k keys while a
+    * k=10000 query tracks ~400. Above the cap, NEW keys stop being
+    * tracked and their rows pass through unpruned — graceful degradation
+    * to stock shuffle volume for the heavy-cardinality tail instead of
+    * an unbounded map (the sort-based built-in spills; a hash-based
+    * partial must cap). Correctness is unaffected: the final pass
+    * computes the exact top-k regardless of how much the partial pruned.
+    * Test hook: var, not a conf knob; volatile because doExecute reads
+    * it from AQE's stage-materialization threads, not the thread that
+    * set it. */
+  @volatile private[graft] var maxPartialRows: Long = 1L << 22
 }
 
 /** Bounded-PQ pass: keeps the k first rows per key under `orderSpec`.
+  *
   * `partial = true` runs before the shuffle on whatever partitioning the
-  * child has (per-task pruning, state capped by
-  * [[GraftTopKExec.maxPartialKeys]]); `partial = false` requires
-  * clustering by key and produces the exact per-key top-k — its state is
-  * its own output (keys × k rows per partition), the same contract as a
-  * hash aggregation before spill. */
+  * child has — per-task pruning with a hash map of k-bounded heaps whose
+  * TOTAL retained rows are capped by [[GraftTopKExec.maxPartialRows]]
+  * (overflow keys pass through unpruned, exactness unaffected).
+  *
+  * `partial = false` requires clustering by key AND a per-partition sort
+  * on the key: EnsureRequirements plants the (tiny, post-prune) shuffle
+  * and a SortExec — which SPILLS through UnsafeExternalSorter like any
+  * Spark sort — so the final pass streams key-contiguous rows through
+  * ONE k-bounded heap at a time. Final-pass state is O(k), not
+  * O(keys × k): a high-cardinality partition spills in the sort instead
+  * of OOMing the heap map (the round-3 review's memory-envelope
+  * finding). The Window above re-ranks the pruned rows, so heap drain
+  * order is irrelevant. */
 case class GraftTopKExec(k: Int, partExprs: Seq[Expression],
     orderSpec: Seq[SortOrder], partial: Boolean, child: SparkPlan)
     extends UnaryExecNode {
@@ -140,49 +152,90 @@ case class GraftTopKExec(k: Int, partExprs: Seq[Expression],
   override def requiredChildDistribution: Seq[Distribution] =
     if (partial) UnspecifiedDistribution :: Nil
     else ClusteredDistribution(partExprs) :: Nil
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (partial) Seq(Nil)
+    else Seq(partExprs.map(SortOrder(_, Ascending)))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val kk = k
     val part = partExprs
     val order = orderSpec
     val childOutput = child.output
-    val isPartial = partial
-    val keyCap = GraftTopKExec.maxPartialKeys
-    child.execute().mapPartitions { iter =>
-      // executor-side construction: projections/orderings are codegen'd
-      // per task, never serialized from the driver
-      val keyProj = UnsafeProjection.create(part, childOutput)
-      val ord = RowOrdering.create(order, childOutput)
-      val rowOrd: Ordering[InternalRow] = (x: InternalRow, y: InternalRow) =>
-        ord.compare(x, y)
-      // heap head = the WORST retained row (max under the sort order):
-      // a new row enters iff it sorts strictly before the head
-      val heaps = scala.collection.mutable.LinkedHashMap
-        .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
-      // overflow rows STREAM out as they arrive (no buffering — the cap
-      // exists precisely to bound this task's memory); retained heap
-      // contents flush after the input is exhausted (the right side of
-      // ++ is by-name, so heaps are complete when it is evaluated)
-      iter.flatMap { row =>
-        val key = keyProj(row)
-        heaps.get(key) match {
-          case Some(h) =>
-            if (h.size < kk) { h += row.copy() }
-            else if (ord.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
-            Iterator.empty
-          case None =>
-            if (isPartial && heaps.size >= keyCap) {
-              // key-cardinality overflow: stop tracking new keys; their
-              // rows flow through unpruned and the final pass stays exact
-              Iterator.single(row)
-            } else {
-              val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
-              h += row.copy()
-              heaps.put(key.copy(), h)
+    if (partial) {
+      val rowCap = GraftTopKExec.maxPartialRows
+      child.execute().mapPartitions { iter =>
+        // executor-side construction: projections/orderings are codegen'd
+        // per task, never serialized from the driver
+        val keyProj = UnsafeProjection.create(part, childOutput)
+        val ord = RowOrdering.create(order, childOutput)
+        val rowOrd: Ordering[InternalRow] = (x: InternalRow, y: InternalRow) =>
+          ord.compare(x, y)
+        // retained memory is keys × k rows, so the KEY budget scales
+        // inversely with k (bound total rows, not key count)
+        val keyCap = math.max(1L, rowCap / kk)
+        // heap head = the WORST retained row (max under the sort order):
+        // a new row enters iff it sorts strictly before the head
+        val heaps = scala.collection.mutable.LinkedHashMap
+          .empty[UnsafeRow, scala.collection.mutable.PriorityQueue[InternalRow]]
+        // overflow rows STREAM out as they arrive (no buffering — the cap
+        // exists precisely to bound this task's memory); retained heap
+        // contents flush after the input is exhausted (the right side of
+        // ++ is by-name, so heaps are complete when it is evaluated)
+        iter.flatMap { row =>
+          val key = keyProj(row)
+          heaps.get(key) match {
+            case Some(h) =>
+              if (h.size < kk) { h += row.copy() }
+              else if (ord.compare(row, h.head) < 0) { h.dequeue(); h += row.copy() }
               Iterator.empty
+            case None =>
+              if (heaps.size >= keyCap) {
+                // key-cardinality overflow: stop tracking new keys; their
+                // rows flow through unpruned and the final pass stays exact
+                Iterator.single(row)
+              } else {
+                val h = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+                h += row.copy()
+                heaps.put(key.copy(), h)
+                Iterator.empty
+              }
+          }
+        } ++ heaps.valuesIterator.flatMap(_.iterator)
+      }
+    } else {
+      child.execute().mapPartitions { iter =>
+        val keyProj = UnsafeProjection.create(part, childOutput)
+        val ord = RowOrdering.create(order, childOutput)
+        val rowOrd: Ordering[InternalRow] = (x: InternalRow, y: InternalRow) =>
+          ord.compare(x, y)
+        // input is key-sorted: one live heap, flushed at key boundaries
+        new Iterator[InternalRow] {
+          private var curKey: UnsafeRow = null
+          private var heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+          private var pending: Iterator[InternalRow] = Iterator.empty
+          private def add(row: InternalRow): Unit =
+            if (heap.size < kk) heap += row.copy()
+            else if (ord.compare(row, heap.head) < 0) { heap.dequeue(); heap += row.copy() }
+          private def drain(): Iterator[InternalRow] = {
+            val out = heap.iterator.toArray.iterator
+            heap = scala.collection.mutable.PriorityQueue.empty[InternalRow](rowOrd)
+            out
+          }
+          @annotation.tailrec
+          private def advance(): Unit =
+            if (!pending.hasNext) {
+              if (iter.hasNext) {
+                val row = iter.next()
+                val key = keyProj(row)
+                if (curKey == null) { curKey = key.copy(); add(row); advance() }
+                else if (key == curKey) { add(row); advance() }
+                else { pending = drain(); curKey = key.copy(); add(row) }
+              } else if (curKey != null) { pending = drain(); curKey = null }
             }
+          override def hasNext: Boolean = { advance(); pending.hasNext }
+          override def next(): InternalRow = { advance(); pending.next() }
         }
-      } ++ heaps.valuesIterator.flatMap(_.iterator)
+      }
     }
   }
 

@@ -65,8 +65,9 @@ class TopKSpec extends GraftSpec {
   test("partial-pass key-cardinality overflow degrades gracefully, stays exact") {
     val sp = spark
     import sp.implicits._
-    val prev = graft.plans.GraftTopKExec.maxPartialKeys
-    graft.plans.GraftTopKExec.maxPartialKeys = 2 // force overflow: >2 keys/task
+    val prev = graft.plans.GraftTopKExec.maxPartialRows
+    // key cap = maxPartialRows / k = 6/3 = 2 — force overflow: >2 keys/task
+    graft.plans.GraftTopKExec.maxPartialRows = 6L
     try {
       val df = (0 until 400).map(i => (s"g${i % 20}", i.toLong)).toDF("g", "v")
         .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
@@ -79,7 +80,7 @@ class TopKSpec extends GraftSpec {
       val want = (0 until 400).map(i => (s"g${i % 20}", i.toLong))
         .groupBy(_._1).toSeq.flatMap { case (_, rs) => rs.sortBy(-_._2).take(3) }.toSet
       assert(got == want)
-    } finally graft.plans.GraftTopKExec.maxPartialKeys = prev
+    } finally graft.plans.GraftTopKExec.maxPartialRows = prev
   }
 
   test("randomized differential: bounded PQ == driver reference over 20 seeded shapes") {
