@@ -49,7 +49,12 @@ object PageRank {
 
   /** Personalized PageRank ranks for all sources: (source, node, rank). */
   def personalizedPageRank(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
-    val adj = edges.cache()
+    // cache PRE-PARTITIONED on the per-iteration join key: every one of
+    // the 10 iterations joins on src, so paying one repartition up front
+    // removes an adjacency-side exchange from every iteration (the
+    // "reuse a partitioning across stages" play; at cluster scale this
+    // is what bucketing the edge table achieves persistently)
+    val adj = edges.repartition(col("src")).cache()
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     try personalizedPageRankLoop(spark, adj, outdeg)
     finally { adj.unpersist(); outdeg.unpersist() } // don't leak cached blocks across queries
@@ -68,13 +73,17 @@ object PageRank {
       .isEmpty
 
     // Checkpoint cadence, MEASURED at sf0.1/local[32] (min-of-two):
-    // every iteration 11.4 s, every 2nd 12.2 s, only-final 15.4 s —
-    // eager per-iteration truncation wins even on the dangling-free
-    // linear chain, because each optimized plan stays one join+agg deep
-    // and AQE sizes every stage against materialized stats. It is also
-    // the only safe cadence when the dangling branch gives `ranks` two
-    // consumers (an un-truncated plan re-executes the shared prefix
-    // 2^k times). So: checkpoint every iteration, unconditionally.
+    // per-iteration 11.4 s, every 2nd 12.2 s, only-final 15.4 s — the
+    // plan must be truncated EVERY iteration or it doubles per round and
+    // the optimizer becomes the bottleneck; it is also the only safe
+    // cadence when the dangling branch gives `ranks` two consumers.
+    // Round 4 re-measured the eager/lazy axis: LAZY per-iteration
+    // checkpoints (same truncation, materialization deferred so the
+    // scheduler pipelines iterations without a driver barrier each
+    // round) shave ~5%, and caching adj/outdeg PRE-PARTITIONED on src
+    // removes an adjacency exchange from every iteration (10.7 → 8.0 s
+    // together). Checkpointed blocks still materialize once and are
+    // shared by multiple consumers.
 
     // ranks: one row per (source, node) with nonzero mass; init: source=1.0
     var ranks = srcDf.select(col("source"), col("source").as("node"), lit(1.0).as("rank"))
@@ -106,7 +115,7 @@ object PageRank {
           (lit(1.0) - alpha) * col("mass") +
             when(col("node") === col("source"), alpha).otherwise(0.0))
         .select("source", "node", "rank")
-      ranks = next.localCheckpoint(true)
+      ranks = next.localCheckpoint(false)
     }
     ranks
   }
@@ -120,7 +129,9 @@ object PageRank {
     * exp(logRank) matches the normal-space loop to 1e-9. */
   def personalizedPageRankLog(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
     import graft.functions.LogSumExp.logsumexp
-    val adj = edges.cache()
+    // same pre-partitioned cache + lazy per-iteration checkpoint as the
+    // normal-space loop (measured 10.7 → 8.0 s there)
+    val adj = edges.repartition(col("src")).cache()
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     try {
       val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
@@ -155,7 +166,7 @@ object PageRank {
                     greatest(lit(logAlpha), col("logMass") + log1mAlpha))))
               .otherwise(col("logMass") + log1mAlpha))
           .select("source", "node", "logRank")
-          .localCheckpoint(true)
+          .localCheckpoint(false)
       }
       ranks
     } finally { adj.unpersist(); outdeg.unpersist() }
