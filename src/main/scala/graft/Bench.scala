@@ -42,58 +42,73 @@ object Bench {
       }
     }
 
-    // the dedup/index families memoize shared prefixes (shingle table,
-    // pair graph, persisted index) per (session, dir); clearing between
-    // runs keeps min-of-two honest — run 2 must re-pay the shared build,
-    // not report a memo hit as the query's cost. Within a run the first
-    // family query carries the shared-prefix cost and the rest reuse it,
-    // which is the intended production shape (build once, consume many).
+    // the dedup/index/PPR families memoize shared prefixes (shingle
+    // table, pair graph, persisted index, pre-partitioned graph) per
+    // (session, dir); clearing between runs keeps min-of-two honest —
+    // run 2 must re-pay the shared build, not report a memo hit as the
+    // query's cost. Within a run the first family query carries the
+    // shared-prefix cost and the rest reuse it, which is the intended
+    // production shape (build once, consume many).
     def clearMemos(): Unit = {
       graft.operators.Dedup.clearMemos()
       graft.operators.InvertedIndex.clearMemos()
+      graft.operators.PageRank.clearMemos()
     }
 
     // _csv queries are the dual-format parity surface — same logical
     // plans as their parquet twins over a text re-materialization — and
-    // _exact queries are the size-guarded quadratic correctness baselines
-    // behind the banded near-dup defaults; timing either family would
-    // double-count the workload and bloat the JSON line.
+    // the two all-pairs baselines are the size-guarded quadratic
+    // correctness anchors behind the banded near-dup defaults; timing
+    // either family would double-count the workload and bloat the JSON
+    // line. The baselines are excluded by NAME: r4's endsWith("_exact")
+    // also matched dedup_exact — the production md5 dedup — and silently
+    // dropped it from the bench.
     // SPARK_GRAFT_BENCH_FILTER (regex) narrows the set for local
     // iteration; the driver runs unfiltered.
+    val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
     val names = SparkEntry.queries.keys.toSeq
-      .filterNot(n => n.endsWith("_csv") || n.endsWith("_exact"))
+      .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n))
       .filter(_.matches(nameFilter)).sorted
-    // the dedup family's shared artifacts are timed as their OWN metric
-    // (dedup_family_build) at the head of each run, so family queries
-    // report marginal cost instead of whichever member runs first
-    // absorbing the shared build (per-query numbers stop depending on
-    // bench order)
-    def execBuild(dir: String): Double = {
+    // each family's shared artifacts are timed as their OWN metric
+    // (dedup_family_build / ppr_family_build) at the head of each run, so
+    // family queries report marginal cost instead of whichever member
+    // runs first absorbing the shared build (per-query numbers stop
+    // depending on bench order). Gating is on the families' declared
+    // member sets, not name prefixes.
+    def timed(body: => Unit): Double = {
       val t0 = System.nanoTime()
-      try {
-        graft.operators.Dedup.buildFamilyArtifacts(spark, dir)
-        (System.nanoTime() - t0) / 1e9
-      } catch { case _: Throwable => -1.0 }
+      try { body; (System.nanoTime() - t0) / 1e9 }
+      catch { case _: Throwable => -1.0 }
     }
-    val timeFamily = names.exists(_.startsWith("dedup"))
+    val families: Seq[(String, Set[String], String => Double)] = Seq(
+      ("dedup_family_build", graft.operators.Dedup.familyMembers,
+        (dir: String) => timed(graft.operators.Dedup.buildFamilyArtifacts(spark, dir))),
+      ("ppr_family_build", graft.operators.PageRank.familyMembers,
+        (dir: String) => timed(graft.operators.PageRank.buildFamilyArtifacts(spark, dir))))
+      .collect { case f @ (_, members, _) if names.exists(members) => f }
 
     names.foreach(exec(_, warmDir)) // warm-up at the smallest SF
     clearMemos()
     // two timed runs, keep the min — absorbs GC/JIT noise between queries
-    val build1 = if (timeFamily) execBuild(sfDir) else -1.0
+    val builds1 = families.map { case (m, _, run) => m -> run(sfDir) }
     val run1 = names.map(n => n -> exec(n, sfDir)).toMap
     clearMemos()
-    val build2 = if (timeFamily) execBuild(sfDir) else -1.0
-    val results0 = names.map { n =>
-      val t2 = exec(n, sfDir)
-      n -> (if (run1(n) < 0 || t2 < 0) -1.0 else math.min(run1(n), t2))
-    }
+    val builds2 = families.map { case (m, _, run) => m -> run(sfDir) }.toMap
+    def fold(a: Double, b: Double): Double =
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    val run2 = names.map { n => n -> exec(n, sfDir) }.toMap
+    val results0 = names.map { n => n -> fold(run1(n), run2(n)) }
     val results =
-      if (timeFamily)
-        ("dedup_family_build" ->
-          (if (build1 < 0 || build2 < 0) -1.0 else math.min(build1, build2))) +: results0
-      else results0
+      builds1.map { case (m, b1) => m -> fold(b1, builds2(m)) } ++ results0
+    // per-query spread between the two runs (|t1 − t2|), reported only
+    // above a 50 ms noise floor so the JSON line stays inside the
+    // harness's stdout tail window: a future regression adjudication
+    // (like r3's stripes flag) can tell run-to-run noise from a real
+    // movement without a re-run. The per-query numbers stay on min.
+    val spread = names
+      .map(n => n -> math.abs(run1(n) - run2(n)))
+      .filter { case (n, d) => run1(n) >= 0 && run2(n) >= 0 && d >= 0.05 }
     // millisecond precision: keeps the full line under the harness's
     // 2000-char stdout tail window so every per-query number is parseable
     // (9-dp doubles pushed the 60+-query line past it); if the query set
@@ -105,10 +120,11 @@ object Bench {
       def fmt(v: Double): String =
         if (v < 0) "-1"
         else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-      val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }
-        .mkString("{", ",", "}")
+      def obj(kvs: Seq[(String, Double)]): String =
+        kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},""" +
+        s""""spread":${obj(spread)},"sf":"$sfDir"}"""
     }
     val out = line(3)
     println(if (out.length <= 1990) out else line(2))

@@ -130,6 +130,14 @@ object Dedup {
   def clearMemos(): Unit =
     { shinglesMemo.clear(); pairsMemo.clear(); bandsMemo.clear() }
 
+  /** Registered queries that consume the shared artifacts above. Bench
+    * gates its `dedup_family_build` metric on THIS set, not a `dedup`
+    * name prefix — the prefix also matches dedup_exact, dedup_simhash and
+    * dedup_embedding_cosine, none of which touch the shingle family, so a
+    * filtered bench run selecting only those would time a useless build. */
+  val familyMembers: Set[String] = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
+    "dedup_clusters", "dedup_survivors", "decontaminate", "dedup_incremental")
+
   /** Force-materialize the family's shared artifacts (shingle table,
     * verified pair graph, minhash band index). Bench times this as its
     * own `dedup_family_build` metric so the per-query numbers report

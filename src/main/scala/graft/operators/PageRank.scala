@@ -47,13 +47,50 @@ object PageRank {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
-  /** Personalized PageRank ranks for all sources: (source, node, rank). */
+  /** Shared-prefix memo: both registered PPR variants (normal- and
+    * log-space) consume the SAME graph build — the adjacency cached
+    * PRE-PARTITIONED on the per-iteration join key `src` (one up-front
+    * repartition removes an adjacency-side exchange from all 10
+    * iterations; at cluster scale this is what bucketing the edge table
+    * achieves persistently) plus the outdegree table. Memoized per
+    * (session, dir) exactly like the dedup family, so the second variant
+    * pays zero prefix cost; Bench times the build as its own
+    * `ppr_family_build` metric and calls [[clearMemos]] between timed
+    * runs. Assumes the data under `dir` is immutable for the JVM
+    * lifetime (true for the driver's static testdata). */
+  private val graphMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+
+  private def graphShared(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    graphMemo.synchronized {
+      graphMemo.getOrElseUpdate((spark, dir), {
+        val adj = graphEdges(spark, dir).repartition(col("src")).cache()
+        val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+        (adj, outdeg)
+      })
+    }
+
+  def clearMemos(): Unit = graphMemo.synchronized {
+    graphMemo.values.foreach { case (adj, outdeg) => adj.unpersist(); outdeg.unpersist() }
+    graphMemo.clear()
+  }
+
+  /** The registered queries that consume the shared graph build. */
+  val familyMembers: Set[String] = Set("ppr_topk", "ppr_topk_log")
+
+  /** Force-materialize the shared graph artifacts (Bench's
+    * `ppr_family_build` metric — the same build-once/consume-many shape
+    * as `dedup_family_build`). */
+  def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
+    val (adj, outdeg) = graphShared(spark, dir)
+    adj.count(); outdeg.count() // force the cached blocks to materialize
+  }
+
+  /** Personalized PageRank ranks for all sources: (source, node, rank).
+    * Takes caller-supplied edges (spec entry point) — caches them for the
+    * loop's lifetime only; the registered queries go through the
+    * (session, dir) memo instead. */
   def personalizedPageRank(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
-    // cache PRE-PARTITIONED on the per-iteration join key: every one of
-    // the 10 iterations joins on src, so paying one repartition up front
-    // removes an adjacency-side exchange from every iteration (the
-    // "reuse a partitioning across stages" play; at cluster scale this
-    // is what bucketing the edge table achieves persistently)
     val adj = edges.repartition(col("src")).cache()
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     try personalizedPageRankLoop(spark, adj, outdeg)
@@ -128,54 +165,59 @@ object PageRank {
     * float underflow from zeroing the tail; PageRankSpec asserts
     * exp(logRank) matches the normal-space loop to 1e-9. */
   def personalizedPageRankLog(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
-    import graft.functions.LogSumExp.logsumexp
     // same pre-partitioned cache + lazy per-iteration checkpoint as the
     // normal-space loop (measured 10.7 → 8.0 s there)
     val adj = edges.repartition(col("src")).cache()
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    try {
-      val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
-      val logAlpha = math.log(alpha)
-      val log1mAlpha = math.log1p(-alpha)
-      var ranks = srcDf.select(col("source"), col("source").as("node"),
-        lit(0.0).as("logRank")) // log(1)
-      for (_ <- 1 to iterations) {
-        val seed = srcDf.select(col("source"), col("source").as("node"),
-          lit(Double.NegativeInfinity).as("logContrib")) // log(0)
-        val danglingContrib = ranks
-          .join(outdeg, col("node") === col("src"), "left_anti")
-          .select(col("source"), col("source").as("node"),
-            col("logRank").as("logContrib"))
-        val contribs = ranks
-          .join(outdeg, col("node") === col("src"))
-          .join(adj, "src")
-          .select(col("source"), col("dst").as("node"),
-            (col("logRank") - log(col("outdeg"))).as("logContrib"))
-          .unionByName(danglingContrib)
-          .unionByName(seed)
-          .groupBy("source", "node")
-          .agg(logsumexp(col("logContrib")).as("logMass"))
-        ranks = contribs
-          .withColumn("logRank",
-            when(col("node") === col("source"),
-              // logsumexp(log α, log(1−α)+logMass) — the reference's
-              // teleport fold, sumLogProbs(alpha-term, mass-term)
-              greatest(lit(logAlpha), col("logMass") + log1mAlpha) +
-                log1p(exp(
-                  least(lit(logAlpha), col("logMass") + log1mAlpha) -
-                    greatest(lit(logAlpha), col("logMass") + log1mAlpha))))
-              .otherwise(col("logMass") + log1mAlpha))
-          .select("source", "node", "logRank")
-          .localCheckpoint(false)
-      }
-      ranks
-    } finally { adj.unpersist(); outdeg.unpersist() }
+    try personalizedPageRankLogLoop(spark, adj, outdeg)
+    finally { adj.unpersist(); outdeg.unpersist() }
+  }
+
+  private def personalizedPageRankLogLoop(spark: SparkSession,
+      adj: DataFrame, outdeg: DataFrame): DataFrame = {
+    import graft.functions.LogSumExp.logsumexp
+    val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
+    val logAlpha = math.log(alpha)
+    val log1mAlpha = math.log1p(-alpha)
+    var ranks = srcDf.select(col("source"), col("source").as("node"),
+      lit(0.0).as("logRank")) // log(1)
+    for (_ <- 1 to iterations) {
+      val seed = srcDf.select(col("source"), col("source").as("node"),
+        lit(Double.NegativeInfinity).as("logContrib")) // log(0)
+      val danglingContrib = ranks
+        .join(outdeg, col("node") === col("src"), "left_anti")
+        .select(col("source"), col("source").as("node"),
+          col("logRank").as("logContrib"))
+      val contribs = ranks
+        .join(outdeg, col("node") === col("src"))
+        .join(adj, "src")
+        .select(col("source"), col("dst").as("node"),
+          (col("logRank") - log(col("outdeg"))).as("logContrib"))
+        .unionByName(danglingContrib)
+        .unionByName(seed)
+        .groupBy("source", "node")
+        .agg(logsumexp(col("logContrib")).as("logMass"))
+      ranks = contribs
+        .withColumn("logRank",
+          when(col("node") === col("source"),
+            // logsumexp(log α, log(1−α)+logMass) — the reference's
+            // teleport fold, sumLogProbs(alpha-term, mass-term)
+            greatest(lit(logAlpha), col("logMass") + log1mAlpha) +
+              log1p(exp(
+                least(lit(logAlpha), col("logMass") + log1mAlpha) -
+                  greatest(lit(logAlpha), col("logMass") + log1mAlpha))))
+            .otherwise(col("logMass") + log1mAlpha))
+        .select("source", "node", "logRank")
+        .localCheckpoint(false)
+    }
+    ranks
   }
 
   /** G5/O5: top-k nodes per source by rank (the window form the reference
     * builds with bounded priority queues + a single reducer). */
   def pprTopK(spark: SparkSession, dir: String): DataFrame = {
-    val ranks = personalizedPageRank(spark, dir, graphEdges(spark, dir))
+    val (adj, outdeg) = graphShared(spark, dir)
+    val ranks = personalizedPageRankLoop(spark, adj, outdeg)
     ranks
       // rank by the ROUNDED value (node tiebreak): the oracle engine's
       // summation order differs in the last ulp, so ordering on the raw
@@ -204,7 +246,8 @@ object PageRank {
     * per-source top-k by rounded log-rank (monotonic with rank, same
     * tiebreak discipline as [[pprTopK]]). */
   def pprTopKLog(spark: SparkSession, dir: String): DataFrame = {
-    val ranks = personalizedPageRankLog(spark, dir, graphEdges(spark, dir))
+    val (adj, outdeg) = graphShared(spark, dir)
+    val ranks = personalizedPageRankLogLoop(spark, adj, outdeg)
     ranks
       .withColumn("rnk", row_number().over(
         Window.partitionBy("source").orderBy(round(col("logRank"), 6).desc, col("node"))))

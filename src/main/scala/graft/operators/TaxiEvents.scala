@@ -55,12 +55,21 @@ object TaxiEvents {
 
   /** The reference's graded dataset is a FIXED path, not a per-sf table —
     * the registered query ignores the sf dir (every scale factor sees the
-    * same 1,440 real files, like the reference's own grading). */
-  val taxiDataDir = "/root/reference/taxi-data"
+    * same 1,440 real files, like the reference's own grading). The
+    * default is this machine's layout; other environments point
+    * SPARK_GRAFT_TAXI_DIR at their copy of the dataset. */
+  val taxiDataDir: String =
+    sys.env.getOrElse("SPARK_GRAFT_TAXI_DIR", "/root/reference/taxi-data")
+
+  /** Both engines read the SAME `part-*.csv` glob (spark.read.text
+    * accepts globs) — a stray non-data file in the dataset dir
+    * (_SUCCESS, checksums) can never silently diverge the parity
+    * surface between Spark and the oracle. */
+  private def taxiGlob = s"$taxiDataDir/part-*.csv"
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_region_hourly" ->
-      ((s: SparkSession, _: String) => regionHourly(s, taxiDataDir)))
+      ((s: SparkSession, _: String) => regionHourly(s, taxiGlob)))
 
   /** Oracle over the SAME raw files: DuckDB reads whole lines (a 0x01
     * delimiter that never occurs in the data), splits positionally, and
