@@ -41,7 +41,7 @@ object Similarity {
   val lshSeed = 42
   val dim = 64
 
-  private def emb(spark: SparkSession, dir: String) =
+  private[graft] def emb(spark: SparkSession, dir: String) =
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
@@ -155,6 +155,40 @@ object Similarity {
     * default ([[lshBandedPairs]]). */
   val maxExactVectors = 1L << 17
 
+  /** The tight primitive-array tile sweep shared by the exact all-pairs
+    * kernel and the banded default's per-bucket rescore: every (ida <
+    * idb) pair across two blocks of NORMALIZED vectors whose raw dot
+    * clears a conservative τ − 1e-6 prefilter (the exact threshold is
+    * applied downstream to the ROUNDED cosine, by the same round() both
+    * engines use, so boundary pairs agree bit-for-bit). `sameBlock`
+    * skips j ≤ i — ids are sorted within a block. */
+  private def tileSweep(ia: Array[(Long, Array[Double])],
+      ib: Array[(Long, Array[Double])], sameBlock: Boolean,
+      thr: Double): Iterator[(Long, Long, Double)] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    var i = 0
+    while (i < ia.length) {
+      val ida = ia(i)._1
+      val a = ia(i)._2
+      // same-block tile: j starts past i (ids sorted → ida < idb);
+      // cross-block tile: full sweep, pair canonicalized below
+      var j = if (sameBlock) i + 1 else 0
+      while (j < ib.length) {
+        val idb = ib(j)._1
+        val b = ib(j)._2
+        var s = 0.0
+        var k = 0
+        while (k < a.length) { s += a(k) * b(k); k += 1 }
+        if (s >= thr - 1e-6) {
+          if (ida < idb) out += ((ida, idb, s)) else out += ((idb, ida, s))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
   private[operators] def cosinePairsKernel(spark: SparkSession,
       vecs: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
       threshold: Double): DataFrame = {
@@ -194,30 +228,7 @@ object Similarity {
     // and both engines compute the identical normalize-then-dot IEEE
     // sequence, so boundary pairs agree bit-for-bit
     val thr = threshold
-    tiles.flatMap { case (ba, ia, bb, ib) =>
-      val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
-      var i = 0
-      while (i < ia.length) {
-        val ida = ia(i)._1
-        val a = ia(i)._2
-        // same-block tile: j starts past i (ids sorted → ida < idb);
-        // cross-block tile: full sweep, pair canonicalized below
-        var j = if (ba == bb) i + 1 else 0
-        while (j < ib.length) {
-          val idb = ib(j)._1
-          val b = ib(j)._2
-          var s = 0.0
-          var k = 0
-          while (k < a.length) { s += a(k) * b(k); k += 1 }
-          if (s >= thr - 1e-6) {
-            if (ida < idb) out += ((ida, idb, s)) else out += ((idb, ida, s))
-          }
-          j += 1
-        }
-        i += 1
-      }
-      out
-    }
+    tiles.flatMap { case (ba, ia, bb, ib) => tileSweep(ia, ib, ba == bb, thr) }
       .toDF("vec_a", "vec_b", "raw")
       .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("cosine"))
       .filter(col("cosine") >= thr)
@@ -234,41 +245,137 @@ object Similarity {
     * weakest true pair on the measured corpus geometry survives with
     * ≥ 98% probability).
     *
-    * Scale shape: the corpus never self-joins — everything keys on
-    * narrow (table, bucket) ids, join fan-out is bounded by bucket
-    * occupancy, duplicate candidates from multiple tables cost
-    * re-computed cosines (CPU) rather than a pre-join distinct shuffle
-    * of vector payloads, and the distinct runs on the thresholded
-    * survivors only. Candidate selectivity is a property of the DATA:
-    * at production thresholds (τ ≥ 0.9 on clustered corpora) banding
-    * prunes hard; this testdata is near-isotropic at τ = 0.4, the
-    * worst regime for any cosine LSH, and the plan shape is still the
-    * one that scales — see PLANS.md. */
+    * Scale shape (r5: candidates batch through the tile sweep instead of
+    * the r4 per-pair join rescore): the corpus never cross-joins — the
+    * only joins are equi-joins keyed on (table, bucket) (+ the broadcast
+    * occupancy table, bounded by tables × 2^bits), hot buckets split
+    * into bounded block-pair tiles so no single bucket can become a
+    * straggler task, duplicate candidates from multiple tables cost
+    * re-swept dots (CPU) rather than a pre-join distinct shuffle, and
+    * the distinct runs on the thresholded survivors only. Candidate
+    * selectivity is a property of the DATA: at production thresholds
+    * (τ ≥ 0.9 on clustered corpora) banding prunes hard; this testdata
+    * is near-isotropic at τ = 0.4, the worst regime for any cosine LSH,
+    * and the plan shape is still the one that scales — see PLANS.md. */
+  /** Release a localCheckpoint'd dataset's blocks deterministically —
+    * the Dataset API has no direct handle (unpersist() only serves
+    * CacheManager entries, and a checkpoint registers none). Without
+    * this, every invocation parks its checkpoint blocks in the
+    * MemoryStore until a driver GC lets the ContextCleaner notice the
+    * dead RDD — across a full bench run that is GBs of dead storage
+    * occupancy and sporadic eviction stalls (r4 advice). */
+  private def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
+  /** The banded pipeline, LAZY — the returned frame still shows the
+    * bucket-keyed joins (SimilaritySpec asserts the physical shape
+    * here); second element releases the intermediate checkpoints once
+    * the result is materialized. */
+  private[graft] def lshBandedPairsLazy(vecs: DataFrame,
+      planes: Array[Array[Array[Double]]], threshold: Double)
+      : (DataFrame, () => Unit) = {
+    val sp = vecs.sparkSession
+    import sp.implicits._
+    // Normalize AND band in ONE object-space pass. Normalization uses
+    // the exact kernel's IEEE sequence (squares summed left-to-right,
+    // then each component / sqrt), so the rescore below becomes a bare
+    // dot product — the identical arithmetic the `_exact` baselines pin,
+    // and a pair sitting exactly on the rounded threshold boundary can
+    // never pass one path and fail the other (banded ⊆ exact holds
+    // structurally). Sign bits come from plain left-to-right dot loops —
+    // the same order as the oracle's list_dot_product (and as the
+    // zip_with/aggregate Column form this replaces: r4's probe showed
+    // tables × bits higher-order expressions in one projection cost
+    // seconds of codegen compile + interpreted evaluation per derived
+    // plan, dwarfing the actual flops). The PAYLOAD rides the band
+    // explode — linear O(n·tables·d), the price of rescoring inside the
+    // buckets instead of re-joining vectors per candidate pair (r4's
+    // narrow-candidate + two id-keyed rescore joins, measured slower
+    // end-to-end at 67-78% candidate fraction).
+    val pl = planes
+    // materialize the INPUT once (n rows — for doc embeddings the
+    // upstream vector build is its own aggregation pipeline); the
+    // normalize+band flatMap downstream is a trivial Scala pass, so it
+    // runs lazily twice (occupancy + blocks) rather than paying an
+    // eager n×tables payload checkpoint of its output
+    val vv = vecs.localCheckpoint(true)
+    def banded = vv.as[(Long, Seq[Double])].flatMap { case (id, raw) =>
+      val n = math.sqrt(raw.iterator.map(x => x * x).sum)
+      val v = raw.iterator.map(_ / n).toArray
+      pl.iterator.zipWithIndex.map { case (table, t) =>
+        val bits = new java.lang.StringBuilder(table.length)
+        var p = 0
+        while (p < table.length) {
+          val plane = table(p)
+          var s = 0.0
+          var k = 0
+          while (k < v.length) { s += v(k) * plane(k); k += 1 }
+          bits.append(if (s >= 0) '1' else '0')
+          p += 1
+        }
+        (t, bits.toString, id, v)
+      }
+    }.toDF("table", "bucket", "vec_id", "v")
+    // Bucket occupancy → per-bucket block count: a hot bucket splits into
+    // ceil(occ / pairsVecsPerBlock) blocks and rescores as block-pair
+    // tiles (the exact kernel's discipline), so one skewed bucket
+    // parallelizes across tasks instead of becoming the straggler. The
+    // occupancy table is bounded by tables × 2^bits — config constants —
+    // so collecting it to the driver and shipping the block counts in the
+    // task closure is legitimate at any corpus size (the same bounded-
+    // collect discipline as the IVF quantizer sample).
+    val nblk: Map[(Int, String), Long] = banded
+      .groupBy("table", "bucket").agg(count(lit(1)).as("occ"))
+      .as[(Int, String, Long)].collect()
+      .map { case (t, b, occ) =>
+        (t, b) -> ((occ + pairsVecsPerBlock - 1) / pairsVecsPerBlock) }
+      .toMap
+    val blocks = banded
+      .as[(Int, String, Long, Seq[Double])]
+      .groupByKey { case (t, b, id, _) => (t, b, id % nblk((t, b))) }
+      .mapGroups { (key, it) =>
+        (key._1, key._2, key._3,
+          it.map { case (_, _, id, v) => (id, v.toArray) }.toArray.sortBy(_._1))
+      }
+      .toDF("table", "bucket", "blk", "items")
+      .localCheckpoint(true) // feeds both tile sides
+    // tile join stays KEYED on (table, bucket) — an equi-join whose
+    // fan-out is the per-bucket block count, never a corpus cross product
+    val tiles = blocks
+      .select(col("table"), col("bucket"), col("blk").as("ba"), col("items").as("ia"))
+      .join(blocks.select(col("table"), col("bucket"), col("blk").as("bb"),
+        col("items").as("ib")), Seq("table", "bucket"))
+      .filter(col("ba") <= col("bb"))
+      .select(col("ba"), col("ia"), col("bb"), col("ib"))
+      .as[(Long, Array[(Long, Array[Double])], Long, Array[(Long, Array[Double])])]
+    val thr = threshold
+    val survivors = tiles
+      .flatMap { case (ba, ia, bb, ib) => tileSweep(ia, ib, ba == bb, thr) }
+      .toDF("vec_a", "vec_b", "raw")
+      .select(col("vec_a"), col("vec_b"), round(col("raw"), 6).as("cosine"))
+      .filter(col("cosine") >= thr)
+      // a pair colliding in several tables is swept once per table; every
+      // copy carries the identical IEEE dot, so dedup on the pair alone
+      // is deterministic — and it runs on the thresholded SURVIVORS, not
+      // the candidate stream (duplicate candidates cost re-swept CPU,
+      // not a pre-join distinct shuffle of the whole candidate set)
+      .dropDuplicates("vec_a", "vec_b")
+    (survivors, () => { releaseCheckpoint(vv); releaseCheckpoint(blocks) })
+  }
+
+  /** LSH-banded near-dup pairs, materialized: runs the lazy pipeline,
+    * checkpoints the (small) survivor set, then deterministically
+    * releases the big intermediate checkpoints — each bench/verify
+    * invocation holds on to survivor-sized blocks only. */
   private[operators] def lshBandedPairs(vecs: DataFrame,
       planes: Array[Array[Array[Double]]], threshold: Double): DataFrame = {
-    // materialize the vectors once: they feed the bucket build and both
-    // rescore joins (for doc embeddings the upstream build is its own
-    // aggregation pipeline — recomputing it 3× would dominate)
-    val vv = vecs.localCheckpoint(true)
-    // the band join stays NARROW — (vec_id, table, bucket) only. Vector
-    // payloads must not ride the candidate join: a bucket of occupancy f
-    // emits f² rows, and carrying two d-dim arrays through that blow-up
-    // shuffles O(f²·d) bytes where O(f²) ids suffice (measured 4-10×
-    // end-to-end at sf0.1). Rescore joins the vectors back by id —
-    // bounded-size side, broadcast by AQE here; an ordinary shuffle join
-    // keyed on ids at corpus scale.
-    val bands = withBucketsOf(vv, planes).select("vec_id", "table", "bucket")
-    val cand = bands.as("a").join(bands.as("b"), Seq("table", "bucket"))
-      .filter(col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"))
-      .dropDuplicates()
-    cand
-      .join(vv.toDF("vec_a", "va"), "vec_a")
-      .join(vv.toDF("vec_b", "vb"), "vec_b")
-      .select(col("vec_a"), col("vec_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cosine"))
-      .filter(col("cosine") >= threshold)
-      .orderBy("vec_a", "vec_b")
+    val (survivors, release) = lshBandedPairsLazy(vecs, planes, threshold)
+    val out = survivors.localCheckpoint(true)
+    release()
+    out.orderBy("vec_a", "vec_b")
   }
 
   /** Near-dup banding for the `embeddings` table: τ = 0.4 sits at 66°,
@@ -279,7 +386,7 @@ object Similarity {
   val ndTables = 24
   val ndBits = 4
   val ndSeed = 101
-  private lazy val ndPlanesEmb = gaussianPlanes(ndTables, ndBits, dim, ndSeed)
+  private[graft] lazy val ndPlanesEmb = gaussianPlanes(ndTables, ndBits, dim, ndSeed)
 
   def dedupEmbeddingCosine(spark: SparkSession, dir: String): DataFrame =
     lshBandedPairs(emb(spark, dir), ndPlanesEmb, nearDupCosine)
@@ -433,34 +540,38 @@ object Similarity {
   private def planeValuesSql: String = planesSql(hyperplanes())
 
   /** Oracle for the banded near-dup default: replays the ENTIRE pipeline
-    * — sign-bit bucketing against the literal planes, the bucket
-    * candidate join, the dot/(‖a‖·‖b‖) rescore (the codegen'd
-    * expression's IEEE sequence), threshold on the ROUNDED cosine —
-    * so Spark and DuckDB agree exactly regardless of banding recall. */
+    * — the normalize-then-dot sequence the tile sweep uses (identical to
+    * the `_exact` kernels', so banded ⊆ exact holds bit-for-bit on
+    * boundary pairs), sign-bit bucketing of the NORMALIZED vectors
+    * against the literal planes, the bucket candidate join, threshold on
+    * the ROUNDED cosine — so Spark and DuckDB agree exactly regardless
+    * of banding recall. */
   private[operators] def bandedPairsOracleSql(vecCte: String, idCol: String,
       planes: Array[Array[Array[Double]]], threshold: Double,
       outA: String, outB: String): String =
     s"""WITH $vecCte,
+        nv AS (
+          SELECT $idCol AS id,
+                 list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
+          FROM v),
         planes(t, p, pl) AS (VALUES
           ${planesSql(planes)}),
         b AS (
-          SELECT $idCol AS id, t,
+          SELECT id, t,
                  string_agg(CASE WHEN list_dot_product(v, pl) >= 0
                             THEN '1' ELSE '0' END, '' ORDER BY p) AS bucket
-          FROM v CROSS JOIN planes
-          GROUP BY $idCol, t),
+          FROM nv CROSS JOIN planes
+          GROUP BY id, t),
         cand AS (
           SELECT DISTINCT x.id AS ia, y.id AS ib
           FROM b x JOIN b y USING (t, bucket)
           WHERE x.id < y.id),
         scored AS (
           SELECT ia AS $outA, ib AS $outB,
-                 round(list_dot_product(p.v, q.v) /
-                       (sqrt(list_dot_product(p.v, p.v)) * sqrt(list_dot_product(q.v, q.v))), 6)
-                   AS cosine
+                 round(list_dot_product(p.v, q.v), 6) AS cosine
           FROM cand
-          JOIN v p ON ia = p.$idCol
-          JOIN v q ON ib = q.$idCol)
+          JOIN nv p ON ia = p.id
+          JOIN nv q ON ib = q.id)
         SELECT $outA, $outB, cosine FROM scored
         WHERE cosine >= $threshold
         ORDER BY $outA, $outB"""

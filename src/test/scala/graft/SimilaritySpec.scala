@@ -40,25 +40,37 @@ class SimilaritySpec extends GraftSpec {
     assert(c1.zip(c2).forall { case (a, b) => a.sameElements(b) })
   }
 
-  test("banded near-dup default: no object-space kernel, bucket-keyed candidate join") {
-    val df = Similarity.dedupEmbeddingCosine(spark, sfDir)
+  test("banded near-dup default: bucket-keyed tiles, no full-corpus pair join") {
+    // assert on the LAZY pipeline, where the joins are still visible —
+    // the registered query materializes the survivor set and releases
+    // the intermediate checkpoints, so its outer plan is just a sort
+    // over the survivor scan
+    val (df, release) = Similarity.lshBandedPairsLazy(
+      Similarity.emb(spark, sfDir), Similarity.ndPlanesEmb, Similarity.nearDupCosine)
     df.collect()
     val nodes = physicalNodes(df)
-    // the all-pairs tile kernel materializes through object space — its
-    // absence is what "no full-corpus tile join in the default plan" means
-    assert(!nodes.exists(n => n.nodeName.contains("MapPartitions") ||
-      n.nodeName.contains("DeserializeToObject")),
+    release()
+    // r5 contract: the rescore batches candidates INSIDE (table, bucket)
+    // groups — every join is an equi-join carrying the bucket key, and
+    // nothing sweeps the whole corpus. The exact kernel's signature is
+    // its non-equi block-tile index join (nested-loop over block ids);
+    // its absence here is what "no full-corpus tile join" means.
+    assert(!nodes.exists(n => n.nodeName.contains("CartesianProduct") ||
+      n.nodeName.contains("BroadcastNestedLoopJoin")),
       nodes.map(_.nodeName).mkString(", "))
     val joins = nodes.collect {
       case j: org.apache.spark.sql.execution.joins.BaseJoinExec => j
     }
-    assert(joins.exists(_.leftKeys.map(_.toString).exists(_.contains("bucket"))),
+    assert(joins.nonEmpty &&
+      joins.forall(_.leftKeys.map(_.toString).exists(_.contains("bucket"))),
       joins.map(_.leftKeys.mkString(";")).mkString("\n"))
-    // and the exact baseline IS the object kernel (sanity: the assertion
-    // above is actually able to see kernel nodes when they exist)
+    // and the exact baseline IS the full-corpus tile shape (sanity: the
+    // assertion above is actually able to see such nodes when they exist)
     val exact = Similarity.dedupEmbeddingExact(spark, sfDir)
     exact.collect()
-    assert(physicalNodes(exact).exists(_.nodeName.contains("MapPartitions")))
+    assert(physicalNodes(exact).exists(n =>
+      n.nodeName.contains("BroadcastNestedLoopJoin") ||
+        n.nodeName.contains("CartesianProduct")))
   }
 
   test("banded near-dup pairs: exact precision, near-total recall vs all-pairs") {
