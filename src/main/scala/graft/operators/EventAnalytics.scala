@@ -136,6 +136,92 @@ object EventAnalytics {
       .orderBy("event_type", "win_start")
   }
 
+  /** R4 out-of-order variant, REGISTERED: replays the events table as a
+    * real Structured Streaming run through the buffered
+    * (`allowedLatenessWindows = 1`) trend state machine with a
+    * deterministic late-arrival schedule, and must reproduce the batch
+    * [[trendingArrivals]] answer exactly (same oracle SQL) — the lateness
+    * folds and the event-time-timeout flush of trailing windows are what
+    * make the outputs equal.
+    *
+    * Schedule (all deterministic): the first three populated windows are
+    * fed one batch per window with an md5-chosen third of their events
+    * HELD BACK and delivered two batches later — i.e. after the NEXT
+    * window has opened, so the straggler lands in the buffered window,
+    * not the open one. Remaining events stream in timestamp order in one
+    * batch, and two sentinel-key events past the last horizon advance
+    * the watermark so every trailing window flushes via timeout (no
+    * successor events exist for them).
+    *
+    * This query is the streaming operator's registered parity harness —
+    * the feed is driver-built by construction (MemoryStream), bounded by
+    * the events table; the production-shape streaming entry points are
+    * the unbounded jobs in `graft.streaming`. */
+  val lateWindowMicros = 600L * 1000 * 1000
+  private val lateSentinelKey = "_late_sentinel"
+
+  def trendingArrivalsLate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.streaming.{KeyedEvent, StreamingJobs}
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = lateWindowMicros
+    val evs = Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[KeyedEvent].collect().sortBy(e => (e.tsMicros, e.key))
+    def winOf(e: KeyedEvent): Long = e.tsMicros - e.tsMicros % W
+    def straggler(e: KeyedEvent): Boolean = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"${e.key}_${e.tsMicros}".getBytes("UTF-8"))
+      ((h(0) & 0xff) % 3) == 0
+    }
+    val windows = evs.map(winOf).distinct.sorted
+    val batches: Seq[Seq[KeyedEvent]] =
+      if (windows.length < 6) Seq(evs.toSeq)
+      else {
+        // the first three populated windows get per-window batches with a
+        // straggler third delayed until AFTER the next window's batch —
+        // one window late, inside the buffer horizon; window 4 is fed
+        // complete so the last straggler batch still precedes `rest`
+        // (a straggler arriving after `rest` would be beyond the horizon
+        // and would drop, breaking batch parity)
+        val early = windows.take(4)
+        def onTime(w: Long) = evs.filter(e => winOf(e) == w && !straggler(e)).toSeq
+        def late(w: Long) = evs.filter(e => winOf(e) == w && straggler(e)).toSeq
+        val rest = evs.filter(e => winOf(e) > early.last).toSeq
+        Seq(onTime(early(0)), onTime(early(1)), late(early(0)),
+          onTime(early(2)), late(early(1)),
+          onTime(early(3)) ++ late(early(3)), late(early(2)), rest)
+      }
+    // sentinels must push the watermark (which lags by the 2-window
+    // lateness delay) past every real key's flush horizon: last open
+    // window end + 1 lateness window + 2 windows of watermark lag
+    val sentinelTs = windows.last + 5 * W
+    val input = MemoryStream[KeyedEvent]
+    val sinkName = "trending_arrivals_late_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = StreamingJobs.detectTrends(input.toDS(), W,
+      allowedLatenessWindows = 1, timeoutFlush = true)
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .start()
+    try {
+      (batches ++ Seq(Seq(KeyedEvent(lateSentinelKey, sentinelTs)),
+        Seq(KeyedEvent(lateSentinelKey, sentinelTs + W)))).foreach { b =>
+        if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+      }
+    } finally q.stop()
+    val results = spark.table(sinkName)
+      .as[graft.streaming.WindowResult].collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    results.toDS()
+      .filter(col("key") =!= lateSentinelKey)
+      .select(col("key").as("event_type"),
+        timestamp_micros(col("winStartMicros")).cast("timestamp_ntz").as("win_start"),
+        col("cur"), col("prev"), col("isTrending").as("is_trending"))
+      .orderBy("event_type", "win_start")
+  }
+
   /** A11: the custom logsumexp Aggregator over grouped event values —
     * the log-domain fold the reference needs for PageRank masses
     * (`RunPersonalizedPageRankBasic.java:595-607`), exposed as a grouped
@@ -237,7 +323,22 @@ object EventAnalytics {
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
     "trending_arrivals" -> (trendingArrivals _),
+    "trending_arrivals_late" -> (trendingArrivalsLate _),
     "logsumexp_by_group" -> (logsumexpByGroup _))
+
+  private val trendingOracleSql =
+    """WITH counts AS (
+         SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS win_start,
+                count(*) AS cur
+         FROM events GROUP BY event_type, win_start)
+       SELECT c.event_type, c.win_start, c.cur,
+              coalesce(p.cur, 0) AS prev,
+              (c.cur >= coalesce(p.cur, 0) * 2 AND c.cur >= 10) AS is_trending
+       FROM counts c
+       LEFT JOIN counts p
+         ON p.event_type = c.event_type
+        AND p.win_start = c.win_start - INTERVAL '10 minutes'
+       ORDER BY c.event_type, c.win_start"""
 
   val oracleSql: Map[String, String] = Map(
     // the exact column is compared exactly; TRUE asserts the sketch's
@@ -312,19 +413,12 @@ object EventAnalytics {
          SELECT region, time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
          FROM r WHERE region IS NOT NULL
          GROUP BY region, hour_start ORDER BY region, hour_start""",
-    "trending_arrivals" ->
-      """WITH counts AS (
-           SELECT event_type, time_bucket(INTERVAL '10 minutes', ts) AS win_start,
-                  count(*) AS cur
-           FROM events GROUP BY event_type, win_start)
-         SELECT c.event_type, c.win_start, c.cur,
-                coalesce(p.cur, 0) AS prev,
-                (c.cur >= coalesce(p.cur, 0) * 2 AND c.cur >= 10) AS is_trending
-         FROM counts c
-         LEFT JOIN counts p
-           ON p.event_type = c.event_type
-          AND p.win_start = c.win_start - INTERVAL '10 minutes'
-         ORDER BY c.event_type, c.win_start""",
+    "trending_arrivals" -> trendingOracleSql,
+    // the late-replay streaming variant must land on the IDENTICAL batch
+    // truth: the lateness buffer folds the delayed third of each early
+    // window back in, and the timeout flush emits the trailing windows —
+    // so the oracle is the same SQL
+    "trending_arrivals_late" -> trendingOracleSql,
     "logsumexp_by_group" ->
       """WITH m AS (
            SELECT event_type, max(value / 100.0) AS mx

@@ -22,6 +22,11 @@ case class TrendState(winStart: Long, cur: Long, prev: Long,
 case class WindowResult(key: String, winStartMicros: Long, cur: Long,
     prev: Long, isTrending: Boolean)
 
+/** [[KeyedEvent]] plus the instant-typed event-time column the watermark
+  * (and hence EventTimeTimeout) requires. Top-level for Encoder derivation. */
+case class TimedKeyedEvent(key: String, tsMicros: Long,
+    eventTime: java.sql.Timestamp)
+
 /** True Structured Streaming forms of the reference's a7 DStream jobs
   * (SURVEY §2.9). The batch-equivalent, oracle-checked semantics live in
   * `operators.EventAnalytics`; ScalaTest drives these against MemoryStream
@@ -102,22 +107,54 @@ object StreamingJobs {
     * is therefore deferred by one window and a finite stream holds TWO
     * un-emitted windows per key — the standard lateness/latency trade;
     * events more than one window late still drop (they would need a
-    * retraction, which Append mode cannot express). */
+    * retraction, which Append mode cannot express).
+    *
+    * `timeoutFlush = true` additionally finalizes TRAILING windows: the
+    * input gets a watermark whose delay covers the lateness horizon
+    * ((1 + allowedLateness) windows — Spark filters stateful-operator
+    * input older than the watermark, so a zero delay would silently
+    * drop the very late events the buffer exists to fold), each key
+    * arms an event-time timeout at its open window's lateness horizon
+    * (open end + allowedLateness·window), and when the global watermark
+    * passes it — no successor event required — the buffered window and
+    * the open one emit and the key's state is REMOVED instead of
+    * sitting in the state store forever (the observability the
+    * reference gets from printing per-batch state snapshots,
+    * `TrendingArrivals.scala:54-63`). The horizon rests on the usual
+    * cross-key skew assumption: a key quiet for more than the lateness
+    * horizon (by watermark) is final; an event for it arriving later
+    * still opens a fresh window rather than silently dropping (Append
+    * mode cannot retract the flushed one). */
   def detectTrends(events: Dataset[KeyedEvent], windowMicros: Long,
-      minCount: Long = 10L, allowedLatenessWindows: Int = 0): Dataset[WindowResult] = {
+      minCount: Long = 10L, allowedLatenessWindows: Int = 0,
+      timeoutFlush: Boolean = false): Dataset[WindowResult] = {
     require(allowedLatenessWindows == 0 || allowedLatenessWindows == 1,
       "allowedLatenessWindows must be 0 or 1 (one buffered window)")
     val spark = events.sparkSession
     import spark.implicits._
     val buffered = allowedLatenessWindows == 1
-    events
-      .groupByKey(_.key)
-      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        (key: String, it: Iterator[KeyedEvent], state: GroupState[TrendState]) =>
-          val out = scala.collection.mutable.ListBuffer.empty[WindowResult]
-          def emit(winStart: Long, cur: Long, prev: Long): Unit =
-            out += WindowResult(key, winStart, cur, prev,
-              cur >= 2L * prev && cur >= minCount)
+
+    def openPrevOf(st: TrendState): Long =
+      if (st.pendStart != -1L && st.winStart == st.pendStart + windowMicros) st.pendCur
+      else if (!buffered) st.prev
+      else 0L
+
+    val func: (String, Iterator[KeyedEvent], GroupState[TrendState]) => Iterator[WindowResult] =
+      (key, it, state) => {
+        val out = scala.collection.mutable.ListBuffer.empty[WindowResult]
+        def emit(winStart: Long, cur: Long, prev: Long): Unit =
+          out += WindowResult(key, winStart, cur, prev,
+            cur >= 2L * prev && cur >= minCount)
+        if (timeoutFlush && state.hasTimedOut) {
+          // watermark passed the open window's lateness horizon: nothing
+          // can change these windows any more — flush buffer then open,
+          // resolving the open window's prev from the buffer exactly as a
+          // successor transition would have
+          val st = state.get
+          if (buffered && st.pendStart != -1L) emit(st.pendStart, st.pendCur, st.pendPrev)
+          if (st.winStart != -1L) emit(st.winStart, st.cur, openPrevOf(st))
+          state.remove()
+        } else {
           var st = state.getOption.getOrElse(TrendState(-1L, 0L, 0L))
           it.toSeq.sortBy(_.tsMicros).foreach { e =>
             val w = e.tsMicros - e.tsMicros % windowMicros
@@ -155,7 +192,31 @@ object StreamingJobs {
             } // else: beyond the lateness horizon — dropped
           }
           state.update(st)
-          out.iterator
+          if (timeoutFlush && st.winStart != -1L)
+            // arm (or re-arm) the flush at the open window's lateness
+            // horizon; the timeout timestamp must sit above the current
+            // watermark, so a horizon the watermark already passed fires
+            // on the very next batch
+            state.setTimeoutTimestamp(math.max(
+              (st.winStart + (1L + allowedLatenessWindows) * windowMicros) / 1000L,
+              state.getCurrentWatermarkMs() + 1L))
+        }
+        out.iterator
       }
+
+    if (timeoutFlush)
+      events
+        .withColumn("eventTime", timestamp_micros(col("tsMicros")))
+        .withWatermark("eventTime",
+          s"${(1L + allowedLatenessWindows) * windowMicros / 1000L} milliseconds")
+        .as[TimedKeyedEvent]
+        .groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+          (key: String, it: Iterator[TimedKeyedEvent], state: GroupState[TrendState]) =>
+            func(key, it.map(e => KeyedEvent(e.key, e.tsMicros)), state)
+        }
+    else
+      events.groupByKey(_.key)
+        .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
   }
 }

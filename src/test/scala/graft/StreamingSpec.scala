@@ -227,6 +227,71 @@ class StreamingSpec extends GraftSpec {
     assert(gotOrdered == expected, "in-order run with lateness diverged from batch")
   }
 
+  test("timeout flush finalizes trailing windows without a successor event (R4)") {
+    implicit val sc = spark.sqlContext
+    val W = 600L * 1000 * 1000 // 10-minute windows in micros
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamingJobs.detectTrends(input.toDS(), W, minCount = 3L,
+      allowedLatenessWindows = 1, timeoutFlush = true)
+      .writeStream.outputMode("append").format("memory").queryName("flush_out")
+      .start()
+    // window-aligned base well past epoch: the INITIAL watermark is 0,
+    // and Spark's late-record filter drops eventTime ≤ watermark, so an
+    // epoch-0 event would silently vanish (real data is 2024-dated)
+    val base = 2000000L * W
+    // key "a": 4 events in window 0, 3 in window 1 — then silence forever
+    input.addData((0 until 4).map(i => KeyedEvent("a", base + i * 1000L)) ++
+      (0 until 3).map(i => KeyedEvent("a", base + W + i * 1000L)))
+    q.processAllAvailable()
+    assert(spark.table("flush_out").isEmpty,
+      "both windows still open/buffered — nothing may emit yet")
+    // an unrelated key advances the event-time watermark (which lags by
+    // the 2-window lateness delay): first batch records the new max,
+    // the next batch fires a's timeout — no successor "a" event ever
+    input.addData(Seq(KeyedEvent("z", base + 10 * W))); q.processAllAvailable()
+    input.addData(Seq(KeyedEvent("z", base + 11 * W))); q.processAllAvailable()
+    q.stop()
+    val got = spark.table("flush_out").collect()
+      .filter(_.getString(0) == "a")
+      .map(r => r.getLong(1) -> (r.getLong(2), r.getLong(3), r.getBoolean(4)))
+      .toMap
+    // w0: cur=4 prev=0 → trending; w1: cur=3 prev=4 (resolved from the
+    // buffer at flush time) → not trending
+    assert(got == Map(base -> (4L, 0L, true), (base + W) -> (3L, 4L, false)),
+      got.toString)
+  }
+
+  test("in-order and late-replay behavior is unchanged by the flush flag (R4)") {
+    implicit val sc = spark.sqlContext
+    val W = 600L * 1000 * 1000
+    val base = 2000000L * W // past-epoch alignment, see flush test above
+    val events = (for {
+      key <- Seq("a", "b"); win <- 0 until 6
+      i <- 0 until (1 + (win + key.hashCode.abs) % 4)
+    } yield KeyedEvent(key, base + win * W + i * 1000L)).sortBy(_.tsMicros)
+    def run(name: String, flush: Boolean): Set[(String, Long, Long, Long, Boolean)] = {
+      val input = MemoryStream[KeyedEvent]
+      val q = StreamingJobs.detectTrends(input.toDS(), W, minCount = 3L,
+        allowedLatenessWindows = 1, timeoutFlush = flush)
+        .writeStream.outputMode("append").format("memory").queryName(name).start()
+      events.grouped(5).foreach { b => input.addData(b); q.processAllAvailable() }
+      q.stop()
+      spark.table(name).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getBoolean(4))).toSet
+    }
+    val without = run("flush_off", flush = false)
+    val withFlush = run("flush_on", flush = true)
+    // mid-stream emissions agree; the flush variant may only ADD final
+    // windows the timeout closed (here: none fire — the stream ends
+    // before the watermark passes any horizon)
+    assert(without.subsetOf(withFlush),
+      s"flush variant lost windows: ${without -- withFlush}")
+    assert((withFlush -- without).forall { case (_, w, _, _, _) =>
+      w >= events.map(e => e.tsMicros - e.tsMicros % W).max - W
+    }, "flush added a non-trailing window")
+  }
+
   test("streaming dedup keeps exactly the batch dedup representatives") {
     implicit val sc = spark.sqlContext
     // documents arriving in doc_id order, one synthetic second apart —
