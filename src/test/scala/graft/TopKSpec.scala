@@ -109,6 +109,39 @@ class TopKSpec extends GraftSpec {
     }
   }
 
+  test("randomized differential: rank-equality filter + duplicate sort keys") {
+    // the rank = k rewrite (argmax-per-group generalized) is only
+    // correct on TOTAL orders — ties broken by id here, with heavy
+    // duplicate pressure on the primary sort key so the tiebreak is
+    // load-bearing in most groups
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(20250813)
+    for (trial <- 1 to 20) {
+      val nRows = 1 + rng.nextInt(400)
+      val nKeys = 1 + rng.nextInt(10)
+      val k = 1 + rng.nextInt(5)
+      val rows = (0 until nRows).map { i =>
+        (s"k${rng.nextInt(nKeys)}", rng.nextInt(5).toLong, i.toLong)
+      }
+      val df = rows.toDF("g", "v", "id")
+        .withColumn("rnk", row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy("g").orderBy(desc("v"), col("id"))))
+        .filter(col("rnk") === k)
+      assert(df.queryExecution.executedPlan.toString.contains("GraftTopK"),
+        s"trial $trial not lowered")
+      assert(df.queryExecution.sparkSession.sessionState.conf
+        .getConfString(excludeKey, "") == "", "rule must be active for this test")
+      val got = df.select("g", "v", "id").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+      // groups smaller than k contribute nothing — slice handles that
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+        rs.sortBy(r => (-r._2, r._3)).slice(k - 1, k)
+      }.toSet
+      assert(got == want, s"trial $trial (n=$nRows keys=$nKeys k=$k) diverged")
+    }
+  }
+
   test("bounded-PQ agrees with a driver-side reference on adversarial groups") {
     val sp = spark
     import sp.implicits._
