@@ -20,6 +20,21 @@ import org.apache.spark.sql.types._
   */
 object Tables {
 
+  /** Release a localCheckpoint'd dataset's blocks deterministically —
+    * the Dataset API has no direct handle (unpersist() only serves
+    * CacheManager entries, and a checkpoint registers none). Without
+    * this, every invocation of a checkpoint-using query parks its blocks
+    * in the MemoryStore until a driver GC lets the ContextCleaner notice
+    * the dead RDD — across a full bench run that is GBs of dead storage
+    * occupancy and sporadic eviction stalls. Callers must guarantee the
+    * checkpoint is never read again (lineage is truncated — Spark WARNs
+    * that the data cannot be recomputed). */
+  private[graft] def releaseCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.analyzed.foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
+      case _ => ()
+    }
+
   /** Explicit schemas (see FIXTURES.md §1). Declaring them — rather than
     * relying on inference — is what makes the csv path type-identical to
     * the parquet path, mirroring the reference's graded text/parquet parity.

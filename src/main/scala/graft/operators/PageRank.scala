@@ -93,12 +93,16 @@ object PageRank {
   def personalizedPageRank(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
     val adj = edges.repartition(col("src")).cache()
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    try personalizedPageRankLoop(spark, adj, outdeg)
+    try personalizedPageRankLoop(spark, adj, outdeg)._1
     finally { adj.unpersist(); outdeg.unpersist() } // don't leak cached blocks across queries
   }
 
+  /** Returns the final ranks plus every iteration's lazy checkpoint, so
+    * callers that materialize a (small) derived result can release the
+    * 10 iterations' blocks deterministically instead of leaving ~MBs per
+    * run parked in the MemoryStore until a driver GC. */
   private def personalizedPageRankLoop(spark: SparkSession,
-      adj: DataFrame, outdeg: DataFrame): DataFrame = {
+      adj: DataFrame, outdeg: DataFrame): (DataFrame, Seq[DataFrame]) = {
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
     // static graph property, checked once: rank can only ever sit on a
     // source or an edge target, so if every such node has out-edges the
@@ -124,6 +128,7 @@ object PageRank {
 
     // ranks: one row per (source, node) with nonzero mass; init: source=1.0
     var ranks = srcDf.select(col("source"), col("source").as("node"), lit(1.0).as("rank"))
+    val ckpts = Seq.newBuilder[DataFrame]
 
     for (_ <- 1 to iterations) {
       // seed a zero-mass row per source so the teleport term below always
@@ -153,8 +158,9 @@ object PageRank {
             when(col("node") === col("source"), alpha).otherwise(0.0))
         .select("source", "node", "rank")
       ranks = next.localCheckpoint(false)
+      ckpts += ranks
     }
-    ranks
+    (ranks, ckpts.result())
   }
 
   /** Log-space PPR — the reference's actual numeric domain
@@ -169,18 +175,21 @@ object PageRank {
     // normal-space loop (measured 10.7 → 8.0 s there)
     val adj = edges.repartition(col("src")).cache()
     val outdeg = adj.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    try personalizedPageRankLogLoop(spark, adj, outdeg)
+    try personalizedPageRankLogLoop(spark, adj, outdeg)._1
     finally { adj.unpersist(); outdeg.unpersist() }
   }
 
+  /** Same (ranks, iteration checkpoints) contract as
+    * [[personalizedPageRankLoop]]. */
   private def personalizedPageRankLogLoop(spark: SparkSession,
-      adj: DataFrame, outdeg: DataFrame): DataFrame = {
+      adj: DataFrame, outdeg: DataFrame): (DataFrame, Seq[DataFrame]) = {
     import graft.functions.LogSumExp.logsumexp
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
     val logAlpha = math.log(alpha)
     val log1mAlpha = math.log1p(-alpha)
     var ranks = srcDf.select(col("source"), col("source").as("node"),
       lit(0.0).as("logRank")) // log(1)
+    val ckpts = Seq.newBuilder[DataFrame]
     for (_ <- 1 to iterations) {
       val seed = srcDf.select(col("source"), col("source").as("node"),
         lit(Double.NegativeInfinity).as("logContrib")) // log(0)
@@ -209,16 +218,17 @@ object PageRank {
             .otherwise(col("logMass") + log1mAlpha))
         .select("source", "node", "logRank")
         .localCheckpoint(false)
+      ckpts += ranks
     }
-    ranks
+    (ranks, ckpts.result())
   }
 
   /** G5/O5: top-k nodes per source by rank (the window form the reference
     * builds with bounded priority queues + a single reducer). */
   def pprTopK(spark: SparkSession, dir: String): DataFrame = {
     val (adj, outdeg) = graphShared(spark, dir)
-    val ranks = personalizedPageRankLoop(spark, adj, outdeg)
-    ranks
+    val (ranks, ckpts) = personalizedPageRankLoop(spark, adj, outdeg)
+    val result = ranks
       // rank by the ROUNDED value (node tiebreak): the oracle engine's
       // summation order differs in the last ulp, so ordering on the raw
       // double would let sub-1e-6 noise pick different top-k rows
@@ -226,7 +236,12 @@ object PageRank {
         Window.partitionBy("source").orderBy(round(col("rank"), 6).desc, col("node"))))
       .filter(col("rnk") <= topK)
       .select(col("source"), col("node"), round(col("rank"), 6).as("rank"), col("rnk"))
-      .orderBy("source", "rnk")
+      // materialize the (sources × k)-row result, then release the 10
+      // iterations' checkpoint blocks deterministically — the memoized
+      // graph cache stays for the other PPR variant
+      .localCheckpoint(true)
+    ckpts.foreach(graft.Tables.releaseCheckpoint)
+    result.orderBy("source", "rnk")
   }
 
   /** O5 standalone: top-5 events by value per event_type — the windowed
@@ -247,13 +262,15 @@ object PageRank {
     * tiebreak discipline as [[pprTopK]]). */
   def pprTopKLog(spark: SparkSession, dir: String): DataFrame = {
     val (adj, outdeg) = graphShared(spark, dir)
-    val ranks = personalizedPageRankLogLoop(spark, adj, outdeg)
-    ranks
+    val (ranks, ckpts) = personalizedPageRankLogLoop(spark, adj, outdeg)
+    val result = ranks
       .withColumn("rnk", row_number().over(
         Window.partitionBy("source").orderBy(round(col("logRank"), 6).desc, col("node"))))
       .filter(col("rnk") <= topK)
       .select(col("source"), col("node"), round(col("logRank"), 6).as("log_rank"), col("rnk"))
-      .orderBy("source", "rnk")
+      .localCheckpoint(true) // see pprTopK — release the loop's blocks
+    ckpts.foreach(graft.Tables.releaseCheckpoint)
+    result.orderBy("source", "rnk")
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

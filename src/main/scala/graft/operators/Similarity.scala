@@ -257,19 +257,6 @@ object Similarity {
     * (τ ≥ 0.9 on clustered corpora) banding prunes hard; this testdata
     * is near-isotropic at τ = 0.4, the worst regime for any cosine LSH,
     * and the plan shape is still the one that scales — see PLANS.md. */
-  /** Release a localCheckpoint'd dataset's blocks deterministically —
-    * the Dataset API has no direct handle (unpersist() only serves
-    * CacheManager entries, and a checkpoint registers none). Without
-    * this, every invocation parks its checkpoint blocks in the
-    * MemoryStore until a driver GC lets the ContextCleaner notice the
-    * dead RDD — across a full bench run that is GBs of dead storage
-    * occupancy and sporadic eviction stalls (r4 advice). */
-  private def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
-      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
-    }
-
   /** The banded pipeline, LAZY — the returned frame still shows the
     * bucket-keyed joins (SimilaritySpec asserts the physical shape
     * here); second element releases the intermediate checkpoints once
@@ -363,7 +350,7 @@ object Similarity {
       // the candidate stream (duplicate candidates cost re-swept CPU,
       // not a pre-join distinct shuffle of the whole candidate set)
       .dropDuplicates("vec_a", "vec_b")
-    (survivors, () => { releaseCheckpoint(vv); releaseCheckpoint(blocks) })
+    (survivors, () => { Tables.releaseCheckpoint(vv); Tables.releaseCheckpoint(blocks) })
   }
 
   /** LSH-banded near-dup pairs, materialized: runs the lazy pipeline,
