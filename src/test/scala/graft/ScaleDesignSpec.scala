@@ -265,6 +265,52 @@ class ScaleDesignSpec extends GraftSpec {
     assert(!plan.contains("Exchange hashpartitioning"), plan)
   }
 
+  test("banded near-dup: a hot bucket beyond the block cap splits and stays exact") {
+    // a corpus engineered so ONE (table, bucket) holds every vector —
+    // occupancy 3000 > pairsVecsPerBlock 2048 forces the per-bucket
+    // block grid (nblk = 2, three tiles) that keeps a skewed bucket from
+    // becoming a single straggler task; the result must still be the
+    // exact thresholded pair set
+    val sp = spark
+    import sp.implicits._
+    val d = 4
+    val n = 3000
+    val rng = new scala.util.Random(7)
+    // base vectors near-orthogonal to the plant; three planted near-dup
+    // pairs at ids (0,1), (100, 2101), (2999, 1500)
+    val base = Array.tabulate(n) { i =>
+      Array.fill(d)(rng.nextGaussian()).map(x => x + 10.0) // all-positive ⇒ same sign bucket
+    }
+    def nudge(a: Array[Double]): Array[Double] = a.map(_ * 1.0000001)
+    val planted = Seq((0, 1), (100, 2101), (2999, 1500))
+    planted.foreach { case (i, j) => base(j) = nudge(base(i)) }
+    val vecs = base.zipWithIndex
+      .map { case (v, i) => (i.toLong, v.toSeq) }.toSeq
+      .toDF("vec_id", "v")
+    // one table, one hyperplane with all-positive coefficients: every
+    // all-positive vector lands in bucket "1" of table 0
+    val planes = Array(Array(Array.fill(d)(1.0)))
+    val (pairsDf, release) = graft.operators.Similarity
+      .lshBandedPairsLazy(vecs, planes, 0.9999999)
+    val got = pairsDf.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    release()
+    // driver-side exact truth over the same normalize-then-dot sequence
+    val normed = base.map { v =>
+      val nn = math.sqrt(v.iterator.map(x => x * x).sum)
+      v.map(_ / nn)
+    }
+    val want = (for {
+      i <- 0 until n; j <- (i + 1) until n
+      s = (0 until d).map(k => normed(i)(k) * normed(j)(k)).sum
+      if BigDecimal(s).setScale(6, BigDecimal.RoundingMode.HALF_UP) >= 0.9999999
+    } yield (i.toLong, j.toLong)).toSet
+    assert(planted.forall { case (i, j) =>
+      got.contains((math.min(i, j).toLong, math.max(i, j).toLong))
+    }, s"planted pairs missing from $got")
+    assert(got == want, s"split-bucket sweep diverged: got ${got.size}, want ${want.size}")
+  }
+
   test("corpus funnel runs as two aggregation branches, no per-stage jobs") {
     val df = graft.operators.CorpusPipeline.corpusFunnel(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
