@@ -44,9 +44,13 @@ object TaxiEvents {
       .filter(col("region").isNotNull && col("ts").isNotNull)
   }
 
-  /** R2 on the real data: hourly dropoff counts per company. */
+  /** R2 on the real data: hourly dropoff counts per company. The
+    * `part-*.csv` filter is applied via pathGlobFilter on ONE directory
+    * listing — passing the glob as the load path makes Spark stat each
+    * of the 1,440 matched files individually (measured 2.9-7 s vs 0.5 s
+    * for the filtered listing on this dataset). */
   def regionHourly(spark: SparkSession, taxiDir: String): DataFrame =
-    parse(spark.read.text(taxiDir))
+    parse(spark.read.option("pathGlobFilter", "part-*.csv").text(taxiDir))
       .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("region"),
@@ -61,15 +65,13 @@ object TaxiEvents {
   val taxiDataDir: String =
     sys.env.getOrElse("SPARK_GRAFT_TAXI_DIR", "/root/reference/taxi-data")
 
-  /** Both engines read the SAME `part-*.csv` glob (spark.read.text
-    * accepts globs) — a stray non-data file in the dataset dir
-    * (_SUCCESS, checksums) can never silently diverge the parity
-    * surface between Spark and the oracle. */
-  private def taxiGlob = s"$taxiDataDir/part-*.csv"
-
+  /** Both engines read the SAME `part-*.csv` file set (Spark via
+    * pathGlobFilter in [[regionHourly]], DuckDB via its glob) — a stray
+    * non-data file in the dataset dir (_SUCCESS, checksums) can never
+    * silently diverge the parity surface between the two engines. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_region_hourly" ->
-      ((s: SparkSession, _: String) => regionHourly(s, taxiGlob)))
+      ((s: SparkSession, _: String) => regionHourly(s, taxiDataDir)))
 
   /** Oracle over the SAME raw files: DuckDB reads whole lines (a 0x01
     * delimiter that never occurs in the data), splits positionally, and
