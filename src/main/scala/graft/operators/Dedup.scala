@@ -125,10 +125,15 @@ object Dedup {
     * lifetime (true for the driver's static testdata — rewriting a dir
     * within a session would serve stale results). Bench calls this between
     * timed runs so the second run re-pays the family's shared prefix
-    * instead of reporting a memo hit as the query's cost; checkpointed
-    * blocks are released by the ContextCleaner once unreferenced. */
+    * instead of reporting a memo hit as the query's cost. The memoized
+    * checkpoints' blocks are released explicitly — clearing the map alone
+    * would park them in the MemoryStore until a driver GC lets the
+    * ContextCleaner notice the dead RDDs. */
   def clearMemos(): Unit =
-    { shinglesMemo.clear(); pairsMemo.clear(); bandsMemo.clear() }
+    Seq(shinglesMemo, pairsMemo, bandsMemo).foreach { m =>
+      m.values.foreach(graft.Tables.releaseCheckpoint)
+      m.clear()
+    }
 
   /** Registered queries that consume the shared artifacts above. Bench
     * gates its `dedup_family_build` metric on THIS set, not a `dedup`
