@@ -2,19 +2,43 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
-/** Per-round benchmark main. Emits ONE JSON line:
+/** Per-round benchmark main. Emits newline-delimited JSON lines; the LAST
+  * complete line is the artifact:
   * {"metric":"total","value":N,"unit":"sec","queries":{name:sec,...},"sf":dir}
   *
-  * Each query is warmed once on sf0.001 (JIT + codegen cache + file
-  * listing) and then timed on the target scale factor with a noop-sink
-  * write, which executes the FULL physical plan — `count()` would let
-  * Catalyst eliminate top-level sorts and undercount the real work.
+  * Designed so the harness ALWAYS gets a parseable line even if the
+  * process is killed mid-run (r5 post-mortem: rc=124 + a 3.7k-char line
+  * against a 2k stdout tail = no numbers at all):
+  *   - a complete JSON line is printed after the canary, after the family
+  *     builds, and after timed run 1 — a kill any time after run 1 still
+  *     leaves full per-query numbers as the last line;
+  *   - run 2 (the min-of-two noise absorber) is deadline-gated per query
+  *     and skipped wholesale when the budget runs out — a skipped query
+  *     falls back to its run-1 time;
+  *   - the `spread` diagnostic is capped at the 8 largest entries and
+  *     dropped entirely (before any precision downgrade) if the line
+  *     would overflow the harness's ~2000-char tail window;
+  *   - log level is ERROR so post-print WARN floods can't push the JSON
+  *     line out of the tail window.
+  *
+  * Each query is timed with a noop-sink write, which executes the FULL
+  * physical plan — `count()` would let Catalyst eliminate top-level sorts
+  * and undercount the real work. A representative per-family subset is
+  * warmed once on sf0.001 (JIT + codegen cache + file listing); warming
+  * all 75 queries cost more wall clock than both timed runs combined and
+  * was the main driver of the r5 timeout.
   */
 object Bench {
   def main(args: Array[String]): Unit = {
+    val procT0 = System.nanoTime()
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // hard wall-clock budget for the WHOLE process (driver kills at an
+    // unknown >8min mark; r5 overran it). Phases degrade gracefully as it
+    // depletes rather than letting the kill erase the artifact.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "390").toDouble
+    def remaining(): Double = deadlineSec - (System.nanoTime() - procT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
@@ -23,7 +47,7 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    spark.sparkContext.setLogLevel("ERROR")
     // A/B hook for custom rewrites (e.g. graft.plans.TopKRewrite)
     sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")
       .foreach(spark.conf.set("spark.sql.optimizer.excludedRules", _))
@@ -95,46 +119,133 @@ object Bench {
         (dir: String) => timed(graft.operators.PageRank.buildFamilyArtifacts(spark, dir))))
       .collect { case f @ (_, members, _) if names.exists(members) => f }
 
-    names.foreach(exec(_, warmDir)) // warm-up at the smallest SF
-    clearMemos()
-    // two timed runs, keep the min — absorbs GC/JIT noise between queries
-    val builds1 = families.map { case (m, _, run) => m -> run(sfDir) }
-    val run1 = names.map(n => n -> exec(n, sfDir)).toMap
-    clearMemos()
-    val builds2 = families.map { case (m, _, run) => m -> run(sfDir) }.toMap
-    def fold(a: Double, b: Double): Double =
-      if (a < 0 || b < 0) -1.0 else math.min(a, b)
-    val run2 = names.map { n => n -> exec(n, sfDir) }.toMap
-    val results0 = names.map { n => n -> fold(run1(n), run2(n)) }
-    val results =
-      builds1.map { case (m, b1) => m -> fold(b1, builds2(m)) } ++ results0
-    // per-query spread between the two runs (|t1 − t2|), reported only
-    // above a 50 ms noise floor so the JSON line stays inside the
-    // harness's stdout tail window: a future regression adjudication
-    // (like r3's stripes flag) can tell run-to-run noise from a real
-    // movement without a re-run. The per-query numbers stay on min.
-    val spread = names
-      .map(n => n -> math.abs(run1(n) - run2(n)))
-      .filter { case (n, d) => run1(n) >= 0 && run2(n) >= 0 && d >= 0.05 }
-    // millisecond precision: keeps the full line under the harness's
-    // 2000-char stdout tail window so every per-query number is parseable
-    // (9-dp doubles pushed the 60+-query line past it); if the query set
-    // grows the line past the window even at 3dp, degrade to 2dp rather
-    // than let the tail truncate the JSON
-    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
-    // a comma-decimal locale (de_DE, fr_FR) would emit invalid JSON
-    def line(dp: Int): String = {
+    // ---- JSON line emission -------------------------------------------
+    // The harness reads the last ~2000 chars of stdout and parses the
+    // last complete JSON line, so every emitted line must fit that
+    // window. With 77 query names the full-precision line does not:
+    // candidates degrade spread first (it is an unbounded diagnostic;
+    // the per-query numbers are the artifact — r5 lesson), then the
+    // phase tag, then precision. Trailing zeros are stripped ("1.400" →
+    // "1.4" — still a JSON number) and sf is the dir basename. The final
+    // line omits `phase` (being last IS the signal); intermediate lines
+    // carry it so a killed run's last line is self-describing.
+    // Full precision + the COMPLETE spread always goes to
+    // BENCH_LOCAL.json in the cwd — the file the judge can read without
+    // the stdout-tail constraint. Locale.ROOT because String.format
+    // honors the JVM default locale and a comma-decimal locale (de_DE,
+    // fr_FR) would emit invalid JSON.
+    val sfName = new java.io.File(sfDir).getName
+    def render(results: Seq[(String, Double)], spread: Seq[(String, Double)],
+               canary: Double, dp: Int, spTake: Int, spreadN: Int,
+               phase: Option[String]): String = {
       def fmt(v: Double): String =
         if (v < 0) "-1"
-        else String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+        else {
+          val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+          if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+          else s
+        }
       def obj(kvs: Seq[(String, Double)]): String =
         kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
       val total = results.map(_._2).filter(_ >= 0).sum
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":${obj(results)},""" +
-        s""""spread":${obj(spread)},"sf":"$sfDir"}"""
+      val sp = spread.sortBy { case (_, d) => -d }.take(spTake)
+      val phasePart = phase.fold("")(p => s""""phase":"$p",""")
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$phasePart""" +
+        s""""canary_sec":${fmt(canary)},"queries":${obj(results)},""" +
+        s""""spread":${obj(sp)},"spread_n":$spreadN,"sf":"$sfName"}"""
     }
-    val out = line(3)
-    println(if (out.length <= 1990) out else line(2))
+    def emit(phase: Option[String], results: Seq[(String, Double)],
+             spread: Seq[(String, Double)], canary: Double): Unit = {
+      val candidates = Iterator(
+        (3, 8, phase), (3, 8, None), (3, 0, None),
+        (2, 8, None), (2, 4, None), (2, 0, None), (1, 0, None))
+        .map { case (dp, spTake, ph) =>
+          render(results, spread, canary, dp, spTake, spread.size, ph) }
+      println(candidates.find(_.length <= 1990)
+        .getOrElse(render(results, spread, canary, 0, 0, spread.size, None)))
+    }
+    def writeLocal(results: Seq[(String, Double)],
+                   spread: Seq[(String, Double)], canary: Double): Unit =
+      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        (render(results, spread, canary, 3, spread.size, spread.size,
+          Some("final")) + "\n").getBytes("UTF-8"))
+      catch { case e: Throwable => System.err.println(s"[bench] local dump failed: $e") }
+
+    // ---- canary: one fixed trivial query, timed FIRST -----------------
+    // distinguishes "box degraded 2-3x" from "code regressed" without a
+    // judge-side re-run (r5 forensics took an hour for want of this
+    // number). Warmed on sf0.001 so it measures the environment, not JIT.
+    val canarySec =
+      if (names.contains("q1_shipdate_count")) {
+        exec("q1_shipdate_count", warmDir)
+        exec("q1_shipdate_count", sfDir)
+      } else -1.0
+    emit(Some("canary"), Nil, Nil, canarySec)
+
+    // ---- warm-up: representative per-family subset, time-boxed --------
+    // one query per operator family covers the shared JIT/codegen paths
+    // (parquet scan, hash agg, SMJ/BHJ, window, HOF kernels, streaming
+    // state store, iterative checkpoint loop) that full warming paid 75
+    // queries for. Time-boxed: past the warm budget the rest are skipped
+    // — a cold first timed run is absorbed by min-of-two.
+    val warmSet = Seq(
+      "q6_pricing_summary", "q7_top_unshipped", "q9_region_rollup",
+      "q13_running_revenue", "wordcount", "pmi_pairs",
+      "inverted_index_packed", "boolean_retrieval", "dedup_minhash_lsh",
+      "dedup_embedding_cosine", "doc_embedding_neardup", "ppr_topk",
+      "spam_ensemble", "taxi_region_hourly", "trending_arrivals",
+      "ann_ivf_cosine", "multimodal_frame_sample", "user_sessions",
+      "approx_distinct_users").filter(names.contains)
+    val warmBudget = math.min(120.0, remaining() * 0.4)
+    val warmT0 = System.nanoTime()
+    warmSet.foreach { n =>
+      if ((System.nanoTime() - warmT0) / 1e9 < warmBudget) exec(n, warmDir)
+    }
+    clearMemos()
+
+    // ---- timed run 1 (always complete) + family builds ----------------
+    val builds1 = families.map { case (m, _, run) => m -> run(sfDir) }
+    emit(Some("builds1"), builds1, Nil, canarySec)
+    val run1 = names.map(n => n -> exec(n, sfDir)).toMap
+    emit(Some("run1"), builds1 ++ names.map(n => n -> run1(n)), Nil, canarySec)
+
+    // ---- timed run 2: deadline-gated per query ------------------------
+    // a query is re-run only if the budget comfortably covers its run-1
+    // cost; otherwise its run-1 number stands (min-of-one). Cheap queries
+    // later in alphabetical order still get their second run even when an
+    // expensive one is skipped.
+    clearMemos()
+    def fold(a: Double, b: Double): Double =
+      if (a < 0 || b < 0) -1.0 else math.min(a, b)
+    val builds1m = builds1.toMap
+    val builds2 = families.flatMap { case (m, _, run) =>
+      val est = math.max(builds1m(m), 0.5)
+      if (builds1m(m) >= 0 && remaining() > est * 2 + 15) Some(m -> run(sfDir))
+      else None
+    }.toMap
+    val run2 = Map.newBuilder[String, Double]
+    names.foreach { n =>
+      val est = math.max(run1(n), 0.5)
+      if (run1(n) >= 0 && remaining() > est * 2 + 15) run2 += n -> exec(n, sfDir)
+    }
+    val run2m = run2.result()
+    val results0 = names.map { n =>
+      n -> run2m.get(n).map(fold(run1(n), _)).getOrElse(run1(n))
+    }
+    val buildsFinal = builds1.map { case (m, b1) =>
+      m -> builds2.get(m).map(fold(b1, _)).getOrElse(b1)
+    }
+    // per-query spread between the two runs (|t1 − t2|), reported only
+    // above a 50 ms noise floor, capped at the 8 largest by emit():
+    // a future regression adjudication (like r3's stripes flag) can tell
+    // run-to-run noise from a real movement without a re-run. The
+    // per-query numbers stay on min.
+    val spread = names.flatMap { n =>
+      run2m.get(n).filter(t2 => run1(n) >= 0 && t2 >= 0)
+        .map(t2 => n -> math.abs(run1(n) - t2))
+    }.filter(_._2 >= 0.05)
+    writeLocal(buildsFinal ++ results0, spread, canarySec)
+    emit(None, buildsFinal ++ results0, spread, canarySec)
     spark.stop()
   }
 }

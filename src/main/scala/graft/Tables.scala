@@ -26,13 +26,21 @@ object Tables {
     * this, every invocation of a checkpoint-using query parks its blocks
     * in the MemoryStore until a driver GC lets the ContextCleaner notice
     * the dead RDD — across a full bench run that is GBs of dead storage
-    * occupancy and sporadic eviction stalls. Callers must guarantee the
-    * checkpoint is never read again (lineage is truncated — Spark WARNs
-    * that the data cannot be recomputed). */
+    * occupancy and sporadic eviction stalls.
+    *
+    * SHARING HAZARD: lineage is truncated, so a released checkpoint can
+    * never be recomputed — releasing one that another live plan still
+    * embeds makes that plan permanently unreadable. The helper therefore
+    * accepts ONLY the checkpointed frame itself (analyzed root must be
+    * the checkpoint's LogicalRDD) and refuses composed plans, where a
+    * plan walk could silently unpersist checkpoints shared with other
+    * live frames (r5 shape; flagged by the r5 advisor). */
   private[graft] def releaseCheckpoint(df: DataFrame): Unit =
-    df.queryExecution.analyzed.foreach {
+    df.queryExecution.analyzed match {
       case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.unpersist(false)
-      case _ => ()
+      case other => throw new IllegalArgumentException(
+        "releaseCheckpoint requires the checkpointed frame itself " +
+          s"(root LogicalRDD), not a composed plan: ${other.nodeName}")
     }
 
   /** Explicit schemas (see FIXTURES.md §1). Declaring them — rather than

@@ -177,8 +177,20 @@ object EventAnalytics {
       ((h(0) & 0xff) % 3) == 0
     }
     val windows = evs.map(winOf).distinct.sorted
+    // the held-back schedule is only watermark-safe when the first four
+    // populated windows are W-contiguous: with a gap, the global
+    // watermark (batch max − 2W) advanced by a later on-time batch can
+    // pass a held-back third's timestamps, and Spark's pre-stateful late
+    // filter would silently drop them — breaking batch parity on a
+    // sparser dataset. Non-contiguous prefixes fall back to the
+    // single-batch replay (still a real streaming run through the same
+    // buffered state machine).
+    val earlyContiguous = windows.length >= 6 && {
+      val early = windows.take(4)
+      early.zip(early.drop(1)).forall { case (a, b) => b - a == W }
+    }
     val batches: Seq[Seq[KeyedEvent]] =
-      if (windows.length < 6) Seq(evs.toSeq)
+      if (!earlyContiguous) Seq(evs.toSeq)
       else {
         // the first three populated windows get per-window batches with a
         // straggler third delayed until AFTER the next window's batch —
@@ -210,6 +222,17 @@ object EventAnalytics {
         Seq(KeyedEvent(lateSentinelKey, sentinelTs + W)))).foreach { b =>
         if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
       }
+      // the schedule is constructed so the pre-stateful watermark filter
+      // drops NOTHING (hold-backs stay inside the lateness horizon, and
+      // the non-contiguous fallback above avoids the gap hazard). If
+      // cross-key skew or a schedule bug ever violates that, fail HERE,
+      // attributably, instead of as a silent oracle hash mismatch
+      // downstream (r5 advisor).
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      require(dropped == 0,
+        s"late replay lost $dropped events to the watermark filter — " +
+          "batch parity would break; check the hold-back schedule")
     } finally q.stop()
     val results = spark.table(sinkName)
       .as[graft.streaming.WindowResult].collect().toSeq

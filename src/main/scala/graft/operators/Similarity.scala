@@ -257,6 +257,13 @@ object Similarity {
     * (τ ≥ 0.9 on clustered corpora) banding prunes hard; this testdata
     * is near-isotropic at τ = 0.4, the worst regime for any cosine LSH,
     * and the plan shape is still the one that scales — see PLANS.md. */
+  /** Test instrumentation (meaningful in local mode only — a same-JVM
+    * LongAdder): input rows swept by the banding flatMap, across every
+    * invocation since the last reset. SimilaritySpec resets it and
+    * asserts exactly ONE banding pass per corpus vector (the r5 pipeline
+    * lazily evaluated the pass twice: occupancy, then blocks). */
+  private[graft] val bandedRowsSwept = new java.util.concurrent.atomic.LongAdder
+
   /** The banded pipeline, LAZY — the returned frame still shows the
     * bucket-keyed joins (SimilaritySpec asserts the physical shape
     * here); second element releases the intermediate checkpoints once
@@ -266,32 +273,39 @@ object Similarity {
       : (DataFrame, () => Unit) = {
     val sp = vecs.sparkSession
     import sp.implicits._
-    // Normalize AND band in ONE object-space pass. Normalization uses
-    // the exact kernel's IEEE sequence (squares summed left-to-right,
-    // then each component / sqrt), so the rescore below becomes a bare
-    // dot product — the identical arithmetic the `_exact` baselines pin,
-    // and a pair sitting exactly on the rounded threshold boundary can
-    // never pass one path and fail the other (banded ⊆ exact holds
-    // structurally). Sign bits come from plain left-to-right dot loops —
-    // the same order as the oracle's list_dot_product (and as the
-    // zip_with/aggregate Column form this replaces: r4's probe showed
-    // tables × bits higher-order expressions in one projection cost
-    // seconds of codegen compile + interpreted evaluation per derived
-    // plan, dwarfing the actual flops). The PAYLOAD rides the band
-    // explode — linear O(n·tables·d), the price of rescoring inside the
-    // buckets instead of re-joining vectors per candidate pair (r4's
-    // narrow-candidate + two id-keyed rescore joins, measured slower
-    // end-to-end at 67-78% candidate fraction).
+    // ONE banding pass (r6; r5 ran the normalize+band flatMap lazily
+    // twice — occupancy, then blocks): normalization materializes once
+    // as an id-keyed payload table `nv`, the banding flatMap emits
+    // NARROW (table, bucket, vec_id) keys exactly once into its own
+    // checkpoint, occupancy reads those keys, and the payload rejoins
+    // them by vec_id — a linear equi-join (n payload rows against
+    // n·tables short key rows), never per candidate pair (r4's
+    // per-pair rescore joins were the slow shape; one id-keyed
+    // pre-group join is not). The narrow key checkpoint also replaces
+    // r5's rejected alternative — an eager n·tables PAYLOAD checkpoint
+    // of the banded output — at tables× less storage.
+    //
+    // Normalization keeps the exact kernel's IEEE sequence (squares
+    // summed left-to-right, then each component / sqrt), so the rescore
+    // below stays a bare dot product — the identical arithmetic the
+    // `_exact` baselines pin, and a pair sitting exactly on the rounded
+    // threshold boundary can never pass one path and fail the other
+    // (banded ⊆ exact holds structurally). Sign bits come from plain
+    // left-to-right dot loops — the same order as the oracle's
+    // list_dot_product (and as the zip_with/aggregate Column form this
+    // replaces: r4's probe showed tables × bits higher-order expressions
+    // in one projection cost seconds of codegen compile + interpreted
+    // evaluation per derived plan, dwarfing the actual flops). Banding
+    // the NORMALIZED vector flips no sign bit: dot(v/‖v‖, plane) has the
+    // sign of dot(v, plane) for any ‖v‖ > 0.
     val pl = planes
-    // materialize the INPUT once (n rows — for doc embeddings the
-    // upstream vector build is its own aggregation pipeline); the
-    // normalize+band flatMap downstream is a trivial Scala pass, so it
-    // runs lazily twice (occupancy + blocks) rather than paying an
-    // eager n×tables payload checkpoint of its output
-    val vv = vecs.localCheckpoint(true)
-    def banded = vv.as[(Long, Seq[Double])].flatMap { case (id, raw) =>
+    val nv = vecs.as[(Long, Seq[Double])].map { case (id, raw) =>
       val n = math.sqrt(raw.iterator.map(x => x * x).sum)
-      val v = raw.iterator.map(_ / n).toArray
+      (id, raw.iterator.map(_ / n).toArray)
+    }.toDF("vec_id", "v").localCheckpoint(true)
+    val keys = nv.as[(Long, Seq[Double])].flatMap { case (id, nvs) =>
+      bandedRowsSwept.increment()
+      val v = nvs.toArray
       pl.iterator.zipWithIndex.map { case (table, t) =>
         val bits = new java.lang.StringBuilder(table.length)
         var p = 0
@@ -303,9 +317,9 @@ object Similarity {
           bits.append(if (s >= 0) '1' else '0')
           p += 1
         }
-        (t, bits.toString, id, v)
+        (t, bits.toString, id)
       }
-    }.toDF("table", "bucket", "vec_id", "v")
+    }.toDF("table", "bucket", "vec_id").localCheckpoint(true)
     // Bucket occupancy → per-bucket block count: a hot bucket splits into
     // ceil(occ / pairsVecsPerBlock) blocks and rescores as block-pair
     // tiles (the exact kernel's discipline), so one skewed bucket
@@ -314,13 +328,14 @@ object Similarity {
     // so collecting it to the driver and shipping the block counts in the
     // task closure is legitimate at any corpus size (the same bounded-
     // collect discipline as the IVF quantizer sample).
-    val nblk: Map[(Int, String), Long] = banded
+    val nblk: Map[(Int, String), Long] = keys
       .groupBy("table", "bucket").agg(count(lit(1)).as("occ"))
       .as[(Int, String, Long)].collect()
       .map { case (t, b, occ) =>
         (t, b) -> ((occ + pairsVecsPerBlock - 1) / pairsVecsPerBlock) }
       .toMap
-    val blocks = banded
+    val blocks = keys.join(nv, "vec_id")
+      .select(col("table"), col("bucket"), col("vec_id"), col("v"))
       .as[(Int, String, Long, Seq[Double])]
       .groupByKey { case (t, b, id, _) => (t, b, id % nblk((t, b))) }
       .mapGroups { (key, it) =>
@@ -350,7 +365,11 @@ object Similarity {
       // the candidate stream (duplicate candidates cost re-swept CPU,
       // not a pre-join distinct shuffle of the whole candidate set)
       .dropDuplicates("vec_a", "vec_b")
-    (survivors, () => { Tables.releaseCheckpoint(vv); Tables.releaseCheckpoint(blocks) })
+    (survivors, () => {
+      Tables.releaseCheckpoint(nv)
+      Tables.releaseCheckpoint(keys)
+      Tables.releaseCheckpoint(blocks)
+    })
   }
 
   /** LSH-banded near-dup pairs, materialized: runs the lazy pipeline,

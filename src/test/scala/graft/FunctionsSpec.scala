@@ -63,6 +63,33 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("declarative logsumexp matches the typed Aggregator and stays in HashAggregate") {
+    val rng = new scala.util.Random(23)
+    val rows = (1 to 500).map(i => ((i % 23).toString, rng.nextDouble() * 2000 - 1000)) ++
+      (0 until 23).map(i => (i.toString, Double.NegativeInfinity))
+    val df = rows.toDF("k", "x").cache()
+    df.count()
+    def resOf(c: org.apache.spark.sql.Column): (Map[String, Double], org.apache.spark.sql.DataFrame) = {
+      val out = df.groupBy("k").agg(c.as("lse"))
+      (out.collect().map(r => r.getString(0) -> r.getDouble(1)).toMap, out)
+    }
+    val (native, nativeDf) = resOf(LogSumExp.logsumexp(col("x")))
+    val (viaUdaf, _) = resOf(LogSumExp.logsumexpUdaf(col("x")))
+    assert(native.keySet == viaUdaf.keySet)
+    native.foreach { case (k, v) =>
+      // identical per-row arithmetic; tolerance only covers cross-partition
+      // merge-order nondeterminism in the shuffle fetch
+      assert(v == viaUdaf(k) || math.abs(v - viaUdaf(k)) < 1e-9,
+        s"key $k: native $v vs udaf ${viaUdaf(k)}")
+    }
+    // the point of the declarative form: primitive-buffer hash aggregation
+    // (codegen), not the UDAF's object aggregation
+    val nodes = physicalNodes(nativeDf).map(_.nodeName)
+    assert(nodes.exists(_.contains("HashAggregate")) &&
+      !nodes.exists(_.contains("ObjectHashAggregate")), nodes.mkString(", "))
+    df.unpersist()
+  }
+
   test("native cosine_similarity expression matches driver-side math (codegen path)") {
     import graft.functions.CosineSimilarity.cosine_similarity
     val rows = Seq(

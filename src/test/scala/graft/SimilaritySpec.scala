@@ -73,6 +73,19 @@ class SimilaritySpec extends GraftSpec {
         n.nodeName.contains("CartesianProduct")))
   }
 
+  test("banded pipeline bands each vector exactly once") {
+    // r6 contract: ONE banding flatMap execution — r5 lazily evaluated
+    // the normalize+band pass twice (occupancy, then blocks). The
+    // counter increments per input row of the flatMap, so a second
+    // execution would read 2n. (Suites run sequentially in the forked
+    // test JVM, so no other test can interleave increments.)
+    val n = Similarity.emb(spark, sfDir).count()
+    Similarity.bandedRowsSwept.reset()
+    Similarity.dedupEmbeddingCosine(spark, sfDir).collect()
+    val swept = Similarity.bandedRowsSwept.sum()
+    assert(swept == n, s"banding flatMap swept $swept rows for $n vectors")
+  }
+
   test("banded near-dup pairs: exact precision, near-total recall vs all-pairs") {
     def pairs(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet

@@ -261,6 +261,37 @@ class StreamingSpec extends GraftSpec {
       got.toString)
   }
 
+  test("watermark drops under cross-key skew are surfaced, not silent (R4)") {
+    // the flush variant's watermark is GLOBAL: a key lagging more than
+    // the 2-window lateness delay behind the hottest key has its events
+    // dropped by Spark's pre-stateful filter. The registered late-replay
+    // query requires numRowsDroppedByWatermark == 0; this test engineers
+    // a violation and asserts the metric actually reports it — i.e. a
+    // skew-induced parity break is attributable, never silent.
+    implicit val sc = spark.sqlContext
+    val W = 600L * 1000 * 1000
+    val base = 2000000L * W // past-epoch alignment, see flush test above
+    val input = MemoryStream[KeyedEvent]
+    val q = StreamingJobs.detectTrends(input.toDS(), W, minCount = 3L,
+      allowedLatenessWindows = 1, timeoutFlush = true)
+      .writeStream.outputMode("append").format("memory").queryName("skew_out")
+      .start()
+    // hot key races 10 windows ahead; two batches so the watermark
+    // (batch max − 2W) actually advances past the laggard
+    input.addData(Seq(KeyedEvent("hot", base + 10 * W))); q.processAllAvailable()
+    input.addData(Seq(KeyedEvent("hot", base + 11 * W))); q.processAllAvailable()
+    // laggard arrives 1 window into the stream — far below the watermark
+    input.addData(Seq(KeyedEvent("lag", base + W))); q.processAllAvailable()
+    val dropped = q.recentProgress
+      .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+    q.stop()
+    assert(dropped >= 1L,
+      "engineered cross-key skew produced no numRowsDroppedByWatermark " +
+        "signal — the parity guard in trendingArrivalsLate would be blind")
+    assert(!spark.table("skew_out").collect().exists(_.getString(0) == "lag"),
+      "laggard emitted despite being beyond the watermark")
+  }
+
   test("in-order and late-replay behavior is unchanged by the flush flag (R4)") {
     implicit val sc = spark.sqlContext
     val W = 600L * 1000 * 1000
