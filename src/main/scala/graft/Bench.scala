@@ -51,6 +51,13 @@ object Bench {
     // A/B hook for custom rewrites (e.g. graft.plans.TopKRewrite)
     sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")
       .foreach(spark.conf.set("spark.sql.optimizer.excludedRules", _))
+    // A/B hook for runtime SQL confs: "k=v;k=v" (e.g. adaptive.enabled,
+    // shuffle.partitions) — local experimentation only, driver runs bare
+    sys.env.get("SPARK_GRAFT_CONF").foreach(_.split(';').filter(_.contains('='))
+      .foreach { kv =>
+        val i = kv.indexOf('=')
+        spark.conf.set(kv.take(i).trim, kv.drop(i + 1).trim)
+      })
 
     def exec(name: String, dir: String): Double = {
       val t0 = System.nanoTime()

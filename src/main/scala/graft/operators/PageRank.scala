@@ -47,39 +47,73 @@ object PageRank {
     fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
   }
 
-  /** Shared-prefix memo: both registered PPR variants (normal- and
-    * log-space) consume the SAME graph build — the adjacency cached
-    * PRE-PARTITIONED on the per-iteration join key `src` (one up-front
-    * repartition removes an adjacency-side exchange from all 10
-    * iterations; at cluster scale this is what bucketing the edge table
-    * achieves persistently) plus the outdegree table. Memoized per
-    * (session, dir) exactly like the dedup family, so the second variant
-    * pays zero prefix cost; Bench times the build as its own
-    * `ppr_family_build` metric and calls [[clearMemos]] between timed
-    * runs. Assumes the data under `dir` is immutable for the JVM
-    * lifetime (true for the driver's static testdata). */
-  private val graphMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  /** The shared graph build both registered PPR variants consume:
+    * adjacency-with-outdegree (cached, pre-partitioned `nPart`-wide on
+    * the per-iteration join key `src` — one up-front repartition removes
+    * an adjacency-side exchange from all 10 iterations; at cluster scale
+    * this is what bucketing the edge table achieves persistently), the
+    * outdegree table, the static dangling-node flag, and the loop's
+    * partition width. Memoized per (session, dir) exactly like the dedup
+    * family, so the second variant pays zero prefix cost; Bench times
+    * the build as its own `ppr_family_build` metric and calls
+    * [[clearMemos]] between timed runs. Assumes the data under `dir` is
+    * immutable for the JVM lifetime (true for the driver's static
+    * testdata). */
+  private[operators] case class GraphArtifacts(adjW: DataFrame, outdeg: DataFrame,
+      hasDangling: Boolean, nPart: Int)
 
-  private def graphShared(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+  private val graphMemo = scala.collection.concurrent.TrieMap
+    .empty[(SparkSession, String), GraphArtifacts]
+
+  private def graphShared(spark: SparkSession, dir: String): GraphArtifacts =
     graphMemo.synchronized {
       graphMemo.getOrElseUpdate((spark, dir), weightedGraph(graphEdges(spark, dir)))
     }
 
-  /** (adjacency-with-outdegree, outdegree): the adjacency rows CARRY the
-    * source's outdegree, so each of the 10 iterations joins ranks to ONE
-    * pre-partitioned cached table instead of ranks⋈outdeg⋈adj — a third
-    * of the per-iteration stages gone. The contribution stays the same
-    * IEEE division rank/outdeg (the outdegree rides as a column; no
-    * reciprocal pre-computation, which would change the rounding). */
-  private def weightedGraph(edges: DataFrame): (DataFrame, DataFrame) = {
+  /** Estimated adjacency bytes per iteration-join partition (Catalyst
+    * plan-statistic bytes, ~4 B per edge on this projection — roughly
+    * 256k edges per partition). The loop's shuffle width derives from
+    * the GRAPH, not the session's global shuffle.partitions: a 1M-edge
+    * graph under the bench's 32-partition default spent more wall clock
+    * on task/stage orchestration than on rank math (measured sf0.1:
+    * 6.8 s → 4.5 s per variant at 8 partitions), while a 100× graph gets
+    * a proportionally wider loop instead of 32 overloaded partitions.
+    * The statistic is free (no count job); the floor of 8 keeps small
+    * graphs parallel and the cap bounds a wild overestimate. */
+  val adjBytesPerPartition = 1L << 20
+  val maxLoopPartitions = 4096
+
+  /** (adjacency-with-outdegree, outdegree, hasDangling): the adjacency
+    * rows CARRY the source's outdegree, so each of the 10 iterations
+    * joins ranks to ONE pre-partitioned cached table instead of
+    * ranks⋈outdeg⋈adj — a third of the per-iteration stages gone. The
+    * contribution stays the same IEEE division rank/outdeg (the
+    * outdegree rides as a column; no reciprocal pre-computation, which
+    * would change the rounding).
+    *
+    * The iteration join inherits adjW's explicit partition count (Spark
+    * shuffles the ranks side to MATCH a pre-partitioned build side), so
+    * sizing adjW's repartition sizes the whole loop. hasDangling — a
+    * static graph property both variants' loops branch on — is computed
+    * once here rather than per query execution. */
+  private def weightedGraph(edges: DataFrame): GraphArtifacts = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    val adjW = edges.join(outdeg, "src").repartition(col("src")).cache()
-    (adjW, outdeg)
+    val estBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
+    val nPart = (estBytes / adjBytesPerPartition).min(maxLoopPartitions).max(8).toInt
+    val adjW = edges.join(outdeg, "src").repartition(nPart, col("src")).cache()
+    // rank can only ever sit on a source or an edge target, so if every
+    // such node has out-edges the graph produces no dangling mass and the
+    // per-iteration left_anti branch is skipped entirely
+    val srcDf = adjW.sparkSession.createDataFrame(sources.map(Tuple1(_))).toDF("source")
+    val hasDangling = !adjW.select(col("dst").as("node"))
+      .union(srcDf.select(col("source").as("node")))
+      .join(outdeg, col("node") === col("src"), "left_anti")
+      .isEmpty
+    GraphArtifacts(adjW, outdeg, hasDangling, nPart)
   }
 
   def clearMemos(): Unit = graphMemo.synchronized {
-    graphMemo.values.foreach { case (adj, outdeg) => adj.unpersist(); outdeg.unpersist() }
+    graphMemo.values.foreach { g => g.adjW.unpersist(); g.outdeg.unpersist() }
     graphMemo.clear()
   }
 
@@ -90,8 +124,8 @@ object PageRank {
     * `ppr_family_build` metric — the same build-once/consume-many shape
     * as `dedup_family_build`). */
   def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
-    val (adj, outdeg) = graphShared(spark, dir)
-    adj.count(); outdeg.count() // force the cached blocks to materialize
+    val g = graphShared(spark, dir)
+    g.adjW.count(); g.outdeg.count() // force the cached blocks to materialize
   }
 
   /** Personalized PageRank ranks for all sources: (source, node, rank).
@@ -99,9 +133,9 @@ object PageRank {
     * loop's lifetime only; the registered queries go through the
     * (session, dir) memo instead. */
   def personalizedPageRank(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
-    val (adjW, outdeg) = weightedGraph(edges)
-    try personalizedPageRankLoop(spark, adjW, outdeg)._1
-    finally { adjW.unpersist(); outdeg.unpersist() } // don't leak cached blocks across queries
+    val g = weightedGraph(edges)
+    try personalizedPageRankLoop(spark, g)._1
+    finally { g.adjW.unpersist(); g.outdeg.unpersist() } // don't leak cached blocks across queries
   }
 
   /** Returns the final ranks plus every iteration's lazy checkpoint, so
@@ -109,16 +143,9 @@ object PageRank {
     * 10 iterations' blocks deterministically instead of leaving ~MBs per
     * run parked in the MemoryStore until a driver GC. */
   private def personalizedPageRankLoop(spark: SparkSession,
-      adjW: DataFrame, outdeg: DataFrame): (DataFrame, Seq[DataFrame]) = {
+      g: GraphArtifacts): (DataFrame, Seq[DataFrame]) = {
+    val GraphArtifacts(adjW, outdeg, hasDangling, nPart) = g
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
-    // static graph property, checked once: rank can only ever sit on a
-    // source or an edge target, so if every such node has out-edges the
-    // graph produces no dangling mass and the per-iteration left_anti
-    // branch is skipped entirely
-    val hasDangling = !adjW.select(col("dst").as("node"))
-      .union(srcDf.select(col("source").as("node")))
-      .join(outdeg, col("node") === col("src"), "left_anti")
-      .isEmpty
 
     // Checkpoint cadence, MEASURED at sf0.1/local[32] (min-of-two):
     // per-iteration 11.4 s, every 2nd 12.2 s, only-final 15.4 s — the
@@ -156,6 +183,12 @@ object PageRank {
           .select(col("source"), col("source").as("node"), col("rank").as("contrib")))
       else edgeContribs)
         .unionByName(seed)
+        // pin the aggregation exchange to the loop's width: an explicit
+        // (source, node) repartition satisfies the aggregate's required
+        // distribution, so partial+final run co-located after ONE
+        // graph-sized exchange instead of a session-wide 32-way one
+        // (measured: the second win of the nPart sizing, ~1.5 s/variant)
+        .repartition(nPart, col("source"), col("node"))
         .groupBy("source", "node")
         .agg(sum("contrib").as("mass"))
       val next = contribs
@@ -178,16 +211,17 @@ object PageRank {
     * exp(logRank) matches the normal-space loop to 1e-9. */
   def personalizedPageRankLog(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
     // same pre-partitioned cache + lazy per-iteration checkpoint as the
-    // normal-space loop (measured 10.7 → 8.0 s there)
-    val (adjW, outdeg) = weightedGraph(edges)
-    try personalizedPageRankLogLoop(spark, adjW, outdeg)._1
-    finally { adjW.unpersist(); outdeg.unpersist() }
+    // normal-space loop
+    val g = weightedGraph(edges)
+    try personalizedPageRankLogLoop(spark, g)._1
+    finally { g.adjW.unpersist(); g.outdeg.unpersist() }
   }
 
   /** Same (ranks, iteration checkpoints) contract as
     * [[personalizedPageRankLoop]]. */
   private def personalizedPageRankLogLoop(spark: SparkSession,
-      adjW: DataFrame, outdeg: DataFrame): (DataFrame, Seq[DataFrame]) = {
+      g: GraphArtifacts): (DataFrame, Seq[DataFrame]) = {
+    val GraphArtifacts(adjW, outdeg, hasDangling, nPart) = g
     import graft.functions.LogSumExp.logsumexp
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
     val logAlpha = math.log(alpha)
@@ -198,16 +232,22 @@ object PageRank {
     for (_ <- 1 to iterations) {
       val seed = srcDf.select(col("source"), col("source").as("node"),
         lit(Double.NegativeInfinity).as("logContrib")) // log(0)
-      val danglingContrib = ranks
-        .join(outdeg, col("node") === col("src"), "left_anti")
-        .select(col("source"), col("source").as("node"),
-          col("logRank").as("logContrib"))
-      val contribs = ranks
+      val edgeContribs = ranks
         .join(adjW, col("node") === col("src"))
         .select(col("source"), col("dst").as("node"),
           (col("logRank") - log(col("outdeg"))).as("logContrib"))
-        .unionByName(danglingContrib)
+      // same static-property gate as the normal-space loop: a graph with
+      // no dangling nodes contributes an EMPTY frame here, so skipping
+      // the per-iteration left_anti join changes nothing numerically
+      val contribs = (if (hasDangling)
+        edgeContribs.unionByName(ranks
+          .join(outdeg, col("node") === col("src"), "left_anti")
+          .select(col("source"), col("source").as("node"),
+            col("logRank").as("logContrib")))
+      else edgeContribs)
         .unionByName(seed)
+        // see the normal-space loop: pin the exchange to the loop width
+        .repartition(nPart, col("source"), col("node"))
         .groupBy("source", "node")
         .agg(logsumexp(col("logContrib")).as("logMass"))
       ranks = contribs
@@ -230,8 +270,7 @@ object PageRank {
   /** G5/O5: top-k nodes per source by rank (the window form the reference
     * builds with bounded priority queues + a single reducer). */
   def pprTopK(spark: SparkSession, dir: String): DataFrame = {
-    val (adj, outdeg) = graphShared(spark, dir)
-    val (ranks, ckpts) = personalizedPageRankLoop(spark, adj, outdeg)
+    val (ranks, ckpts) = personalizedPageRankLoop(spark, graphShared(spark, dir))
     val result = ranks
       // rank by the ROUNDED value (node tiebreak): the oracle engine's
       // summation order differs in the last ulp, so ordering on the raw
@@ -265,8 +304,7 @@ object PageRank {
     * per-source top-k by rounded log-rank (monotonic with rank, same
     * tiebreak discipline as [[pprTopK]]). */
   def pprTopKLog(spark: SparkSession, dir: String): DataFrame = {
-    val (adj, outdeg) = graphShared(spark, dir)
-    val (ranks, ckpts) = personalizedPageRankLogLoop(spark, adj, outdeg)
+    val (ranks, ckpts) = personalizedPageRankLogLoop(spark, graphShared(spark, dir))
     val result = ranks
       .withColumn("rnk", row_number().over(
         Window.partitionBy("source").orderBy(round(col("logRank"), 6).desc, col("node"))))
