@@ -65,13 +65,48 @@ object TaxiEvents {
   val taxiDataDir: String =
     sys.env.getOrElse("SPARK_GRAFT_TAXI_DIR", "/root/reference/taxi-data")
 
+  /** R2's PRODUCTION shape, registered: the same parse → hourly count
+    * over the same 1,440 real files, but driven as a Structured
+    * Streaming file source (this is how the reference's job actually
+    * ingests: a directory being appended to, one batch per arrival).
+    * `Trigger.AvailableNow` drains the directory and terminates;
+    * `complete` output mode re-emits the full aggregate on the final
+    * batch, so the drained result equals the batch query row-for-row and
+    * shares its oracle. The bounded result set (regions × hours) is
+    * collected off the memory sink and re-created as a local frame so
+    * the temp view can be dropped immediately. */
+  def regionHourlyStream(spark: SparkSession, taxiDir: String): DataFrame = {
+    import spark.implicits._
+    val sinkName = "taxi_region_hourly_stream_sink"
+    spark.catalog.dropTempView(sinkName)
+    val agg = parse(spark.readStream.option("pathGlobFilter", "part-*.csv").text(taxiDir))
+      .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+    val q = agg.writeStream.outputMode("complete").format("memory")
+      .queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.table(sinkName)
+      .select(col("region"), col("w.start").as("hour_start"), col("cnt"))
+      .as[(String, java.sql.Timestamp, Long)].collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    rows.toDF("region", "hour_start", "cnt")
+      .select(col("region"),
+        col("hour_start").cast("timestamp_ntz").as("hour_start"), col("cnt"))
+      .orderBy("region", "hour_start")
+  }
+
   /** Both engines read the SAME `part-*.csv` file set (Spark via
-    * pathGlobFilter in [[regionHourly]], DuckDB via its glob) — a stray
-    * non-data file in the dataset dir (_SUCCESS, checksums) can never
-    * silently diverge the parity surface between the two engines. */
+    * pathGlobFilter in [[regionHourly]]/[[regionHourlyStream]], DuckDB
+    * via its glob) — a stray non-data file in the dataset dir (_SUCCESS,
+    * checksums) can never silently diverge the parity surface between
+    * the two engines. */
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_region_hourly" ->
-      ((s: SparkSession, _: String) => regionHourly(s, taxiDataDir)))
+      ((s: SparkSession, _: String) => regionHourly(s, taxiDataDir)),
+    "taxi_region_hourly_stream" ->
+      ((s: SparkSession, _: String) => regionHourlyStream(s, taxiDataDir)))
 
   /** Oracle over the SAME raw files: DuckDB reads whole lines (a 0x01
     * delimiter that never occurs in the data), splits positionally, and
@@ -81,7 +116,12 @@ object TaxiEvents {
     * IEEE doubles in both engines, and the box predicate compares those
     * raw doubles — no arithmetic, no rounding needed. */
   val oracleSql: Map[String, String] = Map(
-    "taxi_region_hourly" -> {
+    // the streaming form must reproduce the batch result exactly — same
+    // oracle text (the driver runs it independently per query name)
+    "taxi_region_hourly_stream" -> regionHourlyOracle,
+    "taxi_region_hourly" -> regionHourlyOracle)
+
+  private lazy val regionHourlyOracle: String = {
       val g = goldman
       val c = citigroup
       s"""WITH raw AS (
@@ -107,5 +147,5 @@ object TaxiEvents {
          SELECT region, date_trunc('hour', ts) AS hour_start, count(*) AS cnt
          FROM r WHERE region IS NOT NULL AND ts IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2"""
-    })
+  }
 }

@@ -54,6 +54,16 @@ class TaxiSpec extends GraftSpec {
       s"mismatch: spark=${got.toSeq.sorted.take(5)} ref=${referenceCounts.toSeq.sorted.take(5)}")
   }
 
+  test("streaming file-source ingestion equals the batch query (R2 production shape)") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getAs[Long]("cnt"))).toSeq
+    val batch = rows(TaxiEvents.regionHourly(spark, taxiDir))
+    val stream = rows(TaxiEvents.regionHourlyStream(spark, taxiDir))
+    assert(batch.nonEmpty)
+    assert(stream == batch,
+      s"drained stream diverged: stream=${stream.take(3)} batch=${batch.take(3)}")
+  }
+
   test("trend detector runs on the real stream (10-minute windows, ordered replay)") {
     implicit val sc = spark.sqlContext
     val windowMicros = 10L * 60 * 1000 * 1000
