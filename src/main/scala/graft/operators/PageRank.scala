@@ -59,13 +59,13 @@ object PageRank {
     * [[clearMemos]] between timed runs. Assumes the data under `dir` is
     * immutable for the JVM lifetime (true for the driver's static
     * testdata). */
-  private[operators] case class GraphArtifacts(adjW: DataFrame, outdeg: DataFrame,
+  private[graft] case class GraphArtifacts(adjW: DataFrame, outdeg: DataFrame,
       hasDangling: Boolean, nPart: Int)
 
   private val graphMemo = scala.collection.concurrent.TrieMap
     .empty[(SparkSession, String), GraphArtifacts]
 
-  private def graphShared(spark: SparkSession, dir: String): GraphArtifacts =
+  private[graft] def graphShared(spark: SparkSession, dir: String): GraphArtifacts =
     graphMemo.synchronized {
       graphMemo.getOrElseUpdate((spark, dir), weightedGraph(graphEdges(spark, dir)))
     }
@@ -83,6 +83,12 @@ object PageRank {
   val adjBytesPerPartition = 1L << 20
   val maxLoopPartitions = 4096
 
+  /** Loop width for an estimated adjacency byte size — floor 8, linear
+    * in the estimate, capped. Pure so ScaleDesignSpec can pin the
+    * contract. */
+  private[graft] def loopWidthFor(estBytes: BigInt): Int =
+    (estBytes / adjBytesPerPartition).min(maxLoopPartitions).max(8).toInt
+
   /** (adjacency-with-outdegree, outdegree, hasDangling): the adjacency
     * rows CARRY the source's outdegree, so each of the 10 iterations
     * joins ranks to ONE pre-partitioned cached table instead of
@@ -98,8 +104,7 @@ object PageRank {
     * once here rather than per query execution. */
   private def weightedGraph(edges: DataFrame): GraphArtifacts = {
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
-    val estBytes = edges.queryExecution.optimizedPlan.stats.sizeInBytes
-    val nPart = (estBytes / adjBytesPerPartition).min(maxLoopPartitions).max(8).toInt
+    val nPart = loopWidthFor(edges.queryExecution.optimizedPlan.stats.sizeInBytes)
     val adjW = edges.join(outdeg, "src").repartition(nPart, col("src")).cache()
     // rank can only ever sit on a source or an edge target, so if every
     // such node has out-edges the graph produces no dangling mass and the

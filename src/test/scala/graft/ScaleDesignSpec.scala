@@ -311,6 +311,22 @@ class ScaleDesignSpec extends GraftSpec {
     assert(got == want, s"split-bucket sweep diverged: got ${got.size}, want ${want.size}")
   }
 
+  test("PPR loop width derives from graph size: floor, linear growth, cap") {
+    import graft.operators.PageRank
+    // the contract: 8-wide floor for small graphs, one partition per
+    // adjBytesPerPartition of plan-estimated adjacency, hard cap
+    assert(PageRank.loopWidthFor(BigInt(0)) == 8)
+    assert(PageRank.loopWidthFor(BigInt(4) * PageRank.adjBytesPerPartition) == 8)
+    assert(PageRank.loopWidthFor(BigInt(100) * PageRank.adjBytesPerPartition) == 100)
+    assert(PageRank.loopWidthFor(BigInt(1) << 40) == PageRank.maxLoopPartitions)
+    // and the memoized build actually pre-partitions the cached adjacency
+    // that wide — the property every iteration's join inherits
+    val g = PageRank.graphShared(spark, sfDir)
+    assert(g.nPart == 8, s"sf0.001 graph should sit on the floor, got ${g.nPart}")
+    assert(g.adjW.rdd.getNumPartitions == g.nPart,
+      s"cached adjacency has ${g.adjW.rdd.getNumPartitions} partitions, want ${g.nPart}")
+  }
+
   test("corpus funnel runs as two aggregation branches, no per-stage jobs") {
     val df = graft.operators.CorpusPipeline.corpusFunnel(spark, sfDir)
     val plan = df.queryExecution.executedPlan.toString
