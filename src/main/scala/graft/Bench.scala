@@ -181,12 +181,14 @@ object Bench {
     // ---- canary: one fixed trivial query, timed FIRST -----------------
     // distinguishes "box degraded 2-3x" from "code regressed" without a
     // judge-side re-run (r5 forensics took an hour for want of this
-    // number). Warmed on sf0.001 so it measures the environment, not JIT.
-    val canarySec =
-      if (names.contains("q1_shipdate_count")) {
-        exec("q1_shipdate_count", warmDir)
-        exec("q1_shipdate_count", sfDir)
-      } else -1.0
+    // number). Warmed on sf0.001 so it measures the environment, not
+    // JIT. Runs regardless of SPARK_GRAFT_BENCH_FILTER so filtered A/B
+    // runs are self-calibrating against the box's phase (quiet ≈ 0.4 s
+    // on this box; degraded phases read 0.8-1.4 and scale everything).
+    val canarySec = {
+      exec("q1_shipdate_count", warmDir)
+      exec("q1_shipdate_count", sfDir)
+    }
     emit(Some("canary"), Nil, Nil, canarySec)
 
     // ---- warm-up: representative per-family subset, time-boxed --------

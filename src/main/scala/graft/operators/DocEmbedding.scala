@@ -51,28 +51,36 @@ object DocEmbedding {
     }
   }
 
-  /** (doc_id, v) dense document vectors. */
+  /** (doc_id, v) dense document vectors.
+    *
+    * ONE aggregation (r6; previously a (doc, feature) term-frequency
+    * count shuffled first, then a second per-doc shuffle): dim d's
+    * component is Σ_tokens ±1, which equals the staged Σ_features
+    * cnt·sign EXACTLY — the addends are integers, so grouping and order
+    * are immaterial and the oracle (which still describes the staged
+    * form) hashes identically. Per token row the ±1 sign is one array
+    * index + bit test into the literal packed sign matrix; the only
+    * shuffle carries (doc_id, 32 partial sums) after map-side combine —
+    * strictly less volume than the old token-feature count stage at any
+    * corpus size.
+    *
+    * The sign matrix is FINITE (B × embDim parity bits of
+    * md5("feature_d")), so it is evaluated once driver-side and shipped
+    * as a literal of B packed bitmasks (identical values — the literal
+    * IS the md5 parity the SQL oracle recomputes symbolically per
+    * (feature, dim)). */
   def docVectors(spark: SparkSession, dir: String): DataFrame = {
-    val tf = Tables.documents(spark, dir)
-      .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
-      .groupBy(col("doc_id"),
-        pmod(md5Int(col("w"), 8), lit(featureBuckets.toLong)).as("feature"))
-      .agg(count(lit(1)).as("cnt"))
-    // dim d component: Σ_features cnt · sign(feature, d); the ±1 sign is
-    // the parity of md5("feature_d") — the virtualized projection matrix.
-    // The matrix is FINITE (B × embDim parity bits), so it is evaluated
-    // once driver-side and shipped as a literal of B packed bitmasks: per
-    // row the sign is one array index + bit test instead of embDim md5
-    // evaluations (identical values — the literal IS the md5 parity, as
-    // the SQL oracle recomputes symbolically per (feature, dim)).
     val signLit = typedlit(signMatrix)
-    val signBits = element_at(signLit, (col("feature") + 1).cast("int"))
+    val feature = pmod(md5Int(col("w"), 8), lit(featureBuckets.toLong))
+    val tok = Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("w"))
+      .select(col("doc_id"),
+        element_at(signLit, (feature + 1).cast("int")).as("bits"))
     val dimCols = (0 until embDim).map { d =>
-      sum(col("cnt") *
-        (shiftright(signBits, d).bitwiseAND(1) * 2 - 1).cast("double"))
+      sum((shiftright(col("bits"), d).bitwiseAND(1) * 2 - 1).cast("double"))
         .as(s"d$d")
     }
-    tf.groupBy("doc_id")
+    tok.groupBy("doc_id")
       .agg(dimCols.head, dimCols.tail: _*)
       .select(col("doc_id"), array((0 until embDim).map(d => col(s"d$d")): _*).as("v"))
   }
