@@ -35,9 +35,11 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // hard wall-clock budget for the WHOLE process (driver kills at an
-    // unknown >8min mark; r5 overran it). Phases degrade gracefully as it
-    // depletes rather than letting the kill erase the artifact.
-    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "390").toDouble
+    // unknown >8min mark; r5 overran it). 420 s + ~30 s of sbt/JVM
+    // startup keeps the process under the 8-minute directive; phases
+    // degrade gracefully as the budget depletes rather than letting the
+    // kill erase the artifact.
+    val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "420").toDouble
     def remaining(): Double = deadlineSec - (System.nanoTime() - procT0) / 1e9
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -143,8 +145,8 @@ object Bench {
     // fr_FR) would emit invalid JSON.
     val sfName = new java.io.File(sfDir).getName
     def render(results: Seq[(String, Double)], spread: Seq[(String, Double)],
-               canary: Double, dp: Int, spTake: Int, spreadN: Int,
-               phase: Option[String]): String = {
+               canary: Double, canaryEnd: Double, dp: Int, spTake: Int,
+               spreadN: Int, phase: Option[String]): String = {
       def fmt(v: Double): String =
         if (v < 0) "-1"
         else {
@@ -157,24 +159,29 @@ object Bench {
       val total = results.map(_._2).filter(_ >= 0).sum
       val sp = spread.sortBy { case (_, d) => -d }.take(spTake)
       val phasePart = phase.fold("")(p => s""""phase":"$p",""")
+      // canary_end < 0 (not yet measured) is omitted, not printed as -1
+      val endPart =
+        if (canaryEnd >= 0) s""""canary_end_sec":${fmt(canaryEnd)},""" else ""
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$phasePart""" +
-        s""""canary_sec":${fmt(canary)},"queries":${obj(results)},""" +
+        s""""canary_sec":${fmt(canary)},$endPart"queries":${obj(results)},""" +
         s""""spread":${obj(sp)},"spread_n":$spreadN,"sf":"$sfName"}"""
     }
     def emit(phase: Option[String], results: Seq[(String, Double)],
-             spread: Seq[(String, Double)], canary: Double): Unit = {
+             spread: Seq[(String, Double)], canary: Double,
+             canaryEnd: Double = -1.0): Unit = {
       val candidates = Iterator(
         (3, 8, phase), (3, 8, None), (3, 0, None),
         (2, 8, None), (2, 4, None), (2, 0, None), (1, 0, None))
         .map { case (dp, spTake, ph) =>
-          render(results, spread, canary, dp, spTake, spread.size, ph) }
+          render(results, spread, canary, canaryEnd, dp, spTake, spread.size, ph) }
       println(candidates.find(_.length <= 1990)
-        .getOrElse(render(results, spread, canary, 0, 0, spread.size, None)))
+        .getOrElse(render(results, spread, canary, canaryEnd, 0, 0, spread.size, None)))
     }
     def writeLocal(results: Seq[(String, Double)],
-                   spread: Seq[(String, Double)], canary: Double): Unit =
+                   spread: Seq[(String, Double)], canary: Double,
+                   canaryEnd: Double): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (render(results, spread, canary, 3, spread.size, spread.size,
+        (render(results, spread, canary, canaryEnd, 3, spread.size, spread.size,
           Some("final")) + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] local dump failed: $e") }
 
@@ -253,8 +260,12 @@ object Bench {
       run2m.get(n).filter(t2 => run1(n) >= 0 && t2 >= 0)
         .map(t2 => n -> math.abs(run1(n) - t2))
     }.filter(_._2 >= 0.05)
-    writeLocal(buildsFinal ++ results0, spread, canarySec)
-    emit(None, buildsFinal ++ results0, spread, canarySec)
+    // the canary re-measured AFTER the runs: start vs end shows phase
+    // drift across the bench (this box's stall phases shift mid-run —
+    // a query pair can read 2x slow while the start canary looked quiet)
+    val canaryEndSec = exec("q1_shipdate_count", sfDir)
+    writeLocal(buildsFinal ++ results0, spread, canarySec, canaryEndSec)
+    emit(None, buildsFinal ++ results0, spread, canarySec, canaryEndSec)
     spark.stop()
   }
 }
