@@ -28,6 +28,90 @@ import org.apache.spark.sql.SparkSession
   * all 75 queries cost more wall clock than both timed runs combined and
   * was the main driver of the r5 timeout.
   */
+/** The bench artifact's line renderer — separate from the main so the
+  * property that decides whether a ROUND has numbers at all (the line
+  * must fit the harness's ~2000-char stdout tail AND parse as JSON) is
+  * pinned by BenchFormatSpec instead of discovered per round. */
+private[graft] object BenchFormat {
+
+  /** Longest line the harness tail window reliably captures. */
+  val maxLineChars = 1990
+
+  /** Queries excluded from timing. `_csv` twins and the quadratic
+    * `_exact` baselines re-run workloads the bench already measures
+    * (exclusion is by NAME: r4's endsWith("_exact") also matched
+    * dedup_exact — the production md5 dedup — and silently dropped it);
+    * trending_arrivals_late is a driver-fed MemoryStream replay whose
+    * cost is micro-batch orchestration of semantics already timed as
+    * trending_arrivals; q6_pricing_summary_sql is the SQL-API parity
+    * twin of q6_pricing_summary — spark.sql lowers it to the identical
+    * Catalyst plan, so timing both double-counts one workload (same
+    * rationale as the _csv twins). taxi_region_hourly_stream stays
+    * TIMED: its ~9 s FileStreamSource drain is real streaming-ingest
+    * cost, over the r5 verdict's <1 s parity-exclusion bar. */
+  val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
+  val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql")
+
+  /** The timed query set for a registry — shared with BenchFormatSpec so
+    * the spec pins the REAL registry's line fit: a new query that would
+    * push the artifact past the tail window fails the build, not the
+    * round. */
+  def benchedNames(all: Iterable[String]): Seq[String] =
+    all.toSeq
+      .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n) || parityHarnesses(n))
+      .sorted
+
+  /** One JSON line. `dp` = decimal places (trailing zeros stripped),
+    * `spTake` = spread entries kept (largest first), `spreadN` = the
+    * TOTAL spread count (reported even when entries are dropped),
+    * `canaryEnd` < 0 omits the field, `phase` tags intermediate lines.
+    * Locale.ROOT because String.format honors the JVM default locale and
+    * a comma-decimal locale (de_DE, fr_FR) would emit invalid JSON;
+    * negative timings are the explicit -1 failure sentinel. */
+  def render(results: Seq[(String, Double)], spread: Seq[(String, Double)],
+             canary: Double, canaryEnd: Double, dp: Int, spTake: Int,
+             spreadN: Int, phase: Option[String], sfName: String): String = {
+    def fmt(v: Double): String =
+      if (v < 0) "-1"
+      else {
+        val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
+        if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
+        else s
+      }
+    def obj(kvs: Seq[(String, Double)]): String =
+      kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    val sp = spread.sortBy { case (_, d) => -d }.take(spTake)
+    val phasePart = phase.fold("")(p => s""""phase":"$p",""")
+    // canary_end < 0 (not yet measured) is omitted, not printed as -1
+    val endPart =
+      if (canaryEnd >= 0) s""""canary_end_sec":${fmt(canaryEnd)},""" else ""
+    s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$phasePart""" +
+      s""""canary_sec":${fmt(canary)},$endPart"queries":${obj(results)},""" +
+      s""""spread":${obj(sp)},"spread_n":$spreadN,"sf":"$sfName"}"""
+  }
+
+  /** The degradation ladder: drop spread (an unbounded diagnostic — the
+    * per-query numbers are the artifact; r5 lesson), then the phase tag,
+    * then the end-canary (its drift signal lives on in BENCH_LOCAL.json),
+    * and only then precision — 2dp is the floor a sub-second query needs
+    * to be adjudicated against the baseline, so everything optional goes
+    * before a third dp rung does. */
+  def fitLine(results: Seq[(String, Double)], spread: Seq[(String, Double)],
+              canary: Double, canaryEnd: Double, phase: Option[String],
+              sfName: String): String = {
+    val candidates = Iterator(
+      (3, 8, phase, true), (3, 8, None, true), (3, 0, None, true),
+      (2, 8, None, true), (2, 4, None, true), (2, 0, None, true),
+      (2, 0, None, false), (1, 0, None, false))
+      .map { case (dp, spTake, ph, keepEnd) =>
+        render(results, spread, canary, if (keepEnd) canaryEnd else -1.0,
+          dp, spTake, spread.size, ph, sfName) }
+    candidates.find(_.length <= maxLineChars)
+      .getOrElse(render(results, spread, canary, -1.0, 0, 0, spread.size, None, sfName))
+  }
+}
+
 object Bench {
   def main(args: Array[String]): Unit = {
     val procT0 = System.nanoTime()
@@ -88,28 +172,12 @@ object Bench {
       graft.operators.PageRank.clearMemos()
     }
 
-    // _csv queries are the dual-format parity surface — same logical
-    // plans as their parquet twins over a text re-materialization — and
-    // the two all-pairs baselines are the size-guarded quadratic
-    // correctness anchors behind the banded near-dup defaults; timing
-    // either family would double-count the workload and bloat the JSON
-    // line. The baselines are excluded by NAME: r4's endsWith("_exact")
-    // also matched dedup_exact — the production md5 dedup — and silently
-    // dropped it from the bench.
+    // exclusion rationale on BenchFormat.benchedNames.
     // SPARK_GRAFT_BENCH_FILTER (regex) narrows the set for local
     // iteration; the driver runs unfiltered.
-    val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
-    // trending_arrivals_late is the streaming operator's registered
-    // parity harness: a driver-fed MemoryStream replay whose cost is
-    // ~10 micro-batch state-store round-trips, not engine throughput —
-    // the batch semantics it must reproduce are already timed as
-    // trending_arrivals. Like the _csv twins it would double-count a
-    // workload the bench already measures.
-    val parityHarnesses = Set("trending_arrivals_late")
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
-    val names = SparkEntry.queries.keys.toSeq
-      .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n) || parityHarnesses(n))
-      .filter(_.matches(nameFilter)).sorted
+    val names = BenchFormat.benchedNames(SparkEntry.queries.keys)
+      .filter(_.matches(nameFilter))
     // each family's shared artifacts are timed as their OWN metric
     // (dedup_family_build / ppr_family_build) at the head of each run, so
     // family queries report marginal cost instead of whichever member
@@ -144,45 +212,16 @@ object Bench {
     // honors the JVM default locale and a comma-decimal locale (de_DE,
     // fr_FR) would emit invalid JSON.
     val sfName = new java.io.File(sfDir).getName
-    def render(results: Seq[(String, Double)], spread: Seq[(String, Double)],
-               canary: Double, canaryEnd: Double, dp: Int, spTake: Int,
-               spreadN: Int, phase: Option[String]): String = {
-      def fmt(v: Double): String =
-        if (v < 0) "-1"
-        else {
-          val s = String.format(java.util.Locale.ROOT, s"%.${dp}f", Double.box(v))
-          if (s.contains('.')) s.reverse.dropWhile(_ == '0').dropWhile(_ == '.').reverse
-          else s
-        }
-      def obj(kvs: Seq[(String, Double)]): String =
-        kvs.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
-      val total = results.map(_._2).filter(_ >= 0).sum
-      val sp = spread.sortBy { case (_, d) => -d }.take(spTake)
-      val phasePart = phase.fold("")(p => s""""phase":"$p",""")
-      // canary_end < 0 (not yet measured) is omitted, not printed as -1
-      val endPart =
-        if (canaryEnd >= 0) s""""canary_end_sec":${fmt(canaryEnd)},""" else ""
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$phasePart""" +
-        s""""canary_sec":${fmt(canary)},$endPart"queries":${obj(results)},""" +
-        s""""spread":${obj(sp)},"spread_n":$spreadN,"sf":"$sfName"}"""
-    }
     def emit(phase: Option[String], results: Seq[(String, Double)],
              spread: Seq[(String, Double)], canary: Double,
-             canaryEnd: Double = -1.0): Unit = {
-      val candidates = Iterator(
-        (3, 8, phase), (3, 8, None), (3, 0, None),
-        (2, 8, None), (2, 4, None), (2, 0, None), (1, 0, None))
-        .map { case (dp, spTake, ph) =>
-          render(results, spread, canary, canaryEnd, dp, spTake, spread.size, ph) }
-      println(candidates.find(_.length <= 1990)
-        .getOrElse(render(results, spread, canary, canaryEnd, 0, 0, spread.size, None)))
-    }
+             canaryEnd: Double = -1.0): Unit =
+      println(BenchFormat.fitLine(results, spread, canary, canaryEnd, phase, sfName))
     def writeLocal(results: Seq[(String, Double)],
                    spread: Seq[(String, Double)], canary: Double,
                    canaryEnd: Double): Unit =
       try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (render(results, spread, canary, canaryEnd, 3, spread.size, spread.size,
-          Some("final")) + "\n").getBytes("UTF-8"))
+        (BenchFormat.render(results, spread, canary, canaryEnd, 3, spread.size,
+          spread.size, Some("final"), sfName) + "\n").getBytes("UTF-8"))
       catch { case e: Throwable => System.err.println(s"[bench] local dump failed: $e") }
 
     // ---- canary: one fixed trivial query, timed FIRST -----------------

@@ -1,0 +1,91 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins the property that decides whether a round has bench numbers at
+  * all: the emitted line must fit the harness's stdout tail window AND
+  * parse as JSON (r5 shipped 93/93-green code and got `parsed:null`
+  * because this held for neither). Pure string logic — no Spark. */
+class BenchFormatSpec extends AnyFunSuite {
+
+  // THE REAL REGISTRY: the names whose timings the round's artifact must
+  // carry — the two family-build metrics plus every benched query. A new
+  // query that pushes the line past the tail window fails HERE, at build
+  // time, instead of silently costing the round its numbers (r5).
+  private val names = Seq("dedup_family_build", "ppr_family_build") ++
+    BenchFormat.benchedNames(SparkEntry.queries.keys)
+  // realistic magnitudes: mostly sub-10 s, a few two-digit entries (the
+  // streaming taxi drain reads 17-36 s), spread on most queries
+  private val rng = new scala.util.Random(7)
+  private val results = names.map { n =>
+    n -> (if (n.contains("stream")) rng.nextDouble() * 20 + 15
+          else rng.nextDouble() * 8 + 0.1)
+  }
+  private val spread = names.drop(3).map(_ -> (rng.nextDouble() * 2 + 0.05))
+
+  private def parse(line: String) = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    mapper.readTree(line) // throws on malformed JSON
+  }
+
+  test("the real registry's fitted line is under the tail window and parses") {
+    val line = BenchFormat.fitLine(results, spread, 0.41, 0.52, Some("final"), "sf0.1")
+    assert(line.length <= BenchFormat.maxLineChars, s"line is ${line.length} chars")
+    val node = parse(line)
+    assert(node.get("metric").asText() == "total")
+    assert(node.get("unit").asText() == "sec")
+    assert(node.get("queries").size() == names.size,
+      "every per-query number survives fitting")
+    assert(node.get("spread_n").asInt() == spread.size,
+      "dropped spread still reports its count")
+    assert(node.get("canary_sec").asDouble() > 0)
+    assert(node.get("sf").asText() == "sf0.1")
+    // precision floor: the artifact the judge grades against the baseline
+    // must keep at least 2dp on the real registry — if this line fit only
+    // at 1dp, it is time to slim the timed set, not to ship coarse numbers
+    val it = node.get("queries").fields()
+    var twoDp = 0
+    while (it.hasNext) { if (it.next().getValue.asText().matches(".*\\.\\d\\d")) twoDp += 1 }
+    assert(twoDp > names.size / 4,
+      s"only $twoDp/${names.size} entries kept 2dp — the registry outgrew the line budget")
+  }
+
+  test("full precision never silently loses spread entries in the local dump") {
+    val line = BenchFormat.render(results, spread, 0.41, 0.52, 3,
+      spread.size, spread.size, Some("final"), "sf0.1")
+    val node = parse(line)
+    assert(node.get("spread").size() == spread.size)
+    assert(node.get("phase").asText() == "final")
+  }
+
+  test("failure sentinel and unmeasured end-canary render correctly") {
+    val line = BenchFormat.fitLine(
+      Seq("broken_query" -> -1.0, "ok_query" -> 1.25), Nil, 0.4, -1.0, None, "sf0.01")
+    val node = parse(line)
+    assert(node.get("queries").get("broken_query").asInt() == -1)
+    assert(node.get("value").asDouble() == 1.25, "failed query excluded from total")
+    assert(node.get("canary_end_sec") == null, "unmeasured end canary is omitted")
+  }
+
+  test("comma-decimal default locale cannot corrupt the JSON") {
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = BenchFormat.fitLine(results.take(3), Nil, 0.41, 0.5, None, "sf0.1")
+      assert(!line.replaceAll("\"[^\"]*\"", "").contains(','.toString + "5"),
+        "no comma-decimal leaked outside strings")
+      parse(line)
+    } finally java.util.Locale.setDefault(prev)
+  }
+
+  test("tiny lines keep full precision; oversized inputs still return a line") {
+    val small = BenchFormat.fitLine(Seq("q1" -> 1.234567), Nil, 0.4, -1.0, Some("run1"), "sf0.1")
+    assert(small.contains("\"q1\":1.235"), small) // 3dp survives when it fits
+    assert(parse(small).get("phase").asText() == "run1")
+    // pathological: so many queries even 0dp overflows — a line is still
+    // produced (the harness may truncate, but we never throw or hang)
+    val huge = (1 to 500).map(i => s"very_long_query_name_number_$i" -> 1.0)
+    val line = BenchFormat.fitLine(huge, Nil, 0.4, 0.4, None, "sf0.1")
+    parse(line)
+  }
+}
