@@ -261,7 +261,21 @@ object Bench {
     // ---- timed run 1 (always complete) + family builds ----------------
     val builds1 = families.map { case (m, _, run) => m -> run(sfDir) }
     emit(Some("builds1"), builds1, Nil, canarySec)
-    val run1 = names.map(n => n -> exec(n, sfDir)).toMap
+    // a partial line every 20 queries: on a box degraded enough that the
+    // driver kills the process MID-run-1 (the r5 failure mode), the last
+    // stdout line still carries most per-query numbers instead of only
+    // the family builds
+    val run1b = Seq.newBuilder[(String, Double)]
+    var sincePartial = 0
+    names.foreach { n =>
+      run1b += n -> exec(n, sfDir)
+      sincePartial += 1
+      if (sincePartial == 20 && n != names.last) {
+        emit(Some("run1_partial"), builds1 ++ run1b.result(), Nil, canarySec)
+        sincePartial = 0
+      }
+    }
+    val run1 = run1b.result().toMap
     emit(Some("run1"), builds1 ++ names.map(n => n -> run1(n)), Nil, canarySec)
 
     // ---- timed run 2: deadline-gated per query ------------------------
