@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   *    side-file feedback, §3.3) and folds it into the source's teleport:
   *    r'(v) = (1−α)·(Σ contribs + D·[v=s]) + α·[v=s].
   *  - iteration (`:439-444`) → a driver `for` loop over DataFrames with
-  *    eager `localCheckpoint` per iteration to truncate lineage — without
+  *    a lazy `localCheckpoint` per iteration to truncate lineage — without
   *    it the plan doubles every iteration and the optimizer, not the
   *    cluster, becomes the bottleneck.
   *
@@ -39,12 +39,15 @@ object PageRank {
   val sources: Seq[Long] = Seq(0L, 1L)
   val topK = 20
 
-  /** part↔supplier edges from lineitem; supplier s becomes node maxPart+1+s. */
+  /** part↔supplier edges from lineitem; supplier s becomes node maxPart+1+s.
+    * Returned RAW (duplicated observations included): [[weightedGraph]]
+    * deduplicates behind its single src-keyed exchange, so a distinct
+    * here would only add a second (src, dst)-keyed shuffle. */
   def graphEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
     val offset = Tables.part(spark, dir).agg(max("p_partkey")).collect()(0).getLong(0) + 1L
     val fwd = li.select(col("l_partkey").as("src"), (col("l_suppkey") + offset).as("dst"))
-    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst"))).distinct()
+    fwd.union(fwd.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   /** The shared graph build both registered PPR variants consume:
@@ -103,9 +106,20 @@ object PageRank {
     * static graph property both variants' loops branch on — is computed
     * once here rather than per query execution. */
   private def weightedGraph(edges: DataFrame): GraphArtifacts = {
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
     val nPart = loopWidthFor(edges.queryExecution.optimizedPlan.stats.sizeInBytes)
-    val adjW = edges.join(outdeg, "src").repartition(nPart, col("src")).cache()
+    // ONE exchange builds the whole family (r6; previously the edge
+    // distinct, the outdegree grouping, and a final repartition each
+    // shuffled): hashing by src satisfies the (src, dst) dedup's
+    // clustering (subset rule), the outdegree grouping, and the
+    // adjacency join's distribution, so everything downstream runs
+    // co-located behind the single src-keyed shuffle (ReuseExchange
+    // collapses its two consumers within one materializing job). The
+    // adjacency is cached sorted-within-partitions on src so each
+    // iteration's sort-merge join reads the cached run order instead of
+    // re-sorting ~all edges 10 times.
+    val e = edges.repartition(nPart, col("src")).dropDuplicates(Seq("src", "dst"))
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("outdeg")).cache()
+    val adjW = e.join(outdeg, "src").sortWithinPartitions("src").cache()
     // rank can only ever sit on a source or an edge target, so if every
     // such node has out-edges the graph produces no dangling mass and the
     // per-iteration left_anti branch is skipped entirely
@@ -134,13 +148,36 @@ object PageRank {
   }
 
   /** Personalized PageRank ranks for all sources: (source, node, rank).
-    * Takes caller-supplied edges (spec entry point) — caches them for the
-    * loop's lifetime only; the registered queries go through the
-    * (session, dir) memo instead. */
+    * Takes caller-supplied edges (spec entry point; duplicates are
+    * deduplicated by the graph build) — caches them for the loop's
+    * lifetime only; the registered queries go through the (session, dir)
+    * memo instead. */
   def personalizedPageRank(spark: SparkSession, dir: String, edges: DataFrame): DataFrame = {
     val g = weightedGraph(edges)
     try personalizedPageRankLoop(spark, g)._1
     finally { g.adjW.unpersist(); g.outdeg.unpersist() } // don't leak cached blocks across queries
+  }
+
+  /** Lazy local checkpoint that KEEPS the frame's hash partitioning.
+    * Under AQE, `Dataset.localCheckpoint` records
+    * `UnknownPartitioning` on the resulting LogicalRDD (the adaptive
+    * plan's partitioning isn't final at plan-capture time — measured on
+    * Spark 4.1, eager or lazy), which re-inserts an ENSURE_REQUIREMENTS
+    * exchange on the ranks side of every iteration's join. Planning the
+    * checkpointed query with AQE off preserves
+    * `hashpartitioning(node, nPart)` — and costs nothing here: every
+    * exchange in the iteration is an explicit REPARTITION_BY_NUM that
+    * AQE would not touch anyway. Only PLANNING happens inside the
+    * conf window (localCheckpoint builds the physical plan eagerly even
+    * for a lazy checkpoint); downstream queries plan under the session
+    * default and still see the preserved partitioning. ScaleDesignSpec
+    * pins the whole mechanism. */
+  private[graft] def checkpointKeepingPartitioning(df: DataFrame): DataFrame = {
+    val spark = df.sparkSession
+    val prev = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try df.localCheckpoint(false)
+    finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
   /** Returns the final ranks plus every iteration's lazy checkpoint, so
@@ -188,12 +225,15 @@ object PageRank {
           .select(col("source"), col("source").as("node"), col("rank").as("contrib")))
       else edgeContribs)
         .unionByName(seed)
-        // pin the aggregation exchange to the loop's width: an explicit
-        // (source, node) repartition satisfies the aggregate's required
-        // distribution, so partial+final run co-located after ONE
-        // graph-sized exchange instead of a session-wide 32-way one
-        // (measured: the second win of the nPart sizing, ~1.5 s/variant)
-        .repartition(nPart, col("source"), col("node"))
+        // pin the aggregation exchange to the loop's width AND to the
+        // NEXT iteration's join key: hashing by node alone satisfies the
+        // (source, node) aggregate's clustering (subset rule), so
+        // partial+final still run co-located after ONE graph-sized
+        // exchange — and the checkpointed ranks come out co-partitioned
+        // with the src-keyed cached adjacency, so the next iteration's
+        // join inserts NO ranks-side exchange (r6: one exchange per
+        // iteration, down from two; ScaleDesignSpec pins the shape)
+        .repartition(nPart, col("node"))
         .groupBy("source", "node")
         .agg(sum("contrib").as("mass"))
       val next = contribs
@@ -201,7 +241,7 @@ object PageRank {
           (lit(1.0) - alpha) * col("mass") +
             when(col("node") === col("source"), alpha).otherwise(0.0))
         .select("source", "node", "rank")
-      ranks = next.localCheckpoint(false)
+      ranks = checkpointKeepingPartitioning(next)
       ckpts += ranks
     }
     (ranks, ckpts.result())
@@ -251,8 +291,9 @@ object PageRank {
             col("logRank").as("logContrib")))
       else edgeContribs)
         .unionByName(seed)
-        // see the normal-space loop: pin the exchange to the loop width
-        .repartition(nPart, col("source"), col("node"))
+        // see the normal-space loop: one node-keyed exchange pins the
+        // loop width and co-partitions the next iteration's join
+        .repartition(nPart, col("node"))
         .groupBy("source", "node")
         .agg(logsumexp(col("logContrib")).as("logMass"))
       ranks = contribs
@@ -266,7 +307,7 @@ object PageRank {
                   greatest(lit(logAlpha), col("logMass") + log1mAlpha))))
             .otherwise(col("logMass") + log1mAlpha))
         .select("source", "node", "logRank")
-        .localCheckpoint(false)
+      ranks = checkpointKeepingPartitioning(ranks)
       ckpts += ranks
     }
     (ranks, ckpts.result())

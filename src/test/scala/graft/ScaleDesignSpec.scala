@@ -325,6 +325,38 @@ class ScaleDesignSpec extends GraftSpec {
     assert(g.nPart == 8, s"sf0.001 graph should sit on the floor, got ${g.nPart}")
     assert(g.adjW.rdd.getNumPartitions == g.nPart,
       s"cached adjacency has ${g.adjW.rdd.getNumPartitions} partitions, want ${g.nPart}")
+    // r6: the per-iteration join shape. The loop's aggregate repartitions
+    // on `node` alone (subset-satisfies the (source, node) grouping), so
+    // the checkpointed ranks arrive co-partitioned with the src-keyed
+    // cached adjacency and the join must insert NO exchange on either
+    // side — the mechanism that halved the loop's exchanges. Probe with
+    // a ranks-shaped checkpoint exactly as the loop produces it.
+    val prevBcast = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      import org.apache.spark.sql.functions.lit
+      // the production checkpoint helper must preserve the hash
+      // partitioning (plain localCheckpoint under AQE records
+      // UnknownPartitioning — the bug the helper exists for)
+      val ranksShaped = PageRank.checkpointKeepingPartitioning(spark.range(64)
+        .select(col("id").as("source"), col("id").as("node"), lit(1.0).as("rank"))
+        .repartition(g.nPart, col("node")))
+      ranksShaped.queryExecution.optimizedPlan match {
+        case l: org.apache.spark.sql.execution.LogicalRDD =>
+          assert(l.outputPartitioning.toString.startsWith("hashpartitioning(node"),
+            s"checkpoint lost partitioning: ${l.outputPartitioning}")
+        case other => fail(s"expected a LogicalRDD checkpoint, got ${other.nodeName}")
+      }
+      val iterJoin = ranksShaped.join(g.adjW, ranksShaped("node") === g.adjW("src"))
+      iterJoin.count() // finalize AQE so the executed plan is the real one
+      val physical = iterJoin.queryExecution.executedPlan.toString
+      // the cached adjacency's STORED build plan legitimately contains its
+      // one REPARTITION_BY_NUM exchange; what the iteration must never pay
+      // is a planner-inserted (ENSURE_REQUIREMENTS) re-shuffle on either
+      // join input
+      assert(!physical.contains("ENSURE_REQUIREMENTS"),
+        s"iteration join re-shuffles despite co-partitioned inputs:\n$physical")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevBcast)
   }
 
   test("corpus funnel runs as two aggregation branches, no per-stage jobs") {
