@@ -22,6 +22,18 @@ class RelationalSpec extends GraftSpec {
     }
   }
 
+  test("q6 SQL twin lowers to the same optimized plan as the DataFrame form") {
+    // this identity is what justifies excluding q6_pricing_summary_sql
+    // from the bench's timed set (BenchFormat.parityHarnesses): timing
+    // both would run one physical workload twice
+    val df = Relational.q6PricingSummary(spark, sfDir)
+    val sql = Relational.q6PricingSummarySql(spark, sfDir)
+    assert(sql.queryExecution.optimizedPlan.canonicalized ==
+      df.queryExecution.optimizedPlan.canonicalized,
+      "the SQL and DataFrame q6 forms no longer share a Catalyst plan — " +
+        "re-admit the twin to the bench or re-justify the exclusion")
+  }
+
   test("q7 top-10 is sorted by revenue desc") {
     val revs = Relational.q7TopUnshipped(spark, sfDir)
       .collect().map(_.getAs[Double]("revenue"))
