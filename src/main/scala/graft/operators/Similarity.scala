@@ -57,7 +57,12 @@ object Similarity {
   /** Exact brute-force cosine top-k for the query slice. */
   def knnBruteCosine(spark: SparkSession, dir: String): DataFrame = {
     val vecs = emb(spark, dir)
+    // limit(nQueries) is a no-op on the unique-id filter's result, but it
+    // surfaces the bound as plan-provable maxRows: the cross join's small
+    // side is broadcast-bounded by construction, not by data luck
+    // (audited registry-wide in ScaleDesignSpec)
     val queries = vecs.filter(col("vec_id") < nQueries)
+      .limit(nQueries)
       .toDF("query_id", "qv")
     val scored = vecs.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))

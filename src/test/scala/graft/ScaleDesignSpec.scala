@@ -368,4 +368,59 @@ class ScaleDesignSpec extends GraftSpec {
     assert(scans <= 4, s"funnel rescans the corpus per stage ($scans scans):\n$plan")
     assert(df.count() == 5)
   }
+
+  test("registry-wide scale audit: every join is equi-keyed or provably tiny") {
+    // Mechanizes the per-round scale-killer sweep: a join with no
+    // equality conjunct between its sides plans as BroadcastNestedLoop /
+    // CartesianProduct, the one shape that cannot survive a 100 TB input
+    // unless one side is constant-bounded. Audits the OPTIMIZED logical
+    // plan of every registered query (post filter-into-join-condition
+    // rewrite, pre physical planning, so no execution is needed), with
+    // one escape hatch: a side whose maxRows the planner can BOUND
+    // (single-row totals, literal frames, top-k limits, spark.range):
+    // broadcastable at any corpus size. No name-based whitelist is
+    // needed — even the quadratic `_exact` baselines pass, because their
+    // only non-equi join is the ba≤bb block-id tile index over
+    // spark.range(nBlocks), and nBlocks ≤ 64 at maxExactVectors (the
+    // quadratic cost lives in the tile payloads, not in any unbounded
+    // join). knn_brute_cosine carries limit(nQueries) specifically so
+    // this audit can see its query-side bound.
+    import org.apache.spark.sql.catalyst.expressions.{EqualNullSafe, EqualTo, Expression}
+    import org.apache.spark.sql.catalyst.plans.logical.{Join, LogicalPlan}
+    object PH extends org.apache.spark.sql.catalyst.expressions.PredicateHelper {
+      def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
+      def evaluableOn(e: Expression, p: LogicalPlan): Boolean = canEvaluate(e, p)
+    }
+    // stream-drain constructions execute a whole replay when the query
+    // function is CALLED; their batch twins are audited here and
+    // stream==batch row parity is pinned by StreamingSpec/TaxiSpec
+    val streamingReplays = Set("trending_arrivals_late", "taxi_region_hourly_stream")
+    val tinyBound = 128L
+    val offenders = Seq.newBuilder[String]
+    var joinsAudited = 0
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(streamingReplays).foreach { name =>
+      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
+      plan.collectWithSubqueries { case j: Join => j }.foreach { j =>
+        joinsAudited += 1
+        def keyed(l: Expression, r: Expression): Boolean =
+          (PH.evaluableOn(l, j.left) && PH.evaluableOn(r, j.right)) ||
+            (PH.evaluableOn(l, j.right) && PH.evaluableOn(r, j.left))
+        val equi = j.condition.toSeq.flatMap(PH.split).exists {
+          case EqualTo(l, r)       => keyed(l, r)
+          case EqualNullSafe(l, r) => keyed(l, r)
+          case _                   => false
+        }
+        val tiny = Seq(j.left, j.right).exists(_.maxRows.exists(_ <= tinyBound))
+        if (!(equi || tiny))
+          offenders += s"$name: unkeyed unbounded ${j.joinType} join, " +
+            s"condition=${j.condition}"
+      }
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty, s"scale-killer joins found:\n${bad.mkString("\n")}")
+    // the audit must actually be seeing joins — a collect that silently
+    // matched nothing would pass vacuously
+    assert(joinsAudited >= 20, s"only $joinsAudited joins audited — " +
+      "the Join collect is no longer finding the registry's plans")
+  }
 }
