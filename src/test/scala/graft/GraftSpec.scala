@@ -27,6 +27,14 @@ abstract class GraftSpec extends AnyFunSuite {
     * their subplan in a field, not in `children`). Call only after the
     * DataFrame has been executed so AQE has finalized. */
   def physicalNodes(df: org.apache.spark.sql.DataFrame)
+      : Seq[org.apache.spark.sql.execution.SparkPlan] =
+    physicalNodes(df.queryExecution.executedPlan)
+
+  /** Same flatten starting from a plan — for audits over QueryExecutions
+    * that have NOT run (AdaptiveSparkPlanExec.executedPlan is then the
+    * initial plan: scans and join choices are visible, runtime
+    * re-optimizations are not). */
+  def physicalNodes(plan: org.apache.spark.sql.execution.SparkPlan)
       : Seq[org.apache.spark.sql.execution.SparkPlan] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
@@ -40,6 +48,6 @@ abstract class GraftSpec extends AnyFunSuite {
       }
       p +: inner.flatMap(flatten)
     }
-    flatten(df.queryExecution.executedPlan)
+    flatten(plan)
   }
 }

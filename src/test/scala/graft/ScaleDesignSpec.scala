@@ -369,6 +369,17 @@ class ScaleDesignSpec extends GraftSpec {
     assert(df.count() == 5)
   }
 
+  /** One planning pass over the whole registry, shared by the
+    * registry-wide audits below. Stream-drain constructions execute a
+    * whole replay when the query function is CALLED, so they are
+    * excluded here; their batch twins are audited and stream==batch row
+    * parity is pinned by StreamingSpec/TaxiSpec. */
+  lazy val registryPlans: Seq[(String, org.apache.spark.sql.execution.QueryExecution)] = {
+    val streamingReplays = Set("trending_arrivals_late", "taxi_region_hourly_stream")
+    SparkEntry.queries.keys.toSeq.sorted.filterNot(streamingReplays)
+      .map(name => name -> SparkEntry.queries(name)(spark, sfDir).queryExecution)
+  }
+
   test("registry-wide scale audit: every join is equi-keyed or provably tiny") {
     // Mechanizes the per-round scale-killer sweep: a join with no
     // equality conjunct between its sides plans as BroadcastNestedLoop /
@@ -391,16 +402,11 @@ class ScaleDesignSpec extends GraftSpec {
       def split(e: Expression): Seq[Expression] = splitConjunctivePredicates(e)
       def evaluableOn(e: Expression, p: LogicalPlan): Boolean = canEvaluate(e, p)
     }
-    // stream-drain constructions execute a whole replay when the query
-    // function is CALLED; their batch twins are audited here and
-    // stream==batch row parity is pinned by StreamingSpec/TaxiSpec
-    val streamingReplays = Set("trending_arrivals_late", "taxi_region_hourly_stream")
     val tinyBound = 128L
     val offenders = Seq.newBuilder[String]
     var joinsAudited = 0
-    SparkEntry.queries.keys.toSeq.sorted.filterNot(streamingReplays).foreach { name =>
-      val plan = SparkEntry.queries(name)(spark, sfDir).queryExecution.optimizedPlan
-      plan.collectWithSubqueries { case j: Join => j }.foreach { j =>
+    registryPlans.foreach { case (name, qe) =>
+      qe.optimizedPlan.collectWithSubqueries { case j: Join => j }.foreach { j =>
         joinsAudited += 1
         def keyed(l: Expression, r: Expression): Boolean =
           (PH.evaluableOn(l, j.left) && PH.evaluableOn(r, j.right)) ||
@@ -422,5 +428,39 @@ class ScaleDesignSpec extends GraftSpec {
     // matched nothing would pass vacuously
     assert(joinsAudited >= 20, s"only $joinsAudited joins audited — " +
       "the Join collect is no longer finding the registry's plans")
+  }
+
+  test("registry-wide scale audit: no full-width scan of a wide table") {
+    // Column pruning is the other lever the 100 TB posture stands on: a
+    // scan that reads every column of a wide table pays the table's full
+    // byte width regardless of what the query computes. Audits every
+    // parquet scan in every registered query's physical plan: reading
+    // ALL columns of a table with >= 5 columns is an offense. Measured
+    // at adoption: zero queries read full width — every registered plan
+    // prunes at least one column of every wide table it scans (even
+    // events_json_extract skips part of the events row) — so there is
+    // no exemption list to maintain.
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val offenders = Seq.newBuilder[String]
+    var scansAudited = 0
+    registryPlans.foreach { case (name, qe) =>
+      // physicalNodes descends the AQE wrappers that plain collect treats
+      // as leaves; subqueriesAll picks up scans inside subquery plans
+      val roots = qe.executedPlan +: qe.executedPlan.subqueriesAll
+      roots.flatMap(physicalNodes)
+        .collect { case s: FileSourceScanExec => s }
+        .foreach { s =>
+          scansAudited += 1
+          val width = s.relation.dataSchema.size
+          val read = s.requiredSchema.size
+          if (width >= 5 && read == width)
+            offenders += s"$name: scan reads all $width columns of " +
+              s.relation.location.rootPaths.map(_.getName).mkString(",")
+        }
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty, s"unpruned wide scans found:\n${bad.mkString("\n")}")
+    assert(scansAudited >= 50, s"only $scansAudited scans audited — " +
+      "the scan collect is no longer finding the registry's plans")
   }
 }
