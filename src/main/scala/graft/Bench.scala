@@ -52,14 +52,30 @@ private[graft] object BenchFormat {
   val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
   val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql")
 
+  /** Queries whose full workload is computed INSIDE another timed query:
+    * value_pct_approx evaluates the exact `percentile` aggregate (for
+    * its rank-band contract flags) plus the sketch, so separately timing
+    * value_percentiles (the exact aggregate alone) double-counts it —
+    * the same double-count rationale as the `_csv` and SQL-twin
+    * exclusions. EventAnalyticsSpec-adjacent guard: the subsuming query
+    * must stay registered or benchedNames throws. */
+  val subsumedTwins = Map("value_percentiles" -> "value_pct_approx")
+
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would
     * push the artifact past the tail window fails the build, not the
     * round. */
-  def benchedNames(all: Iterable[String]): Seq[String] =
+  def benchedNames(all: Iterable[String]): Seq[String] = {
+    val names = all.toSet
+    subsumedTwins.foreach { case (excluded, subsumer) =>
+      require(names(subsumer) || !names(excluded),
+        s"$excluded is excluded as subsumed by $subsumer, which is not registered")
+    }
     all.toSeq
-      .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n) || parityHarnesses(n))
+      .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n) ||
+        parityHarnesses(n) || subsumedTwins.contains(n))
       .sorted
+  }
 
   /** One JSON line. `dp` = decimal places (trailing zeros stripped),
     * `spTake` = spread entries kept (largest first), `spreadN` = the

@@ -297,6 +297,36 @@ object EventAnalytics {
           col("exact_users") * 0.05).as("approx_within_5pct"))
       .orderBy("event_type")
 
+  /** The scale path for percentiles: `percentile_approx` (the KLL-style
+    * rank sketch) instead of exact `percentile`, which holds per-group
+    * value buffers and cannot run over 100 TB. Verified with the same
+    * discipline as [[approxDistinctUsers]]: the hash-compared columns
+    * are the EXACT percentiles (DuckDB-reproducible), plus boolean
+    * flags asserting the sketch's contract — each approximate quantile
+    * must land inside an exact RANK band around its target (p50 within
+    * the exact [p45, p55] values, etc). Rank bands make the tolerance
+    * data-independent: percentile_approx guarantees rank error ≤ 1/acc
+    * (1e-4 here), so a band ±2-5 rank points cannot produce a flaky
+    * false unless the sketch is actually broken. */
+  val pctApproxAcc = 10000
+
+  def valuePctApprox(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.9)"), 6).as("p90"),
+        round(expr("percentile(value, 0.99)"), 6).as("p99"),
+        expr("percentile(value, array(0.45, 0.55, 0.88, 0.92, 0.985, 0.995))")
+          .as("band"),
+        expr(s"percentile_approx(value, array(0.5, 0.9, 0.99), $pctApproxAcc)")
+          .as("apx"))
+      .select(col("event_type"), col("p50"), col("p90"), col("p99"),
+        col("apx")(0).between(col("band")(0), col("band")(1)).as("p50_in_band"),
+        col("apx")(1).between(col("band")(2), col("band")(3)).as("p90_in_band"),
+        col("apx")(2).between(col("band")(4), col("band")(5)).as("p99_in_band"))
+      .orderBy("event_type")
+
   /** Exact interpolated percentiles per group — Spark `percentile` and
     * DuckDB `quantile_cont` share the linear-interpolation definition. */
   def valuePercentiles(spark: SparkSession, dir: String): DataFrame =
@@ -338,6 +368,7 @@ object EventAnalytics {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_users" -> (approxDistinctUsers _),
     "value_percentiles" -> (valuePercentiles _),
+    "value_pct_approx" -> (valuePctApprox _),
     "event_count_sliding" -> (eventCountSliding _),
     "user_sessions" -> (userSessions _),
     "asof_last_error" -> (asofLastError _),
@@ -369,6 +400,15 @@ object EventAnalytics {
     "approx_distinct_users" ->
       """SELECT event_type, count(DISTINCT user_id) AS exact_users,
                 TRUE AS approx_within_5pct
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    // the exact columns are hash-compared; the TRUE flags assert the
+    // sketch's rank-band contract (same discipline as the HLL query)
+    "value_pct_approx" ->
+      """SELECT event_type,
+                round(quantile_cont(value, 0.5), 6) AS p50,
+                round(quantile_cont(value, 0.9), 6) AS p90,
+                round(quantile_cont(value, 0.99), 6) AS p99,
+                TRUE AS p50_in_band, TRUE AS p90_in_band, TRUE AS p99_in_band
          FROM events GROUP BY event_type ORDER BY event_type""",
     "value_percentiles" ->
       """SELECT event_type,
