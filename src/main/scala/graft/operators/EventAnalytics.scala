@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.Tables
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Batch-equivalent forms of the reference's a7 streaming computations
@@ -364,6 +364,47 @@ object EventAnalytics {
       .repartitionByRange(buckets, col("ts"))
       .sortWithinPartitions("ts")
       .write.mode("overwrite").parquet(out)
+
+  /** Z-order (Morton-curve) clustered layout — the MULTI-dimensional twin
+    * of [[writeTimeClustered]]. Range-clustering on one column makes that
+    * column's row-group stats discriminate and leaves every other
+    * column's stats useless; interleaving the bits of two normalized
+    * dimension ranks and range-clustering on the interleaved value gives
+    * BOTH columns locally-narrow min/max ranges, so predicates on either
+    * user_id or ts prune row groups from the same single layout. This is
+    * the standard lakehouse answer (Delta/Iceberg Z-ORDER BY) to "one
+    * table, two access paths" — at 100 TB you cannot afford a second
+    * copy clustered the other way.
+    *
+    * The dimension min/max scaling needs one tiny aggregate (4 longs to
+    * the driver — the bounded-collect discipline); the interleave itself
+    * is a flat fold of shift/and/or Column arithmetic, entirely inside
+    * whole-stage codegen (no HOF lambdas, no UDF). Bit i of the user
+    * rank lands at 2i+1 and of the time rank at 2i, so the two
+    * dimensions alternate significance and a range predicate on either
+    * one constrains every other z-bit pair. */
+  def writeZOrdered(spark: SparkSession, dir: String, out: String,
+      buckets: Int = 8, bits: Int = 16): Unit = {
+    val ev = Tables.events(spark, dir)
+      .withColumn("ts_micros", unix_micros(col("ts").cast("timestamp")))
+    val Row(uLo: Long, uHi: Long, tLo: Long, tHi: Long) = ev.agg(
+      min("user_id"), max("user_id"), min("ts_micros"), max("ts_micros")).head()
+    val cap = (1L << bits) - 1
+    def rank(c: Column, lo: Long, hi: Long): Column =
+      if (hi == lo) lit(0L) else ((c - lit(lo)) * cap / (hi - lo)).cast("long")
+    def morton(u: Column, t: Column): Column =
+      (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+        acc
+          .bitwiseOR(shiftleft(u.bitwiseAND(lit(1L << i)), i + 1))
+          .bitwiseOR(shiftleft(t.bitwiseAND(lit(1L << i)), i))
+      }
+    ev.withColumn("zval",
+        morton(rank(col("user_id"), uLo, uHi), rank(col("ts_micros"), tLo, tHi)))
+      .repartitionByRange(buckets, col("zval"))
+      .sortWithinPartitions("zval")
+      .drop("zval")
+      .write.mode("overwrite").parquet(out)
+  }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "approx_distinct_users" -> (approxDistinctUsers _),

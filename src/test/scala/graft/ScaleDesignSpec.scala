@@ -189,6 +189,48 @@ class ScaleDesignSpec extends GraftSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("z-ordered layout: one layout prunes on BOTH user and time predicates") {
+    val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
+    val zdir = s"$base/zordered"
+    val tdir = s"$base/timeclustered"
+    try {
+      graft.operators.EventAnalytics.writeZOrdered(spark, sfDir, zdir)
+      graft.operators.EventAnalytics.writeTimeClustered(spark, sfDir, tdir)
+      def scanRows(path: String, pred: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+          col_ : String): (Long, Long) = {
+        val df = spark.read.parquet(path).filter(pred(col(col_)))
+        val n = df.collect().length.toLong
+        val scan = df.queryExecution.executedPlan.collectLeaves().head
+        (scan.metrics("numOutputRows").value, n)
+      }
+      val all = spark.read.parquet(zdir)
+      val total = all.count()
+      val Row(uLo: Long, uHi: Long, tLo: Long, tHi: Long) = all.agg(
+        min("user_id"), max("user_id"), min("ts_micros"), max("ts_micros")).collect()(0)
+      // user-band predicate: the time-clustered layout scatters user_id
+      // across every file, so its stats prune nothing; the z-layout's
+      // per-row-group user ranges are locally narrow
+      val uCut = uLo + (uHi - uLo) / 4
+      val (zUser, nzU) = scanRows(zdir, c => c <= uCut, "user_id")
+      val (tUser, ntU) = scanRows(tdir, c => c <= uCut, "user_id")
+      assert(nzU == ntU, "layouts must agree on matching rows")
+      assert(zUser * 2 <= tUser,
+        s"z-order user-predicate scan read $zUser rows vs time-clustered $tUser — " +
+          "no second-dimension pruning")
+      // time-band predicate: z-order gives up SOME time pruning relative
+      // to pure time clustering (bits alternate), but must still beat a
+      // no-pruning full read
+      val tCut = tLo + (tHi - tLo) / 8
+      val (zTime, nzT) = scanRows(zdir, c => c <= tCut, "ts_micros")
+      val (tTime, ntT) = scanRows(tdir, c => c <= tCut, "ts_micros")
+      assert(nzT == ntT)
+      assert(tTime <= zTime, "pure time clustering should prune time best")
+      assert(zTime < total,
+        s"z-order time-predicate scan read all $total rows — no time pruning at all")
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
     // the 100 TB play: a selective filter on one join side materializes a
     // bloom filter that is pushed into the OTHER side's scan, so the fact
