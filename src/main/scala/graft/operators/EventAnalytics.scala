@@ -383,6 +383,17 @@ object EventAnalytics {
     * rank lands at 2i+1 and of the time rank at 2i, so the two
     * dimensions alternate significance and a range predicate on either
     * one constrains every other z-bit pair. */
+  /** Bit-interleave of two `bits`-wide ranks (bit i of `u` → 2i+1, of
+    * `t` → 2i): strictly monotone in either argument with the other
+    * fixed — the property the z-layout's per-dimension pruning rests on
+    * (ScaleDesignSpec checks it against a reference implementation). */
+  private[graft] def morton(u: Column, t: Column, bits: Int): Column =
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(u.bitwiseAND(lit(1L << i)), i + 1))
+        .bitwiseOR(shiftleft(t.bitwiseAND(lit(1L << i)), i))
+    }
+
   def writeZOrdered(spark: SparkSession, dir: String, out: String,
       buckets: Int = 8, bits: Int = 16): Unit = {
     val ev = Tables.events(spark, dir)
@@ -392,14 +403,8 @@ object EventAnalytics {
     val cap = (1L << bits) - 1
     def rank(c: Column, lo: Long, hi: Long): Column =
       if (hi == lo) lit(0L) else ((c - lit(lo)) * cap / (hi - lo)).cast("long")
-    def morton(u: Column, t: Column): Column =
-      (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
-        acc
-          .bitwiseOR(shiftleft(u.bitwiseAND(lit(1L << i)), i + 1))
-          .bitwiseOR(shiftleft(t.bitwiseAND(lit(1L << i)), i))
-      }
     ev.withColumn("zval",
-        morton(rank(col("user_id"), uLo, uHi), rank(col("ts_micros"), tLo, tHi)))
+        morton(rank(col("user_id"), uLo, uHi), rank(col("ts_micros"), tLo, tHi), bits))
       .repartitionByRange(buckets, col("zval"))
       .sortWithinPartitions("zval")
       .drop("zval")

@@ -231,6 +231,32 @@ class ScaleDesignSpec extends GraftSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("morton interleave matches a reference fold and is monotone per dimension") {
+    // the Column fold must equal the obvious Scala reference on random
+    // rank pairs, and be strictly monotone in either dimension with the
+    // other fixed — the property that makes z-range clustering keep BOTH
+    // dimensions' row-group stats locally narrow
+    val bits = 16
+    def ref(u: Long, t: Long): Long =
+      (0 until bits).foldLeft(0L) { (acc, i) =>
+        acc | ((u & (1L << i)) << (i + 1)) | ((t & (1L << i)) << i)
+      }
+    val rng = new scala.util.Random(11)
+    val cap = (1L << bits) - 1
+    val pairs = Seq.fill(200)((rng.nextLong().abs % (cap + 1), rng.nextLong().abs % (cap + 1)))
+    import spark.implicits._
+    val got = pairs.toDF("u", "t")
+      .select(graft.operators.EventAnalytics.morton(col("u"), col("t"), bits))
+      .as[Long].collect()
+    pairs.zip(got).foreach { case ((u, t), z) =>
+      assert(z == ref(u, t), s"morton($u,$t)")
+    }
+    pairs.foreach { case (u, t) =>
+      if (u < cap) assert(ref(u, t) < ref(u + 1, t), s"not monotone in u at ($u,$t)")
+      if (t < cap) assert(ref(u, t) < ref(u, t + 1), s"not monotone in t at ($u,$t)")
+    }
+  }
+
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
     // the 100 TB play: a selective filter on one join side materializes a
     // bloom filter that is pushed into the OTHER side's scan, so the fact
