@@ -52,14 +52,34 @@ private[graft] object BenchFormat {
   val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
   val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql")
 
-  /** Queries whose full workload is computed INSIDE another timed query:
+  /** The family-build metrics the bench times alongside the queries —
+    * valid subsumers for [[subsumedTwins]]. */
+  val buildMetrics = Set("dedup_family_build", "ppr_family_build",
+    "index_build")
+
+  /** Queries whose full workload is computed INSIDE another timed entry:
     * value_pct_approx evaluates the exact `percentile` aggregate (for
     * its rank-band contract flags) plus the sketch, so separately timing
     * value_percentiles (the exact aggregate alone) double-counts it —
     * the same double-count rationale as the `_csv` and SQL-twin
-    * exclusions. EventAnalyticsSpec-adjacent guard: the subsuming query
-    * must stay registered or benchedNames throws. */
-  val subsumedTwins = Map("value_percentiles" -> "value_pct_approx")
+    * exclusions. inverted_index_flat's output IS the persisted index
+    * artifact's content, so its workload is exactly the
+    * `index_build` metric (r6). Guard: the subsuming entry must
+    * stay registered (or be a build metric) or benchedNames throws. */
+  val subsumedTwins = Map(
+    "value_percentiles" -> "value_pct_approx",
+    "inverted_index_flat" -> "index_build")
+
+  /** bm25_retrieval probes the same persisted index artifact that five
+    * timed entries already measure (four boolean retrievals +
+    * index_term_lookup, plus the build metric itself); its marginal work
+    * beyond that probe is a |terms|-row broadcast scoring join and one
+    * grouped sum. Timing a sixth probe of the artifact would push the
+    * line past the rung that keeps canary_end_sec — the completed-vs-
+    * killed marker the r6 kill-test relies on — so its local timing is
+    * recorded in PLANS.md instead (correctness stays oracle-gated in
+    * Verify like every query). */
+  val sharedProbeTwins = Set("bm25_retrieval")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would
@@ -68,12 +88,12 @@ private[graft] object BenchFormat {
   def benchedNames(all: Iterable[String]): Seq[String] = {
     val names = all.toSet
     subsumedTwins.foreach { case (excluded, subsumer) =>
-      require(names(subsumer) || !names(excluded),
+      require(names(subsumer) || buildMetrics(subsumer) || !names(excluded),
         s"$excluded is excluded as subsumed by $subsumer, which is not registered")
     }
     all.toSeq
       .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n) ||
-        parityHarnesses(n) || subsumedTwins.contains(n))
+        parityHarnesses(n) || subsumedTwins.contains(n) || sharedProbeTwins(n))
       .sorted
   }
 
@@ -209,7 +229,9 @@ object Bench {
       ("dedup_family_build", graft.operators.Dedup.familyMembers,
         (dir: String) => timed(graft.operators.Dedup.buildFamilyArtifacts(spark, dir))),
       ("ppr_family_build", graft.operators.PageRank.familyMembers,
-        (dir: String) => timed(graft.operators.PageRank.buildFamilyArtifacts(spark, dir))))
+        (dir: String) => timed(graft.operators.PageRank.buildFamilyArtifacts(spark, dir))),
+      ("index_build", graft.operators.InvertedIndex.familyMembers,
+        (dir: String) => timed(graft.operators.InvertedIndex.buildFamilyArtifacts(spark, dir))))
       .collect { case f @ (_, members, _) if names.exists(members) => f }
 
     // ---- JSON line emission -------------------------------------------

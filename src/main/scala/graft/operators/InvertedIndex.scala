@@ -45,45 +45,129 @@ object InvertedIndex {
     "boolean_retrieval_or_chain" ->
       Seq("query", "window", "OR", "sort", "OR"))
 
-  /** (doc_id, term, tf) — term frequencies per document. */
+  /** (doc_id, term, tf) — term frequencies per document. Build-side only:
+    * every retrieval query probes the PERSISTED index instead of
+    * re-running this corpus scan (the r6 change — rebuilding tf per query
+    * re-reads the whole corpus, which is exactly what an index exists to
+    * avoid at 100 TB; the reference's retrieval likewise re-opens the
+    * index MapFile, `BooleanRetrievalCompressed.java:140-147`, it never
+    * re-tokenizes the collection). */
   private def termFreqs(spark: SparkSession, dir: String): DataFrame =
     Tables.documents(spark, dir)
       .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
       .groupBy("term", "doc_id")
       .agg(count(lit(1)).as("tf"))
 
+  /** The index family's standing artifacts, memoized per (session,
+    * corpus) and persisted under target/ (reference S6: the MapFile the
+    * index job WRITES and every retrieval re-opens):
+    *
+    *  1. the flat posting index `(term, df, docno, tf)` — term-range-
+    *     partitioned and sorted by (term, docno), so a term predicate
+    *     prunes to the row groups holding that term's postings (the
+    *     MapFile `get(term)` analog) and parquet dictionary/RLE/delta
+    *     encodings replace the reference's hand-rolled d-gap+VInt
+    *     compression (`BuildInvertedIndexCompressed.java:127-133`).
+    *     Columnar posting ROWS, not packed strings, are the artifact: a
+    *     hot term's postings then split across row groups/tasks instead
+    *     of arriving as one giant string value.
+    *  2. the doc-length table `(docno, dl)` — the per-document token
+    *     count every length-normalized scorer (BM25 here) needs; built
+    *     from the same single tf pass, docno-sorted.
+    *
+    * Bench times this build as its own `index_build` metric (same
+    * discipline as the dedup/PPR families), so the per-query numbers
+    * report marginal PROBE cost — the production shape: build the index
+    * once, query it many times. */
+  private val indexMemo =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def familyArtifacts(spark: SparkSession, dir: String): (DataFrame, DataFrame) =
+    // synchronized: single evaluation per key (a doubled thunk would race
+    // two overwrites of the same artifact paths)
+    indexMemo.synchronized {
+      indexMemo.getOrElseUpdate((spark, dir), {
+        val idxPath = graft.Tables.artifactPath("target/graft-index", dir)
+        val statsPath = graft.Tables.artifactPath("target/graft-index-docstats", dir)
+        // one corpus pass feeds both artifacts: checkpoint tf, write the
+        // two projections, release the blocks deterministically
+        val tf = termFreqs(spark, dir).localCheckpoint(true)
+        try {
+          tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+            .select(col("term"), col("df"), col("doc_id").as("docno"), col("tf"))
+            .repartitionByRange(8, col("term"))
+            .sortWithinPartitions("term", "docno")
+            .write.mode("overwrite").parquet(idxPath)
+          tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+            .select(col("doc_id").as("docno"), col("dl"))
+            .repartitionByRange(4, col("docno"))
+            .sortWithinPartitions("docno")
+            .write.mode("overwrite").parquet(statsPath)
+        } finally graft.Tables.releaseCheckpoint(tf)
+        (spark.read.parquet(idxPath), spark.read.parquet(statsPath))
+      })
+    }
+
+  /** The persisted flat index (artifact 1). */
+  def persistedIndex(spark: SparkSession, dir: String): DataFrame =
+    familyArtifacts(spark, dir)._1
+
+  /** The persisted doc-length table (artifact 2). */
+  private[graft] def docStats(spark: SparkSession, dir: String): DataFrame =
+    familyArtifacts(spark, dir)._2
+
+  /** See [[Dedup.clearMemos]] — static-data assumption, Bench calls this
+    * between timed runs for honest min-of-two measurement. The build's
+    * checkpoint is already released inside [[familyArtifacts]]; the
+    * artifacts themselves live on disk. */
+  def clearMemos(): Unit = indexMemo.clear()
+
+  /** Registered queries that probe the persisted index artifacts. Bench
+    * gates its `index_build` metric on THIS set. */
+  val familyMembers: Set[String] = Set(
+    "inverted_index_flat", "inverted_index_packed", "index_term_lookup",
+    "bm25_retrieval") ++ retrievalQueries.keySet
+
+  /** Force-materialize the index artifacts — Bench's `index_build`
+    * metric. */
+  def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
+    familyArtifacts(spark, dir); ()
+  }
+
   /** Flattened index: one row per posting with the term's document
-    * frequency (A13) — the oracle-friendly projection of the index. */
+    * frequency (A13) — the oracle-friendly projection of the index. This
+    * IS the persisted artifact's content (plus the presentation sort), so
+    * Bench lists it as subsumed by `index_build` — timing both
+    * would double-count the build (the `value_percentiles` rationale). */
   def invertedIndexFlat(spark: SparkSession, dir: String): DataFrame =
-    termFreqs(spark, dir)
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-      .select(col("term"), col("df"), col("doc_id").as("docno"), col("tf"))
-      .orderBy("term", "docno")
+    persistedIndex(spark, dir).orderBy("term", "docno")
 
   /** Packed index: `term → df, "docno:tf,…"` with postings sorted by docno
     * — the logical MapFile record (A12), string-serialized so the DuckDB
     * oracle can hash-match it exactly (integers only, no float formatting).
-    */
+    * Derived from the persisted flat index; its timed cost is the
+    * re-pack aggregation, not the corpus scan. */
   def invertedIndexPacked(spark: SparkSession, dir: String): DataFrame =
-    termFreqs(spark, dir)
+    persistedIndex(spark, dir)
       .groupBy("term")
       .agg(
         count(lit(1)).as("df"),
         array_join(
           transform(
-            array_sort(collect_list(struct(col("doc_id"), col("tf")))),
-            p => concat_ws(":", p.getField("doc_id"), p.getField("tf"))),
+            array_sort(collect_list(struct(col("docno"), col("tf")))),
+            p => concat_ws(":", p.getField("docno"), p.getField("tf"))),
           ",").as("postings"))
       .orderBy("term")
 
   /** Postfix stack evaluation, parameterized on the query: terms push
-    * doc-id sets; AND intersects, OR unions. Returns matching docs with a
-    * text excerpt (the S11 "seek the collection at docno" analog is a join
-    * back to documents). The query plan is assembled driver-side (it IS
-    * the query planner), but the doc-id sets never leave the cluster. */
+    * doc-id sets fetched from the PERSISTED index (each is a term-pruned
+    * artifact scan — the reference's `fetchDocumentSet` MapFile probe);
+    * AND intersects, OR unions. Returns matching docs with a text excerpt
+    * (the S11 "seek the collection at docno" analog is a join back to
+    * documents). The query plan is assembled driver-side (it IS the query
+    * planner), but the doc-id sets never leave the cluster. */
   def booleanRetrieval(query: Seq[String])(spark: SparkSession, dir: String): DataFrame = {
-    val docSets = termFreqs(spark, dir)
-    def termDocs(t: String) = docSets.filter(col("term") === t).select("doc_id")
+    val idx = persistedIndex(spark, dir)
+    def termDocs(t: String) = idx.filter(col("term") === t).select(col("docno").as("doc_id"))
     val result = query.foldLeft(List.empty[DataFrame]) {
       case (a :: b :: rest, "AND") => b.intersect(a) :: rest
       case (a :: b :: rest, "OR") => b.union(a).distinct() :: rest
@@ -114,46 +198,68 @@ object InvertedIndex {
         ORDER BY d.doc_id"""
   }
 
-  /** The on-disk index artifact (reference S6: the MapFile the index job
-    * WRITES and retrieval re-opens, `BuildInvertedIndexCompressed.java:210`
-    * / `BooleanRetrievalCompressed.java:140-147`): the packed index
-    * range-partitioned and sorted by term, persisted as parquet. Sorting
-    * at write time gives every row group a tight term min/max band, so a
-    * term-equality filter on re-read prunes to the one row group holding
-    * the term — the random-access story at scale. Built once per
-    * (session, corpus); parquet dictionary/RLE encodings replace the
-    * reference's hand-rolled d-gap+VInt compression. */
-  private val indexMemo =
-    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
-  def persistedIndex(spark: SparkSession, dir: String): DataFrame =
-    // synchronized: single evaluation per key (a doubled thunk would race
-    // two overwrites of the same artifact path)
-    indexMemo.synchronized {
-      indexMemo.getOrElseUpdate((spark, dir), {
-        val path = graft.Tables.artifactPath("target/graft-index", dir)
-        invertedIndexPacked(spark, dir)
-          .repartitionByRange(8, col("term"))
-          .sortWithinPartitions("term")
-          .write.mode("overwrite").parquet(path)
-        spark.read.parquet(path)
-      })
-    }
-
-  /** See [[Dedup.clearMemos]] — static-data assumption, Bench calls this
-    * between timed runs for honest min-of-two measurement. */
-  def clearMemos(): Unit = indexMemo.clear()
-
   /** S6: the MapFile `get(term)` point lookup — a predicate pushed into
-    * the PERSISTED index scan (row-group pruning via term min/max). */
+    * the PERSISTED index scan (row-group pruning via the term min/max the
+    * range-partitioned sort wrote). Returns the fetched posting rows —
+    * what the reference's `fetchPostings(term)` hands back — with no
+    * shuffle in the plan (the pruned scan + sort only). */
   def indexTermLookup(spark: SparkSession, dir: String): DataFrame =
     persistedIndex(spark, dir)
       .filter(col("term").isin("spark", "data", "dup"))
-      .orderBy("term")
+      .orderBy("term", "docno")
+
+  /** BM25 ranked retrieval — beyond the reference's boolean-only
+    * retrieval: the standard Okapi scorer (Robertson et al.; the Lucene
+    * `+1` idf form, always non-negative) over the same persisted index,
+    * k1 = 1.2, b = 0.75. Top-[[bm25K]] docs by score with doc_id
+    * tiebreak.
+    *
+    * Cross-engine exactness (the doc_logprob discipline): the only
+    * transcendental, `log10`, rounds to 6dp; each posting's contribution
+    * — whose remaining arithmetic is plain IEEE ops written in the
+    * identical order on both engines — rounds to 6dp and integerizes as
+    * micro-units, so the per-document SUM is an order-free long sum. The
+    * oracle SQL is generated from the same constants ([[bm25K1]],
+    * [[bm25B]], [[bm25Terms]]) so the two formulas can never drift.
+    *
+    * Scale shape: term-pruned index probe (|terms| ~ 4 of the whole
+    * index), equi-join to the docno-keyed length table, idf arrives as a
+    * |terms|-row broadcast, corpus totals as a single broadcast row; the
+    * only wide exchange is the final per-doc grouped sum, and the top-k
+    * lowers to TakeOrdered. Nothing rescans or re-tokenizes the corpus. */
+  val bm25Terms: Seq[String] = Seq("spark", "data", "window", "dup")
+  private val bm25K1 = 1.2
+  private val bm25B = 0.75
+  private val bm25K = 15
+  def bm25Retrieval(spark: SparkSession, dir: String): DataFrame = {
+    val idx = persistedIndex(spark, dir).filter(col("term").isin(bm25Terms: _*))
+    val stats = docStats(spark, dir)
+    val tot = stats.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_dl"))
+    val idf = idx.groupBy("term").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(tot))
+      .select(col("term"),
+        round(log10(lit(1) + (col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5))), 6).as("idf6"))
+    idx.join(stats, "docno")
+      .join(broadcast(idf), "term")
+      .crossJoin(broadcast(tot))
+      .withColumn("c_micro", round(round(
+        (col("idf6") * (col("tf") * lit(bm25K1 + 1))) /
+          (col("tf") + lit(bm25K1) * (lit(1) - lit(bm25B) +
+            lit(bm25B) * col("dl") / (col("total_dl") / col("n_docs")))),
+        6) * 1e6, 0).cast("long"))
+      .groupBy("docno")
+      .agg(count(lit(1)).as("n_hit"), sum(col("c_micro")).as("score_micro"))
+      .select(col("docno").as("doc_id"), col("n_hit"), col("score_micro"))
+      .orderBy(col("score_micro").desc, col("doc_id"))
+      .limit(bm25K)
+  }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "inverted_index_flat" -> (invertedIndexFlat _),
     "inverted_index_packed" -> (invertedIndexPacked _),
-    "index_term_lookup" -> (indexTermLookup _)) ++
+    "index_term_lookup" -> (indexTermLookup _),
+    "bm25_retrieval" -> (bm25Retrieval _)) ++
     retrievalQueries.map { case (name, q) => name -> booleanRetrieval(q) _ }
 
   private[operators] val tfSql =
@@ -179,9 +285,36 @@ object InvertedIndex {
           FROM tf GROUP BY term ORDER BY term""",
     "index_term_lookup" ->
       s"""WITH $tfSql
-          SELECT term, count(*) AS df,
-                 string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+          SELECT term, count(*) OVER (PARTITION BY term) AS df,
+                 doc_id AS docno, tf
           FROM tf WHERE term IN ('spark', 'data', 'dup')
-          GROUP BY term ORDER BY term""",
+          ORDER BY term, docno""",
+    "bm25_retrieval" -> bm25Sql,
   ) ++ retrievalQueries.map { case (name, q) => name -> booleanRetrievalSql(q) }
+
+  /** The BM25 oracle, generated from the SAME constants and with the
+    * SAME operator grouping as [[bm25Retrieval]]'s Column expression —
+    * string-interpolating k1/b/(k1+1) guarantees both engines parse the
+    * identical decimal literals (Scala's shortest-round-trip toString). */
+  private def bm25Sql: String = {
+    val terms = bm25Terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val k1p1 = (bm25K1 + 1).toString
+    s"""WITH $tfSql,
+        stats AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
+        tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM stats),
+        qdf AS (SELECT term, count(*) AS df FROM tf
+                WHERE term IN ($terms) GROUP BY term),
+        idf AS (SELECT term,
+                       round(log10(1 + (n_docs - df + 0.5) / (df + 0.5)), 6) AS idf6
+                FROM qdf, tot),
+        scored AS (
+          SELECT t.doc_id,
+                 round(round(i.idf6 * (t.tf * $k1p1) /
+                   (t.tf + $bm25K1 * (1 - $bm25B + $bm25B * s.dl / (total_dl / n_docs))),
+                   6) * 1000000)::BIGINT AS c_micro
+          FROM tf t JOIN idf i USING (term) JOIN stats s USING (doc_id), tot)
+        SELECT doc_id, count(*) AS n_hit, sum(c_micro)::BIGINT AS score_micro
+        FROM scored GROUP BY doc_id
+        ORDER BY score_micro DESC, doc_id LIMIT $bm25K"""
+  }
 }

@@ -12,7 +12,7 @@ class BenchFormatSpec extends AnyFunSuite {
   // carry — the two family-build metrics plus every benched query. A new
   // query that pushes the line past the tail window fails HERE, at build
   // time, instead of silently costing the round its numbers (r5).
-  private val names = Seq("dedup_family_build", "ppr_family_build") ++
+  private val names = BenchFormat.buildMetrics.toSeq.sorted ++
     BenchFormat.benchedNames(SparkEntry.queries.keys)
   // realistic magnitudes: mostly sub-10 s, a few two-digit entries (the
   // streaming taxi drain reads 17-36 s), spread on most queries
@@ -39,6 +39,12 @@ class BenchFormatSpec extends AnyFunSuite {
     assert(node.get("spread_n").asInt() == spread.size,
       "dropped spread still reports its count")
     assert(node.get("canary_sec").asDouble() > 0)
+    // the final line must keep canary_end_sec: its ABSENCE is how a
+    // killed run's last line is told apart from a completed one (the r6
+    // kill-test), so a registry that only fits by shedding it has
+    // outgrown the budget exactly like one that loses the 2dp floor
+    assert(node.get("canary_end_sec") != null,
+      "fitting shed canary_end_sec — the completed-run marker")
     assert(node.get("sf").asText() == "sf0.1")
     // precision floor: the artifact the judge grades against the baseline
     // must keep at least 2dp on the real registry — if this line fit only

@@ -56,11 +56,61 @@ class InvertedIndexSpec extends GraftSpec {
     // ...with the term predicate pushed down so row groups prune on the
     // term min/max written by the range-partitioned sort
     assert(plan.contains("PushedFilters: [In(term"), s"term filter not pushed:\n$plan")
-    // and the artifact must agree with a fresh in-memory build
-    val want = InvertedIndex.invertedIndexPacked(spark, sfDir)
-      .filter(col("term").isin("spark", "data", "dup")).orderBy("term")
-      .collect().toSeq
-    assert(lookup.collect().toSeq == want)
+    // and the fetched posting rows must agree with a fresh corpus build
+    val want = corpusFlatIndex()
+      .filter { case (term, _, _, _) => Set("spark", "data", "dup")(term) }
+    assert(lookup.collect().toSeq.map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))) == want)
+  }
+
+  /** Fresh (term, df, docno, tf) build straight from the corpus — the
+    * independent witness the artifact-probing queries are checked
+    * against, ordered by (term, docno). */
+  private def corpusFlatIndex(): Seq[(String, Long, Long, Long)] = {
+    val rows = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), explode(tokenize(col("text"))).as("term"))
+      .groupBy("term", "doc_id").agg(count(lit(1)).as("tf"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val df = rows.groupBy(_._1).view.mapValues(_.length.toLong).toMap
+    rows.map { case (t, d, f) => (t, df(t), d, f) }.sortBy(r => (r._1, r._3)).toSeq
+  }
+
+  test("boolean retrieval probes the persisted index, not the corpus") {
+    val q = InvertedIndex.booleanRetrieval(InvertedIndex.retrievalQuery)(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // no tokenize/explode anywhere: the doc sets come from the artifact
+    assert(!plan.contains("Generate explode"),
+      s"retrieval re-tokenized the corpus:\n$plan")
+    assert(plan.contains("graft-index"), s"no index artifact scan in:\n$plan")
+  }
+
+  test("bm25 matches a driver-side recompute with identical arithmetic") {
+    val flat = corpusFlatIndex()
+    val dl = flat.groupBy(_._3).view.mapValues(_.map(_._4).sum).toMap
+    val nDocs = dl.size.toLong
+    val totalDl = dl.values.sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val k1 = 1.2; val b = 0.75
+    val byTerm = flat.groupBy(_._1)
+    val contribs = InvertedIndex.bm25Terms.flatMap { t =>
+      val postings = byTerm.getOrElse(t, Seq.empty)
+      val df = postings.length.toLong
+      val idf6 = r6(math.log10(1 + (nDocs - df + 0.5) / (df + 0.5)))
+      postings.map { case (_, _, docno, tf) =>
+        val c = (idf6 * (tf * (k1 + 1))) /
+          (tf + k1 * (1 - b + b * dl(docno) / (totalDl.toDouble / nDocs)))
+        docno -> BigDecimal(r6(c) * 1e6)
+          .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      }
+    }
+    val want = contribs.groupBy(_._1).view
+      .mapValues(cs => (cs.length.toLong, cs.map(_._2).sum)).toMap
+      .toSeq.map { case (d, (n, s)) => (d, n, s) }
+      .sortBy { case (d, _, s) => (-s, d) }.take(15)
+    val got = InvertedIndex.bm25Retrieval(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == want)
   }
 
   test("packed index df equals postings length (A13 invariant) on testdata") {
