@@ -70,16 +70,21 @@ private[graft] object BenchFormat {
     "value_percentiles" -> "value_pct_approx",
     "inverted_index_flat" -> "index_build")
 
-  /** bm25_retrieval probes the same persisted index artifact that five
-    * timed entries already measure (four boolean retrievals +
-    * index_term_lookup, plus the build metric itself); its marginal work
-    * beyond that probe is a |terms|-row broadcast scoring join and one
-    * grouped sum. Timing a sixth probe of the artifact would push the
-    * line past the rung that keeps canary_end_sec — the completed-vs-
-    * killed marker the r6 kill-test relies on — so its local timing is
-    * recorded in PLANS.md instead (correctness stays oracle-gated in
-    * Verify like every query). */
-  val sharedProbeTwins = Set("bm25_retrieval")
+  /** Queries whose PHYSICAL SHAPE is already timed by family siblings —
+    * correctness stays oracle-gated in Verify like every query; the
+    * timed set spends its line budget on distinct workloads (adding
+    * either entry would push the line past the rung that keeps
+    * canary_end_sec, the completed-vs-killed marker the r6 kill-test
+    * relies on; local timings are recorded in PLANS.md):
+    *  - bm25_retrieval probes the persisted index artifact five timed
+    *    entries already measure (four boolean retrievals +
+    *    index_term_lookup, plus the index_build metric itself); its
+    *    marginal work is a |terms|-row broadcast scoring join and one
+    *    grouped sum.
+    *  - sample_temperature is the same map-only hash-threshold sampling
+    *    scan sample_stratified times, plus a |langs|-row aggregate and
+    *    broadcast. */
+  val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -200,6 +200,45 @@ object CorpusPipeline {
       .orderBy("lang", "doc_id")
   }
 
+  /** Temperature-based multilingual rebalancing (the XLM-R / mC4
+    * α-sampling play, Conneau et al. 2020 §3.1): sample language l with
+    * probability ∝ p_l^α (α < 1 flattens the language skew), realized as
+    * a deterministic per-document hash filter whose per-language
+    * acceptance rate is p_l^(α−1) normalized so the RAREST language
+    * keeps everything (a filter cannot upsample) and the head languages
+    * are downsampled hardest — the standard head-flattening a
+    * multilingual training mix needs.
+    *
+    * Cross-engine exactness: `pow` is the only transcendental and gets
+    * the log10 discipline (round to 6dp; the exponent α−1 is
+    * interpolated from the SAME Scala constant into both engines);
+    * thresholds integerize to micro-units, so the keep decision compares
+    * two longs — no float at the boundary.
+    *
+    * Scale shape: the language histogram is a |langs|-row aggregate, the
+    * threshold table arrives as a broadcast, and the pass itself is a
+    * map-only 2-column scan + filter — the same shape
+    * [[sampleStratified]] times, plus one tiny broadcast join. */
+  val temperatureAlpha = 0.3
+  def sampleTemperature(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("lang"))
+    val counts = base.groupBy("lang").agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(sum(col("cnt")).as("total"))
+    val w = counts.crossJoin(broadcast(tot))
+      .select(col("lang"),
+        round(pow(col("cnt") / col("total"), lit(temperatureAlpha - 1)), 6).as("w6"))
+    val wmax = w.agg(max(col("w6")).as("wmax"))
+    val thr = w.crossJoin(broadcast(wmax))
+      .select(col("lang"),
+        round(round(col("w6") / col("wmax"), 6) * 1e6, 0).cast("long").as("thr_micro"))
+    base
+      .withColumn("bucket", pmod(md5Int(col("doc_id").cast("string"), 15), lit(1000000L)))
+      .join(broadcast(thr), "lang")
+      .filter(col("bucket") < col("thr_micro"))
+      .select("doc_id", "lang", "bucket", "thr_micro")
+      .orderBy("doc_id")
+  }
+
   /** Output sharding — the write side of the curation pipeline: land the
     * corpus partitioned by language, the lake layout that lets every
     * downstream per-language job (sampling, per-lang dedup, shard
@@ -220,6 +259,7 @@ object CorpusPipeline {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "sample_stratified" -> (sampleStratified _),
     "sample_balanced" -> (sampleBalanced _),
+    "sample_temperature" -> (sampleTemperature _),
     "pack_sequences" -> (packSequences _),
     "doc_repetition" -> (docRepetition _),
     "text_normalize" -> (textNormalize _),
@@ -270,6 +310,21 @@ object CorpusPipeline {
             FROM documents)
           SELECT doc_id, lang, bucket, rate_permille
           FROM b WHERE bucket < rate_permille
+          ORDER BY doc_id""",
+    "sample_temperature" ->
+      s"""WITH counts AS (SELECT lang, count(*) AS cnt FROM documents GROUP BY lang),
+          tot AS (SELECT sum(cnt) AS total FROM counts),
+          w AS (SELECT lang, round(pow(cnt / total, ${temperatureAlpha - 1}), 6) AS w6
+                FROM counts, tot),
+          wm AS (SELECT max(w6) AS wmax FROM w),
+          thr AS (SELECT lang, round(round(w6 / wmax, 6) * 1000000)::BIGINT AS thr_micro
+                  FROM w, wm),
+          b AS (SELECT doc_id, lang,
+                       (${md5IntSql("(doc_id)::VARCHAR", 15)} % 1000000) AS bucket
+                FROM documents)
+          SELECT doc_id, lang, bucket, thr_micro
+          FROM b JOIN thr USING (lang)
+          WHERE bucket < thr_micro
           ORDER BY doc_id""",
     "doc_repetition" ->
       s"""WITH $toksSql,

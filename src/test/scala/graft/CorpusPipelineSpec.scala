@@ -14,6 +14,28 @@ class CorpusPipelineSpec extends GraftSpec {
     assert(s1.forall(r => r.getLong(2) < r.getLong(3)))
   }
 
+  test("temperature sampling flattens the language head, keeps the tail whole") {
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = CorpusPipeline.sampleTemperature(spark, sfDir).collect()
+      .groupBy(_.getString(1)).view.mapValues(_.length.toLong).toMap
+    val thr = CorpusPipeline.sampleTemperature(spark, sfDir).collect()
+      .map(r => r.getString(1) -> r.getLong(3)).toMap
+    // the rarest language keeps EVERYTHING (threshold saturates at 1e6)
+    val rarest = docs.minBy(_._2)._1
+    assert(thr(rarest) == 1000000L, s"rarest '$rarest' threshold ${thr(rarest)}")
+    assert(kept(rarest) == docs(rarest), "rarest language lost rows")
+    // thresholds are anti-monotone in corpus share: a bigger language
+    // never gets a higher keep rate than a smaller one (the flattening)
+    val byCount = docs.toSeq.sortBy(_._2).map { case (l, _) => thr(l) }
+    assert(byCount.zip(byCount.tail).forall { case (a, b) => a >= b },
+      s"thresholds not anti-monotone in language size: $docs -> $thr")
+    // and the head IS actually downsampled
+    val head = docs.maxBy(_._2)._1
+    assert(kept(head) < docs(head), "head language was not downsampled")
+  }
+
   test("repetition stats are internally consistent") {
     val rows = CorpusPipeline.docRepetition(spark, sfDir).collect()
     assert(rows.nonEmpty)
