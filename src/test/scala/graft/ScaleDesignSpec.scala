@@ -257,6 +257,32 @@ class ScaleDesignSpec extends GraftSpec {
     }
   }
 
+  test("index term lookup reads a fraction of the index's row groups (S6 at scale)") {
+    // the MapFile-get story quantified: the persisted index is term-range
+    // -partitioned and term-sorted, so the 3-term IN predicate must prune
+    // at row-group granularity — the SCAN emits far fewer rows than the
+    // index holds, not just filter them after a full read. This is the
+    // property that makes a point lookup O(postings), not O(index), on a
+    // 100 TB corpus.
+    val idx = graft.operators.InvertedIndex.persistedIndex(spark, sfDir)
+    val total = idx.count()
+    // measure the PROBE itself (filter on the artifact) — the registered
+    // query's presentation orderBy adds a range-partitioner sampling pass
+    // that re-executes the scan and double-counts its numOutputRows
+    val probe = idx.filter(col("term").isin("spark", "data", "dup"))
+    val hits = probe.collect().length.toLong
+    val scanned = physicalNodes(probe)
+      .collect { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .head.metrics("numOutputRows").value
+    assert(hits > 0)
+    // row-group pruning: the scan must emit only the row groups whose
+    // term range can hold a probed term (measured: 3,899 of 11,743 at
+    // sf0.001 — the three matching files exactly), never most of the
+    // index
+    assert(scanned * 2 <= total,
+      s"lookup scan emitted $scanned of $total index rows — no row-group pruning")
+  }
+
   test("runtime bloom filter prunes the fact scan behind a selective dim filter") {
     // the 100 TB play: a selective filter on one join side materializes a
     // bloom filter that is pushed into the OTHER side's scan, so the fact
