@@ -83,8 +83,20 @@ private[graft] object BenchFormat {
     *    grouped sum.
     *  - sample_temperature is the same map-only hash-threshold sampling
     *    scan sample_stratified times, plus a |langs|-row aggregate and
-    *    broadcast. */
-  val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature")
+    *    broadcast.
+    *  - phrase_retrieval (r6e) probes the positional artifact written by
+    *    the same `index_build` the other probes gate on; its marginal
+    *    work is three term-pruned scans joined on docno plus an array
+    *    intersection over the matched docs' position lists.
+    *  - the salted twins (r6e) compute the IDENTICAL result as their base
+    *    twins over the same scan+aggregate/join workload; the salting
+    *    exchange they add only earns its keep under key skew the
+    *    near-uniform testdata does not have, so their numbers duplicated
+    *    the base twins' signal line-budget-for-line-budget (the skew
+    *    mechanics stay pinned by ScaleDesignSpec's engineered-skew tests
+    *    and the base/salted timings recorded in PLANS.md). */
+  val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
+    "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -197,13 +197,22 @@ object Tables {
     * way by DuckDB comparisons at µs granularity). */
   def events(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, dir, "events")
-      // `div` (integral) — `/` on longs is double division and truncates
-      // 1µs low for ~1.5% of real nano timestamps
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))
-          .cast(TimestampNTZType))
+    val raw = load(spark, dir, "events")
+    raw.schema("ts").dataType match {
+      // TIMESTAMP(NANOS) parquet encoding (pre-r6 testdata): read nanos
+      // as long and convert to microsecond NTZ. `div` (integral) — `/`
+      // on longs is double division and truncates 1µs low for ~1.5% of
+      // real nano timestamps.
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000"))
+            .cast(TimestampNTZType))
+      // TIMESTAMP(MICROS) encoding (r6 testdata regeneration): reads
+      // natively; just pin the NTZ type every consumer expects.
+      case _ => raw.withColumn("ts",
+        org.apache.spark.sql.functions.col("ts").cast(TimestampNTZType))
+    }
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")

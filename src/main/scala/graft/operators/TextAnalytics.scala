@@ -154,7 +154,75 @@ object TextAnalytics {
           ",").as("stripe"))
       .orderBy("w1")
 
+  /** Heavy-hitter support threshold φ: a bigram is a heavy hitter when
+    * its occurrence count is ≥ ceil(φ·N) (N = total bigram occurrences).
+    * φ structurally bounds the OUTPUT at any scale: at most ⌈1/φ⌉ ≈ 833
+    * keys can each hold a φ-share of N. The floor keeps the query
+    * meaningful at tiny scale factors, where ceil(φ·N) would otherwise
+    * be 1 and "heavy hitter" would mean "exists". Word bigrams (not the
+    * dedup 3-gram shingles) are the domain because their frequency
+    * SHARES are scale-stable on this corpus — trigram shares decay with
+    * N, so a fixed φ would select the empty set at the bench SF. */
+  val hhPhi = 1.2e-3
+  val hhMinSupport = 4L
+  /** CMS accuracy: over-estimate ≤ ε·N with probability [[hhConf]].
+    * ε ≪ φ (24×) so the sketch's slack cannot promote the long tail into
+    * the candidate set; the sketch is ~2 MB (7 rows × 40k counters). */
+  val hhEps = 5e-5
+  val hhConf = 0.99
+  val hhSeed = 42
+
+  /** Word-bigram OCCURRENCES — one row per consecutive pair, not per-doc
+    * distinct (frequency is the quantity of interest here, unlike
+    * [[Dedup]]'s set-semantics shingles). */
+  private def bigramOccurrences(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .select(explode(bigrams(col("ws"))).as("bg"))
+      .select(concat_ws(" ", col("bg.w1"), col("bg.w2")).as("sh"))
+
+  /** Approximate heavy hitters over word bigrams — the Count-Min-Sketch
+    * member of the sketch trio (HLL `approx_distinct_users`, KLL
+    * `value_pct_approx`, CMS here; Cormode & Muthukrishnan 2005). The
+    * textbook two-pass shape that survives 100 TB:
+    *
+    *  1. ONE corpus pass folds every bigram occurrence into a
+    *     fixed-size mergeable sketch (depth×width counters, ~2 MB at
+    *     [[hhEps]]) — a map-side tree aggregation, no shuffle of raw
+    *     keys; `totalCount` gives N from the same pass.
+    *  2. The sketch is broadcast and a map-only filter keeps rows whose
+    *     ESTIMATE reaches the support threshold. CMS never
+    *     under-estimates, so no true heavy hitter is lost; the only
+    *     extra rows are ε-slack false positives. The exact groupBy then
+    *     shuffles ONLY the surviving rows — candidates, not the corpus —
+    *     and the final exact-count filter makes the output deterministic
+    *     and sketch-noise-free (which is what lets DuckDB oracle it).
+    *
+    * The probe is a Scala UDF by necessity: it indexes a driver-built
+    * sketch object, and no built-in Column expression can (same
+    * justification discipline as the banded flatMap — documented,
+    * measured, no declarative alternative). Hash-compared columns are
+    * the exact counts; the two flags assert the sketch contract
+    * (est ≥ exact structurally; est ≤ exact + ε·N at [[hhConf]]). */
+  def heavyHittersCms(spark: SparkSession, dir: String): DataFrame = {
+    val occ = bigramOccurrences(spark, dir)
+    val cms = occ.stat.countMinSketch(col("sh"), hhEps, hhConf, hhSeed)
+    val n = cms.totalCount()
+    val threshold = math.max(math.ceil(hhPhi * n).toLong, hhMinSupport)
+    val slack = math.ceil(hhEps * n).toLong
+    val bc = spark.sparkContext.broadcast(cms)
+    val estimate = udf((s: String) => bc.value.estimateCount(s))
+    occ.filter(estimate(col("sh")) >= threshold)
+      .groupBy("sh")
+      .agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= threshold)
+      .select(col("sh").as("bigram"), col("cnt"),
+        (estimate(col("sh")) >= col("cnt")).as("est_ge_exact"),
+        (estimate(col("sh")) <= col("cnt") + lit(slack)).as("est_within_eps"))
+      .orderBy(col("cnt").desc, col("bigram"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "heavy_hitters_cms" -> (heavyHittersCms _),
     "wordcount" -> (wordCount _),
     "wordcount_salted" -> (wordCountSalted _),
     "next_word_count" -> (nextWordCount _),
@@ -199,6 +267,21 @@ object TextAnalytics {
           CROSS JOIN nd)"""
 
   val oracleSql: Map[String, String] = Map(
+    // exact counts are hash-compared; TRUE flags assert the CMS contract
+    // (the HLL/percentile sketch-oracle discipline). Threshold constants
+    // are interpolated from the same Scala vals the Spark side uses.
+    "heavy_hitters_cms" ->
+      s"""WITH $toksSql,
+          shq AS (
+            SELECT ws[i] || ' ' || ws[i + 1] AS sh
+            FROM toks, unnest(range(1, len(ws))) AS u(i)),
+          tot AS (SELECT count(*) AS n FROM shq),
+          cnts AS (SELECT sh, count(*) AS cnt FROM shq GROUP BY sh)
+          SELECT sh AS bigram, cnt,
+                 TRUE AS est_ge_exact, TRUE AS est_within_eps
+          FROM cnts, tot
+          WHERE cnt >= greatest(CAST(ceil($hhPhi * n) AS BIGINT), $hhMinSupport)
+          ORDER BY cnt DESC, bigram""",
     "wordcount" ->
       s"""WITH $toksSql
           SELECT w AS word, count(*) AS cnt

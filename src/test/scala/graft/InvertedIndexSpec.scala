@@ -113,6 +113,26 @@ class InvertedIndexSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("phrase retrieval probes the positional artifact and matches a token recompute") {
+    val q = InvertedIndex.phraseRetrieval(spark, sfDir)
+    val plan = q.queryExecution.executedPlan.toString
+    // term-pruned artifact scans, no corpus re-tokenization
+    assert(plan.contains("FileScan parquet"), s"no parquet scan in:\n$plan")
+    assert(plan.contains("EqualTo(term"), s"term filter not pushed:\n$plan")
+    assert(!plan.contains("documents.parquet"),
+      "phrase retrieval re-read the corpus instead of the positional artifact")
+    // independent witness: sliding-window phrase count over raw text
+    val terms = InvertedIndex.phraseTerms
+    val want = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .flatMap { r =>
+        val ws = r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+        val n = ws.sliding(terms.length).count(w => w.sameElements(terms))
+        if (n > 0) Some((r.getLong(0), n)) else None
+      }.sortBy(_._1).toSeq
+    assert(q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == want)
+  }
+
   test("packed index df equals postings length (A13 invariant) on testdata") {
     val rows = InvertedIndex.invertedIndexPacked(spark, sfDir).collect()
     rows.foreach { r =>

@@ -46,4 +46,42 @@ class TextAnalyticsSpec extends GraftSpec {
       .agg(sum("n")).collect()(0).getLong(0)
     assert(viaCount == direct)
   }
+
+  test("CMS heavy hitters equal the exact brute-force set; sketch contract holds") {
+    val got = TextAnalytics.heavyHittersCms(spark, sfDir).collect()
+    assert(got.nonEmpty)
+    // the two contract flags: est ≥ exact (structural CMS property) and
+    // est ≤ exact + ε·N (the accuracy bound the sketch is sized for)
+    got.foreach { r =>
+      assert(r.getAs[Boolean]("est_ge_exact"), s"under-estimate at ${r.getString(0)}")
+      assert(r.getAs[Boolean]("est_within_eps"), s"over ε·N slack at ${r.getString(0)}")
+    }
+    // independent driver-side witness: exact bigram counts over the raw
+    // text, thresholded with the same φ/floor arithmetic
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text").collect()
+    val cnt = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    var n = 0L
+    docs.foreach { r =>
+      val ws = r.getString(0).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)
+      ws.lazyZip(ws.drop(1)).foreach { (a, b) => cnt(a + " " + b) += 1; n += 1 }
+    }
+    val threshold =
+      math.max(math.ceil(TextAnalytics.hhPhi * n).toLong, TextAnalytics.hhMinSupport)
+    val want = cnt.toSeq.filter(_._2 >= threshold).sortBy { case (s, c) => (-c, s) }
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
+  }
+
+  test("the CMS candidate filter sits below every exchange (map-only pruning)") {
+    // the whole point of the two-pass shape: the sketch probe must
+    // filter BEFORE any shuffle, so only candidate rows ever move
+    val plan = TextAnalytics.heavyHittersCms(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // "Filter (UDF(" is the candidate filter; bare "UDF(" also appears in
+    // the flag-column Project above the exchanges
+    val udfFilterAt = plan.indexOf("Filter (UDF(")
+    assert(udfFilterAt >= 0, s"no sketch-probe filter in plan:\n$plan")
+    assert(plan.lastIndexOf("Exchange") < udfFilterAt,
+      s"an exchange sits below the sketch-probe filter:\n$plan")
+  }
 }
