@@ -490,7 +490,61 @@ object Dedup {
       .orderBy("doc_new", "doc_old")
   }
 
+  /** Exact-substring SPAN dedup (Lee et al. 2021, "Deduplicating
+    * Training Data Makes Language Models Better"): instead of dropping
+    * whole near-duplicate documents, find the duplicated text RANGES —
+    * runs of ≥ [[spanK]] consecutive tokens that occur more than once
+    * anywhere in the corpus — so a pipeline can cut the spans and keep
+    * the unique remainder. The suffix-array construction of the paper
+    * is replaced by the shuffle-friendly k-gram equivalent: every
+    * length-k token window whose gram occurs ≥ 2× globally marks its
+    * [start, start+k) interval duplicated, and overlapping marks merge
+    * into maximal spans — exactly the substrings of length ≥ k that
+    * repeat, positions included.
+    *
+    * Scale shape: grams shuffle as 60-bit md5 LONGS, not strings (the
+    * hash is computed identically in DuckDB, so even a collision —
+    * p ≈ n²/2⁶⁰ — cannot break engine parity); the duplicated-gram
+    * filter is a COUNT WINDOW over g, not an aggregate + semi-join —
+    * one shuffle computes the occurrence count AND keeps the rows, and
+    * the gram explode evaluates exactly once (the agg+join form both
+    * re-evaluates the explode for the probe side and shuffles it a
+    * second time); the interval merge is the classic gaps-and-islands
+    * double window over (doc_id ORDER BY start) — one more shuffle,
+    * already clustered for both window passes and the final group.
+    * Caveat at scale: a pathologically hot gram (shared boilerplate)
+    * skews its g-partition; the standard salt-count-recombine play
+    * applies if a corpus ever exhibits it (count ≥ 2 needs only a
+    * per-salt partial + max, not exact totals). */
+  val spanK = 8
+
+  def dedupSpans(spark: SparkSession, dir: String): DataFrame = {
+    val k = spanK
+    val occ = toks(spark, dir)
+      .filter(size(col("ws")) >= k)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("ws")) - k),
+          i => concat_ws(" ", (0 until k).map(j => element_at(col("ws"), i + j + 1)): _*)))
+          .as(Seq("s", "gram")))
+      .select(col("doc_id"), col("s"), md5Int(col("gram"), 15).as("g"))
+    val d = occ
+      .withColumn("c", count(lit(1)).over(Window.partitionBy("g")))
+      .filter(col("c") >= 2)
+      .select(col("doc_id"), col("s"), (col("s") + k).as("e"))
+    val w = Window.partitionBy("doc_id").orderBy("s")
+    d.withColumn("prev_max",
+        max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("island",
+        sum(when(col("prev_max").isNull || col("s") > col("prev_max"), 1)
+          .otherwise(0)).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("s").as("span_start"), max("e").as("span_end"))
+      .select("doc_id", "span_start", "span_end")
+      .orderBy("doc_id", "span_start")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dedup_spans" -> (dedupSpans _),
     "decontaminate" -> (decontaminate _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_clusters" -> (dedupClusters _),
@@ -521,6 +575,34 @@ object Dedup {
                HAVING count(*) <= $maxShingleFreq) ok USING (sh))"""
 
   val oracleSql: Map[String, String] = Map(
+    // same k-gram → duplicated set → gaps-and-islands merge, row-
+    // relational; gram hashes are the identical md5-60-bit longs, so
+    // the two engines agree even on a (vanishingly unlikely) collision
+    "dedup_spans" ->
+      s"""WITH toks AS (
+            SELECT doc_id,
+                   ${graft.functions.TextFunctions.tokenizeSql} AS ws
+            FROM documents),
+          occ AS (
+            SELECT doc_id, i AS s,
+                   ${md5IntSql(s"array_to_string(ws[i + 1:i + $spanK], ' ')", 15)} AS g
+            FROM toks, unnest(range(len(ws) - $spanK + 1)) AS u(i)
+            WHERE len(ws) >= $spanK),
+          dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+          d AS (SELECT doc_id, s, s + $spanK AS e
+                FROM occ WHERE g IN (SELECT g FROM dup)),
+          m AS (SELECT doc_id, s, e,
+                       max(e) OVER (PARTITION BY doc_id ORDER BY s
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+                FROM d),
+          isl AS (SELECT doc_id, s, e,
+                         sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                                  THEN 1 ELSE 0 END)
+                           OVER (PARTITION BY doc_id ORDER BY s) AS island
+                  FROM m)
+          SELECT doc_id, min(s) AS span_start, max(e) AS span_end
+          FROM isl GROUP BY doc_id, island
+          ORDER BY doc_id, span_start""",
     "decontaminate" ->
       s"""WITH $shingleSql,
           bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $benchMod = $benchRem),

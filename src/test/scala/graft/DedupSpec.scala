@@ -140,4 +140,53 @@ class DedupSpec extends GraftSpec {
     val banded = pairSet(Dedup.dedupSimhash(spark, sfDir))
     assert(banded == brute)
   }
+
+  test("span dedup: hand-built corpus yields exactly the expected merged spans") {
+    import spark.implicits._
+    val run = "a b c d e f g h" // spanK = 8 shared tokens
+    val docs = Seq(
+      (0L, s"$run qa qb"),          // run at tokens [0,8)
+      (1L, s"zb $run zc"),          // run at tokens [1,9)
+      (2L, s"$run $run"),           // doubled → adjacent islands merge to [0,16)
+      (3L, "u1 u2 u3 u4 u5 u6 u7 u8 u9 u10")) // all-unique — no spans
+    val dir = java.nio.file.Files.createTempDirectory("graft-spans").toString
+    docs.toDF("doc_id", "text").write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = Dedup.dedupSpans(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSeq
+    assert(got == Seq((0L, 0, 8), (1L, 1, 9), (2L, 0, 16)))
+  }
+
+  test("span dedup on testdata: every in-span window repeats; spans disjoint and maximal") {
+    val k = Dedup.spanK
+    val spans = Dedup.dedupSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+    assert(spans.nonEmpty, "testdata's planted near-dups should yield spans")
+    // driver-side witness: the corpus k-gram occurrence multiset
+    val toksByDoc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)).toMap
+    val gramCount = scala.collection.mutable.Map.empty[String, Int].withDefaultValue(0)
+    toksByDoc.values.foreach(ws =>
+      ws.sliding(k).filter(_.length == k).foreach(g => gramCount(g.mkString(" ")) += 1))
+    def dup(ws: Array[String], s: Int): Boolean =
+      s >= 0 && s + k <= ws.length && gramCount(ws.slice(s, s + k).mkString(" ")) >= 2
+    spans.groupBy(_._1).foreach { case (docId, ds) =>
+      val ws = toksByDoc(docId)
+      val sorted = ds.sortBy(_._2)
+      // disjoint, ordered, each ≥ k long
+      sorted.sliding(2).foreach {
+        case Array((_, _, e1), (_, s2, _)) => assert(e1 < s2, s"overlap in doc $docId")
+        case _ =>
+      }
+      sorted.foreach { case (_, s, e) =>
+        assert(e - s >= k)
+        // every k-window inside the span is globally duplicated...
+        (s to e - k).foreach(i => assert(dup(ws, i), s"doc $docId window $i not duplicated"))
+        // ...and the span is maximal: the windows just outside are not
+        assert(!dup(ws, s - 1), s"doc $docId span [$s,$e) extendable left")
+        assert(!dup(ws, e - k + 1), s"doc $docId span [$s,$e) extendable right")
+      }
+    }
+  }
 }
