@@ -88,6 +88,11 @@ private[graft] object BenchFormat {
     *    the same `index_build` the other probes gate on; its marginal
     *    work is three term-pruned scans joined on docno plus an array
     *    intersection over the matched docs' position lists.
+    *  - doc_logprob_bigram (r6e) is doc_logprob's stacked-rollup shape
+    *    with a wider key: same one-pass corpus aggregate, same rollup
+    *    stack to a model table, same model join back and per-doc micro
+    *    sum — the timed sibling already prices the plan; the bigram
+    *    variant's delta is table width, not a new physical workload.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -96,7 +101,8 @@ private[graft] object BenchFormat {
     *    mechanics stay pinned by ScaleDesignSpec's engineered-skew tests
     *    and the base/salted timings recorded in PLANS.md). */
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
-    "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted")
+    "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
+    "doc_logprob_bigram")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -155,7 +155,58 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** Interpolation weight λ for the bigram LM: P(b|a) = λ·C(a,b)/C(a,·)
+    * + (1−λ)·C(·,b)/N. Both λ and 1−λ interpolate into the oracle SQL
+    * as the SAME decimal literals the Column expression uses. */
+  val lmLambda = 0.7
+  val lmMu = 0.3
+
+  /** Interpolated bigram log-probability scoring — the bigram upgrade of
+    * [[docLogprob]]'s unigram LM filter (Jelinek–Mercer interpolation;
+    * the standard smoothing that keeps unseen-within-context bigrams
+    * finite by backing off to the marginal). The back-off distribution
+    * is the bigram table's own second-element marginal C(·,b)/N, so the
+    * WHOLE model — conditionals, marginals, total — rolls up from one
+    * per-doc bigram aggregate and the corpus is scanned exactly once
+    * (the doc_logprob play: stacked rollups on a single exchange).
+    *
+    * Cross-engine exactness: the interpolated probability is plain IEEE
+    * arithmetic written in the identical order on both engines
+    * (λ·(cab/ca) + μ·(cb/n)); its log10 rounds to 6dp and integerizes
+    * to micro-longs, making the per-doc sum order-free.
+    *
+    * Scale shape: rollups stack on the (doc,w1,w2) exchange; the model
+    * join back to per-doc counts is keyed on the bigram — Zipf-headed
+    * like every LM join, with the salting/broadcast-head remedies
+    * demonstrated elsewhere. No collect anywhere; N rides in as a
+    * broadcast scalar. */
+  def docLogprobBigram(spark: SparkSession, dir: String): DataFrame = {
+    val bf = docs(spark, dir)
+      .select(col("doc_id"), explode(bigrams(col("ws"))).as("bg"))
+      .groupBy(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("bf"))
+    val cab = bf.groupBy("w1", "w2").agg(sum(col("bf")).as("cab"))
+    val ca = cab.groupBy("w1").agg(sum(col("cab")).as("ca"))
+    val cb = cab.groupBy("w2").agg(sum(col("cab")).as("cb"))
+    val tot = cab.agg(sum(col("cab")).as("n"))
+    val m = cab.join(ca, "w1").join(cb, "w2").crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"),
+        round(round(log10(
+          lit(lmLambda) * (col("cab").cast("double") / col("ca")) +
+            lit(lmMu) * (col("cb").cast("double") / col("n"))), 6) * 1e6, 0)
+          .cast("long").as("m"))
+    bf.join(m, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(sum(col("bf")).as("n_bigrams"),
+        sum(col("bf") * col("m")).as("logprob_micro"))
+      .withColumn("avg_logprob",
+        col("logprob_micro").cast("double") / (col("n_bigrams") * 1000000L))
+      .select("doc_id", "n_bigrams", "logprob_micro", "avg_logprob")
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_logprob_bigram" -> (docLogprobBigram _),
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "doc_quality" -> (docQuality _),
@@ -174,6 +225,26 @@ object TextQuality {
   private val stopSql = stopCountSql
 
   val oracleSql: Map[String, String] = Map(
+    "doc_logprob_bigram" ->
+      s"""WITH $toksSql,
+          bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+                 FROM toks, unnest(range(1, len(ws))) AS u(i)),
+          bf AS (SELECT doc_id, w1, w2, count(*) AS bf
+                 FROM bg GROUP BY doc_id, w1, w2),
+          cab AS (SELECT w1, w2, sum(bf) AS cab FROM bf GROUP BY w1, w2),
+          ca AS (SELECT w1, sum(cab) AS ca FROM cab GROUP BY w1),
+          cb AS (SELECT w2, sum(cab) AS cb FROM cab GROUP BY w2),
+          tot AS (SELECT sum(cab) AS n FROM cab),
+          m AS (SELECT w1, w2,
+                       round(round(log10($lmLambda * (cab::DOUBLE / ca) +
+                         $lmMu * (cb::DOUBLE / n)), 6) * 1000000)::BIGINT AS m
+                FROM cab JOIN ca USING (w1) JOIN cb USING (w2), tot)
+          SELECT doc_id,
+                 sum(bf)::BIGINT AS n_bigrams,
+                 sum(bf * m)::BIGINT AS logprob_micro,
+                 (sum(bf * m))::DOUBLE / (sum(bf) * 1000000) AS avg_logprob
+          FROM bf JOIN m USING (w1, w2)
+          GROUP BY doc_id ORDER BY doc_id""",
     "doc_logprob" ->
       s"""WITH $toksSql,
           tok AS (SELECT doc_id, unnest(ws) AS w FROM toks),

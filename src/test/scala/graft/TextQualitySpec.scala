@@ -33,4 +33,37 @@ class TextQualitySpec extends GraftSpec {
       assert(avg < 0, s"doc $id: unigram log-prob must be negative, got $avg")
     }
   }
+
+  test("doc_logprob_bigram matches a driver-side interpolated-LM recompute") {
+    val rows = TextQuality.docLogprobBigram(spark, sfDir).collect()
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).toMap
+    val docBigrams = docs.view.mapValues(ws => ws.zip(ws.drop(1))).toMap
+      .filter(_._2.nonEmpty)
+    assert(rows.length == docBigrams.size, "one row per doc with >= 2 tokens")
+    val cab = docBigrams.values.flatten.groupBy(identity)
+      .map { case (b, bs) => b -> bs.size.toLong }
+    val ca = cab.groupBy(_._1._1).map { case (a, m) => a -> m.values.sum }
+    val cb = cab.groupBy(_._1._2).map { case (b, m) => b -> m.values.sum }
+    val n = cab.values.sum
+    def r6(x: Double): Double =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // the IDENTICAL interpolation arithmetic, in the identical order
+    val micro = cab.map { case (bg @ (a, b), c) =>
+      val p = TextQuality.lmLambda * (c.toDouble / ca(a)) +
+        TextQuality.lmMu * (cb(b).toDouble / n)
+      bg -> BigDecimal(r6(math.log10(p)) * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      val bgs = docBigrams(id)
+      val wantSum = bgs.map(micro).sum
+      assert(r.getAs[Long]("n_bigrams") == bgs.size.toLong)
+      assert(r.getAs[Long]("logprob_micro") == wantSum, s"doc $id micro sum mismatch")
+      assert(r.getAs[Double]("avg_logprob") ==
+        wantSum.toDouble / (bgs.size.toLong * 1000000L))
+    }
+  }
 }
