@@ -93,6 +93,10 @@ private[graft] object BenchFormat {
     *    stack to a model table, same model join back and per-doc micro
     *    sum — the timed sibling already prices the plan; the bigram
     *    variant's delta is table width, not a new physical workload.
+    *  - doc_chunks (r6e) is a zero-exchange map-only corpus scan with
+    *    per-row array arithmetic and an explode — the physical shape
+    *    text_normalize, doc_repetition, and multimodal_frame_sample
+    *    already time; its delta is output fan-out, not plan structure.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -102,7 +106,7 @@ private[graft] object BenchFormat {
     *    and the base/salted timings recorded in PLANS.md). */
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
-    "doc_logprob_bigram")
+    "doc_logprob_bigram", "doc_chunks")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

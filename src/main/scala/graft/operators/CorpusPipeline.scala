@@ -256,7 +256,43 @@ object CorpusPipeline {
       .repartition(col("lang"))
       .write.partitionBy("lang").mode("overwrite").parquet(outPath)
 
+  /** Context-window chunking: [[chunkSize]]-token windows advancing by
+    * [[chunkStride]] (so consecutive chunks overlap by size − stride
+    * tokens — the standard sliding-window prep for a fixed-context
+    * model). The last chunk may be short; a window that would add no
+    * new tokens is not emitted (chunk count = 1 + ⌈(n − size)/stride⌉,
+    * floored at 1). */
+  val chunkSize = 16
+  val chunkStride = 12
+
+  /** Split every document into overlapping token windows — the
+    * context-window chunking stage that precedes packing in a training
+    * pipeline (long docs must become model-context-sized pieces BEFORE
+    * [[packSequences]] bins them). Pure per-row array arithmetic:
+    * chunk indices come from an integer-division count, windows are
+    * `slice`s of the token array — a map-only plan whose only exchange
+    * is the presentation ORDER BY's range partition, at any corpus size
+    * (the explode multiplies rows ~n/stride-fold, which is the output's
+    * actual size, not shuffle pressure). */
+  def docChunks(spark: SparkSession, dir: String): DataFrame = {
+    val (k, s) = (chunkSize, chunkStride)
+    docs(spark, dir)
+      .select(col("doc_id"), col("ws"), size(col("ws")).as("n"))
+      .filter(col("n") > 0)
+      .select(col("doc_id"), col("n"), col("ws"),
+        explode(sequence(lit(0),
+          expr(s"greatest(n - $k + $s - 1, 0) div $s"))).as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * s).as("start_tok"),
+        (least(col("chunk_idx") * s + k, col("n")) - col("chunk_idx") * s).as("n_toks"),
+        array_join(slice(col("ws"), col("chunk_idx") * s + 1,
+          least(col("chunk_idx") * s + k, col("n")) - col("chunk_idx") * s), " ")
+          .as("chunk_text"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "doc_chunks" -> (docChunks _),
     "sample_stratified" -> (sampleStratified _),
     "sample_balanced" -> (sampleBalanced _),
     "sample_temperature" -> (sampleTemperature _),
@@ -274,6 +310,21 @@ object CorpusPipeline {
     s"(${md5IntSql(s"($e)::VARCHAR", 15)} % 1000)"
 
   val oracleSql: Map[String, String] = Map(
+    // chunk grid mirrored with the same integer arithmetic; DuckDB's
+    // end-exclusive range(0, m) == Spark's inclusive sequence(0, m-1)
+    "doc_chunks" ->
+      s"""WITH $toksSql,
+          sized AS (SELECT doc_id, ws, len(ws) AS n FROM toks WHERE len(ws) > 0)
+          SELECT doc_id, i AS chunk_idx, i * $chunkStride AS start_tok,
+                 least(i * $chunkStride + $chunkSize, n) - i * $chunkStride AS n_toks,
+                 array_to_string(
+                   ws[i * $chunkStride + 1 : least(i * $chunkStride + $chunkSize, n)],
+                   ' ') AS chunk_text
+          FROM sized,
+               unnest(range(0,
+                 1 + (greatest(n - $chunkSize + $chunkStride - 1, 0) // $chunkStride)))
+                 AS u(i)
+          ORDER BY doc_id, chunk_idx""",
     "sample_balanced" ->
       s"""WITH h AS (
             SELECT doc_id, lang,

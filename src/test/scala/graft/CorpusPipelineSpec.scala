@@ -130,4 +130,37 @@ class CorpusPipelineSpec extends GraftSpec {
     }
     assert(stages("1_total") > 0)
   }
+
+  test("doc_chunks: stride grid covers every token exactly; zero exchanges") {
+    val k = CorpusPipeline.chunkSize
+    val s = CorpusPipeline.chunkStride
+    val df = CorpusPipeline.docChunks(spark, sfDir)
+    // map-only up to the presentation ORDER BY (whose rangepartitioning
+    // exchange is the only one allowed): no hash exchange anywhere
+    assert(!df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning"),
+      "chunking must stay map-only below the presentation sort")
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty).toSeq).toMap
+    df.collect().groupBy(_.getLong(0)).foreach { case (id, rows) =>
+      val ws = toks(id)
+      val chunks = rows.sortBy(_.getAs[Long]("chunk_idx"))
+        .map(r => (r.getAs[Long]("start_tok"), r.getAs[Long]("n_toks"),
+          r.getAs[String]("chunk_text")))
+      // grid: starts advance by the stride from 0
+      chunks.zipWithIndex.foreach { case ((st, n, text), i) =>
+        assert(st == i.toLong * s)
+        assert(n == math.min(st + k, ws.length) - st, s"doc $id chunk $i length")
+        assert(text == ws.slice(st.toInt, (st + n).toInt).mkString(" "))
+      }
+      // coverage: last chunk reaches the end; no chunk is redundant
+      val (lastS, lastN, _) = chunks.last
+      assert(lastS + lastN == ws.length, s"doc $id: tail tokens uncovered")
+      if (chunks.length > 1)
+        assert(chunks.last._1 + chunks.last._2 >
+          chunks(chunks.length - 2)._1 + chunks(chunks.length - 2)._2,
+          s"doc $id: final chunk adds no new tokens")
+    }
+  }
 }
