@@ -97,6 +97,9 @@ private[graft] object BenchFormat {
     *    per-row array arithmetic and an explode — the physical shape
     *    text_normalize, doc_repetition, and multimodal_frame_sample
     *    already time; its delta is output fan-out, not plan structure.
+    *  - knn_filtered_cosine (r6e) is knn_brute_cosine's broadcast-score-
+    *    rank shape with the label conjunct PRUNING candidates — strictly
+    *    less work over the identical plan structure.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -106,7 +109,7 @@ private[graft] object BenchFormat {
     *    and the base/salted timings recorded in PLANS.md). */
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
-    "doc_logprob_bigram", "doc_chunks")
+    "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

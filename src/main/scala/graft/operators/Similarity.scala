@@ -529,7 +529,38 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Metadata-FILTERED vector search ("hybrid search"): each query's
+    * top-k nearest neighbors restricted to vectors sharing its `label`
+    * — the retrieval-with-predicate pattern every production vector
+    * store needs (pre-filtered search; e.g. same-language or
+    * same-collection constraints in a RAG pipeline). The crucial scale
+    * move: the metadata predicate becomes an EQUI-JOIN KEY, not a
+    * post-filter — candidates are generated only within the query's
+    * label slice (|corpus|/|labels| of the data per query) instead of
+    * scoring everything and discarding. With the bounded query slice
+    * the label join rides a broadcast; with many queries the same plan
+    * shuffle-co-locates both sides on label and each slice searches
+    * independently — either way the conjunct is what bounds the work.
+    * Scoring and ranking reuse [[knnBruteCosine]]'s codegen'd cosine +
+    * bounded-PQ rank shape. */
+  def knnFilteredCosine(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.embeddings(spark, dir)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+    val queries = vecs.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label"))
+    vecs.join(broadcast(queries), "label")
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("label"), col("vec_id").as("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rank") <= knnK)
+      .orderBy("query_id", "rank")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "knn_filtered_cosine" -> (knnFilteredCosine _),
     "knn_brute_cosine" -> (knnBruteCosine _),
     "ann_lsh_cosine" -> (annLshCosine _),
     "ann_ivf_cosine" -> (annIvfCosine _),
@@ -714,6 +745,26 @@ object Similarity {
               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
             FROM scored)
           SELECT query_id, neighbor_id, cosine, rank
+          FROM ranked WHERE rank <= $knnK
+          ORDER BY query_id, rank""",
+    // same scoring arithmetic as knn_brute_cosine; the label predicate
+    // appears as the USING join key exactly like the Spark plan
+    "knn_filtered_cosine" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v, label FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv, label FROM v
+                WHERE vec_id < $nQueries),
+          scored AS (
+            SELECT query_id, label, c.vec_id AS neighbor_id,
+                   round(list_dot_product(qv, c.v) /
+                         (sqrt(list_dot_product(qv, qv)) *
+                          sqrt(list_dot_product(c.v, c.v))), 6)
+                     AS cosine
+            FROM v c JOIN q USING (label) WHERE c.vec_id <> query_id),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, label, neighbor_id, cosine, rank
           FROM ranked WHERE rank <= $knnK
           ORDER BY query_id, rank""",
     "dedup_embedding_cosine" -> bandedPairsOracleSql(

@@ -106,4 +106,31 @@ class SimilaritySpec extends GraftSpec {
     val recall = hits.toDouble / (exact.size * Similarity.knnK)
     assert(recall >= 0.35, s"ANN recall $recall too low")
   }
+
+  test("filtered knn: neighbors share the query's label and match a driver recompute") {
+    val got = Similarity.knnFilteredCosine(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Int]("label"),
+        r.getAs[Long]("neighbor_id"), r.getAs[Int]("rank")))
+    assert(got.nonEmpty)
+    // driver-side witness over the raw table
+    val raw = spark.read.parquet(s"$sfDir/embeddings.parquet")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getSeq[Float](1).map(_.toDouble).toArray, r.getAs[Int]("label")))
+    val byLabel = raw.groupBy(_._3)
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1 }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = raw.filter(_._1 < Similarity.nQueries).flatMap { case (qid, qv, lbl) =>
+      byLabel(lbl).filter(_._1 != qid)
+        .map { case (nid, v, _) =>
+          (qid, lbl, nid, BigDecimal(cos(qv, v))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) }
+        .sortBy { case (_, _, nid, c) => (-c, nid) }
+        .take(Similarity.knnK).zipWithIndex
+        .map { case ((q, l, n, _), i) => (q, l, n, i + 1) }
+    }.sortBy(t => (t._1, t._4)).toSeq
+    assert(got.toSeq == want)
+  }
 }
