@@ -100,6 +100,11 @@ private[graft] object BenchFormat {
     *  - knn_filtered_cosine (r6e) is knn_brute_cosine's broadcast-score-
     *    rank shape with the label conjunct PRUNING candidates — strictly
     *    less work over the identical plan structure.
+    *  - index_incremental (r6e) composes three already-timed pieces:
+    *    a term-pruned probe of the persisted index (index_term_lookup's
+    *    shape), a tf build over the quarter-slice batch (index_build's
+    *    shape at 1/4 input), and the df window every flat-index entry
+    *    carries.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -109,7 +114,8 @@ private[graft] object BenchFormat {
     *    and the base/salted timings recorded in PLANS.md). */
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
-    "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine")
+    "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
+    "index_incremental")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

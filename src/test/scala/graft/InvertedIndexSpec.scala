@@ -133,6 +133,30 @@ class InvertedIndexSpec extends GraftSpec {
     assert(q.collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == want)
   }
 
+  test("incremental index merge equals the full index restricted to batch terms") {
+    val inc = InvertedIndex.indexIncremental(spark, sfDir)
+    // the standing side must be an artifact probe: the only corpus
+    // (documents.parquet) scans are the batch tf subtree's two
+    // evaluations (touched-term set + union side — the documented
+    // batch≪index trade); the standing postings come from the artifact
+    val plan = inc.queryExecution.executedPlan.toString
+    val corpusScans = "documents\\.parquet".r.findAllIn(plan).size
+    assert(corpusScans == 2,
+      s"expected the 2 batch-slice scans only, saw $corpusScans:\n$plan")
+    assert(plan.contains("graft-index"), s"standing side is not an artifact probe:\n$plan")
+    // semantics: merged == full flat index restricted to batch-touched terms
+    val full = InvertedIndex.invertedIndexFlat(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val batchTerms = full.collect {
+      case (t, _, docno, _)
+        if docno % InvertedIndex.indexBatchMod == InvertedIndex.indexBatchRem => t
+    }.toSet
+    val want = full.filter(r => batchTerms(r._1)).sortBy(r => (r._1, r._3)).toSeq
+    val got = inc.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
   test("packed index df equals postings length (A13 invariant) on testdata") {
     val rows = InvertedIndex.invertedIndexPacked(spark, sfDir).collect()
     rows.foreach { r =>

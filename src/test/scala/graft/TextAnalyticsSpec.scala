@@ -72,6 +72,26 @@ class TextAnalyticsSpec extends GraftSpec {
     assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == want)
   }
 
+  test("CMS heavy hitters under engineered skew: the hot bigram dominates, contract holds") {
+    import spark.implicits._
+    // one bigram repeated 1000x against a diverse tail: the hot key is
+    // exactly what the sketch must count accurately through collisions
+    val hot = Seq.fill(1000)("hot pair").mkString(" ") // "pair hot" bridges too
+    val tail = (0 until 400).map(i => (i + 1).toLong -> s"w${2 * i} w${2 * i + 1}")
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms").toString
+    ((0L -> hot) +: tail).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextAnalytics.heavyHittersCms(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2), r.getBoolean(3)))
+    // N = 1999 hot-doc bigrams + 400 tail bigrams; threshold = floor(4)
+    // → exactly the two hot-doc bigrams survive
+    assert(got.map(t => (t._1, t._2)).toSeq ==
+      Seq(("hot pair", 1000L), ("pair hot", 999L)))
+    got.foreach { case (bg, _, ge, eps) =>
+      assert(ge && eps, s"sketch contract failed on $bg under skew")
+    }
+  }
+
   test("the CMS candidate filter sits below every exchange (map-only pruning)") {
     // the whole point of the two-pass shape: the sketch probe must
     // filter BEFORE any shuffle, so only candidate rows ever move
