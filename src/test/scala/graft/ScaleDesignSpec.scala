@@ -557,4 +557,32 @@ class ScaleDesignSpec extends GraftSpec {
     assert(scansAudited >= 50, s"only $scansAudited scans audited — " +
       "the scan collect is no longer finding the registry's plans")
   }
+
+  test("registry-wide scale audit: no undocumented Scala UDF in any plan") {
+    // Codegen discipline: a Scala UDF boxes its inputs and blocks
+    // whole-stage codegen, so every one in a registered plan must be a
+    // DOCUMENTED no-declarative-alternative exception. Current whitelist:
+    // heavy_hitters_cms probes a driver-built Count-Min sketch object —
+    // no built-in Column expression can index it. (The banded pipelines'
+    // measured-justified object-space passes are typed map/flatMap
+    // Datasets ops, not ScalaUDF, and are pinned by their own specs.)
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val whitelist = Set("heavy_hitters_cms")
+    val offenders = Seq.newBuilder[String]
+    registryPlans.foreach { case (name, qe) =>
+      val udfs = qe.optimizedPlan.collectWithSubqueries {
+        case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p
+      }
+      if (udfs.nonEmpty && !whitelist(name))
+        offenders += s"$name: ScalaUDF in ${udfs.head.nodeName}"
+    }
+    val bad = offenders.result()
+    assert(bad.isEmpty, s"undocumented UDFs found:\n${bad.mkString("\n")}")
+    // the whitelist must stay honest: its one entry really does plan a UDF
+    assert(registryPlans.collect { case (n, qe) if whitelist(n) =>
+      qe.optimizedPlan.collectWithSubqueries {
+        case p if p.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => p
+      }.nonEmpty
+    }.forall(identity), "whitelisted query no longer uses a UDF — shrink the whitelist")
+  }
 }
