@@ -127,6 +127,13 @@ private[graft] object BenchFormat {
       require(names(subsumer) || buildMetrics(subsumer) || !names(excluded),
         s"$excluded is excluded as subsumed by $subsumer, which is not registered")
     }
+    // every by-name exclusion must name a REGISTERED query: a typo'd or
+    // stale entry would otherwise silently exclude nothing (and hide the
+    // documented intent behind a no-op)
+    (allPairsBaselines ++ parityHarnesses ++ subsumedTwins.keySet ++
+      sharedProbeTwins).foreach { n =>
+      require(names(n), s"bench exclusion '$n' names no registered query")
+    }
     all.toSeq
       .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n) ||
         parityHarnesses(n) || subsumedTwins.contains(n) || sharedProbeTwins(n))

@@ -94,4 +94,14 @@ class BenchFormatSpec extends AnyFunSuite {
     val line = BenchFormat.fitLine(huge, Nil, 0.4, 0.4, None, "sf0.1")
     parse(line)
   }
+
+  test("a stale or typo'd by-name exclusion fails loudly, not as a silent no-op") {
+    // the real registry passes (implicitly exercised by the first test);
+    // a registry missing an excluded name must throw
+    val missingOne = SparkEntry.queries.keys.filterNot(_ == "bm25_retrieval")
+    val e = intercept[IllegalArgumentException] {
+      BenchFormat.benchedNames(missingOne)
+    }
+    assert(e.getMessage.contains("bm25_retrieval"))
+  }
 }
