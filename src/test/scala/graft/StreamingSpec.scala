@@ -349,4 +349,43 @@ class StreamingSpec extends GraftSpec {
       s"stream-kept ${kept.size} docs vs batch reps ${want.size}; " +
         s"diff=${(kept diff want) ++ (want diff kept)}")
   }
+
+  test("streaming session_window: watermark-closed sessions equal the batch sessions") {
+    // the built-in session-window operator in STREAMING mode (merging
+    // keyed state as events arrive, append-mode finalization when the
+    // watermark passes a session's end) — the production form of the
+    // batch user_sessions query. Parity statement: the streamed output
+    // is exactly the batch session set whose end the final watermark
+    // passed; trailing sessions stay in state (the documented append-
+    // mode contract, flushed by later batches in a live pipeline).
+    val delayMin = 2L
+    def sessions(df: org.apache.spark.sql.DataFrame) = df
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", s"$delayMin minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    // the file source wants a directory: stream the sf dir with a glob
+    // pinned to the events file (the taxi pathGlobFilter play)
+    val q = sessions(spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir))
+      .writeStream.format("memory").queryName("sess_stream")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getAs[Long]("user_id"), r.getAs[java.sql.Timestamp]("session_start"),
+        r.getAs[java.sql.Timestamp]("session_end"), r.getAs[Long]("n_events"))
+    val got = spark.table("sess_stream").collect().map(key).toSet
+    assert(got.nonEmpty, "no sessions emitted — watermark never advanced")
+    // final watermark after the single file batch = max(ts) − delay
+    val maxTs = raw.agg(max(col("ts").cast("timestamp"))).head().getTimestamp(0)
+    val wm = new java.sql.Timestamp(maxTs.getTime - delayMin * 60 * 1000)
+    val batch = sessions(raw).collect().map(key)
+    val want = batch.filter(_._3.compareTo(wm) < 0).toSet
+    assert(got == want,
+      s"stream ${got.size} vs batch-closed ${want.size} sessions; " +
+        s"batch total ${batch.length}")
+  }
 }
