@@ -105,6 +105,11 @@ private[graft] object BenchFormat {
     *    shape), a tf build over the quarter-slice batch (index_build's
     *    shape at 1/4 input), and the df window every flat-index entry
     *    carries.
+    *  - user_sessions_stream (r6e) is a second FileStreamSource drain:
+    *    its ingest overhead is already priced by the timed
+    *    taxi_region_hourly_stream, and its marginal content — the
+    *    streaming session_window state operator — computes the batch
+    *    user_sessions aggregate the timed set also measures.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -115,7 +120,7 @@ private[graft] object BenchFormat {
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
     "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
-    "index_incremental")
+    "index_incremental", "user_sessions_stream")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

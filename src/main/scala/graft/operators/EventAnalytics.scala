@@ -411,7 +411,53 @@ object EventAnalytics {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** Watermark delay for the streaming session drain (minutes). */
+  val sessionWmDelayMin = 2L
+
+  /** R-family production shape: the SAME 30-minute session windows as
+    * [[userSessions]], driven as a Structured Streaming file source
+    * with append-mode output — sessions merge in keyed state as events
+    * arrive and EMIT only when the watermark passes their end (the
+    * built-in session_window operator in streaming mode; the batch twin
+    * plans the identical aggregate). The registered result is therefore
+    * the watermark-CLOSED session set: after the single file batch the
+    * watermark rests at max(ts) − [[sessionWmDelayMin]] min, so exactly
+    * the sessions whose end precedes it appear — the oracle states that
+    * same set in SQL (islands + end < wm). Trailing sessions staying in
+    * state is the documented append-mode contract; a live pipeline
+    * flushes them as later files arrive. Drained with AvailableNow off
+    * the memory sink (the taxi-stream template; bounded by sessions ×
+    * users). */
+  def userSessionsStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val sinkName = "user_sessions_stream_sink"
+    spark.catalog.dropTempView(sinkName)
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val q = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", s"$sessionWmDelayMin minutes")
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally q.stop()
+    val rows = spark.table(sinkName)
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("w.end").as("session_end"), col("n_events"))
+      .as[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)].collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    rows.toDF("user_id", "session_start", "session_end", "n_events")
+      .select(col("user_id"),
+        col("session_start").cast("timestamp_ntz").as("session_start"),
+        col("session_end").cast("timestamp_ntz").as("session_end"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "user_sessions_stream" -> (userSessionsStream _),
     "approx_distinct_users" -> (approxDistinctUsers _),
     "value_percentiles" -> (valuePercentiles _),
     "value_pct_approx" -> (valuePctApprox _),
@@ -479,6 +525,34 @@ object EventAnalytics {
                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                   AS last_error_ts
          FROM events ORDER BY event_id""",
+    // the islands CTE of user_sessions, plus session_end = last + gap
+    // and the append-mode emission predicate end < (max(ts) − delay)
+    "user_sessions_stream" ->
+      s"""WITH e AS (
+           SELECT user_id, ts,
+                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+           FROM events),
+         f AS (
+           SELECT user_id, ts,
+                  CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                       THEN 1 ELSE 0 END AS new_session
+           FROM e),
+         g AS (
+           SELECT user_id, ts,
+                  sum(new_session) OVER (
+                    PARTITION BY user_id ORDER BY ts
+                    ROWS UNBOUNDED PRECEDING) AS session_id
+           FROM f),
+         s AS (
+           SELECT user_id, min(ts) AS session_start,
+                  max(ts) + INTERVAL '30 minutes' AS session_end,
+                  count(*) AS n_events
+           FROM g GROUP BY user_id, session_id),
+         wm AS (SELECT max(ts) - INTERVAL '$sessionWmDelayMin minutes' AS wm
+                FROM events)
+         SELECT user_id, session_start, session_end, n_events
+         FROM s, wm WHERE session_end < wm
+         ORDER BY user_id, session_start""",
     "user_sessions" ->
       """WITH e AS (
            SELECT user_id, ts,

@@ -469,7 +469,8 @@ class ScaleDesignSpec extends GraftSpec {
     * excluded here; their batch twins are audited and stream==batch row
     * parity is pinned by StreamingSpec/TaxiSpec. */
   lazy val registryPlans: Seq[(String, org.apache.spark.sql.execution.QueryExecution)] = {
-    val streamingReplays = Set("trending_arrivals_late", "taxi_region_hourly_stream")
+    val streamingReplays = Set("trending_arrivals_late", "taxi_region_hourly_stream",
+      "user_sessions_stream")
     SparkEntry.queries.keys.toSeq.sorted.filterNot(streamingReplays)
       .map(name => name -> SparkEntry.queries(name)(spark, sfDir).queryExecution)
   }
