@@ -110,6 +110,9 @@ private[graft] object BenchFormat {
     *    taxi_region_hourly_stream, and its marginal content — the
     *    streaming session_window state operator — computes the batch
     *    user_sessions aggregate the timed set also measures.
+    *  - dedup_spans_clean (r6e) re-runs the timed dedup_spans pipeline
+    *    and adds a doc_id-keyed anti-join + one re-aggregation — its
+    *    dominant cost IS the timed sibling.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -120,7 +123,7 @@ private[graft] object BenchFormat {
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
     "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
-    "index_incremental", "user_sessions_stream")
+    "index_incremental", "user_sessions_stream", "dedup_spans_clean")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -543,8 +543,38 @@ object Dedup {
       .orderBy("doc_id", "span_start")
   }
 
+  /** The span consumer: MATERIALIZE the span-cleaned corpus — every
+    * token inside a duplicated range is cut and the survivors re-join
+    * in position order (aggressive remove-all policy: simple,
+    * deterministic, and the conservative direction for training data —
+    * documented alternative keep-first needs a global occurrence order
+    * and buys back little). Output is one row per AFFECTED doc with the
+    * removed-token count and the cleaned text. The span join carries a
+    * doc_id equality conjunct (range predicate rides along), and spans
+    * per doc are few, so the anti-join fans out per-span, not
+    * per-corpus. */
+  def dedupSpansClean(spark: SparkSession, dir: String): DataFrame = {
+    val spans = dedupSpans(spark, dir)
+    val t = toks(spark, dir)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "w"))).as("t")
+    val kept = t.join(spans.as("s"),
+      col("t.doc_id") === col("s.doc_id") &&
+        col("t.pos") >= col("s.span_start") && col("t.pos") < col("s.span_end"),
+      "left_anti")
+    spans.groupBy("doc_id")
+      .agg(sum(col("span_end") - col("span_start")).as("n_removed"))
+      .join(kept, Seq("doc_id"), "left")
+      .groupBy(col("doc_id"), col("n_removed"))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          e => e.getField("w")), " ").as("clean_text"))
+      .select("doc_id", "n_removed", "clean_text")
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dedup_spans" -> (dedupSpans _),
+    "dedup_spans_clean" -> (dedupSpansClean _),
     "decontaminate" -> (decontaminate _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_clusters" -> (dedupClusters _),
@@ -574,35 +604,62 @@ object Dedup {
          JOIN (SELECT sh FROM sh GROUP BY sh
                HAVING count(*) <= $maxShingleFreq) ok USING (sh))"""
 
-  val oracleSql: Map[String, String] = Map(
-    // same k-gram → duplicated set → gaps-and-islands merge, row-
-    // relational; gram hashes are the identical md5-60-bit longs, so
-    // the two engines agree even on a (vanishingly unlikely) collision
-    "dedup_spans" ->
-      s"""WITH toks AS (
-            SELECT doc_id,
-                   ${graft.functions.TextFunctions.tokenizeSql} AS ws
-            FROM documents),
-          occ AS (
-            SELECT doc_id, i AS s,
-                   ${md5IntSql(s"array_to_string(ws[i + 1:i + $spanK], ' ')", 15)} AS g
-            FROM toks, unnest(range(len(ws) - $spanK + 1)) AS u(i)
-            WHERE len(ws) >= $spanK),
-          dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
-          d AS (SELECT doc_id, s, s + $spanK AS e
-                FROM occ WHERE g IN (SELECT g FROM dup)),
-          m AS (SELECT doc_id, s, e,
-                       max(e) OVER (PARTITION BY doc_id ORDER BY s
-                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
-                FROM d),
-          isl AS (SELECT doc_id, s, e,
-                         sum(CASE WHEN prev_max IS NULL OR s > prev_max
-                                  THEN 1 ELSE 0 END)
-                           OVER (PARTITION BY doc_id ORDER BY s) AS island
-                  FROM m)
+  /** The dedup_spans CTE chain (k-gram → duplicated set → gaps-and-
+    * islands merge), shared with the span-removal oracle. Gram hashes
+    * are the identical md5-60-bit longs both engines compute, so they
+    * agree even on a (vanishingly unlikely) collision. */
+  private val spanCteSql =
+    s"""toks AS (
+          SELECT doc_id,
+                 ${graft.functions.TextFunctions.tokenizeSql} AS ws
+          FROM documents),
+        occ AS (
+          SELECT doc_id, i AS s,
+                 ${md5IntSql(s"array_to_string(ws[i + 1:i + $spanK], ' ')", 15)} AS g
+          FROM toks, unnest(range(len(ws) - $spanK + 1)) AS u(i)
+          WHERE len(ws) >= $spanK),
+        dup AS (SELECT g FROM occ GROUP BY g HAVING count(*) >= 2),
+        d AS (SELECT doc_id, s, s + $spanK AS e
+              FROM occ WHERE g IN (SELECT g FROM dup)),
+        m AS (SELECT doc_id, s, e,
+                     max(e) OVER (PARTITION BY doc_id ORDER BY s
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+              FROM d),
+        isl AS (SELECT doc_id, s, e,
+                       sum(CASE WHEN prev_max IS NULL OR s > prev_max
+                                THEN 1 ELSE 0 END)
+                         OVER (PARTITION BY doc_id ORDER BY s) AS island
+                FROM m),
+        spans AS (
           SELECT doc_id, min(s) AS span_start, max(e) AS span_end
-          FROM isl GROUP BY doc_id, island
+          FROM isl GROUP BY doc_id, island)"""
+
+  val oracleSql: Map[String, String] = Map(
+    "dedup_spans" ->
+      s"""WITH $spanCteSql
+          SELECT doc_id, span_start, span_end FROM spans
           ORDER BY doc_id, span_start""",
+    // span REMOVAL: every token whose position falls inside any span is
+    // cut; survivors re-join in position order
+    "dedup_spans_clean" ->
+      s"""WITH $spanCteSql,
+          tok AS (
+            SELECT doc_id, i AS pos, ws[i + 1] AS w
+            FROM toks, unnest(range(len(ws))) AS u(i)),
+          kept AS (
+            SELECT t.doc_id, t.pos, t.w FROM tok t
+            WHERE NOT EXISTS (
+              SELECT 1 FROM spans s
+              WHERE s.doc_id = t.doc_id
+                AND t.pos >= s.span_start AND t.pos < s.span_end)),
+          nrem AS (
+            SELECT doc_id, sum(span_end - span_start)::BIGINT AS n_removed
+            FROM spans GROUP BY doc_id)
+          SELECT n.doc_id, n.n_removed,
+                 coalesce(string_agg(k.w, ' ' ORDER BY k.pos), '') AS clean_text
+          FROM nrem n LEFT JOIN kept k ON k.doc_id = n.doc_id
+          GROUP BY n.doc_id, n.n_removed
+          ORDER BY n.doc_id""",
     "decontaminate" ->
       s"""WITH $shingleSql,
           bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $benchMod = $benchRem),

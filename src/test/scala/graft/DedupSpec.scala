@@ -156,6 +156,25 @@ class DedupSpec extends GraftSpec {
     assert(got == Seq((0L, 0, 8), (1L, 1, 9), (2L, 0, 16)))
   }
 
+  test("span removal: cleaned text equals a driver-side cut of the reported spans") {
+    val spans = Dedup.dedupSpans(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).groupBy(_._1)
+    val got = Dedup.dedupSpansClean(spark, sfDir).collect()
+    assert(got.nonEmpty && got.length == spans.size, "one row per affected doc")
+    val toks = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase
+        .split("[^a-z0-9]+").filter(_.nonEmpty)).toMap
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val ws = toks(id)
+      val covered = spans(id).flatMap { case (_, s, e) => s until e }.toSet
+      assert(r.getAs[Long]("n_removed") == covered.size.toLong, s"doc $id removal count")
+      assert(r.getAs[String]("clean_text") ==
+        ws.indices.filterNot(covered).map(ws).mkString(" "), s"doc $id cleaned text")
+    }
+  }
+
   test("span dedup on testdata: every in-span window repeats; spans disjoint and maximal") {
     val k = Dedup.spanK
     val spans = Dedup.dedupSpans(spark, sfDir).collect()
