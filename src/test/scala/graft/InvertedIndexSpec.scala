@@ -157,6 +157,20 @@ class InvertedIndexSpec extends GraftSpec {
     assert(got == want)
   }
 
+  test("positional artifact agrees with the flat index: tf == |positions|, sorted, in-range") {
+    val pos = InvertedIndex.positionalIndex(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getSeq[Int](2)).toMap
+    val flat = InvertedIndex.persistedIndex(spark, sfDir)
+      .select("term", "docno", "tf").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(pos.keySet == flat.keySet, "artifacts disagree on the posting set")
+    pos.foreach { case (k, ps) =>
+      assert(ps.length.toLong == flat(k), s"tf mismatch at $k")
+      assert(ps == ps.sorted && ps.distinct == ps, s"positions unsorted/duplicated at $k")
+      assert(ps.forall(_ >= 0), s"negative position at $k")
+    }
+  }
+
   test("packed index df equals postings length (A13 invariant) on testdata") {
     val rows = InvertedIndex.invertedIndexPacked(spark, sfDir).collect()
     rows.foreach { r =>
