@@ -50,7 +50,12 @@ private[graft] object BenchFormat {
     * TIMED: its ~9 s FileStreamSource drain is real streaming-ingest
     * cost, over the r5 verdict's <1 s parity-exclusion bar. */
   val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
-  val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql")
+  // interval_join_stream (r6f) joins the replay-harness set: like
+  // trending_arrivals_late it is a driver-fed MemoryStream replay whose
+  // cost is micro-batch orchestration of a join the bench already times
+  // as interval_join_errors
+  val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql",
+    "interval_join_stream")
 
   /** The family-build metrics the bench times alongside the queries —
     * valid subsumers for [[subsumedTwins]]. */
@@ -100,6 +105,12 @@ private[graft] object BenchFormat {
     *  - knn_filtered_cosine (r6e) is knn_brute_cosine's broadcast-score-
     *    rank shape with the label conjunct PRUNING candidates — strictly
     *    less work over the identical plan structure.
+    *  - ann_sq_cosine (r6f) runs knn_brute_cosine's broadcast-score-rank
+    *    shape twice: once over the quantized tinyint arrays (coarse),
+    *    once over the 20-per-query candidate slice (rescore) — both
+    *    stages' plan structure is the timed sibling's; the delta is
+    *    array width, not a new physical workload (local timing in
+    *    PLANS.md).
     *  - index_incremental (r6e) composes three already-timed pieces:
     *    a term-pruned probe of the persisted index (index_term_lookup's
     *    shape), a tf build over the quarter-slice batch (index_build's
@@ -123,7 +134,8 @@ private[graft] object BenchFormat {
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
     "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
-    "index_incremental", "user_sessions_stream", "dedup_spans_clean")
+    "ann_sq_cosine", "index_incremental", "user_sessions_stream",
+    "dedup_spans_clean")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

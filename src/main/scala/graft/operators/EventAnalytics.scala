@@ -21,6 +21,11 @@ import org.apache.spark.sql.functions._
   * same role (P6): a conjunctive range filter that routes each event to a
   * named region.
   */
+/** One replayed event for the stream-stream join feed (snake_case fields
+  * so the encoder round-trips the events table's column names). */
+case class UserEvent(event_id: Long, user_id: Long, event_type: String,
+                     tsMicros: Long)
+
 object EventAnalytics {
 
   /** Value-band "regions" — the bounding-box analog. */
@@ -245,6 +250,76 @@ object EventAnalytics {
       .orderBy("event_type", "win_start")
   }
 
+  /** Stream-stream interval join, REGISTERED — the one streaming operator
+    * class the registry did not yet exercise as an oracle-checked query
+    * (SURVEY §2.9 "not present": the reference never joins two streams).
+    * The dataflow is [[graft.streaming.StreamingJobs.streamIntervalJoin]]
+    * — purchase and error streams watermarked independently, inner-joined
+    * on user with the same ±5-minute event-time range condition as the
+    * batch [[intervalJoinErrors]]. Spark's StreamingSymmetricHashJoin
+    * keeps BOTH sides' rows in keyed state and derives each side's
+    * eviction horizon from the range condition + watermark, so state is
+    * bounded by (rate × (interval + watermark delay)) per side regardless
+    * of stream length — the property that makes the operator viable on an
+    * unbounded feed (StreamingSpec pins actual eviction: end-of-run state
+    * rows ≪ rows fed). Here both sides derive from ONE replayed feed fed
+    * in time-ordered chunks, so the watermark never drops input (asserted
+    * via numRowsDroppedByWatermark, the r5 advisor discipline) and the
+    * emitted matches are exactly the batch join's rows — hash-checked
+    * against the SAME DuckDB oracle as `interval_join_errors`.
+    *
+    * Like the other replay harnesses, the feed is driver-built by
+    * construction (MemoryStream, bounded by the events table); the
+    * production shape is the same dataflow off an unbounded source. */
+  val streamJoinBatches = 6
+
+  def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, dir)
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[UserEvent].collect().sortBy(e => (e.tsMicros, e.event_id))
+    val input = MemoryStream[UserEvent]
+    val src = input.toDS()
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("tsMicros")).as("ts"))
+    val joined = graft.streaming.StreamingJobs.streamIntervalJoin(
+      src.filter(col("event_type") === "purchase"),
+      src.filter(col("event_type") === "error"))
+    val sinkName = "interval_join_stream_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = joined
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .start()
+    lastStreamJoinProgress = None
+    try {
+      // time-ordered chunks: batch k's min ts ≥ batch k−1's max ts, so
+      // no row can trail its side's watermark — drops would break the
+      // batch-parity oracle and are asserted away below
+      val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
+      evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val dropped = q.recentProgress
+        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+      require(dropped == 0,
+        s"stream-stream join lost $dropped events to the watermark filter — " +
+          "batch parity would break; the feed chunking is no longer time-ordered")
+      lastStreamJoinProgress = Option(q.lastProgress)
+    } finally q.stop()
+    val rows = spark.table(sinkName)
+      .as[(Long, Long, Long)].collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    rows.toDF("purchase_id", "error_id", "user_id")
+      .orderBy("purchase_id", "error_id")
+  }
+
+  /** Last drain's final progress — lets StreamingSpec assert state
+    * eviction (rows retained ≪ rows fed) without re-plumbing the query. */
+  @volatile private[graft] var lastStreamJoinProgress:
+    Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = None
+
   /** A11: the custom logsumexp Aggregator over grouped event values —
     * the log-domain fold the reference needs for PageRank masses
     * (`RunPersonalizedPageRankBasic.java:595-607`), exposed as a grouped
@@ -465,6 +540,7 @@ object EventAnalytics {
     "user_sessions" -> (userSessions _),
     "asof_last_error" -> (asofLastError _),
     "interval_join_errors" -> (intervalJoinErrors _),
+    "interval_join_stream" -> (intervalJoinStream _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
@@ -509,6 +585,19 @@ object EventAnalytics {
                 round(quantile_cont(value, 0.99), 6) AS p99
          FROM events GROUP BY event_type ORDER BY event_type""",
     "interval_join_errors" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id
+         FROM events p
+         JOIN events e
+           ON p.event_type = 'purchase' AND e.event_type = 'error'
+          AND e.user_id = p.user_id
+          AND e.ts <= p.ts
+          AND e.ts > p.ts - INTERVAL '300 seconds'
+         ORDER BY purchase_id, error_id""",
+    // the streaming twin emits the SAME rows as the batch interval join:
+    // the stream-stream state machine is hash-checked against the batch
+    // oracle (the user_sessions_stream / trending_arrivals_late
+    // discipline, now for two-sided join state)
+    "interval_join_stream" ->
       """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id
          FROM events p
          JOIN events e

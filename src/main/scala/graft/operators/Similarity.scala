@@ -75,6 +75,67 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Coarse candidates kept per query for the exact rescore — int8
+    * quantization error is ~0.4% relative, so 4k of coarse depth buys
+    * effectively-exact top-k (SimilaritySpec pins equality with the
+    * brute-force ranking on testdata). */
+  val sqRescoreDepth = 4 * knnK
+
+  /** Scalar-quantized (int8) two-stage ANN — the memory-scale path for
+    * brute-force search. Stage 1 quantizes every vector to
+    * `array<tinyint>` with a per-vector scale (127/max|x|): 4× smaller
+    * than float32, so at 100 TB the resident working set for the scan —
+    * and the broadcast of the query block — shrink 4× while staying
+    * SIMD-friendly integer math. Stage 2 scores the corpus against the
+    * broadcast quantized queries (the knn_brute scan shape, on narrower
+    * arrays) and keeps the top [[sqRescoreDepth]] per query; stage 3
+    * re-scores ONLY those candidates on the full float vectors and
+    * re-ranks to top-k.
+    *
+    * A deliberate oracle property: integer dot products are EXACT in
+    * doubles (|q|≤127, d=64 ⇒ sums ≪ 2^53), so the coarse scores —
+    * unlike float sums — are bit-identical in any engine and the whole
+    * two-stage pipeline replays verbatim in DuckDB; the coarse ranking
+    * needs no rounding at all. Quantization itself is determinism-safe:
+    * floor(x·scale + 0.5) on doubles, identical IEEE ops both sides. */
+  def annSqCosine(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(spark, dir)
+    val maxAbs = aggregate(col("v"), lit(0.0), (acc, x) => greatest(acc, abs(x)))
+    val quantized = vecs
+      .withColumn("sc", lit(127.0) / greatest(maxAbs, lit(1e-30)))
+      .withColumn("q",
+        transform(col("v"), x => floor(x * col("sc") + lit(0.5)).cast("tinyint")))
+    def idot(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+        lit(0.0), (acc, x) => acc + x)
+    val corpus = quantized.select(col("vec_id"), col("q"))
+    val queries = quantized.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("q").as("qq"))
+    val coarse = corpus.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        (idot(col("qq"), col("q")) /
+          (sqrt(idot(col("qq"), col("qq"))) * sqrt(idot(col("q"), col("q")))))
+          .as("acos"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("acos"), col("neighbor_id"))))
+      .filter(col("crank") <= sqRescoreDepth)
+      .select(col("query_id"), col("neighbor_id"))
+    // rescore on floats: candidates ≪ corpus, so the id-equi-join back to
+    // the float vectors touches only the candidate slice
+    val qFloats = vecs.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    coarse
+      .join(vecs.select(col("vec_id"), col("v")), col("neighbor_id") === col("vec_id"))
+      .join(broadcast(qFloats), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rank") <= knnK)
+      .orderBy("query_id", "rank")
+  }
+
   /** Deterministic seeded gaussians: tables × planesPerTable × d.
     * Generation order is the nested fill order, so the same (seed,
     * shape) always reproduces the same planes — both here and as the
@@ -562,6 +623,7 @@ object Similarity {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "knn_filtered_cosine" -> (knnFilteredCosine _),
     "knn_brute_cosine" -> (knnBruteCosine _),
+    "ann_sq_cosine" -> (annSqCosine _),
     "ann_lsh_cosine" -> (annLshCosine _),
     "ann_ivf_cosine" -> (annIvfCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -728,6 +790,47 @@ object Similarity {
             SELECT *, row_number() OVER (
               PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
             FROM scored)
+          SELECT query_id, neighbor_id, cosine, rank
+          FROM ranked WHERE rank <= $knnK
+          ORDER BY query_id, rank""",
+    // replays the two-stage pipeline verbatim: quantize (same IEEE
+    // floor(x·sc + 0.5)), coarse rank on EXACT integer dot products
+    // (unrounded — int sums are bit-identical across engines), exact
+    // float rescore with the usual 6dp rounding
+    "ann_sq_cosine" ->
+      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          z AS (
+            SELECT vec_id, v,
+                   127.0 / greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+                     AS sc
+            FROM v),
+          qz AS (
+            SELECT vec_id, v, list_transform(v, x -> floor(x * sc + 0.5)) AS q
+            FROM z),
+          qry AS (SELECT vec_id AS query_id, q AS qq, v AS qv FROM qz
+                  WHERE vec_id < $nQueries),
+          coarse AS (
+            SELECT query_id, c.vec_id AS neighbor_id, c.v AS nv,
+                   list_dot_product(qq, c.q) /
+                     (sqrt(list_dot_product(qq, qq)) * sqrt(list_dot_product(c.q, c.q)))
+                     AS acos
+            FROM qz c CROSS JOIN qry WHERE c.vec_id <> query_id),
+          cand AS (
+            SELECT query_id, neighbor_id, nv,
+                   row_number() OVER (
+                     PARTITION BY query_id ORDER BY acos DESC, neighbor_id) AS crank
+            FROM coarse),
+          resc AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(qv, nv) /
+                         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6)
+                     AS cosine
+            FROM cand JOIN qry USING (query_id)
+            WHERE crank <= $sqRescoreDepth),
+          ranked AS (
+            SELECT query_id, neighbor_id, cosine, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM resc)
           SELECT query_id, neighbor_id, cosine, rank
           FROM ranked WHERE rank <= $knnK
           ORDER BY query_id, rank""",

@@ -97,6 +97,31 @@ class SimilaritySpec extends GraftSpec {
       s"banding recall too low: ${banded.size}/${exact.size}")
   }
 
+  test("scalar-quantized ANN: int8 storage shape and near-exact recall") {
+    val sq = Similarity.annSqCosine(spark, sfDir)
+    // the coarse stage's quantized arrays must really be array<tinyint>
+    // in the plan — the 4×-narrower storage IS the operator's scale
+    // claim, so it is pinned structurally, not just described
+    val qTypes = sq.queryExecution.analyzed.collect {
+      case p => p.output.filter(_.name == "q").map(_.dataType)
+    }.flatten.distinct
+    assert(qTypes.nonEmpty && qTypes.forall {
+      case org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.ByteType, _) => true
+      case _ => false
+    }, s"quantized arrays are not array<tinyint> in the plan: $qTypes")
+    // int8 quantization error (~0.4% relative) + 4k rescore depth ⇒ the
+    // two-stage result should EQUAL the exact brute-force top-k here —
+    // recall loss would show as a set difference
+    val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
+    val got = neighborSets(sq)
+    assert(got.keySet == exact.keySet)
+    val misses = exact.keys.toSeq
+      .map(q => q -> exact(q).diff(got(q))).filter(_._2.nonEmpty)
+    assert(misses.isEmpty,
+      s"quantized two-stage search missed exact neighbors: $misses")
+  }
+
   test("LSH ANN achieves reasonable recall vs brute force") {
     val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
     val approx = neighborSets(Similarity.annLshCosine(spark, sfDir))

@@ -68,6 +68,31 @@ class StreamingSpec extends GraftSpec {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("registered interval_join_stream: batch-row parity + bounded join state") {
+    // the registered replay drives the SAME dataflow as the file-source
+    // test above, but in six time-ordered micro-batches — so the
+    // watermark actually advances BETWEEN batches and the symmetric hash
+    // join's state eviction is exercised, not just its matching logic
+    val got = EventAnalytics.intervalJoinStream(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = EventAnalytics.intervalJoinErrors(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("purchase_id"), r.getAs[Long]("error_id"))).toSet
+    assert(want.nonEmpty)
+    assert(got == want, s"stream ${got.size} rows vs batch ${want.size}")
+    // bounded state: after the drain, the store holds only rows younger
+    // than the eviction horizon (watermark delay + join interval), not
+    // the full history of both sides — THE property that lets this
+    // operator run on an unbounded feed. The feed spans days, so the
+    // retained tail must be a strict (in practice small) subset.
+    val fed = Tables.events(spark, sfDir)
+      .filter(col("event_type").isin("purchase", "error")).count()
+    val prog = EventAnalytics.lastStreamJoinProgress
+      .getOrElse(fail("replay recorded no final progress"))
+    val stateRows = prog.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows < fed,
+      s"join state holds $stateRows rows — no eviction over a $fed-row feed")
+  }
+
   test("region-keyed trend machine matches batch semantics (R2+R4 composition)") {
     implicit val sc = spark.sqlContext
     val windowMicros = 60L * 60 * 1000 * 1000 // hourly, matching region_event_count
