@@ -102,6 +102,9 @@ private[graft] object BenchFormat {
     *    per-row array arithmetic and an explode — the physical shape
     *    text_normalize, doc_repetition, and multimodal_frame_sample
     *    already time; its delta is output fan-out, not plan structure.
+    *  - pii_redact (r6f) is the same zero-exchange map-only scan shape
+    *    (per-row regexp_replace/regexp_count chain — text_normalize's
+    *    plan with different scalar kernels).
     *  - knn_filtered_cosine (r6e) is knn_brute_cosine's broadcast-score-
     *    rank shape with the label conjunct PRUNING candidates — strictly
     *    less work over the identical plan structure.
@@ -116,6 +119,10 @@ private[graft] object BenchFormat {
     *    shape), a tf build over the quarter-slice batch (index_build's
     *    shape at 1/4 input), and the df window every flat-index entry
     *    carries.
+    *  - events_enrich_stream (r6f) is a stateless FileStreamSource
+    *    drain (ingest priced by the timed taxi_region_hourly_stream)
+    *    whose per-batch content is a broadcast-join + map — the plan
+    *    shape every timed dimension join already measures.
     *  - user_sessions_stream (r6e) is a second FileStreamSource drain:
     *    its ingest overhead is already priced by the timed
     *    taxi_region_hourly_stream, and its marginal content — the
@@ -135,7 +142,7 @@ private[graft] object BenchFormat {
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
     "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
     "ann_sq_cosine", "index_incremental", "user_sessions_stream",
-    "dedup_spans_clean")
+    "events_enrich_stream", "dedup_spans_clean", "pii_redact")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would
@@ -273,10 +280,21 @@ object Bench {
 
     // exclusion rationale on BenchFormat.benchedNames.
     // SPARK_GRAFT_BENCH_FILTER (regex) narrows the set for local
-    // iteration; the driver runs unfiltered.
+    // iteration; the driver runs unfiltered. A FILTERED run can also
+    // time normally-excluded queries by naming them — that is how the
+    // shape-twin exclusion rationales get their PLANS.md numbers without
+    // touching the official timed set (the unfiltered driver run never
+    // takes this branch).
     val nameFilter = sys.env.getOrElse("SPARK_GRAFT_BENCH_FILTER", ".*")
-    val names = BenchFormat.benchedNames(SparkEntry.queries.keys)
-      .filter(_.matches(nameFilter))
+    val names = {
+      val official = BenchFormat.benchedNames(SparkEntry.queries.keys)
+        .filter(_.matches(nameFilter))
+      val optedIn =
+        if (nameFilter == ".*") Nil
+        else SparkEntry.queries.keys.toSeq
+          .filter(n => n.matches(nameFilter) && !official.contains(n))
+      (official ++ optedIn).sorted
+    }
     // each family's shared artifacts are timed as their OWN metric
     // (dedup_family_build / ppr_family_build) at the head of each run, so
     // family queries report marginal cost instead of whichever member

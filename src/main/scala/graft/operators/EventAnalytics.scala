@@ -320,6 +320,58 @@ object EventAnalytics {
   @volatile private[graft] var lastStreamJoinProgress:
     Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = None
 
+  /** Heavy/light cut for the enrichment band — a fixed constant so the
+    * oracle can carry it verbatim. */
+  val enrichHeavyCut = 15L
+
+  /** Last enrichment drain's final progress — lets StreamingSpec pin
+    * STATELESSNESS (no state operators at all): the scale property of
+    * stream-static enrichment is that nothing accumulates. */
+  @volatile private[graft] var lastEnrichProgress:
+    Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = None
+
+  /** Stream-static broadcast join — the remaining streaming join class
+    * after [[intervalJoinStream]] (stream-stream): each micro-batch of
+    * an unbounded event stream is enriched against a STATIC dimension
+    * snapshot (here a per-user activity profile — the feature-store
+    * pattern). The static side is planned ONCE and broadcast into every
+    * micro-batch; no streaming state at all, so the operator scales with
+    * batch size, not stream length, and needs no watermark. The enriched
+    * rows are hash-checked against a plain batch join oracle — stateless
+    * streaming must be EXACTLY batch semantics per row.
+    *
+    * File-source drain over the real events file (the
+    * taxi_region_hourly_stream template), `Trigger.AvailableNow`. */
+  def eventsEnrichStream(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val profile = raw.groupBy("user_id")
+      .agg(count(lit(1)).as("n_user_events"))
+    val sinkName = "events_enrich_stream_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = spark.readStream.schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet").parquet(dir)
+      .join(broadcast(profile), "user_id")
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        col("n_user_events"),
+        when(col("n_user_events") >= enrichHeavyCut, lit("heavy"))
+          .otherwise(lit("light")).as("band"))
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    try q.awaitTermination() finally {
+      lastEnrichProgress = Option(q.lastProgress)
+      q.stop()
+    }
+    val out = spark.table(sinkName).orderBy("event_id")
+      .select("event_id", "user_id", "event_type", "n_user_events", "band")
+    // materialize before dropping the sink view the plan reads from
+    val rows = out.collect()
+    spark.catalog.dropTempView(sinkName)
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
+      out.schema)
+  }
+
   /** A11: the custom logsumexp Aggregator over grouped event values —
     * the log-domain fold the reference needs for PageRank masses
     * (`RunPersonalizedPageRankBasic.java:595-607`), exposed as a grouped
@@ -541,6 +593,7 @@ object EventAnalytics {
     "asof_last_error" -> (asofLastError _),
     "interval_join_errors" -> (intervalJoinErrors _),
     "interval_join_stream" -> (intervalJoinStream _),
+    "events_enrich_stream" -> (eventsEnrichStream _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
@@ -606,6 +659,16 @@ object EventAnalytics {
           AND e.ts <= p.ts
           AND e.ts > p.ts - INTERVAL '300 seconds'
          ORDER BY purchase_id, error_id""",
+    // stateless streaming must equal batch row-for-row: the plain batch
+    // join IS the oracle for the stream-static enrichment
+    "events_enrich_stream" ->
+      s"""WITH prof AS (
+            SELECT user_id, count(*) AS n_user_events FROM events GROUP BY user_id)
+          SELECT e.event_id, e.user_id, e.event_type, p.n_user_events,
+                 CASE WHEN p.n_user_events >= $enrichHeavyCut
+                      THEN 'heavy' ELSE 'light' END AS band
+          FROM events e JOIN prof p USING (user_id)
+          ORDER BY event_id""",
     "asof_last_error" ->
       """SELECT event_id, user_id, ts,
                 max(CASE WHEN event_type = 'error' THEN ts END) OVER (

@@ -205,7 +205,52 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** PII regexes — dialect-portable (no backrefs/lookarounds, so Java
+    * regex and DuckDB's RE2 agree), applied in a FIXED order: emails
+    * first (an address's local/host parts could otherwise partially
+    * match the number patterns), then phones, then IPv4. Each class is
+    * counted on the text AS THE PREVIOUS REDACTION LEFT IT — the same
+    * sequential composition both engines evaluate. */
+  val emailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val phoneRe = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+  val ipRe = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+
+  /** Deterministic PII-bearing rows UNIONed under negative doc_ids: the
+    * synthetic corpus is digit-free, so without them the redaction would
+    * be oracle-checked only as a no-op. Both engines construct the same
+    * rows (inline VALUES), so the hash compare genuinely exercises every
+    * pattern — including the email-before-phone/IP ordering. */
+  val piiSamples: Seq[(Long, String)] = Seq(
+    -1L -> "contact john.doe@example.com or jane_a1@mail.example.org today",
+    -2L -> "call 415-555-0173 or 212-555-0199 before noon",
+    -3L -> "server at 192.168.1.77 and 10.0.255.3 responded",
+    -4L -> "mixed: a@b.io pinged 8.8.8.8 then dialed 650-555-0000",
+    -5L -> "no pii here at all")
+
+  /** PII redaction — the scrubbing pass every public pretraining corpus
+    * pipeline runs (emails / phone numbers / IP addresses → typed
+    * placeholder tokens). Pure per-row `regexp_replace`/`regexp_count`
+    * column expressions: map-only, zero exchanges, codegen'd — at
+    * 100 TB this is a scan-bound pass like [[tokenStats]]. Emits the
+    * per-class match counts next to the redacted text so downstream
+    * filters can drop PII-dense documents without re-scanning. */
+  def piiRedact(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val base = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionAll(piiSamples.toDF("doc_id", "text"))
+    base
+      .withColumn("n_emails", regexp_count(col("text"), lit(emailRe)))
+      .withColumn("t1", regexp_replace(col("text"), emailRe, "<EMAIL>"))
+      .withColumn("n_phones", regexp_count(col("t1"), lit(phoneRe)))
+      .withColumn("t2", regexp_replace(col("t1"), phoneRe, "<PHONE>"))
+      .withColumn("n_ips", regexp_count(col("t2"), lit(ipRe)))
+      .withColumn("redacted", regexp_replace(col("t2"), ipRe, "<IP>"))
+      .select("doc_id", "n_emails", "n_phones", "n_ips", "redacted")
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pii_redact" -> (piiRedact _),
     "doc_logprob_bigram" -> (docLogprobBigram _),
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
@@ -224,7 +269,35 @@ object TextQuality {
     s"len(list_filter(ws, w -> w IN (${enStopwords.map(w => s"'$w'").mkString(", ")})))"
   private val stopSql = stopCountSql
 
+  /** The engineered PII rows as literal VALUES — built from
+    * [[piiSamples]] so the two engines can never drift. */
+  private val piiValuesSql = piiSamples
+    .map { case (id, t) => s"($id, '$t')" }.mkString(",\n            ")
+
   val oracleSql: Map[String, String] = Map(
+    // same fixed redaction order, each count on the PREVIOUS stage's
+    // text; 'g' flag because DuckDB's regexp_replace is first-match-only
+    // by default while Spark's replaces all
+    "pii_redact" ->
+      s"""WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+            $piiValuesSql) t(doc_id, text)),
+          r1 AS (
+            SELECT doc_id,
+                   len(regexp_extract_all(text, '$emailRe')) AS n_emails,
+                   regexp_replace(text, '$emailRe', '<EMAIL>', 'g') AS t1
+            FROM base),
+          r2 AS (
+            SELECT doc_id, n_emails,
+                   len(regexp_extract_all(t1, '$phoneRe')) AS n_phones,
+                   regexp_replace(t1, '$phoneRe', '<PHONE>', 'g') AS t2
+            FROM r1)
+          SELECT doc_id, n_emails, n_phones,
+                 len(regexp_extract_all(t2, '$ipRe')) AS n_ips,
+                 regexp_replace(t2, '$ipRe', '<IP>', 'g') AS redacted
+          FROM r2 ORDER BY doc_id""",
     "doc_logprob_bigram" ->
       s"""WITH $toksSql,
           bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2

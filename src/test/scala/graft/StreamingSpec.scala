@@ -93,6 +93,20 @@ class StreamingSpec extends GraftSpec {
       s"join state holds $stateRows rows — no eviction over a $fed-row feed")
   }
 
+  test("stream-static enrichment is stateless and preserves every event") {
+    val out = EventAnalytics.eventsEnrichStream(spark, sfDir)
+    val total = Tables.events(spark, sfDir).count()
+    assert(out.count() == total,
+      "the profile join dropped events — the static snapshot must cover every user")
+    // no streaming state AT ALL: the static side broadcasts into each
+    // micro-batch; nothing accumulates across batches — the property
+    // that makes this shape O(batch), not O(stream), at 100 TB/day
+    val prog = EventAnalytics.lastEnrichProgress
+      .getOrElse(fail("drain recorded no final progress"))
+    assert(prog.stateOperators.isEmpty,
+      s"stream-static enrichment created state: ${prog.stateOperators.toSeq}")
+  }
+
   test("region-keyed trend machine matches batch semantics (R2+R4 composition)") {
     implicit val sc = spark.sqlContext
     val windowMicros = 60L * 60 * 1000 * 1000 // hourly, matching region_event_count

@@ -4,6 +4,28 @@ import graft.operators.TextQuality
 
 class TextQualitySpec extends GraftSpec {
 
+  test("pii_redact scrubs the engineered rows exactly; corpus untouched") {
+    import graft.operators.TextQuality
+    val rows = TextQuality.piiRedact(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Int]("n_emails"), r.getAs[Int]("n_phones"),
+          r.getAs[Int]("n_ips")), r.getAs[String]("redacted"))).toMap
+    assert(rows(-1L) == ((2, 0, 0),
+      "contact <EMAIL> or <EMAIL> today"))
+    assert(rows(-2L) == ((0, 2, 0), "call <PHONE> or <PHONE> before noon"))
+    assert(rows(-3L) == ((0, 0, 2), "server at <IP> and <IP> responded"))
+    // ordering: the email must win before phone/IP see its digits
+    assert(rows(-4L) == ((1, 1, 1),
+      "mixed: <EMAIL> pinged <IP> then dialed <PHONE>"))
+    assert(rows(-5L) == ((0, 0, 0), "no pii here at all"))
+    // the synthetic corpus is digit-free: every real doc passes through
+    // unredacted with zero counts (a regression here means a pattern
+    // started matching plain prose)
+    val corpus = rows.filter(_._1 >= 0)
+    assert(corpus.nonEmpty &&
+      corpus.values.forall { case (counts, _) => counts == ((0, 0, 0)) })
+  }
+
   test("doc_logprob matches a driver-side unigram-model recompute") {
     val rows = TextQuality.docLogprob(spark, sfDir).collect()
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
