@@ -50,12 +50,13 @@ private[graft] object BenchFormat {
     * TIMED: its ~9 s FileStreamSource drain is real streaming-ingest
     * cost, over the r5 verdict's <1 s parity-exclusion bar. */
   val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
-  // interval_join_stream (r6f) joins the replay-harness set: like
-  // trending_arrivals_late it is a driver-fed MemoryStream replay whose
-  // cost is micro-batch orchestration of a join the bench already times
-  // as interval_join_errors
+  // interval_join_stream and event_count_hourly_incremental (r6f) join
+  // the replay-harness set: like trending_arrivals_late they are
+  // driver-fed MemoryStream replays whose cost is micro-batch
+  // orchestration of workloads the bench already times
+  // (interval_join_errors / event_count_hourly)
   val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql",
-    "interval_join_stream")
+    "interval_join_stream", "event_count_hourly_incremental")
 
   /** The family-build metrics the bench times alongside the queries —
     * valid subsumers for [[subsumedTwins]]. */

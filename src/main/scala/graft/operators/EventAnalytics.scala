@@ -372,6 +372,48 @@ object EventAnalytics {
       out.schema)
   }
 
+  /** Streaming incremental materialized-view maintenance, REGISTERED —
+    * the production sink shape for S10 at scale: an hourly-count MV kept
+    * current by [[graft.streaming.StreamingJobs.mergeHourlyBatch]] in a
+    * `foreachBatch` sink (per-batch delta aggregate → partition-pruned
+    * read of ONLY the touched hours → idempotent merge guarded by
+    * `last_batch` → dynamic partition overwrite). Fed as the usual
+    * six-chunk time-ordered replay so the merge runs across real
+    * micro-batch boundaries; the finished MV must equal the batch
+    * hourly-count oracle EXACTLY — incremental maintenance is only
+    * correct if the sum of deltas is indistinguishable from a full
+    * recompute. */
+  def eventCountHourlyIncremental(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[UserEvent].collect().sortBy(e => (e.tsMicros, e.event_id))
+    val mvPath = java.nio.file.Files
+      .createTempDirectory("graft-hourly-mv").toString
+    val input = MemoryStream[UserEvent]
+    val q = input.toDS()
+      .select(timestamp_micros(col("tsMicros")).as("ts"))
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+        graft.streaming.StreamingJobs.mergeHourlyBatch(
+          batch.sparkSession, mvPath, batch.toDF(), batchId): Unit
+      }
+      .start()
+    try {
+      val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
+      evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+    } finally q.stop()
+    spark.read.parquet(mvPath)
+      .select(
+        timestamp_micros(col("hour_id").cast("long") * lit(3600L * 1000 * 1000))
+          .cast("timestamp_ntz").as("hour_start"),
+        col("cnt"))
+      .orderBy("hour_start")
+  }
+
   /** A11: the custom logsumexp Aggregator over grouped event values —
     * the log-domain fold the reference needs for PageRank masses
     * (`RunPersonalizedPageRankBasic.java:595-607`), exposed as a grouped
@@ -594,6 +636,7 @@ object EventAnalytics {
     "interval_join_errors" -> (intervalJoinErrors _),
     "interval_join_stream" -> (intervalJoinStream _),
     "events_enrich_stream" -> (eventsEnrichStream _),
+    "event_count_hourly_incremental" -> (eventCountHourlyIncremental _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
     "region_event_count" -> (regionEventCount _),
@@ -738,6 +781,11 @@ object EventAnalytics {
                 count(json_extract_string(props, '$.k')) AS n_with_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "event_count_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
+         FROM events GROUP BY hour_start ORDER BY hour_start""",
+    // the incrementally-maintained MV must be indistinguishable from a
+    // full recompute — the batch hourly query IS its oracle
+    "event_count_hourly_incremental" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
          FROM events GROUP BY hour_start ORDER BY hour_start""",
     "region_event_count" ->

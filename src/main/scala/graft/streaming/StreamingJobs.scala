@@ -90,6 +90,69 @@ object StreamingJobs {
       .dropDuplicatesWithinWatermark("sig")
       .select("doc_id", "sig", "ts")
 
+  /** One micro-batch of incremental materialized-view maintenance: merge
+    * this batch's hourly count deltas into a parquet MV partitioned by
+    * `hour_id` (epoch hours). The production exactly-once sink pattern
+    * for `foreachBatch`:
+    *
+    *  - the batch is aggregated FIRST (delta rows ≪ batch rows);
+    *  - only the MV partitions the delta touches are read back — a
+    *    partition-pruned scan, so merge cost is O(touched hours), never
+    *    O(MV size), no matter how much history the view holds;
+    *  - every MV row carries `last_batch`, the id of the micro-batch
+    *    that last updated it. A REPLAYED batch (Spark re-runs a batch
+    *    after a failure before the checkpoint committed) finds
+    *    `last_batch >= batchId` and adds nothing — idempotent replay is
+    *    what upgrades at-least-once delivery to exactly-once content
+    *    (StreamingSpec replays a batch deliberately and asserts the MV
+    *    is unchanged);
+    *  - the write uses DYNAMIC partition overwrite: untouched hours'
+    *    files are not rewritten.
+    *
+    * Returns the touched hour count (diagnostic only). */
+  def mergeHourlyBatch(spark: org.apache.spark.sql.SparkSession,
+      mvPath: String, batch: DataFrame, batchId: Long): Int = {
+    val delta = batch
+      .withColumn("hour_id",
+        floor(unix_micros(col("ts")) / lit(3600L * 1000 * 1000)).cast("long"))
+      .groupBy("hour_id").agg(count(lit(1)).as("delta"))
+    val touched = delta.select("hour_id").collect().map(_.getLong(0))
+    if (touched.isEmpty) return 0
+    // "exists" must mean "holds at least one hour_id= partition": the
+    // caller may hand us a pre-created empty directory, and reading that
+    // as parquet fails schema inference
+    val hasPartitions = {
+      val fs = new java.io.File(mvPath).listFiles()
+      fs != null && fs.exists(f => f.isDirectory && f.getName.startsWith("hour_id="))
+    }
+    val existing =
+      if (hasPartitions)
+        spark.read.parquet(mvPath)
+          .filter(col("hour_id").isin(touched.toIndexedSeq: _*))
+          .select(col("hour_id"), col("cnt"), col("last_batch"))
+      else
+        spark.emptyDataFrame
+          .select(lit(0L).as("hour_id"), lit(0L).as("cnt"),
+            lit(-1L).as("last_batch")).limit(0)
+    val merged = existing.as("e")
+      .join(delta.as("d"), Seq("hour_id"), "full_outer")
+      .select(col("hour_id"),
+        (coalesce(col("cnt"), lit(0L)) +
+          // the exactly-once guard: a replayed batch contributes nothing
+          when(coalesce(col("last_batch"), lit(-1L)) < batchId,
+            coalesce(col("delta"), lit(0L))).otherwise(lit(0L))).as("cnt"),
+        greatest(coalesce(col("last_batch"), lit(-1L)), lit(batchId))
+          .as("last_batch"))
+    // localCheckpoint: the merged rows must be MATERIALIZED before the
+    // dynamic overwrite deletes the very partitions the plan reads
+    val pinned = merged.localCheckpoint(true)
+    try pinned.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("hour_id").parquet(mvPath)
+    finally graft.Tables.releaseCheckpoint(pinned)
+    touched.length
+  }
+
   /** R4: the trend state machine — `flatMapGroupsWithState` keyed by
     * company. A window closes when a later-window event for the same key
     * arrives; the closed window emits with the reference predicate

@@ -93,6 +93,30 @@ class StreamingSpec extends GraftSpec {
       s"join state holds $stateRows rows — no eviction over a $fed-row feed")
   }
 
+  test("incremental MV: replayed batch adds nothing (exactly-once guard)") {
+    // the registered replay proves sum-of-deltas == full recompute via
+    // its oracle; this test proves the failure-mode half: Spark re-runs
+    // a micro-batch whose checkpoint didn't commit, so the SAME (batch,
+    // batchId) arrives twice and must merge as a no-op
+    val mv = java.nio.file.Files.createTempDirectory("graft-mv-replay").toString
+    val batch = Tables.events(spark, sfDir)
+      .select(col("ts").cast("timestamp").as("ts")).limit(500)
+    graft.streaming.StreamingJobs.mergeHourlyBatch(spark, mv, batch, 0L)
+    val once = spark.read.parquet(mv).collect()
+      .map(r => r.getAs[Number]("hour_id").longValue -> r.getAs[Long]("cnt")).toMap
+    graft.streaming.StreamingJobs.mergeHourlyBatch(spark, mv, batch, 0L)
+    val twice = spark.read.parquet(mv).collect()
+      .map(r => r.getAs[Number]("hour_id").longValue -> r.getAs[Long]("cnt")).toMap
+    assert(once.nonEmpty)
+    assert(twice == once, "replaying batchId 0 changed the MV — not exactly-once")
+    // a genuinely NEW batch (same rows, next batchId) must double counts:
+    // the guard keys on batch identity, not content
+    graft.streaming.StreamingJobs.mergeHourlyBatch(spark, mv, batch, 1L)
+    val fresh = spark.read.parquet(mv).collect()
+      .map(r => r.getAs[Number]("hour_id").longValue -> r.getAs[Long]("cnt")).toMap
+    assert(fresh == once.map { case (h, c) => h -> c * 2 })
+  }
+
   test("stream-static enrichment is stateless and preserves every event") {
     val out = EventAnalytics.eventsEnrichStream(spark, sfDir)
     val total = Tables.events(spark, sfDir).count()
