@@ -320,6 +320,52 @@ class ScaleDesignSpec extends GraftSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (complement to salting)") {
+    // salting (the other skew test) is the MANUAL remedy, re-keying a
+    // known-hot key at plan time; AQE's OptimizeSkewedJoin is the
+    // RUNTIME remedy — after the shuffle map stage it sees one reducer
+    // partition dwarfing the rest and splits it into subpartitions,
+    // replicating the matching build side. This pins that the remedy
+    // actually engages on an engineered hot key (thresholds lowered
+    // because testdata is tiny; production defaults self-select at
+    // 256 MB partitions).
+    import spark.implicits._
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "32KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "16KB",
+      // coalescing would merge the tiny uniform partitions and muddy the
+      // skew detection signal on this scale
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prev = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // ~1/3 of the fact lands on key 0; the rest spreads over 997 keys
+      val fact = spark.range(60000)
+        .select(when(col("id") % 3 === 0, lit(0L))
+          .otherwise(col("id") % 997).as("k"),
+          md5(col("id").cast("string")).as("payload"))
+      val dim = spark.range(997).select(col("id").as("k"),
+        (col("id") * 2).as("v"))
+      val j = fact.join(dim, "k").groupBy("v").agg(count(lit(1)).as("cnt"))
+      val n = j.collect().map(_.getAs[Long]("cnt")).sum
+      assert(n == 60000, s"join lost rows: $n")
+      val skewed = physicalNodes(j).exists {
+        case s: org.apache.spark.sql.execution.joins.SortMergeJoinExec => s.isSkewJoin
+        case s: org.apache.spark.sql.execution.joins.ShuffledHashJoinExec => s.isSkewJoin
+        case _ => false
+      }
+      assert(skewed,
+        "OptimizeSkewedJoin did not engage on the engineered hot key:\n" +
+          j.queryExecution.executedPlan.toString.take(4000))
+    } finally prev.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("HLL distinct estimate stays within 5% of exact") {
     val rows = graft.operators.EventAnalytics.approxDistinctUsersRaw(spark, sfDir).collect()
     assert(rows.nonEmpty)

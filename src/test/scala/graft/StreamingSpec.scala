@@ -117,6 +117,27 @@ class StreamingSpec extends GraftSpec {
     assert(fresh == once.map { case (h, c) => h -> c * 2 })
   }
 
+  test("incremental MV is chunking-invariant: one batch equals eleven") {
+    // the merge must be a monoid fold over batches: ANY partition of the
+    // input into micro-batches — including interleaved, non-time-ordered
+    // ones — lands the identical MV. 11 deliberately does not divide the
+    // row count and the modulo chunks interleave hours across batches.
+    def build(nChunks: Int): Map[Long, Long] = {
+      val mv = java.nio.file.Files.createTempDirectory("graft-mv-chunk").toString
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"))
+      (0 until nChunks).foreach { i =>
+        graft.streaming.StreamingJobs.mergeHourlyBatch(spark, mv,
+          ev.filter(col("event_id") % nChunks === i).select("ts"), i.toLong)
+      }
+      spark.read.parquet(mv).collect()
+        .map(r => r.getAs[Number]("hour_id").longValue -> r.getAs[Long]("cnt")).toMap
+    }
+    val one = build(1)
+    assert(one.nonEmpty && one.values.sum == Tables.events(spark, sfDir).count())
+    assert(build(11) == one, "chunking changed the merged MV")
+  }
+
   test("stream-static enrichment is stateless and preserves every event") {
     val out = EventAnalytics.eventsEnrichStream(spark, sfDir)
     val total = Tables.events(spark, sfDir).count()
