@@ -580,6 +580,35 @@ object EventAnalytics {
       .write.mode("overwrite").parquet(out)
   }
 
+  /** Small-file compaction — the lake-maintenance pass every streaming
+    * or incremental ingest eventually needs: micro-batch sinks and
+    * per-partition writers leave thousands of KB-scale files, and at
+    * 100 TB the resulting scan pays per-file open/footer/listing costs
+    * that dwarf the data read. Compaction sizes the output from the
+    * INPUT's actual bytes (ceil(total/target) files), re-clusters on the
+    * given column with `repartitionByRange` + `sortWithinPartitions`
+    * while it is touching every row anyway — so the compacted layout
+    * regains the row-group pruning of [[writeTimeClustered]] even when
+    * the fragments arrived hash-scattered — and rewrites once.
+    * Side-effecting (a writer), so test-gated like the other layouts:
+    * ScaleDesignSpec pins content preservation, the file-count formula,
+    * and pairwise-disjoint per-file ranges after compaction. Returns the
+    * number of files written. */
+  def compactClustered(spark: SparkSession, src: String, out: String,
+      clusterCol: String, targetFileBytes: Long): Int = {
+    val parts = Option(new java.io.File(src).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.startsWith("part-")
+        && f.getName.endsWith(".parquet"))
+    require(parts.nonEmpty, s"nothing to compact under $src")
+    val totalBytes = parts.map(_.length()).sum
+    val n = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    spark.read.parquet(src)
+      .repartitionByRange(n, col(clusterCol))
+      .sortWithinPartitions(clusterCol)
+      .write.mode("overwrite").parquet(out)
+    n
+  }
+
   /** Watermark delay for the streaming session drain (minutes). */
   val sessionWmDelayMin = 2L
 

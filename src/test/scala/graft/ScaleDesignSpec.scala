@@ -189,6 +189,52 @@ class ScaleDesignSpec extends GraftSpec {
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
   }
 
+  test("compaction: fragmented ingest output re-lands clustered, content-intact") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val fragmented = s"$base/fragmented"
+    val compacted = s"$base/compacted"
+    try {
+      // simulate micro-batch debris: 64 hash-scattered KB-scale files
+      Tables.events(spark, sfDir)
+        .withColumn("ts_micros", unix_micros(col("ts").cast("timestamp")))
+        .repartition(64, col("user_id"))
+        .write.mode("overwrite").parquet(fragmented)
+      // empty hash partitions write no file, so the fragment count is
+      // bounded by the distinct-user count at this sf — still plenty
+      val fragFiles = new java.io.File(fragmented).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(fragFiles >= 10, s"expected a fragmented input, got $fragFiles files")
+      val fragBytes = new java.io.File(fragmented).listFiles()
+        .filter(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .map(_.length()).sum
+      val target = fragBytes / 3 + 1 // expect ~3 output files
+      val n = graft.operators.EventAnalytics.compactClustered(
+        spark, fragmented, compacted, "ts_micros", target)
+      val outFiles = new java.io.File(compacted).listFiles()
+        .count(_.getName.endsWith(".parquet"))
+      assert(outFiles == n && n < fragFiles / 2,
+        s"compaction wrote $outFiles files (computed $n) from $fragFiles")
+      // content preservation, exactly (multiset equality via sort)
+      val a = spark.read.parquet(fragmented).orderBy("event_id").collect().toSeq
+      val b = spark.read.parquet(compacted).orderBy("event_id").collect().toSeq
+      assert(a == b, "compaction changed the data")
+      // the rewrite restored range clustering: per-file ts_micros
+      // intervals pairwise disjoint (the property scans prune on)
+      val ranges = new java.io.File(compacted).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map { f =>
+          val r = spark.read.parquet(f.getPath)
+            .agg(min("ts_micros").as("lo"), max("ts_micros").as("hi")).collect()(0)
+          (r.getAs[Long]("lo"), r.getAs[Long]("hi"))
+        }.sortBy(_._1)
+      ranges.sliding(2).foreach {
+        case Array((_, hi), (lo, _)) =>
+          assert(lo >= hi, s"overlapping compacted ranges: $hi vs $lo")
+        case _ =>
+      }
+    } finally
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(base))
+  }
+
   test("z-ordered layout: one layout prunes on BOTH user and time predicates") {
     val base = java.nio.file.Files.createTempDirectory("graft-zorder").toString
     val zdir = s"$base/zordered"
