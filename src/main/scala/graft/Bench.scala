@@ -132,6 +132,18 @@ private[graft] object BenchFormat {
     *  - dedup_spans_clean (r6e) re-runs the timed dedup_spans pipeline
     *    and adds a doc_id-keyed anti-join + one re-aggregation — its
     *    dominant cost IS the timed sibling.
+    *  - dedup_best_survivor and split_leakage_safe (r6g) both re-run
+    *    the timed dedup cluster pipeline (shingles → pair graph → CC,
+    *    all priced by dedup_family_build + dedup_clusters); their
+    *    marginal work is one doc_id equi-join plus a k=1 window /
+    *    a map-only hash-bucket assignment.
+    *  - decontaminate_semantic (r6g) re-runs the timed
+    *    dedup_embedding_cosine banded pipeline verbatim; its marginal
+    *    work is a filter + per-vector argmax window over the tiny
+    *    thresholded survivor set.
+    *  - source_cap (r6g) is doc_quality's map-only scan (the shape
+    *    lang_id/token_stats already time) joined into
+    *    sample_balanced's bounded-PQ per-key top-k window shape.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -143,7 +155,9 @@ private[graft] object BenchFormat {
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
     "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
     "ann_sq_cosine", "index_incremental", "user_sessions_stream",
-    "events_enrich_stream", "dedup_spans_clean", "pii_redact")
+    "events_enrich_stream", "dedup_spans_clean", "pii_redact",
+    "dedup_best_survivor", "split_leakage_safe", "decontaminate_semantic",
+    "source_cap")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

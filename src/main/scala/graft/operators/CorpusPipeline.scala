@@ -172,6 +172,34 @@ object CorpusPipeline {
       .orderBy("lang", "rk")
   }
 
+  /** Per-source document cap — the per-domain quota pass (even a
+    * deduplicated corpus over-represents hot domains; production
+    * pipelines cap each domain's contribution): keep the [[sourceCapK]]
+    * highest-quality documents per source, ties broken by lowest
+    * doc_id. Quality is [[TextQuality.docQuality]]'s proven formula —
+    * one map-only scan — joined back on doc_id.
+    *
+    * Scale shape: the row_number-over-(source)-window + rank filter is
+    * exactly the shape graft.plans.TopKRewrite lowers to the bounded-PQ
+    * operator, so a hot domain with millions of documents costs a
+    * k-row heap per partition plus a k-row final merge — never a full
+    * sort of the domain's documents. Source keys are Zipf-skewed by
+    * nature; the bounded partial aggregation is what makes the skew
+    * harmless (the partial side never emits more than k rows per key
+    * per partition). */
+  val sourceCapK = 10
+  def sourceCap(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextQuality.docQuality(spark, dir).select("doc_id", "quality")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy(desc("quality"), col("doc_id"))
+    Tables.documents(spark, dir).select(col("doc_id"), col("source"))
+      .join(q, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= sourceCapK)
+      .select("doc_id", "source", "quality", "rk")
+      .orderBy("source", "rk")
+  }
+
   /** Sequence packing — the training-batch construction step: assign
     * documents to fixed token-budget packs (context windows) by running
     * token count, emitting each doc's pack id and its token offset
@@ -296,6 +324,7 @@ object CorpusPipeline {
     "sample_stratified" -> (sampleStratified _),
     "sample_balanced" -> (sampleBalanced _),
     "sample_temperature" -> (sampleTemperature _),
+    "source_cap" -> (sourceCap _),
     "pack_sequences" -> (packSequences _),
     "doc_repetition" -> (docRepetition _),
     "text_normalize" -> (textNormalize _),
@@ -377,6 +406,24 @@ object CorpusPipeline {
           FROM b JOIN thr USING (lang)
           WHERE bucket < thr_micro
           ORDER BY doc_id""",
+    // the proven doc_quality formula + a per-source top-k window; ties
+    // on the 6dp-rounded quality break to the lowest doc_id both sides
+    "source_cap" ->
+      s"""WITH $toksSql,
+          q AS (
+            SELECT doc_id,
+                   round(least(n_chars::DOUBLE / 400.0, 1.0) * 0.4 +
+                         (len(list_distinct(ws))::DOUBLE / len(ws)) * 0.4 +
+                         (${TextQuality.stopCountSql}::DOUBLE / len(ws)) * 0.2, 6)
+                     AS quality
+            FROM toks),
+          r AS (
+            SELECT d.doc_id, d.source, q.quality,
+                   row_number() OVER (PARTITION BY d.source
+                     ORDER BY q.quality DESC, d.doc_id) AS rk
+            FROM documents d JOIN q USING (doc_id))
+          SELECT doc_id, source, quality, rk FROM r WHERE rk <= $sourceCapK
+          ORDER BY source, rk""",
     "doc_repetition" ->
       s"""WITH $toksSql,
           b AS (

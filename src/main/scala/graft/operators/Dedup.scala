@@ -141,7 +141,8 @@ object Dedup {
     * dedup_embedding_cosine, none of which touch the shingle family, so a
     * filtered bench run selecting only those would time a useless build. */
   val familyMembers: Set[String] = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
-    "dedup_clusters", "dedup_survivors", "decontaminate", "dedup_incremental")
+    "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
+    "split_leakage_safe", "decontaminate", "dedup_incremental")
 
   /** Force-materialize the family's shared artifacts (shingle table,
     * verified pair graph, minhash band index). Bench times this as its
@@ -410,6 +411,59 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Quality-aware survivor selection — production near-dup pipelines
+    * keep the BEST duplicate, not the first (a boilerplate-wrapped copy
+    * of a clean article should lose to the clean one): per cluster, the
+    * member with the highest [[TextQuality.docQuality]] score becomes
+    * the kept representative, ties broken by lowest doc_id. Consumes
+    * the same memoized pair graph as [[dedupClusters]]; the marginal
+    * plan is one doc_id equi-join against the map-only quality scan
+    * plus a per-cluster row_number window — the bounded-PQ top-k shape
+    * with k = 1, over a cluster table that is small relative to the
+    * corpus (only docs with ≥ 1 near-dup pair appear in it). */
+  def dedupBestSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val quality = TextQuality.docQuality(spark, dir).select("doc_id", "quality")
+    val w = Window.partitionBy("cluster_rep").orderBy(desc("quality"), col("doc_id"))
+    dedupClusters(spark, dir)
+      .join(quality, "doc_id")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("cluster_rep"), col("doc_id").as("best_doc"),
+        col("quality").as("best_quality"), col("cluster_size"))
+      .orderBy("cluster_rep")
+  }
+
+  /** Leakage-safe train/val/test split — the eval-hygiene step AFTER
+    * near-dup clustering: a document's split is decided by the md5
+    * bucket of its CLUSTER representative (unclustered docs are their
+    * own group), so near-duplicates can never straddle a split boundary
+    * and leak held-out content into training — splitting on the raw
+    * doc_id hash would put two 0.9-Jaccard copies of the same article
+    * on opposite sides of the train/test fence. Deterministic and
+    * engine-portable (the md5-bucket discipline of sample_stratified).
+    *
+    * Scale shape: the cluster table holds only docs with ≥ 1 near-dup
+    * pair — a small fraction of the corpus — so the doc_id equi-join is
+    * cheap (and broadcastable when the cluster table is small); the
+    * bucket + split assignment is a map-only hash over the join
+    * output. */
+  val splitTrainPermille = 900
+  val splitValPermille = 950
+
+  def splitLeakageSafe(spark: SparkSession, dir: String): DataFrame =
+    Tables.documents(spark, dir).select(col("doc_id"))
+      .join(dedupClusters(spark, dir).select("doc_id", "cluster_rep"),
+        Seq("doc_id"), "left")
+      .withColumn("group_rep", coalesce(col("cluster_rep"), col("doc_id")))
+      .withColumn("bucket",
+        pmod(md5Int(col("group_rep").cast("string"), 15), lit(1000L)))
+      .withColumn("split",
+        when(col("bucket") < splitTrainPermille, lit("train"))
+          .when(col("bucket") < splitValPermille, lit("val"))
+          .otherwise(lit("test")))
+      .select("doc_id", "group_rep", "bucket", "split")
+      .orderBy("doc_id")
+
   /** Benchmark decontamination — the training-data hygiene pass that
     * flags corpus documents overlapping a held-out evaluation set
     * (n-gram collision, the standard contamination test: see e.g. the
@@ -579,6 +633,8 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_survivors" -> (dedupSurvivors _),
+    "dedup_best_survivor" -> (dedupBestSurvivor _),
+    "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
@@ -603,6 +659,35 @@ object Dedup {
          SELECT s.doc_id, s.sh FROM sh s
          JOIN (SELECT sh FROM sh GROUP BY sh
                HAVING count(*) <= $maxShingleFreq) ok USING (sh))"""
+
+  /** The near-dup cluster CTE chain (capped shingles → verified Jaccard
+    * pairs → recursive min-label reachability → per-doc component),
+    * ending at `comp(doc_id, cluster_rep)`. Needs `WITH RECURSIVE`.
+    * Shared by the four cluster-consuming oracles (clusters, survivors,
+    * best-survivor, leakage-safe split). */
+  private val clusterCteSql =
+    s"""$shingleSql,
+        $cappedShingleSql,
+        sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+        inter AS (
+          SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+          FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+          GROUP BY 1, 2),
+        pairs AS (
+          SELECT doc_a, doc_b FROM inter
+          JOIN sz x ON doc_a = x.doc_id
+          JOIN sz y ON doc_b = y.doc_id
+          WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold),
+        edges AS (
+          SELECT doc_a AS node, doc_b AS peer FROM pairs
+          UNION ALL
+          SELECT doc_b, doc_a FROM pairs),
+        reach(node, rep) AS (
+          SELECT node, node FROM (SELECT DISTINCT node FROM edges)
+          UNION
+          SELECT e.peer, r.rep FROM reach r JOIN edges e ON e.node = r.node),
+        comp AS (
+          SELECT node AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY node)"""
 
   /** The dedup_spans CTE chain (k-gram → duplicated set → gaps-and-
     * islands merge), shared with the span-removal oracle. Gram hashes
@@ -768,57 +853,56 @@ object Dedup {
           WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
           ORDER BY doc_a, doc_b""",
     "dedup_clusters" ->
-      s"""WITH RECURSIVE $shingleSql,
-          $cappedShingleSql,
-          sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-          inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          pairs AS (
-            SELECT doc_a, doc_b FROM inter
-            JOIN sz x ON doc_a = x.doc_id
-            JOIN sz y ON doc_b = y.doc_id
-            WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold),
-          edges AS (
-            SELECT doc_a AS node, doc_b AS peer FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs),
-          reach(node, rep) AS (
-            SELECT node, node FROM (SELECT DISTINCT node FROM edges)
-            UNION
-            SELECT e.peer, r.rep FROM reach r JOIN edges e ON e.node = r.node),
-          comp AS (
-            SELECT node AS doc_id, min(rep) AS cluster_rep FROM reach GROUP BY node)
+      s"""WITH RECURSIVE $clusterCteSql
           SELECT doc_id, cluster_rep,
                  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
           FROM comp ORDER BY doc_id""",
     "dedup_survivors" ->
-      s"""WITH RECURSIVE $shingleSql,
-          $cappedShingleSql,
-          sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
-          inter AS (
-            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
-            FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
-            GROUP BY 1, 2),
-          pairs AS (
-            SELECT doc_a, doc_b FROM inter
-            JOIN sz x ON doc_a = x.doc_id
-            JOIN sz y ON doc_b = y.doc_id
-            WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold),
-          edges AS (
-            SELECT doc_a AS node, doc_b AS peer FROM pairs
-            UNION ALL
-            SELECT doc_b, doc_a FROM pairs),
-          reach(node, rep) AS (
-            SELECT node, node FROM (SELECT DISTINCT node FROM edges)
-            UNION
-            SELECT e.peer, r.rep FROM reach r JOIN edges e ON e.node = r.node),
+      s"""WITH RECURSIVE $clusterCteSql,
           dropped AS (
-            SELECT node AS doc_id FROM reach
-            GROUP BY node HAVING node <> min(rep))
+            SELECT doc_id FROM comp WHERE doc_id <> cluster_rep)
           SELECT d.doc_id, d.n_chars
           FROM documents d
           WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
-          ORDER BY d.doc_id""")
+          ORDER BY d.doc_id""",
+    // cluster chain + the proven doc_quality formula + a k=1 window;
+    // ties on the 6dp-rounded quality break to the lowest doc_id on
+    // both engines
+    "dedup_best_survivor" ->
+      s"""WITH RECURSIVE $clusterCteSql,
+          csz AS (
+            SELECT doc_id, cluster_rep,
+                   count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
+            FROM comp),
+          q AS (
+            SELECT doc_id,
+                   round(least(n_chars::DOUBLE / 400.0, 1.0) * 0.4 +
+                         (len(list_distinct(ws))::DOUBLE / len(ws)) * 0.4 +
+                         (${TextQuality.stopCountSql}::DOUBLE / len(ws)) * 0.2, 6)
+                     AS quality
+            FROM (SELECT doc_id, n_chars,
+                         ${graft.functions.TextFunctions.tokenizeSql} AS ws
+                  FROM documents) tq),
+          r AS (
+            SELECT c.cluster_rep, c.doc_id, q.quality, c.cluster_size,
+                   row_number() OVER (PARTITION BY c.cluster_rep
+                     ORDER BY q.quality DESC, c.doc_id) AS rk
+            FROM csz c JOIN q USING (doc_id))
+          SELECT cluster_rep, doc_id AS best_doc, quality AS best_quality,
+                 cluster_size
+          FROM r WHERE rk = 1 ORDER BY cluster_rep""",
+    "split_leakage_safe" ->
+      s"""WITH RECURSIVE $clusterCteSql,
+          g AS (
+            SELECT d.doc_id, coalesce(c.cluster_rep, d.doc_id) AS group_rep
+            FROM documents d LEFT JOIN comp c USING (doc_id)),
+          b AS (
+            SELECT doc_id, group_rep,
+                   (${md5IntSql("(group_rep)::VARCHAR", 15)} % 1000) AS bucket
+            FROM g)
+          SELECT doc_id, group_rep, bucket,
+                 CASE WHEN bucket < $splitTrainPermille THEN 'train'
+                      WHEN bucket < $splitValPermille THEN 'val'
+                      ELSE 'test' END AS split
+          FROM b ORDER BY doc_id""")
 }

@@ -472,6 +472,39 @@ object Similarity {
     cosinePairsKernel(spark, emb(spark, dir).as[(Long, Seq[Double])], nearDupCosine)
   }
 
+  /** Semantic decontamination — the embedding-space complement of the
+    * n-gram [[Dedup.decontaminate]]: corpus vectors whose cosine to ANY
+    * held-out benchmark vector clears the near-dup threshold are flagged
+    * for removal, with their best-matching benchmark vector attached.
+    * Paraphrased eval contamination shares no word-3-gram and sails
+    * through the n-gram screen; this pass catches it (the published
+    * complement: e.g. the embedding-similarity contamination audits in
+    * public LLM eval-hygiene work). The benchmark slice mirrors the
+    * n-gram pass's deterministic held-out convention
+    * (vec_id ≡ [[Dedup.benchRem]] mod [[Dedup.benchMod]]).
+    *
+    * Scale shape: consumes the banded near-dup pair generator VERBATIM —
+    * equi-keyed (table, bucket) joins, no corpus×benchmark cross product
+    * (the brute broadcast form would need the benchmark bounded; the
+    * banded form needs nothing) — then filters to cross-side pairs and
+    * takes a per-corpus-vector argmax: one window over the thresholded
+    * SURVIVORS, which are tiny by construction. The cost is exactly the
+    * timed dedup_embedding_cosine pipeline. */
+  def decontaminateSemantic(spark: SparkSession, dir: String): DataFrame = {
+    val isBench = (c: Column) => c % Dedup.benchMod === Dedup.benchRem
+    dedupEmbeddingCosine(spark, dir)
+      .filter(isBench(col("vec_a")) =!= isBench(col("vec_b")))
+      .select(
+        when(isBench(col("vec_a")), col("vec_b")).otherwise(col("vec_a")).as("vec_id"),
+        when(isBench(col("vec_a")), col("vec_a")).otherwise(col("vec_b")).as("bench_id"),
+        col("cosine"))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy("vec_id").orderBy(desc("cosine"), col("bench_id"))))
+      .filter(col("rk") === 1)
+      .select("vec_id", "bench_id", "cosine")
+      .orderBy("vec_id")
+  }
+
   /** IVF (inverted-file) ANN — the other scale path next to LSH (coarse
     * quantization as in Jégou/Douze/Schmid, "Product quantization for
     * nearest neighbor search", TPAMI 2011 — without the PQ residual
@@ -627,7 +660,8 @@ object Similarity {
     "ann_lsh_cosine" -> (annLshCosine _),
     "ann_ivf_cosine" -> (annIvfCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
-    "dedup_embedding_exact" -> (dedupEmbeddingExact _))
+    "dedup_embedding_exact" -> (dedupEmbeddingExact _),
+    "decontaminate_semantic" -> (decontaminateSemantic _))
 
   /** A plane set as SQL literal rows — data-INDEPENDENT (seeded
     * driver-side), so the oracle can carry them verbatim and replicate
@@ -643,17 +677,18 @@ object Similarity {
 
   private def planeValuesSql: String = planesSql(hyperplanes())
 
-  /** Oracle for the banded near-dup default: replays the ENTIRE pipeline
-    * — the normalize-then-dot sequence the tile sweep uses (identical to
-    * the `_exact` kernels', so banded ⊆ exact holds bit-for-bit on
-    * boundary pairs), sign-bit bucketing of the NORMALIZED vectors
-    * against the literal planes, the bucket candidate join, threshold on
-    * the ROUNDED cosine — so Spark and DuckDB agree exactly regardless
-    * of banding recall. */
-  private[operators] def bandedPairsOracleSql(vecCte: String, idCol: String,
-      planes: Array[Array[Array[Double]]], threshold: Double,
-      outA: String, outB: String): String =
-    s"""WITH $vecCte,
+  /** CTE chain for the banded near-dup default, ending at
+    * `bandedpairs(ia, ib, cosine)` — the thresholded survivor pairs.
+    * Replays the ENTIRE pipeline — the normalize-then-dot sequence the
+    * tile sweep uses (identical to the `_exact` kernels', so banded ⊆
+    * exact holds bit-for-bit on boundary pairs), sign-bit bucketing of
+    * the NORMALIZED vectors against the literal planes, the bucket
+    * candidate join, threshold on the ROUNDED cosine — so Spark and
+    * DuckDB agree exactly regardless of banding recall. Shared by the
+    * pair oracles and the semantic-decontamination oracle. */
+  private[operators] def bandedPairsCteSql(vecCte: String, idCol: String,
+      planes: Array[Array[Array[Double]]], threshold: Double): String =
+    s"""$vecCte,
         nv AS (
           SELECT $idCol AS id,
                  list_transform(v, x -> x / sqrt(list_dot_product(v, v))) AS v
@@ -671,13 +706,20 @@ object Similarity {
           FROM b x JOIN b y USING (t, bucket)
           WHERE x.id < y.id),
         scored AS (
-          SELECT ia AS $outA, ib AS $outB,
+          SELECT ia, ib,
                  round(list_dot_product(p.v, q.v), 6) AS cosine
           FROM cand
           JOIN nv p ON ia = p.id
-          JOIN nv q ON ib = q.id)
-        SELECT $outA, $outB, cosine FROM scored
-        WHERE cosine >= $threshold
+          JOIN nv q ON ib = q.id),
+        bandedpairs AS (
+          SELECT ia, ib, cosine FROM scored WHERE cosine >= $threshold)"""
+
+  /** The pair-set oracle over [[bandedPairsCteSql]]. */
+  private[operators] def bandedPairsOracleSql(vecCte: String, idCol: String,
+      planes: Array[Array[Array[Double]]], threshold: Double,
+      outA: String, outB: String): String =
+    s"""WITH ${bandedPairsCteSql(vecCte, idCol, planes, threshold)}
+        SELECT ia AS $outA, ib AS $outB, cosine FROM bandedpairs
         ORDER BY $outA, $outB"""
 
   /** ann_ivf_cosine oracle: replays the ENTIRE integer-exact pipeline —
@@ -873,6 +915,30 @@ object Similarity {
     "dedup_embedding_cosine" -> bandedPairsOracleSql(
       "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
       "vec_id", ndPlanesEmb, nearDupCosine, "vec_a", "vec_b"),
+    // same banded pair replay as dedup_embedding_cosine, restricted to
+    // pairs straddling the held-out benchmark slice; argmax per corpus
+    // vector (ties on the rounded cosine break to the lowest bench id —
+    // the identical row_number on both engines)
+    "decontaminate_semantic" ->
+      s"""WITH ${bandedPairsCteSql(
+             "v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+             "vec_id", ndPlanesEmb, nearDupCosine)},
+          cross_side AS (
+            SELECT CASE WHEN ia % ${Dedup.benchMod} = ${Dedup.benchRem}
+                        THEN ib ELSE ia END AS vec_id,
+                   CASE WHEN ia % ${Dedup.benchMod} = ${Dedup.benchRem}
+                        THEN ia ELSE ib END AS bench_id,
+                   cosine
+            FROM bandedpairs
+            WHERE (ia % ${Dedup.benchMod} = ${Dedup.benchRem})
+                  <> (ib % ${Dedup.benchMod} = ${Dedup.benchRem})),
+          r AS (
+            SELECT vec_id, bench_id, cosine,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY cosine DESC, bench_id) AS rk
+            FROM cross_side)
+          SELECT vec_id, bench_id, cosine FROM r WHERE rk = 1
+          ORDER BY vec_id""",
     "dedup_embedding_exact" ->
       s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           v AS (

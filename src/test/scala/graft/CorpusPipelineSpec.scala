@@ -163,4 +163,24 @@ class CorpusPipelineSpec extends GraftSpec {
           s"doc $id: final chunk adds no new tokens")
     }
   }
+
+  test("source_cap keeps the quality-top-K docs of every source, via the bounded-PQ operator") {
+    val q = graft.operators.TextQuality.docQuality(spark, sfDir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "source").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (src, ds) =>
+      ds.map(_._1).sortBy(id => (-q(id), id)).take(CorpusPipeline.sourceCapK)
+        .zipWithIndex.map { case (id, i) => (id, src, i + 1) }
+    }.toSet
+    val df = CorpusPipeline.sourceCap(spark, sfDir)
+    val got = df.collect().map(r => (r.getLong(0), r.getString(1), r.getInt(3))).toSet
+    assert(got == expected)
+    // the per-source window lowers to the bounded-PQ top-k operator: a
+    // hot domain costs a k-row heap per partition, not a domain sort
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GraftTopKPartial") && plan.contains("GraftTopKFinal"), plan)
+  }
 }

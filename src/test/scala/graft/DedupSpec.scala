@@ -208,4 +208,49 @@ class DedupSpec extends GraftSpec {
       }
     }
   }
+
+  test("dedup_best_survivor keeps exactly the argmax-quality member per cluster") {
+    val q = graft.operators.TextQuality.docQuality(spark, sfDir)
+      .select("doc_id", "quality").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val members = Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))) // (doc_id, cluster_rep)
+    assert(members.nonEmpty, "fixture lost its planted near-dup clusters")
+    val expected = members.groupBy(_._2).map { case (rep, ms) =>
+      rep -> ms.map(_._1).minBy(id => (-q(id), id))
+    }
+    val got = Dedup.dedupBestSurvivor(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap // cluster_rep -> best_doc
+    assert(got == expected)
+    // the quality criterion is doing real work: on at least one cluster
+    // the best member is NOT the min-id representative dedup_survivors
+    // would keep (if this ever fails the fixture degenerated, not the op)
+    assert(expected.exists { case (rep, best) => best != rep },
+      "every cluster's best member is its min-id rep - quality is vacuous here")
+  }
+
+  test("split_leakage_safe covers every doc once and never splits a cluster") {
+    val splits = Dedup.splitLeakageSafe(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(splits.length == nDocs, "split must be a partition of the corpus")
+    assert(splits.map(_._1).distinct.length == splits.length)
+    // band assignment agrees with the bucket
+    splits.foreach { case (_, _, b, s) =>
+      val want = if (b < Dedup.splitTrainPermille) "train"
+        else if (b < Dedup.splitValPermille) "val" else "test"
+      assert(s == want, s"bucket $b mapped to $s")
+    }
+    // the leakage guard itself: all members of a near-dup cluster land in
+    // the SAME split (splitting on raw doc_id hash would violate this)
+    val byDoc = splits.map(t => t._1 -> t._4).toMap
+    Dedup.dedupClusters(spark, sfDir).collect()
+      .map(r => (r.getLong(1), r.getLong(0)))
+      .groupBy(_._1).foreach { case (rep, ms) =>
+        val ss = ms.map(m => byDoc(m._2)).distinct
+        assert(ss.length == 1, s"cluster $rep straddles splits: ${ss.toSeq}")
+      }
+    // all three bands are populated at 500 groups (P(miss) ~ 1e-11)
+    assert(splits.map(_._4).distinct.sorted.toSeq == Seq("test", "train", "val"))
+  }
 }

@@ -158,4 +158,29 @@ class SimilaritySpec extends GraftSpec {
     }.sortBy(t => (t._1, t._4)).toSeq
     assert(got.toSeq == want)
   }
+
+  test("decontaminate_semantic equals the exact cross-side argmax") {
+    import graft.operators.Dedup
+    val exact = Similarity.dedupEmbeddingExact(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    def isB(id: Long) = id % Dedup.benchMod == Dedup.benchRem
+    val expected = exact
+      .filter { case (a, b, _) => isB(a) != isB(b) }
+      .map { case (a, b, c) => if (isB(a)) (b, a, c) else (a, b, c) }
+      .groupBy(_._1).map { case (v, ms) =>
+        val best = ms.minBy { case (_, bid, c) => (-c, bid) }
+        v -> ((best._2, best._3))
+      }
+    val got = Similarity.decontaminateSemantic(spark, sfDir).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // banded == exact on the cross-side slice (recall completeness holds
+    // a fortiori on the subset of the pair set the pair spec already pins)
+    assert(got == expected)
+    assert(got.nonEmpty, "no contamination flagged - fixture lost its planted pairs")
+    // every flagged vector is a corpus (non-benchmark) vector matched to
+    // a benchmark vector at or above the threshold
+    got.foreach { case (v, (bid, c)) =>
+      assert(!isB(v) && isB(bid) && c >= Similarity.nearDupCosine)
+    }
+  }
 }
