@@ -50,13 +50,15 @@ private[graft] object BenchFormat {
     * TIMED: its ~9 s FileStreamSource drain is real streaming-ingest
     * cost, over the r5 verdict's <1 s parity-exclusion bar. */
   val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
-  // interval_join_stream and event_count_hourly_incremental (r6f) join
-  // the replay-harness set: like trending_arrivals_late they are
-  // driver-fed MemoryStream replays whose cost is micro-batch
-  // orchestration of workloads the bench already times
-  // (interval_join_errors / event_count_hourly)
+  // interval_join_stream, event_count_hourly_incremental (r6f) and
+  // first_touch_stream (r6g) join the replay-harness set: like
+  // trending_arrivals_late they are driver-fed MemoryStream replays
+  // whose cost is micro-batch orchestration of workloads the bench
+  // already times (interval_join_errors / event_count_hourly /
+  // first_touch)
   val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql",
-    "interval_join_stream", "event_count_hourly_incremental")
+    "interval_join_stream", "event_count_hourly_incremental",
+    "first_touch_stream")
 
   /** The family-build metrics the bench times alongside the queries —
     * valid subsumers for [[subsumedTwins]]. */
@@ -144,6 +146,9 @@ private[graft] object BenchFormat {
     *  - source_cap (r6g) is doc_quality's map-only scan (the shape
     *    lang_id/token_stats already time) joined into
     *    sample_balanced's bounded-PQ per-key top-k window shape.
+    *  - first_touch (r6g) is the same bounded-PQ per-key top-1 window
+    *    shape (topk_by_group / sample_balanced) over the events scan
+    *    every timed event query already prices.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -157,7 +162,7 @@ private[graft] object BenchFormat {
     "ann_sq_cosine", "index_incremental", "user_sessions_stream",
     "events_enrich_stream", "dedup_spans_clean", "pii_redact",
     "dedup_best_survivor", "split_leakage_safe", "decontaminate_semantic",
-    "source_cap")
+    "source_cap", "first_touch")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

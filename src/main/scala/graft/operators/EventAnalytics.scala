@@ -320,6 +320,86 @@ object EventAnalytics {
   @volatile private[graft] var lastStreamJoinProgress:
     Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = None
 
+  /** First-touch attribution (batch): the EARLIEST event per
+    * (user, event_type) — "when did this user first purchase / first
+    * error", the classic attribution extract. Deterministic order: ties
+    * on ts break to the lowest event_id. The per-key top-1 window is the
+    * bounded-PQ shape TopKRewrite lowers (k = 1), so a hyperactive key
+    * costs a 1-row heap per partition, never a sort of its events. */
+  def firstTouch(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"), col("ts").as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
+  /** Last drain's final progress — lets StreamingSpec pin the streaming
+    * dedup's state-size contract (rows retained == distinct keys, not
+    * rows fed). */
+  @volatile private[graft] var lastFirstTouchProgress:
+    Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = None
+
+  /** Streaming first-touch — `dropDuplicates` on the key columns, the
+    * built-in StreamingDeduplicate stateful operator: the LAST stateful
+    * operator class the registry did not yet exercise as an
+    * oracle-checked query (windowed agg, session windows,
+    * flatMapGroupsWithState, symmetric-hash join, and the foreachBatch
+    * MV merge are all covered). Each key's FIRST arrival is emitted
+    * immediately and all later arrivals drop against keyed state.
+    *
+    * Scale shape: state is O(distinct keys) — users × event types —
+    * regardless of stream length (every duplicate is dropped, not
+    * stored), the property that makes global first-touch viable on an
+    * unbounded feed; StreamingSpec pins state rows == distinct keys ≪
+    * rows fed. No watermark: first-EVER semantics wants the key's state
+    * forever (the time-bounded variant is dropDuplicatesWithinWatermark,
+    * whose windowed semantics would no longer equal the batch oracle).
+    *
+    * Replay-harness determinism: the feed is chunked in (ts, event_id)
+    * order through a single-partition MemoryStream, so each key's first
+    * arrival IS its (ts, event_id) minimum — the batch [[firstTouch]]
+    * row — and the drain hash-matches the batch oracle verbatim. A
+    * violation of that ordering would fail the hash loudly. */
+  def firstTouchStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val evs = Tables.events(spark, dir)
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[UserEvent].collect().sortBy(e => (e.tsMicros, e.event_id))
+    val input = MemoryStream[UserEvent]
+    val sinkName = "first_touch_stream_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = input.toDS()
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        timestamp_micros(col("tsMicros")).as("ts"))
+      .dropDuplicates("user_id", "event_type")
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .start()
+    lastFirstTouchProgress = None
+    try {
+      val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
+      evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      lastFirstTouchProgress = Option(q.lastProgress)
+    } finally q.stop()
+    val rows = spark.table(sinkName)
+      .as[(Long, Long, String, java.sql.Timestamp)].collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    rows.toDF("event_id", "user_id", "event_type", "ts")
+      .select(col("user_id"), col("event_type"),
+        col("event_id").as("first_event_id"),
+        // back to NTZ so the streaming drain's schema matches the batch
+        // twin's (Tables.events serves micros NTZ; UTC session)
+        col("ts").cast("timestamp_ntz").as("first_ts"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Heavy/light cut for the enrichment band — a fixed constant so the
     * oracle can carry it verbatim. */
   val enrichHeavyCut = 15L
@@ -662,6 +742,8 @@ object EventAnalytics {
     "event_count_sliding" -> (eventCountSliding _),
     "user_sessions" -> (userSessions _),
     "asof_last_error" -> (asofLastError _),
+    "first_touch" -> (firstTouch _),
+    "first_touch_stream" -> (firstTouchStream _),
     "interval_join_errors" -> (intervalJoinErrors _),
     "interval_join_stream" -> (intervalJoinStream _),
     "events_enrich_stream" -> (eventsEnrichStream _),
@@ -672,6 +754,15 @@ object EventAnalytics {
     "trending_arrivals" -> (trendingArrivals _),
     "trending_arrivals_late" -> (trendingArrivalsLate _),
     "logsumexp_by_group" -> (logsumexpByGroup _))
+
+  private val firstTouchOracleSql =
+    """WITH r AS (
+         SELECT user_id, event_type, event_id, ts,
+                row_number() OVER (PARTITION BY user_id, event_type
+                  ORDER BY ts, event_id) AS rk
+         FROM events)
+       SELECT user_id, event_type, event_id AS first_event_id, ts AS first_ts
+       FROM r WHERE rk = 1 ORDER BY user_id, event_type"""
 
   private val trendingOracleSql =
     """WITH counts AS (
@@ -741,6 +832,12 @@ object EventAnalytics {
                       THEN 'heavy' ELSE 'light' END AS band
           FROM events e JOIN prof p USING (user_id)
           ORDER BY event_id""",
+    "first_touch" -> firstTouchOracleSql,
+    // the streaming dedup emits each key's FIRST arrival of the ordered
+    // replay == the batch (ts, event_id) minimum: the StreamingDeduplicate
+    // state machine is hash-checked against the batch oracle (the
+    // interval_join_stream discipline, now for dedup state)
+    "first_touch_stream" -> firstTouchOracleSql,
     "asof_last_error" ->
       """SELECT event_id, user_id, ts,
                 max(CASE WHEN event_type = 'error' THEN ts END) OVER (

@@ -472,4 +472,23 @@ class StreamingSpec extends GraftSpec {
       s"stream ${got.size} vs batch-closed ${want.size} sessions; " +
         s"batch total ${batch.length}")
   }
+
+  test("streaming first-touch equals batch and holds O(keys) state") {
+    val batch = EventAnalytics.firstTouch(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.get(3))).toSet
+    val stream = EventAnalytics.firstTouchStream(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.get(3))).toSet
+    assert(stream == batch,
+      "StreamingDeduplicate drain diverged from the batch first-touch")
+    // the scale contract: dedup state holds one row per DISTINCT key —
+    // users x event types — not one per event fed
+    val fed = graft.Tables.events(spark, sfDir).count()
+    val progress = EventAnalytics.lastFirstTouchProgress
+      .getOrElse(fail("no progress captured"))
+    val stateRows = progress.stateOperators.map(_.numRowsTotal).sum
+    assert(stateRows == batch.size.toLong,
+      s"dedup state holds $stateRows rows, expected one per key (${batch.size})")
+    assert(stateRows < fed / 2,
+      s"state ($stateRows) is not small vs rows fed ($fed) - O(keys) claim broken")
+  }
 }
