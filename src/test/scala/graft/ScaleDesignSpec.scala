@@ -678,4 +678,47 @@ class ScaleDesignSpec extends GraftSpec {
       }.nonEmpty
     }.forall(identity), "whitelisted query no longer uses a UDF — shrink the whitelist")
   }
+
+  test("runtime bloom filter prunes the probe side of a selective shuffle join") {
+    // The runtime complement to static predicate pushdown and the AQE
+    // skew pin: when a big-x-big shuffle join has a SELECTIVE dimension
+    // side, Spark's InjectRuntimeFilter builds a bloom filter over the
+    // dim's join keys and pushes a BloomFilterMightContain probe beneath
+    // the fact scan - at 100 TB that turns "shuffle every fact row" into
+    // "shuffle the ~matching rows". Thresholds are production-sized
+    // (probe side >= 10 GB) so the pin engineers them down; the assert is
+    // on the optimized plan, the exact artifact the prod cluster plans.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption)
+    try {
+      conf.set(keys(0), "true")
+      conf.set(keys(1), "0")    // testdata stands in for the 10 GB fact
+      conf.set(keys(2), "-1")   // force the shuffle join the filter serves
+      val fact = spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select("l_orderkey", "l_quantity")
+      val dim = spark.read.parquet(s"$sfDir/orders.parquet")
+        .filter(col("o_totalprice") > 500000.0) // selective: builds the filter
+        .select("o_orderkey")
+      val joined = fact.join(dim, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").count()
+      import org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain
+      val probes = joined.queryExecution.optimizedPlan.collectWithSubqueries {
+        case p if p.expressions.exists(_.exists(_.isInstanceOf[BloomFilterMightContain])) => p
+      }
+      assert(probes.nonEmpty,
+        s"no BloomFilterMightContain injected:\n${joined.queryExecution.optimizedPlan}")
+      // and it still computes the right thing with the filter active
+      val expected = fact.join(dim.hint("broadcast"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey").count().collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == expected)
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None)    => conf.unset(k)
+    }
+  }
 }
