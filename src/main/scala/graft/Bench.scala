@@ -149,6 +149,9 @@ private[graft] object BenchFormat {
     *  - first_touch (r6g) is the same bounded-PQ per-key top-1 window
     *    shape (topk_by_group / sample_balanced) over the events scan
     *    every timed event query already prices.
+    *  - vocab_coverage (r6g) is wordcount's explode+groupBy tf build
+    *    (the timed sibling) plus a 4096-row bounded top-k and two
+    *    broadcast folds over it — constant-size marginal work.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -162,7 +165,7 @@ private[graft] object BenchFormat {
     "ann_sq_cosine", "index_incremental", "user_sessions_stream",
     "events_enrich_stream", "dedup_spans_clean", "pii_redact",
     "dedup_best_survivor", "split_leakage_safe", "decontaminate_semantic",
-    "source_cap", "first_touch")
+    "source_cap", "first_touch", "vocab_coverage")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

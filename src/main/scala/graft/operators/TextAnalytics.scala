@@ -221,7 +221,42 @@ object TextAnalytics {
       .orderBy(col("cnt").desc, col("bigram"))
   }
 
+  /** Vocabulary sizes at which coverage is reported. */
+  val vocabKs = Seq(256L, 1024L, 4096L)
+
+  /** Vocabulary coverage — the tokenizer-design metric: what fraction of
+    * corpus token OCCURRENCES the top-K vocabulary types cover (the
+    * curve that decides vocab size / OOV budget before training a
+    * tokenizer). One corpus pass builds term frequencies; the top-K cut
+    * is `orderBy(cnt).limit(max K)` — TakeOrderedAndProject, the
+    * distributed bounded top-K, NOT a global sort — and the ranking
+    * window then runs over the LIMITED set, whose maxRows the planner
+    * can bound (4096 rows, one partition, provably tiny). Coverage per
+    * K folds the bounded set against a 3-row literal K table; the
+    * corpus-sized work is exactly wordcount's explode+groupBy. The
+    * coverage division is one IEEE op on two exact longs — bit-identical
+    * across engines, no rounding needed. */
+  def vocabCoverage(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tf = toks(spark, dir)
+      .select(explode(col("ws")).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("cnt"))
+    val total = tf.agg(sum(col("cnt")).as("n"))
+    val top = tf.orderBy(desc("cnt"), col("w")).limit(vocabKs.max.toInt)
+      .withColumn("rn", row_number().over(
+        Window.orderBy(desc("cnt"), col("w"))))
+    top.join(broadcast(vocabKs.toDF("k")), col("rn") <= col("k"))
+      .groupBy("k")
+      .agg(count(lit(1)).as("vocab_kept"), sum(col("cnt")).as("covered_tokens"))
+      .crossJoin(broadcast(total))
+      .select(col("k"), col("vocab_kept"), col("covered_tokens"),
+        col("n").as("total_tokens"),
+        (col("covered_tokens").cast("double") / col("n")).as("coverage"))
+      .orderBy("k")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vocab_coverage" -> (vocabCoverage _),
     "heavy_hitters_cms" -> (heavyHittersCms _),
     "wordcount" -> (wordCount _),
     "wordcount_salted" -> (wordCountSalted _),
@@ -282,6 +317,23 @@ object TextAnalytics {
           FROM cnts, tot
           WHERE cnt >= greatest(CAST(ceil($hhPhi * n) AS BIGINT), $hhMinSupport)
           ORDER BY cnt DESC, bigram""",
+    // same tf build as wordcount; sum(cnt) is HUGEINT in DuckDB, cast
+    // back to BIGINT; the coverage division is two exact longs
+    "vocab_coverage" ->
+      s"""WITH $toksSql,
+          tf AS (SELECT w, count(*) AS cnt
+                 FROM (SELECT unnest(ws) AS w FROM toks) GROUP BY w),
+          tot AS (SELECT sum(cnt)::BIGINT AS n FROM tf),
+          top AS (SELECT w, cnt,
+                         row_number() OVER (ORDER BY cnt DESC, w) AS rn
+                  FROM tf QUALIFY rn <= ${vocabKs.max}),
+          ks(k) AS (VALUES ${vocabKs.map(k => s"($k::BIGINT)").mkString(", ")})
+          SELECT k, count(*) AS vocab_kept,
+                 sum(top.cnt)::BIGINT AS covered_tokens,
+                 n AS total_tokens,
+                 sum(top.cnt)::DOUBLE / n AS coverage
+          FROM top JOIN ks ON top.rn <= k CROSS JOIN tot
+          GROUP BY k, n ORDER BY k""",
     "wordcount" ->
       s"""WITH $toksSql
           SELECT w AS word, count(*) AS cnt

@@ -104,4 +104,28 @@ class TextAnalyticsSpec extends GraftSpec {
     assert(plan.lastIndexOf("Exchange") < udfFilterAt,
       s"an exchange sits below the sketch-probe filter:\n$plan")
   }
+
+  test("vocab coverage is monotone in k and matches a brute recount") {
+    val rows = TextAnalytics.vocabCoverage(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == TextAnalytics.vocabKs)
+    // brute recount from wordcount
+    val tf = TextAnalytics.wordCount(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val total = tf.map(_._2).sum
+    val ordered = tf.sortBy { case (w, c) => (-c, w) }
+    rows.foreach { case (k, kept, covered, tot, cov) =>
+      val want = ordered.take(k.toInt)
+      assert(kept == want.length, s"k=$k kept")
+      assert(covered == want.map(_._2).sum, s"k=$k covered")
+      assert(tot == total)
+      assert(cov == covered.toDouble / total)
+    }
+    // monotone: more vocab never covers less
+    rows.sliding(2).foreach {
+      case Array(a, b) => assert(a._5 <= b._5, "coverage not monotone in k")
+      case _ =>
+    }
+  }
 }
