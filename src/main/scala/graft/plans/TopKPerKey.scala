@@ -248,10 +248,34 @@ case class GraftTopKExec(k: Int, partExprs: Seq[Expression],
 
 /** `spark.sql.extensions=graft.plans.GraftExtensions` installs the rule
   * and strategy; without it every query still runs identically on the
-  * stock window plan (the rewrite is a pure optimization). */
+  * stock window plan (the rewrite is a pure optimization). It also
+  * registers the library's custom expressions with the SQL function
+  * registry, so `spark.sql` users get the same surface the Column API
+  * exposes: `cosine_similarity(a, b)` (codegen'd scalar) and
+  * `log_sum_exp(x)` (the native DeclarativeAggregate — the analyzer
+  * wraps a returned AggregateFunction in an AggregateExpression). */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import org.apache.spark.sql.catalyst.FunctionIdentifier
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private def fn(name: String, clazz: Class[_], arity: Int,
+      build: Seq[Expression] => Expression) =
+    (new FunctionIdentifier(name),
+      new ExpressionInfo(clazz.getName, name),
+      (exprs: Seq[Expression]) => {
+        require(exprs.length == arity,
+          s"$name expects $arity argument(s), got ${exprs.length}")
+        build(exprs)
+      })
+
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKRewrite)
     e.injectPlannerStrategy(_ => TopKStrategy)
+    e.injectFunction(fn("cosine_similarity",
+      classOf[graft.functions.CosineSimilarity], 2,
+      exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction(fn("log_sum_exp",
+      classOf[graft.functions.LogSumExpAgg], 1,
+      exprs => graft.functions.LogSumExpAgg(exprs.head)))
   }
 }

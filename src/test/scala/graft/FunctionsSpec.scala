@@ -124,4 +124,24 @@ class FunctionsSpec extends GraftSpec {
       assert(r.getLong(3) == (bytes.length + Multimodal.frameBytes - 1) / Multimodal.frameBytes)
     }
   }
+
+  test("SQL surface: cosine_similarity and log_sum_exp are registered functions") {
+    // the extension registers both customs with the function registry -
+    // spark.sql users get the same surface the Column API exposes
+    val c = spark.sql(
+      "SELECT cosine_similarity(array(3.0D, 4.0D), array(3.0D, 4.0D)) AS c")
+      .head.getDouble(0)
+    assert(c == 1.0)
+    val l = spark.sql(
+      "SELECT log_sum_exp(x) AS l FROM VALUES (ln(2.0D)), (ln(3.0D)) AS t(x)")
+      .head.getDouble(0)
+    assert(math.abs(l - math.log(5.0)) < 1e-12, s"log_sum_exp: $l")
+    // grouped use goes through partial+final merge like any aggregate
+    val g = spark.sql(
+      """SELECT k, log_sum_exp(x) AS l FROM VALUES
+         (1, ln(1.0D)), (1, ln(4.0D)), (2, ln(9.0D)) AS t(k, x)
+         GROUP BY k ORDER BY k""").collect().map(r => (r.getInt(0), r.getDouble(1)))
+    assert(math.abs(g(0)._2 - math.log(5.0)) < 1e-12)
+    assert(math.abs(g(1)._2 - math.log(9.0)) < 1e-12)
+  }
 }
