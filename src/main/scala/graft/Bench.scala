@@ -152,6 +152,9 @@ private[graft] object BenchFormat {
     *  - vocab_coverage (r6g) is wordcount's explode+groupBy tf build
     *    (the timed sibling) plus a 4096-row bounded top-k and two
     *    broadcast folds over it — constant-size marginal work.
+    *  - quality_deciles (r6g) is doc_quality's map-only scan + the
+    *    exact `percentile` aggregate value_percentiles already times +
+    *    a broadcast threshold-bin map — no new physical workload.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -165,7 +168,7 @@ private[graft] object BenchFormat {
     "ann_sq_cosine", "index_incremental", "user_sessions_stream",
     "events_enrich_stream", "dedup_spans_clean", "pii_redact",
     "dedup_best_survivor", "split_leakage_safe", "decontaminate_semantic",
-    "source_cap", "first_touch", "vocab_coverage")
+    "source_cap", "first_touch", "vocab_coverage", "quality_deciles")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -200,6 +200,39 @@ object CorpusPipeline {
       .orderBy("source", "rk")
   }
 
+  /** Decile fractions for the curriculum binning. */
+  val decileFracs: Seq[Double] = (1 to 9).map(_ / 10.0)
+
+  /** Quality-decile curriculum binning — the data-mixing prerequisite:
+    * assign every document to a global quality decile (bin 0 = bottom
+    * 10%, bin 9 = top) WITHOUT a global sort. The scale pattern is
+    * threshold-broadcast binning: one aggregate computes the nine
+    * decile thresholds of the quality score, the single-row threshold
+    * frame broadcasts, and bin assignment is a map-only sum of nine
+    * comparisons — ntile() over a global window would serialize the
+    * corpus through one partition. Thresholds and quality both round to
+    * 6dp (the value_percentiles discipline), so the boundary
+    * comparisons are bit-identical across engines; a doc equal to a
+    * threshold lands in the upper bin on both. The exact `percentile`
+    * aggregate stands in for the production path's approx sketch
+    * (value_pct_approx demonstrates that rank-band contract). */
+  def qualityDeciles(spark: SparkSession, dir: String): DataFrame = {
+    val q = TextQuality.docQuality(spark, dir).select(col("doc_id"), col("quality"))
+    val thr = q.agg(
+      expr(s"percentile(quality, array(${decileFracs.mkString(", ")}))").as("t"))
+      .select(decileFracs.indices.map(i =>
+        round(element_at(col("t"), i + 1), 6).as(s"t$i")): _*)
+    q.crossJoin(broadcast(thr))
+      .withColumn("bin",
+        decileFracs.indices.map(i =>
+          when(col("quality") >= col(s"t$i"), 1).otherwise(0)).reduce(_ + _))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("quality")).as("min_quality"),
+        max(col("quality")).as("max_quality"))
+      .orderBy("bin")
+  }
+
   /** Sequence packing — the training-batch construction step: assign
     * documents to fixed token-budget packs (context windows) by running
     * token count, emitting each doc's pack id and its token offset
@@ -325,6 +358,7 @@ object CorpusPipeline {
     "sample_balanced" -> (sampleBalanced _),
     "sample_temperature" -> (sampleTemperature _),
     "source_cap" -> (sourceCap _),
+    "quality_deciles" -> (qualityDeciles _),
     "pack_sequences" -> (packSequences _),
     "doc_repetition" -> (docRepetition _),
     "text_normalize" -> (textNormalize _),
@@ -406,6 +440,29 @@ object CorpusPipeline {
           FROM b JOIN thr USING (lang)
           WHERE bucket < thr_micro
           ORDER BY doc_id""",
+    // same quality formula; thresholds via quantile_cont (linear
+    // interpolation == Spark's exact `percentile`, the value_percentiles
+    // discipline), bin = sum of nine >= comparisons on 6dp-rounded values
+    "quality_deciles" ->
+      s"""WITH $toksSql,
+          q AS (
+            SELECT doc_id,
+                   round(least(n_chars::DOUBLE / 400.0, 1.0) * 0.4 +
+                         (len(list_distinct(ws))::DOUBLE / len(ws)) * 0.4 +
+                         (${TextQuality.stopCountSql}::DOUBLE / len(ws)) * 0.2, 6)
+                     AS quality
+            FROM toks),
+          thr AS (
+            SELECT ${decileFracs.zipWithIndex.map { case (f, i) =>
+              s"round(quantile_cont(quality, $f), 6) AS t$i" }.mkString(",\n                   ")}
+            FROM q)
+          SELECT (${decileFracs.indices.map(i =>
+            s"(quality >= t$i)::INT").mkString(" + ")}) AS bin,
+                 count(*) AS n_docs,
+                 min(quality) AS min_quality,
+                 max(quality) AS max_quality
+          FROM q, thr
+          GROUP BY bin ORDER BY bin""",
     // the proven doc_quality formula + a per-source top-k window; ties
     // on the 6dp-rounded quality break to the lowest doc_id both sides
     "source_cap" ->

@@ -183,4 +183,22 @@ class CorpusPipelineSpec extends GraftSpec {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("GraftTopKPartial") && plan.contains("GraftTopKFinal"), plan)
   }
+
+  test("quality deciles partition the corpus with monotone bin boundaries") {
+    val bins = CorpusPipeline.qualityDeciles(spark, sfDir).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val corpus = spark.read.parquet(s"$sfDir/documents.parquet").count()
+    assert(bins.map(_._2).sum == corpus, "bins must partition the corpus")
+    assert(bins.forall { case (b, _, _, _) => b >= 0 && b <= 9 })
+    // within-bin ranges are consistent and bins never overlap in quality
+    bins.foreach { case (_, _, lo, hi) => assert(lo <= hi) }
+    bins.sliding(2).foreach {
+      case Array((_, _, _, hiPrev), (_, _, loNext, _)) =>
+        assert(hiPrev <= loNext, s"bin overlap: $hiPrev > $loNext")
+      case _ =>
+    }
+    // the binning is doing real work: more than one populated bin
+    assert(bins.length > 5, s"only ${bins.length} populated bins")
+  }
 }
