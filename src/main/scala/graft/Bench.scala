@@ -155,6 +155,9 @@ private[graft] object BenchFormat {
     *  - quality_deciles (r6g) is doc_quality's map-only scan + the
     *    exact `percentile` aggregate value_percentiles already times +
     *    a broadcast threshold-bin map — no new physical workload.
+    *  - conversion_funnel (r6g) is the user-keyed equi-join + grouped
+    *    min shape interval_join_errors already times, folded three
+    *    times over a strictly shrinking anchor frame.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -168,7 +171,8 @@ private[graft] object BenchFormat {
     "ann_sq_cosine", "index_incremental", "user_sessions_stream",
     "events_enrich_stream", "dedup_spans_clean", "pii_redact",
     "dedup_best_survivor", "split_leakage_safe", "decontaminate_semantic",
-    "source_cap", "first_touch", "vocab_coverage", "quality_deciles")
+    "source_cap", "first_touch", "vocab_coverage", "quality_deciles",
+    "conversion_funnel")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

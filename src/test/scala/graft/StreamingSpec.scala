@@ -491,4 +491,38 @@ class StreamingSpec extends GraftSpec {
     assert(stateRows < fed / 2,
       s"state ($stateRows) is not small vs rows fed ($fed) - O(keys) claim broken")
   }
+
+  test("conversion funnel: steps shrink and chains verify against a brute replay") {
+    val steps = EventAnalytics.conversionFunnel(spark, sfDir).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(steps.keySet == Set("1_view", "2_click", "3_purchase"))
+    val n1 = steps("1_view")._1
+    val n2 = steps("2_click")._1
+    val n3 = steps("3_purchase")._1
+    assert(n1 >= n2 && n2 >= n3, s"funnel must shrink: $n1 -> $n2 -> $n3")
+    assert(steps("1_view")._2 == 0L)
+    // brute per-user replay of the chain semantics
+    val W = EventAnalytics.funnelWindowSec * 1000000L
+    val byUser = graft.Tables.events(spark, sfDir)
+      .selectExpr("user_id", "event_type", "unix_micros(cast(ts as timestamp)) as m")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .groupBy(_._1)
+    var (c2, c3, lag2, lag3) = (0L, 0L, 0L, 0L)
+    byUser.foreach { case (_, evs) =>
+      val views = evs.filter(_._2 == "view").map(_._3)
+      if (views.nonEmpty) {
+        val t1 = views.min
+        val clicks = evs.filter(e => e._2 == "click" && e._3 > t1 && e._3 <= t1 + W).map(_._3)
+        if (clicks.nonEmpty) {
+          val t2 = clicks.min
+          c2 += 1; lag2 += t2 - t1
+          val buys = evs.filter(e => e._2 == "purchase" && e._3 > t2 && e._3 <= t2 + W).map(_._3)
+          if (buys.nonEmpty) { c3 += 1; lag3 += buys.min - t2 }
+        }
+      }
+    }
+    assert(n1 == byUser.count(_._2.exists(_._2 == "view")).toLong)
+    assert((n2, steps("2_click")._2) == ((c2, lag2)))
+    assert((n3, steps("3_purchase")._2) == ((c3, lag3)))
+  }
 }
