@@ -158,6 +158,11 @@ private[graft] object BenchFormat {
     *  - conversion_funnel (r6g) is the user-keyed equi-join + grouped
     *    min shape interval_join_errors already times, folded three
     *    times over a strictly shrinking anchor frame.
+    *  - events_pivot (r6g) is one conditional-aggregate pass over the
+    *    events scan — q10_rollup_sets' stacked-aggregate shape with a
+    *    column pivot instead of grouping sets.
+    *  - user_set_ops (r6g) lowers to the distinct + left-semi/anti
+    *    join shapes q8_semi_join / q12_outer_anti already time.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -172,7 +177,7 @@ private[graft] object BenchFormat {
     "events_enrich_stream", "dedup_spans_clean", "pii_redact",
     "dedup_best_survivor", "split_leakage_safe", "decontaminate_semantic",
     "source_cap", "first_touch", "vocab_coverage", "quality_deciles",
-    "conversion_funnel")
+    "conversion_funnel", "events_pivot", "user_set_ops")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

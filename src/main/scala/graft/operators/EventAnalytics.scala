@@ -320,6 +320,46 @@ object EventAnalytics {
   @volatile private[graft] var lastStreamJoinProgress:
     Option[org.apache.spark.sql.streaming.StreamingQueryProgress] = None
 
+  /** The closed event-type vocabulary, pinned so `pivot` never needs a
+    * values-discovery pass (see [[eventsPivot]]). */
+  val eventTypes: Seq[String] = Seq("click", "error", "purchase", "signup", "view")
+
+  /** Pivot / reshape — daily event counts pivoted to one column per
+    * event type (`RelationalGroupedDataset.pivot`). The value list is
+    * EXPLICIT: with it, pivot is a single pass of conditional
+    * aggregates; without it Spark first runs a distinct scan over the
+    * pivot column just to learn the columns — a whole extra job at
+    * 100 TB for something the schema owner already knows. Absent
+    * combinations surface as 0, not null (matching the count
+    * semantics the oracle states with FILTER). */
+  def eventsPivot(spark: SparkSession, dir: String): DataFrame = {
+    val pivoted = Tables.events(spark, dir)
+      .withColumn("day", to_date(col("ts")))
+      .groupBy("day").pivot("event_type", eventTypes).count()
+    pivoted.select(col("day") +: eventTypes.map(t =>
+      coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  /** Relational set operations — INTERSECT / EXCEPT between derived
+    * tables, a surface the reference never exercises (SURVEY §2.7 "no
+    * relational UNION/INTERSECT/EXCEPT between tables"): buyers who
+    * also errored vs buyers who never did. Catalyst lowers
+    * `Dataset.intersect`/`except` to left-semi / left-anti joins over
+    * distinct aggregates — the same scale-safe equi-join shapes the
+    * audit admits everywhere else; nothing new to hand-tune. */
+  def userSetOps(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir)
+    def users(t: String) =
+      e.filter(col("event_type") === t).select("user_id").distinct()
+    users("purchase").intersect(users("error"))
+      .withColumn("segment", lit("purchase_and_error"))
+      .unionByName(users("purchase").except(users("error"))
+        .withColumn("segment", lit("purchase_no_error")))
+      .select("segment", "user_id")
+      .orderBy("segment", "user_id")
+  }
+
   /** Conversion window for the ordered funnel (seconds). */
   val funnelWindowSec = 86400L
 
@@ -787,6 +827,8 @@ object EventAnalytics {
     "asof_last_error" -> (asofLastError _),
     "first_touch" -> (firstTouch _),
     "conversion_funnel" -> (conversionFunnel _),
+    "events_pivot" -> (eventsPivot _),
+    "user_set_ops" -> (userSetOps _),
     "first_touch_stream" -> (firstTouchStream _),
     "interval_join_errors" -> (intervalJoinErrors _),
     "interval_join_stream" -> (intervalJoinStream _),
@@ -876,6 +918,21 @@ object EventAnalytics {
                       THEN 'heavy' ELSE 'light' END AS band
           FROM events e JOIN prof p USING (user_id)
           ORDER BY event_id""",
+    // pivot == one conditional aggregate per pinned event type
+    "events_pivot" ->
+      s"""SELECT ts::DATE AS day,
+                 ${eventTypes.map(t =>
+                   s"count(*) FILTER (event_type = '$t') AS $t").mkString(",\n                 ")}
+          FROM events GROUP BY day ORDER BY day""",
+    "user_set_ops" ->
+      """WITH p AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+          er AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'error')
+          SELECT 'purchase_and_error' AS segment, user_id
+          FROM (SELECT user_id FROM p INTERSECT SELECT user_id FROM er)
+          UNION ALL
+          SELECT 'purchase_no_error', user_id
+          FROM (SELECT user_id FROM p EXCEPT SELECT user_id FROM er)
+          ORDER BY segment, user_id""",
     // step chain as correlated-free CTEs; lags as exact integer micros
     "conversion_funnel" ->
       s"""WITH e AS (SELECT user_id, event_type, ts FROM events),

@@ -525,4 +525,30 @@ class StreamingSpec extends GraftSpec {
     assert((n2, steps("2_click")._2) == ((c2, lag2)))
     assert((n3, steps("3_purchase")._2) == ((c3, lag3)))
   }
+
+  test("pivot and set ops agree with direct recounts") {
+    // pivot: every (day, type) cell equals the filtered count; row sums
+    // conserve the corpus
+    val pivoted = EventAnalytics.eventsPivot(spark, sfDir)
+    val types = EventAnalytics.eventTypes
+    val cells = pivoted.collect()
+    val total = Tables.events(spark, sfDir).count()
+    assert(cells.map(r => types.indices.map(i => r.getLong(i + 1)).sum).sum == total,
+      "pivoted cells must conserve every event")
+    // set ops: intersect + except partition the buyer set
+    val rows = EventAnalytics.userSetOps(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    val buyers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "purchase")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val errorers = Tables.events(spark, sfDir)
+      .filter(col("event_type") === "error")
+      .select("user_id").distinct().collect().map(_.getLong(0)).toSet
+    val both = rows.filter(_._1 == "purchase_and_error").map(_._2).toSet
+    val pure = rows.filter(_._1 == "purchase_no_error").map(_._2).toSet
+    assert(both == (buyers intersect errorers))
+    assert(pure == (buyers diff errorers))
+    assert((both ++ pure) == buyers && (both intersect pure).isEmpty,
+      "segments must partition the buyer set")
+  }
 }
