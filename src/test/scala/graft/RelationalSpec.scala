@@ -86,4 +86,31 @@ class RelationalSpec extends GraftSpec {
     val viaPq = Relational.q5MonthlyNation(spark, sfDir).collect().toSeq
     assert(viaCsv == viaPq)
   }
+
+  test("malformed csv lines are attributable, never silently nulled") {
+    // the ops-reality pin for the raw-feed landing path: a corrupt line
+    // in a 100 TB feed must be COUNTED and retrievable, not parsed to
+    // nulls that poison aggregates downstream. PERMISSIVE + a declared
+    // corrupt-record column is the recipe; this pins that it actually
+    // captures the raw line while clean rows parse through untouched.
+    val dir = java.nio.file.Files.createTempDirectory("graft-badcsv")
+    java.nio.file.Files.writeString(dir.resolve("nation.csv"),
+      "0|ALGERIA|0\nnot_a_key|MIDDLE EAST|4\n1|ARGENTINA|1\n")
+    val schema = Tables.schemas("nation")
+      .add("_corrupt_record", org.apache.spark.sql.types.StringType)
+    val df = spark.read.schema(schema).option("sep", "|")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(dir.toString)
+      .cache() // corrupt-record queries need the raw line co-resident
+    try {
+      val corrupt = df.filter(col("_corrupt_record").isNotNull).collect()
+      assert(corrupt.length == 1, "exactly the engineered line is corrupt")
+      assert(corrupt.head.getAs[String]("_corrupt_record")
+        == "not_a_key|MIDDLE EAST|4", "raw line must be retrievable")
+      val clean = df.filter(col("_corrupt_record").isNull)
+        .select("n_nationkey", "n_name").collect()
+        .map(r => r.getInt(0) -> r.getString(1)).toMap
+      assert(clean == Map(0 -> "ALGERIA", 1 -> "ARGENTINA"))
+    } finally df.unpersist()
+  }
 }

@@ -551,4 +551,18 @@ class StreamingSpec extends GraftSpec {
     assert((both ++ pure) == buyers && (both intersect pure).isEmpty,
       "segments must partition the buyer set")
   }
+
+  test("unpivot inverts the pivot (reshape round trip)") {
+    val pivoted = EventAnalytics.eventsPivot(spark, sfDir)
+    val back = pivoted.unpivot(
+      Array(col("day")),
+      EventAnalytics.eventTypes.map(col).toArray,
+      "event_type", "cnt")
+      .filter(col("cnt") > 0)
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    val want = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"), col("event_type")).count()
+      .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
+    assert(back == want, "unpivot(pivot(x)) must reproduce the long form")
+  }
 }
