@@ -1,0 +1,89 @@
+package graft
+
+import graft.functions.LogSumExp
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalacheck.Prop.forAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Generative properties (ScalaCheck, SURVEY §5.4) for the one genuinely
+  * custom aggregate's algebra: [[LogSumExp.aggregator]]'s (zero, reduce,
+  * merge, finish) must be a commutative-monoid fold for Spark to be free
+  * to partial-aggregate and merge in ANY partitioning and order — the
+  * property partition-independence of the whole registry rests on for
+  * `ppr_topk_log` / `logsumexp_by_group`. Pure JVM: each trial folds
+  * driver-side, so hundreds of generated cases cost milliseconds. */
+class PropertiesSpec extends AnyFunSuite {
+
+  /** Drive ScalaCheck directly (the scalatestplus bridge is not in the
+    * offline cache): 200 generated cases per property, failure rendered
+    * with the shrunk counterexample. */
+  private def check(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(200), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  private val agg = LogSumExp.aggregator
+
+  /** Safe-range inputs: |x| ≤ 50 keeps naive log(Σ exp) overflow-free so
+    * it can serve as the reference implementation. */
+  private val xs: Gen[List[Double]] =
+    Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(-50.0, 50.0)))
+
+  private def fold(vals: Seq[Double]): Double =
+    agg.finish(vals.foldLeft(agg.zero)(agg.reduce))
+
+  private def close(a: Double, b: Double): Boolean =
+    (a == b) || math.abs(a - b) <= 1e-9 * math.max(1.0, math.max(math.abs(a), math.abs(b)))
+
+  test("logsumexp equals the naive log-sum-exp on safe ranges") {
+    check(forAll(xs) { vals =>
+      close(fold(vals), math.log(vals.map(math.exp).sum))
+    })
+  }
+
+  test("logsumexp is fold-order invariant (any permutation, same result)") {
+    check(forAll(xs, Gen.long) { (vals, seed) =>
+      val shuffled = new scala.util.Random(seed).shuffle(vals)
+      close(fold(vals), fold(shuffled))
+    })
+  }
+
+  test("merge is commutative and agrees with a single sequential fold") {
+    // Spark splits a group across partitions arbitrarily: reduce each
+    // side then merge must equal the one-pass fold, both merge orders
+    check(forAll(xs, xs) { (a, b) =>
+      val ba = a.foldLeft(agg.zero)(agg.reduce)
+      val bb = b.foldLeft(agg.zero)(agg.reduce)
+      val m1 = agg.finish(agg.merge(ba, bb))
+      val m2 = agg.finish(agg.merge(bb, ba))
+      Prop(close(m1, m2) && close(m1, fold(a ++ b)))
+    })
+  }
+
+  test("merge is associative across a 3-way partition split") {
+    check(forAll(xs, xs, xs) { (a, b, c) =>
+      def buf(v: Seq[Double]) = v.foldLeft(agg.zero)(agg.reduce)
+      val left = agg.finish(agg.merge(agg.merge(buf(a), buf(b)), buf(c)))
+      val right = agg.finish(agg.merge(buf(a), agg.merge(buf(b), buf(c))))
+      close(left, right)
+    })
+  }
+
+  test("the empty buffer is a true identity and -inf inputs are absorbed") {
+    check(forAll(xs) { vals =>
+      val b = vals.foldLeft(agg.zero)(agg.reduce)
+      val viaZero = agg.finish(agg.merge(agg.zero, agg.merge(b, agg.zero)))
+      // -inf contributes exp(-inf) = 0: must not perturb the sum or NaN it
+      val withNegInf = fold(Double.NegativeInfinity +: vals :+ Double.NegativeInfinity)
+      Prop(close(viaZero, agg.finish(b)) && close(withNegInf, fold(vals)))
+    })
+  }
+
+  test("empty and all--inf groups finish at -inf, never NaN") {
+    assert(agg.finish(agg.zero) == Double.NegativeInfinity)
+    assert(fold(Seq(Double.NegativeInfinity, Double.NegativeInfinity))
+      == Double.NegativeInfinity)
+  }
+}
