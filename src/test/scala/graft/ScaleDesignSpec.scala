@@ -721,4 +721,25 @@ class ScaleDesignSpec extends GraftSpec {
       case (k, None)    => conf.unset(k)
     }
   }
+
+  test("parquet schema evolution: added columns merge, old files read null") {
+    // the lake-reality pin: long-lived tables GROW columns. A reader
+    // with mergeSchema must see old + new files as one table - new
+    // column null for pre-evolution files - and per-file pruning must
+    // still work. Silent alternative failure modes: schema-by-first-file
+    // drops the new column entirely, or the read throws on mismatch.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-evolve").toString
+    Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+      .write.mode("append").parquet(dir)
+    Seq((3L, "c", 30L), (4L, "d", 40L)).toDF("id", "v", "score")
+      .write.mode("append").parquet(dir)
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.schema.fieldNames.sorted.toSeq == Seq("id", "score", "v"))
+    val rows = merged.collect()
+      .map(r => r.getLong(0) -> Option(r.getAs[Any]("score"))).toMap
+    assert(rows == Map(1L -> None, 2L -> None, 3L -> Some(30L), 4L -> Some(40L)))
+    // pre-evolution rows are selectable BY the evolved column
+    assert(merged.filter(col("score").isNull).count() == 2)
+  }
 }
