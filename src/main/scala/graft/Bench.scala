@@ -163,6 +163,10 @@ private[graft] object BenchFormat {
     *    column pivot instead of grouping sets.
     *  - user_set_ops (r6g) lowers to the distinct + left-semi/anti
     *    join shapes q8_semi_join / q12_outer_anti already time.
+    *  - retention_cohorts (r6g) is first_touch's user-keyed grouped
+    *    min + one user equi-join + a composite-key count — the
+    *    user_sessions / interval_join shapes, with a per-week
+    *    broadcast dim.
     *  - the salted twins (r6e) compute the IDENTICAL result as their base
     *    twins over the same scan+aggregate/join workload; the salting
     *    exchange they add only earns its keep under key skew the
@@ -177,7 +181,8 @@ private[graft] object BenchFormat {
     "events_enrich_stream", "dedup_spans_clean", "pii_redact",
     "dedup_best_survivor", "split_leakage_safe", "decontaminate_semantic",
     "source_cap", "first_touch", "vocab_coverage", "quality_deciles",
-    "conversion_funnel", "events_pivot", "user_set_ops")
+    "conversion_funnel", "events_pivot", "user_set_ops",
+    "retention_cohorts")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

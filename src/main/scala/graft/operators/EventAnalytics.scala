@@ -360,6 +360,39 @@ object EventAnalytics {
       .orderBy("segment", "user_id")
   }
 
+  /** Weekly retention cohorts — the product-analytics staple built on
+    * first-touch: users are cohorted by the ISO week of their first
+    * event, and each (cohort_week, week_offset) cell counts the cohort
+    * members active that many weeks later, with the retention ratio
+    * against the cohort's own size. Offset 0 is 1.0 by construction
+    * (the first event makes its own week active).
+    *
+    * Scale shape: one user-keyed grouped min (first touch), one
+    * user-keyed equi-join back to events, a per-user-week distinct, and
+    * a composite-key count — all shuffles on user or (cohort, offset)
+    * keys. The cohort-size side is one row per calendar week, a
+    * broadcast by construction at any scale. The ratio is a single
+    * int/int IEEE division — bit-identical cross-engine, no rounding. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val e = Tables.events(spark, dir).select(col("user_id"), col("ts"))
+    val first = e.groupBy("user_id").agg(min("ts").as("t0"))
+    def week(c: Column) = to_date(date_trunc("week", c))
+    val active = e.join(first, "user_id")
+      .select(col("user_id"), week(col("t0")).as("cohort_week"),
+        (datediff(week(col("ts")), week(col("t0"))) / 7).cast("long")
+          .as("week_offset"))
+      .distinct()
+    val counts = active.groupBy("cohort_week", "week_offset")
+      .agg(count(lit(1)).as("n_users"))
+    val sizes = counts.filter(col("week_offset") === 0)
+      .select(col("cohort_week"), col("n_users").as("cohort_size"))
+    counts.join(broadcast(sizes), "cohort_week")
+      .withColumn("retention",
+        col("n_users").cast("double") / col("cohort_size"))
+      .select("cohort_week", "week_offset", "n_users", "cohort_size", "retention")
+      .orderBy("cohort_week", "week_offset")
+  }
+
   /** Conversion window for the ordered funnel (seconds). */
   val funnelWindowSec = 86400L
 
@@ -828,6 +861,7 @@ object EventAnalytics {
     "first_touch" -> (firstTouch _),
     "conversion_funnel" -> (conversionFunnel _),
     "events_pivot" -> (eventsPivot _),
+    "retention_cohorts" -> (retentionCohorts _),
     "user_set_ops" -> (userSetOps _),
     "first_touch_stream" -> (firstTouchStream _),
     "interval_join_errors" -> (intervalJoinErrors _),
@@ -918,6 +952,25 @@ object EventAnalytics {
                       THEN 'heavy' ELSE 'light' END AS band
           FROM events e JOIN prof p USING (user_id)
           ORDER BY event_id""",
+    // date_trunc('week') starts Monday on both engines; week offsets are
+    // exact day-diff // 7 on week starts; retention is one int/int IEEE
+    // division (no rounding needed)
+    "retention_cohorts" ->
+      """WITH f AS (SELECT user_id, min(ts) AS t0 FROM events GROUP BY user_id),
+          a AS (SELECT DISTINCT e.user_id,
+                       date_trunc('week', f.t0)::DATE AS cohort_week,
+                       (date_diff('day', date_trunc('week', f.t0)::DATE,
+                                  date_trunc('week', e.ts)::DATE) // 7)::BIGINT
+                         AS week_offset
+                FROM events e JOIN f USING (user_id)),
+          c AS (SELECT cohort_week, week_offset, count(*) AS n_users
+                FROM a GROUP BY cohort_week, week_offset),
+          s AS (SELECT cohort_week, n_users AS cohort_size
+                FROM c WHERE week_offset = 0)
+          SELECT c.cohort_week, c.week_offset, c.n_users, s.cohort_size,
+                 c.n_users::DOUBLE / s.cohort_size AS retention
+          FROM c JOIN s USING (cohort_week)
+          ORDER BY cohort_week, week_offset""",
     // pivot == one conditional aggregate per pinned event type
     "events_pivot" ->
       s"""SELECT ts::DATE AS day,

@@ -565,4 +565,21 @@ class StreamingSpec extends GraftSpec {
       .collect().map(r => (r.get(0).toString, r.getString(1)) -> r.getLong(2)).toMap
     assert(back == want, "unpivot(pivot(x)) must reproduce the long form")
   }
+
+  test("retention cohorts: offset 0 is 1.0 and cohorts partition the user base") {
+    val rows = EventAnalytics.retentionCohorts(spark, sfDir).collect()
+      .map(r => (r.get(0).toString, r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, off, n, size, ret) =>
+      assert(off >= 0 && n <= size, "a cohort can never grow past its size")
+      assert(ret == n.toDouble / size && ret > 0.0 && ret <= 1.0)
+    }
+    val atZero = rows.filter(_._2 == 0L)
+    assert(atZero.forall(_._5 == 1.0), "offset 0 must be full retention")
+    // cohort sizes partition the distinct user base exactly
+    val users = Tables.events(spark, sfDir).select("user_id").distinct().count()
+    assert(atZero.map(_._4).sum == users,
+      "cohort sizes must sum to the distinct user count")
+  }
 }
