@@ -742,4 +742,20 @@ class ScaleDesignSpec extends GraftSpec {
     // pre-evolution rows are selectable BY the evolved column
     assert(merged.filter(col("score").isNull).count() == 2)
   }
+
+  test("registry hygiene: every oracle names a query; no orphan dumps") {
+    // a stale oracleSql key (query renamed or removed) would make the
+    // driver's DuckDB run fail on a missing dump - or worse, silently
+    // compare against last round's parquet. Conversely a query without
+    // an oracle is a DELIBERATE rows-only decision that each op's
+    // Scaladoc must carry - here we only pin the count so an accidental
+    // omission shows up as a diff in this number.
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val stale = oracles -- queries
+    assert(stale.isEmpty, s"oracle entries with no registered query: $stale")
+    val rowsOnly = queries -- oracles
+    assert(rowsOnly.isEmpty,
+      s"queries without oracles (should be zero on this registry): $rowsOnly")
+  }
 }
