@@ -216,4 +216,17 @@ object Tables {
   }
   def documents(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = load(spark, dir, "embeddings")
+
+  /** Register every testdata table as a temp view, so `spark.sql` users
+    * query by name — the SQL-first entry into the library (paired with
+    * the SQL-registered custom functions in GraftExtensions). Views are
+    * lazy name bindings: registering all ten costs no I/O, and each
+    * query still plans scans only for the tables it names, with the
+    * usual pushdown/pruning (the audits cover the SQL-entry twin). */
+  def registerViews(spark: SparkSession, dir: String): Unit = {
+    csvTables.foreach(n => load(spark, dir, n).createOrReplaceTempView(n))
+    events(spark, dir).createOrReplaceTempView("events")
+    documents(spark, dir).createOrReplaceTempView("documents")
+    embeddings(spark, dir).createOrReplaceTempView("embeddings")
+  }
 }

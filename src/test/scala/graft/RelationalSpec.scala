@@ -113,4 +113,24 @@ class RelationalSpec extends GraftSpec {
       assert(clean == Map(0 -> "ALGERIA", 1 -> "ARGENTINA"))
     } finally df.unpersist()
   }
+
+  test("SQL-first entry: registered views + registered custom functions compose") {
+    // the "a SQL user switches to this library" path end-to-end: all ten
+    // tables as named views, joined in plain SQL, with a graft-registered
+    // custom function in the same statement
+    Tables.registerViews(spark, sfDir)
+    val top = spark.sql(
+      """SELECT n.n_name, count(*) AS n_orders
+         FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+         JOIN nation n ON c.c_nationkey = n.n_nationkey
+         GROUP BY n.n_name ORDER BY n_orders DESC, n_name LIMIT 3""").collect()
+    assert(top.length == 3 && top.head.getLong(1) > 0)
+    val sims = spark.sql(
+      """SELECT a.vec_id,
+                cosine_similarity(CAST(a.embedding AS ARRAY<DOUBLE>),
+                                  CAST(a.embedding AS ARRAY<DOUBLE>)) AS self_cos
+         FROM embeddings a LIMIT 5""").collect()
+    assert(sims.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-9),
+      "self-cosine through the SQL surface must be 1")
+  }
 }
