@@ -69,3 +69,50 @@ object CosineSimilarity {
     GraftColumnBridge.column(
       CosineSimilarity(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 }
+
+/** Native Catalyst expression: ascending-order dot product of two double
+  * arrays — the same fused-loop rationale as [[CosineSimilarity]]
+  * (`zip_with` + `aggregate` evaluates through interpreted higher-order
+  * lambdas and falls out of whole-stage codegen). The accumulation order
+  * is the ascending left-to-right sequence the HOF form and the DuckDB
+  * oracle's `list_dot_product` both use, so swapping it into a query
+  * changes no hash. Length mismatch → 0.0 (the [[CosineSimilarity]]
+  * "no signal" convention); null if either side is null. */
+@ExpressionDescription(
+  usage = "dot_product(array<double>, array<double>) - ascending-order dot product")
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    DotProduct.compute(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (x, y) =>
+      s"${ev.value} = graft.functions.DotProduct.compute($x, $y);")
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+
+  /** Shared by interpreted eval and generated code — one tight loop,
+    * ascending order (the oracle's list_dot_product sequence). */
+  def compute(x: ArrayData, y: ArrayData): Double = {
+    val n = x.numElements()
+    if (n != y.numElements()) return 0.0
+    var dot = 0.0
+    var i = 0
+    while (i < n) {
+      dot += x.getDouble(i) * y.getDouble(i)
+      i += 1
+    }
+    dot
+  }
+
+  def dot_product(a: Column, b: Column): Column =
+    GraftColumnBridge.column(
+      DotProduct(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+}

@@ -45,8 +45,12 @@ object Similarity {
     Tables.embeddings(spark, dir)
       .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
 
+  /** Codegen'd fused loop (graft.functions.DotProduct) — same ascending
+    * IEEE sequence as the zip_with/aggregate HOF form it replaced (r6g),
+    * so hashes are unchanged; the HOF form evaluated through interpreted
+    * lambdas in the LSH banding projection. */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProduct.dot_product(a, b)
 
   /** Native codegen'd expression (graft.functions.CosineSimilarity) — the
     * zip_with/aggregate form evaluates through interpreted lambdas. Same
@@ -105,9 +109,12 @@ object Similarity {
       .withColumn("sc", lit(127.0) / greatest(maxAbs, lit(1e-30)))
       .withColumn("q",
         transform(col("v"), x => floor(x * col("sc") + lit(0.5)).cast("tinyint")))
+    // array-level cast (codegen'd) then the fused dot loop: tinyint →
+    // double is exact, and the per-element arithmetic sequence is the
+    // same as the zip_with cast-then-multiply form it replaced (r6g)
     def idot(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-        lit(0.0), (acc, x) => acc + x)
+      graft.functions.DotProduct.dot_product(
+        a.cast("array<double>"), b.cast("array<double>"))
     val corpus = quantized.select(col("vec_id"), col("q"))
     val queries = quantized.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("q").as("qq"))

@@ -274,6 +274,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction(fn("cosine_similarity",
       classOf[graft.functions.CosineSimilarity], 2,
       exprs => graft.functions.CosineSimilarity(exprs(0), exprs(1))))
+    e.injectFunction(fn("dot_product",
+      classOf[graft.functions.DotProduct], 2,
+      exprs => graft.functions.DotProduct(exprs(0), exprs(1))))
     e.injectFunction(fn("log_sum_exp",
       classOf[graft.functions.LogSumExpAgg], 1,
       exprs => graft.functions.LogSumExpAgg(exprs.head)))
