@@ -73,26 +73,24 @@ object CorpusPipeline {
     * bounded — a multi-GB pathological doc would need the explode form).
     */
   def docRepetition(spark: SparkSession, dir: String): DataFrame = {
+    // codegen'd longest-equal-run loop (graft.functions.MaxRun) over the
+    // sorted bigrams — replaces an aggregate() fold whose 3-field struct
+    // accumulator allocated per element through interpreted lambdas
+    // (r6g; same count-equal-adjacent arithmetic, hashes unchanged)
     val runFold = (bg: org.apache.spark.sql.Column) =>
-      aggregate(
-        array_sort(bg),
-        struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-        (st, x) => {
-          val run = when(x === st.getField("prev"), st.getField("run") + 1)
-            .otherwise(lit(1L))
-          struct(x.as("prev"), run.as("run"),
-            greatest(st.getField("best"), run).as("best"))
-        },
-        st => st.getField("best"))
+      graft.functions.MaxRun.max_run(array_sort(bg))
     docs(spark, dir)
       // equivalent to filtering on a nonempty bigram array, but the
       // pushed-down predicate only re-evaluates tokenize, not the whole
       // bigram construction (Catalyst pushes filters through projects by
       // re-inlining their expressions)
       .filter(size(col("ws")) >= 2)
+      // codegen'd pair-string loop (graft.functions.BigramStrings) — the
+      // transform(zip_with(...), concat_ws) form paid two interpreted
+      // HOFs + a struct per pair (r6g; identical strings, hashes
+      // unchanged)
       .select(col("doc_id"),
-        transform(bigrams(col("ws")),
-          b => concat_ws(" ", b.getField("w1"), b.getField("w2"))).as("bg"))
+        graft.functions.BigramStrings.bigram_strings(col("ws")).as("bg"))
       .select(
         col("doc_id"),
         size(col("bg")).cast("long").as("n_bigrams"),

@@ -65,14 +65,12 @@ object Dedup {
 
   /** Distinct word 3-grams of a token array (positions i,i+1,i+2).
     * Guarded for <3 tokens: `sequence(0, -1)` would count DOWN in Spark. */
-  private def shingles3(ws: Column): Column = {
-    val n = size(ws)
-    when(n < 3, array().cast("array<string>"))
-      .otherwise(array_distinct(
-        transform(sequence(lit(0), n - 3),
-          i => concat_ws(" ",
-            element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))))
-  }
+  private def shingles3(ws: Column): Column =
+    // codegen'd k-gram loop (graft.functions.NgramStrings) — the
+    // transform(sequence)+element_at form paid an interpreted lambda +
+    // three positional lookups per shingle (r6g; identical strings,
+    // hashes unchanged)
+    array_distinct(graft.functions.NgramStrings.ngram_strings(ws, 3))
 
   private def docShingles(spark: SparkSession, dir: String): DataFrame =
     toks(spark, dir)
@@ -576,9 +574,10 @@ object Dedup {
     val k = spanK
     val occ = toks(spark, dir)
       .filter(size(col("ws")) >= k)
+      // codegen'd k-gram loop; position i in the array IS the window
+      // start, exactly as the transform(sequence) form indexed it (r6g)
       .select(col("doc_id"),
-        posexplode(transform(sequence(lit(0), size(col("ws")) - k),
-          i => concat_ws(" ", (0 until k).map(j => element_at(col("ws"), i + j + 1)): _*)))
+        posexplode(graft.functions.NgramStrings.ngram_strings(col("ws"), k))
           .as(Seq("s", "gram")))
       .select(col("doc_id"), col("s"), md5Int(col("gram"), 15).as("g"))
     val d = occ

@@ -177,8 +177,8 @@ object TextAnalytics {
     * [[Dedup]]'s set-semantics shingles). */
   private def bigramOccurrences(spark: SparkSession, dir: String): DataFrame =
     toks(spark, dir)
-      .select(explode(bigrams(col("ws"))).as("bg"))
-      .select(concat_ws(" ", col("bg.w1"), col("bg.w2")).as("sh"))
+      .select(explode(
+        graft.functions.BigramStrings.bigram_strings(col("ws"))).as("sh"))
 
   /** Approximate heavy hitters over word bigrams — the Count-Min-Sketch
     * member of the sketch trio (HLL `approx_distinct_users`, KLL
