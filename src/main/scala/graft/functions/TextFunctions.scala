@@ -17,9 +17,14 @@ import org.apache.spark.sql.functions._
   */
 object TextFunctions {
 
-  /** F1: lowercase, split on runs of non-alphanumerics, drop empties. */
+  /** F1: lowercase, split on runs of non-alphanumerics, drop empties.
+    * `array_remove(_, "")` drops exactly the elements the previous
+    * `filter(length > 0)` HOF dropped (split emits no nulls, order
+    * preserved) — but ArrayRemove is a codegen'd collection expression
+    * while the lambda filter evaluated interpreted per token in every
+    * text query's scan projection (r6g). */
   def tokenize(c: Column): Column =
-    filter(split(lower(c), "[^a-z0-9]+"), t => length(t) > 0)
+    array_remove(split(lower(c), "[^a-z0-9]+"), "")
 
   /** DuckDB mirror of [[tokenize]] over a column named `text` — the single
     * source of truth for every oracle CTE; a tokenizer change that touches

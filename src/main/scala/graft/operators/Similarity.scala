@@ -42,8 +42,10 @@ object Similarity {
   val dim = 64
 
   private[graft] def emb(spark: SparkSession, dir: String) =
+    // array-level Cast (codegen'd, float->double exact) — the
+    // transform(x.cast) HOF evaluated 64 interpreted lambdas per row
     Tables.embeddings(spark, dir)
-      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** Codegen'd fused loop (graft.functions.DotProduct) — same ascending
     * IEEE sequence as the zip_with/aggregate HOF form it replaced (r6g),
@@ -647,7 +649,7 @@ object Similarity {
   def knnFilteredCosine(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
-        transform(col("embedding"), x => x.cast("double")).as("v"), col("label"))
+        col("embedding").cast("array<double>").as("v"), col("label"))
     val queries = vecs.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("label"))
     vecs.join(broadcast(queries), "label")

@@ -29,8 +29,11 @@ object TextQuality {
       .select(col("doc_id"), col("text"), col("lang"), col("n_chars"),
         tokenize(col("text")).as("ws"))
 
+  // codegen'd membership loop (graft.functions.CountIn) — the
+  // size(filter(isInCollection)) form paid an interpreted lambda per
+  // token (r6g; occurrence semantics and values unchanged)
   private def stopCount(ws: Column): Column =
-    size(filter(ws, w => w.isInCollection(enStopwords)))
+    graft.functions.CountIn.count_in(ws, enStopwords)
 
   /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, single
     * non-alphanumeric marks — the shape LLM byte-pair pre-tokenization
@@ -47,7 +50,7 @@ object TextQuality {
         size(array_distinct(col("ws"))).as("n_distinct"),
         regexp_count(lower(col("text")), lit(bpePattern)).as("n_bpe_tokens"),
         length(col("text")).as("len_chars"),
-        (aggregate(col("ws"), lit(0L), (acc, w) => acc + length(w)).cast("double")
+        (graft.functions.SumCharLengths.sum_char_lengths(col("ws")).cast("double")
           / size(col("ws"))).as("avg_token_len"))
       .orderBy("doc_id")
 
@@ -105,12 +108,12 @@ object TextQuality {
     * inside `aggregate(...)` — still per-row, still codegen'd. */
   def docFingerprint(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // fused rolling-hash loop (graft.functions.TokenFingerprint) —
+      // same per-token code and fold arithmetic as the
+      // aggregate(transform(...)) chain it replaced (r6g)
       .select(
         col("doc_id"),
-        aggregate(
-          transform(col("ws"), w => (ascii(substring(w, 1, 1)) * 256 + length(w)).cast("long")),
-          lit(0L),
-          (acc, x) => (acc * 31 + x) % 2147483647L).as("fingerprint"))
+        graft.functions.TokenFingerprint.token_fingerprint(col("ws")).as("fingerprint"))
       .orderBy("doc_id")
 
   /** Unigram log-probability scoring — the statistical language-model
