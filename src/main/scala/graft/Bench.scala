@@ -174,6 +174,14 @@ private[graft] object BenchFormat {
     *    the base twins' signal line-budget-for-line-budget (the skew
     *    mechanics stay pinned by ScaleDesignSpec's engineered-skew tests
     *    and the base/salted timings recorded in PLANS.md). */
+  /** The generator-source query has no file input at all — `rows` is a
+    * fixed option, so its cost is constant along the bench's sf axis
+    * and a timed entry would dilute the sf-scaling signal while
+    * spending line budget the 2dp floor needs. Its scan semantics
+    * (partition planning, filter-pruning arithmetic, column pruning)
+    * are pinned by SourcesSpec and its values by the range() oracle. */
+  val fixedSizeSources = Set("synth_bucket_agg")
+
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
     "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
@@ -198,12 +206,13 @@ private[graft] object BenchFormat {
     // stale entry would otherwise silently exclude nothing (and hide the
     // documented intent behind a no-op)
     (allPairsBaselines ++ parityHarnesses ++ subsumedTwins.keySet ++
-      sharedProbeTwins).foreach { n =>
+      sharedProbeTwins ++ fixedSizeSources).foreach { n =>
       require(names(n), s"bench exclusion '$n' names no registered query")
     }
     all.toSeq
       .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n) ||
-        parityHarnesses(n) || subsumedTwins.contains(n) || sharedProbeTwins(n))
+        parityHarnesses(n) || subsumedTwins.contains(n) || sharedProbeTwins(n) ||
+        fixedSizeSources(n))
       .sorted
   }
 

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.execution.datasources.v2.BatchScanExec
+import org.apache.spark.sql.functions._
+
+/** Pins the DataSourceV2 generator source (graft.sources) — the three
+  * scale behaviors a custom source must get right (partition planning,
+  * filter-pushdown partition pruning, column pruning) plus value
+  * parity with the closed-form Lehmer derivation the oracle uses. */
+class SourcesSpec extends GraftSpec {
+
+  private def synth(rows: Long, partitions: Int) =
+    spark.read.format("graft-synth")
+      .option("rows", rows).option("partitions", partitions).load()
+
+  private def scanOf(df: org.apache.spark.sql.DataFrame): BatchScanExec = {
+    df.write.format("noop").mode("overwrite").save()
+    physicalNodes(df).collectFirst { case b: BatchScanExec => b }
+      .getOrElse(fail("no BatchScanExec in plan"))
+  }
+
+  test("values match the closed-form Lehmer derivation") {
+    val got = synth(1000, 4).filter(col("id") < 20).orderBy("id").collect()
+    assert(got.length == 20)
+    got.foreach { r =>
+      val id = r.getLong(0)
+      val x = id * 48271L % 2147483647L
+      assert(r.getInt(1) == (x % 100).toInt, "bucket")
+      assert(r.getInt(2) == (x % 1000).toInt, "score")
+      assert(r.getDouble(3) == x.toDouble / 2147483647L, "value")
+      assert(r.getString(4) == "t" + (x % 7), "tag")
+    }
+  }
+
+  test("partition planning: slices are contiguous, equal-width, complete") {
+    val df = synth(100000, 10)
+    assert(df.rdd.getNumPartitions == 10)
+    assert(df.count() == 100000)
+    // per-partition row counts are balanced (equal width by design)
+    val sizes = df.rdd.mapPartitions(it => Iterator(it.size)).collect()
+    assert(sizes.toSet == Set(10000))
+  }
+
+  test("filter pushdown prunes whole partitions, residual keeps results exact") {
+    // id < 1000 over 10 slices of 10,000 -> only slice 0 is planned
+    val pruned = synth(100000, 10).filter(col("id") < 1000)
+    assert(pruned.rdd.getNumPartitions == 1)
+    assert(pruned.count() == 1000)
+    // equality predicate -> a single one-row slice
+    val point = synth(100000, 10).filter(col("id") === 54321L)
+    assert(point.rdd.getNumPartitions == 1)
+    assert(point.collect().map(_.getLong(0)).toSeq == Seq(54321L))
+    // a range crossing a slice boundary keeps exactly the two slices
+    val two = synth(100000, 10).filter(col("id") >= 9990L && col("id") <= 10009L)
+    assert(two.rdd.getNumPartitions == 2)
+    assert(two.count() == 20)
+    // predicates on DERIVED columns don't prune (they're residual-only):
+    // results stay exact against a brute recompute on the driver
+    val derived = synth(1000, 4).filter(col("bucket") === 7)
+    assert(derived.rdd.getNumPartitions == 4)
+    val expected = (0L until 1000L).count(id => id * 48271L % 2147483647L % 100 == 7)
+    assert(derived.count() == expected)
+  }
+
+  test("column pruning reaches the scan: only requested fields are computed") {
+    val df = synth(10000, 4).select("bucket")
+    assert(scanOf(df).output.map(_.name) == Seq("bucket"))
+    // and the pushed id-filter is visible on the scan while pruning holds
+    val both = synth(10000, 4).filter(col("id") < 100).select("tag")
+    val scan = scanOf(both)
+    assert(scan.output.map(_.name).forall(Set("tag", "id")),
+      s"unexpected scan columns: ${scan.output.map(_.name)}")
+    assert(!scan.output.map(_.name).contains("value"))
+  }
+
+  test("the registered aggregate matches a driver-side brute recompute") {
+    val got = graft.sources.Synthetic.synthBucketAgg(spark, sfDir).collect()
+    val brute = (0L until graft.sources.Synthetic.idCap)
+      .map(id => id * 48271L % 2147483647L)
+      .groupBy(x => ((x % 100).toInt, "t" + (x % 7)))
+      .map { case ((b, t), xs) =>
+        (b, t, xs.size.toLong, xs.map(x => (x % 1000).toInt.toLong).sum,
+          xs.map(_.toDouble / 2147483647L).min, xs.map(_.toDouble / 2147483647L).max)
+      }.toSeq.sortBy(r => (r._1, r._2))
+    assert(got.length == brute.length)
+    got.zip(brute).foreach { case (r, (b, t, cnt, sum, mn, mx)) =>
+      assert(r.getInt(0) == b && r.getString(1) == t)
+      assert(r.getLong(2) == cnt && r.getLong(3) == sum)
+      assert(r.getDouble(4) == mn && r.getDouble(5) == mx)
+    }
+  }
+}
