@@ -8,6 +8,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
@@ -38,13 +39,19 @@ import org.apache.spark.unsafe.types.UTF8String
   *   - '''filter pushdown → partition pruning''': range predicates on
   *     `id` narrow the planned id interval BEFORE slicing, so
   *     `WHERE id < k` plans ceil(k/width) partitions instead of all of
-  *     them — the parquet row-group-pruning analog. Every filter is
-  *     also kept as a post-scan residual, so pruning can only skip
-  *     provably-empty slices, never change results;
+  *     them — the parquet row-group-pruning analog. id-range conjuncts
+  *     are consumed exactly (the interval intersection IS the
+  *     predicate); predicates on derived columns stay residual and
+  *     Spark evaluates them post-scan;
   *   - '''column pruning''': the reader computes exactly the pruned
   *     schema (`SELECT bucket` never materializes `text`-like wide
   *     fields), the `ReadSchema` analog the audits require of the
-  *     parquet scans.
+  *     parquet scans;
+  *   - '''limit + complete COUNT(*) pushdown''': a bare-scan LIMIT
+  *     truncates the planned interval, and an ungrouped COUNT(*) is
+  *     answered at planning time from the interval width (one
+  *     partition, one precomputed row — the row-group-statistics-count
+  *     analog), composing with consumed id-range filters.
   *
   * Registered under the `graft-synth` short name via
   * META-INF/services (standard DataSourceRegister plumbing), so
@@ -109,54 +116,104 @@ private[sources] class SynthTable(options: CaseInsensitiveStringMap)
 
 private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit with SupportsPushDownAggregates {
   private var required: StructType = SynthSource.schema
   private var pushed: Array[Filter] = Array.empty
+  private var limit: Long = Long.MaxValue
+  private var countStars = 0
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
-    // accept the id-range shapes (they prune partitions); EVERYTHING is
-    // returned as residual — the source's pruning is advisory, Spark
-    // re-evaluates each predicate post-scan, so a pruning bug can only
-    // cost performance on other data, never correctness
-    pushed = filters.filter {
+    // id-range conjuncts are CONSUMED (not residual): each one is
+    // exactly an interval constraint and SynthSource.prune intersects
+    // them all, so the generated id set equals the predicate's id set —
+    // consuming them is provably exact, drops the post-scan FilterExec,
+    // and (because postScanFilters is then empty) lets a downstream
+    // limit or COUNT(*) push compose with the filter. IsNotNull is
+    // consumable because every field is declared non-null. Anything
+    // else (notably predicates on DERIVED columns) stays residual and
+    // Spark evaluates it post-scan.
+    val (consumed, residual) = filters.partition {
       case GreaterThan("id", _: Long) | GreaterThanOrEqual("id", _: Long) |
            LessThan("id", _: Long) | LessThanOrEqual("id", _: Long) |
            EqualTo("id", _: Long) | IsNotNull(_) => true
       case _ => false
     }
-    filters
+    pushed = consumed
+    residual
   }
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new SynthScan(rows, partitions, required, pushed)
+  /** Truncating the pruned interval at `limit` rows is exact exactly
+    * when no post-scan filter can drop generated rows — and that is
+    * the only shape Spark pushes a limit to (a residual derived-column
+    * predicate keeps its FilterExec, which blocks the push); consumed
+    * id-range filters have already narrowed the interval, so the first
+    * `limit` ids of it ARE a correct LIMIT result. */
+  override def pushLimit(l: Int): Boolean = { limit = l; true }
+
+  /** Complete COUNT(*) pushdown: with no grouping, the generator knows
+    * the answer at PLANNING time — the pruned interval's width — so the
+    * scan emits one precomputed row and Spark skips both the generation
+    * loop and its own aggregation. The row-group-statistics-count
+    * analog of a parquet `SELECT count(*)`. Anything beyond CountStar
+    * (grouping, min/max/sum) is declined and Spark aggregates the
+    * generated rows as usual. */
+  override def supportCompletePushDown(agg: Aggregation): Boolean =
+    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
+      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+  override def pushAggregation(agg: Aggregation): Boolean =
+    supportCompletePushDown(agg) && {
+      countStars = agg.aggregateExpressions.length
+      true
+    }
+
+  override def build(): Scan =
+    new SynthScan(rows, partitions, required, pushed, limit, countStars)
 }
 
 private[sources] class SynthScan(rows: Long, partitions: Int,
-                                 required: StructType, pushed: Array[Filter])
+                                 required: StructType, pushed: Array[Filter],
+                                 limit: Long, countStars: Int)
     extends Scan with Batch with SupportsReportStatistics {
-  private val (lo, hi) = SynthSource.prune(0L, rows, pushed.toSeq)
+  private val (lo, hi) = {
+    val (l, h) = SynthSource.prune(0L, rows, pushed.toSeq)
+    (l, math.min(h, if (limit > h - l) h else l + limit))
+  }
 
-  override def readSchema(): StructType = required
+  /** With a completely pushed aggregation the scan's schema IS the
+    * aggregate output (one LongType per COUNT(*) — Spark asserts the
+    * column count and binds by position), not the pruned row schema. */
+  override def readSchema(): StructType =
+    if (countStars > 0)
+      StructType((1 to countStars).map(i =>
+        StructField(s"count_$i", LongType, nullable = false)))
+    else required
   override def toBatch: Batch = this
   override def description(): String = {
     val f = pushed.map(_.toString).mkString(", ")
-    s"graft-synth rows=$rows range=[$lo,$hi) PushedFilters: [$f]"
+    val agg = if (countStars > 0) s" agg=count(*)x$countStars" else ""
+    s"graft-synth rows=$rows range=[$lo,$hi)$agg PushedFilters: [$f]"
   }
 
   /** Slice the PRUNED interval by the configured width (rows/partitions
     * of the unpruned table), so pruning drops whole slices instead of
-    * re-spreading a narrow interval across all of them. */
-  override def planInputPartitions(): Array[InputPartition] = {
-    val width = math.max(1L, (rows + partitions - 1) / partitions)
-    Iterator.range(0, partitions)
-      .map(i => (math.max(lo, i * width), math.min(hi, (i + 1) * width)))
-      .collect { case (l, h) if l < h => SynthPartition(l, h): InputPartition }
-      .toArray
-  }
+    * re-spreading a narrow interval across all of them. A completely
+    * pushed COUNT(*) needs no generation at all: one partition, one
+    * precomputed row. */
+  override def planInputPartitions(): Array[InputPartition] =
+    if (countStars > 0) Array(SynthCountPartition(hi - lo))
+    else {
+      val width = math.max(1L, (rows + partitions - 1) / partitions)
+      Iterator.range(0, partitions)
+        .map(i => (math.max(lo, i * width), math.min(hi, (i + 1) * width)))
+        .collect { case (l, h) if l < h => SynthPartition(l, h): InputPartition }
+        .toArray
+    }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required)
+    new SynthReaderFactory(required, countStars)
 
   override def estimateStatistics(): Statistics = new Statistics {
     // 29 bytes/row: 8 (id) + 4 + 4 + 8 + ~5 (tag) — lets Catalyst make
@@ -167,10 +224,23 @@ private[sources] class SynthScan(rows: Long, partitions: Int,
 }
 
 private[sources] case class SynthPartition(lo: Long, hi: Long) extends InputPartition
+private[sources] case class SynthCountPartition(count: Long) extends InputPartition
 
-private[sources] class SynthReaderFactory(required: StructType)
+private[sources] class SynthReaderFactory(required: StructType, countStars: Int)
     extends PartitionReaderFactory {
-  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    partition match {
+      case SynthCountPartition(n) => new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean = { val go = !emitted; emitted = true; go }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array.fill[Any](countStars)(n))
+        override def close(): Unit = ()
+      }
+      case p: SynthPartition => rowReader(p)
+    }
+
+  private def rowReader(partition: SynthPartition): PartitionReader[InternalRow] = {
     val SynthPartition(lo, hi) = partition
     // one writer per required field, bound by NAME at planning time —
     // the reader computes exactly the pruned schema, nothing else

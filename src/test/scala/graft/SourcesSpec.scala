@@ -73,6 +73,34 @@ class SourcesSpec extends GraftSpec {
     assert(!scan.output.map(_.name).contains("value"))
   }
 
+  test("limit pushdown truncates the planned interval; residual filters block it") {
+    val bare = synth(100000, 10).limit(7)
+    assert(bare.collect().length == 7)
+    assert(scanOf(bare).scan.description().contains("range=[0,7)"))
+    // limit composes with a CONSUMED id-range filter (interval first
+    // narrows to [5000,100000), then truncates to its first 7 ids)
+    val ranged = synth(100000, 10).filter(col("id") >= 5000L).limit(7)
+    assert(ranged.collect().map(_.getLong(0)).toSeq == (5000L until 5007L))
+    assert(scanOf(ranged).scan.description().contains("range=[5000,5007)"))
+    // a derived-column predicate stays residual -> its FilterExec
+    // blocks the limit push and the scan keeps the full interval
+    val blocked = synth(100000, 10).filter(col("bucket") === 7).limit(3)
+    assert(blocked.collect().length == 3)
+    assert(scanOf(blocked).scan.description().contains("range=[0,100000)"))
+  }
+
+  test("complete COUNT(*) pushdown answers at planning time") {
+    val counted = synth(100000, 10).filter(col("id") < 1234L).groupBy().count()
+    assert(counted.collect().map(_.getLong(0)).toSeq == Seq(1234L))
+    assert(scanOf(counted).scan.description().contains("agg=count(*)x1"),
+      "COUNT(*) was not completely pushed")
+    // grouped and non-count aggregates are declined: computed from
+    // generated rows, still exact
+    val grouped = synth(1000, 4).groupBy("tag").count()
+    assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
+    assert(!scanOf(grouped).scan.description().contains("agg="))
+  }
+
   test("the registered aggregate matches a driver-side brute recompute") {
     val got = graft.sources.Synthetic.synthBucketAgg(spark, sfDir).collect()
     val brute = (0L until graft.sources.Synthetic.idCap)
