@@ -101,6 +101,21 @@ class SourcesSpec extends GraftSpec {
     assert(!scanOf(grouped).scan.description().contains("agg="))
   }
 
+  test("SQL DDL entry: CREATE TABLE ... USING graft-synth resolves and pushes down") {
+    spark.sql("DROP TABLE IF EXISTS synth_sql")
+    spark.sql(
+      "CREATE TABLE synth_sql USING `graft-synth` OPTIONS (rows '1000', partitions '4')")
+    try {
+      // count(*) + id-range WHERE through the SQL surface: both pushes
+      // compose exactly like the DataFrame path
+      val got = spark.sql("SELECT count(*) AS n FROM synth_sql WHERE id < 100").collect()
+      assert(got.map(_.getLong(0)).toSeq == Seq(100L))
+      val rows = spark.sql(
+        "SELECT tag, count(*) AS n FROM synth_sql GROUP BY tag ORDER BY tag").collect()
+      assert(rows.map(_.getLong(1)).sum == 1000L)
+    } finally spark.sql("DROP TABLE synth_sql")
+  }
+
   test("the registered aggregate matches a driver-side brute recompute") {
     val got = graft.sources.Synthetic.synthBucketAgg(spark, sfDir).collect()
     val brute = (0L until graft.sources.Synthetic.idCap)
