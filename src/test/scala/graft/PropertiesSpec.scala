@@ -86,4 +86,36 @@ class PropertiesSpec extends AnyFunSuite {
     assert(fold(Seq(Double.NegativeInfinity, Double.NegativeInfinity))
       == Double.NegativeInfinity)
   }
+
+  /** The generator source's filter-prune fold (graft.sources): since
+    * id-range conjuncts are CONSUMED by the scan (no post-scan
+    * re-check), the interval must equal the brute-filtered id set for
+    * ANY conjunct combination — this is the exactness the consumption
+    * rests on. */
+  test("SynthSource.prune equals brute conjunct evaluation on random filter sets") {
+    import org.apache.spark.sql.sources._
+    val rows = 200L
+    val bound = Gen.chooseNum(-20L, 220L)
+    val oneFilter: Gen[Filter] = for {
+      v <- bound
+      f <- Gen.oneOf[Long => Filter](
+        GreaterThan("id", _), GreaterThanOrEqual("id", _),
+        LessThan("id", _), LessThanOrEqual("id", _), EqualTo("id", _))
+    } yield f(v)
+    val filters: Gen[List[Filter]] = Gen.chooseNum(0, 5).flatMap(Gen.listOfN(_, oneFilter))
+    def holds(id: Long, f: Filter): Boolean = f match {
+      case GreaterThan("id", v: Long)        => id > v
+      case GreaterThanOrEqual("id", v: Long) => id >= v
+      case LessThan("id", v: Long)           => id < v
+      case LessThanOrEqual("id", v: Long)    => id <= v
+      case EqualTo("id", v: Long)            => id == v
+      case other                             => fail(s"unexpected $other")
+    }
+    check(forAll(filters) { fs =>
+      val (lo, hi) = graft.sources.SynthSource.prune(0L, rows, fs)
+      val interval = (math.max(0L, lo) until math.min(rows, math.max(lo, hi))).toSet
+      val brute = (0L until rows).filter(id => fs.forall(holds(id, _))).toSet
+      Prop(interval == brute)
+    })
+  }
 }
