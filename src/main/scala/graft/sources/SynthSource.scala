@@ -6,6 +6,8 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
+import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
@@ -51,7 +53,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     truncates the planned interval, and an ungrouped COUNT(*) is
   *     answered at planning time from the interval width (one
   *     partition, one precomputed row — the row-group-statistics-count
-  *     analog), composing with consumed id-range filters.
+  *     analog), composing with consumed id-range filters;
+  *   - '''vectorized reads''': generation partitions emit
+  *     OnHeapColumnVector batches (4,096 rows) that reach whole-stage
+  *     codegen through ColumnarToRow — the same columnar hand-off the
+  *     vectorized parquet reader uses, with no per-row InternalRow
+  *     allocation on the scan side.
   *
   * Registered under the `graft-synth` short name via
   * META-INF/services (standard DataSourceRegister plumbing), so
@@ -228,6 +235,15 @@ private[sources] case class SynthCountPartition(count: Long) extends InputPartit
 
 private[sources] class SynthReaderFactory(required: StructType, countStars: Int)
     extends PartitionReaderFactory {
+
+  /** Generation partitions read COLUMNAR (the vectorized path parquet
+    * scans use): values land directly in OnHeapColumnVectors and reach
+    * whole-stage codegen through ColumnarToRow, skipping per-row
+    * InternalRow allocation. The pushed-COUNT(*) partition stays
+    * row-based — one precomputed row gains nothing from batching. */
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    partition.isInstanceOf[SynthPartition]
+
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
       case SynthCountPartition(n) => new PartitionReader[InternalRow] {
@@ -239,6 +255,52 @@ private[sources] class SynthReaderFactory(required: StructType, countStars: Int)
       }
       case p: SynthPartition => rowReader(p)
     }
+
+  private val batchSize = 4096
+
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val SynthPartition(lo, hi) = partition
+    // per-field vector writers bound by NAME once, outside the fill loop
+    val writers: Array[(OnHeapColumnVector, Int, Long) => Unit] =
+      required.fields.map(_.name).map {
+        case "id"     => (v: OnHeapColumnVector, i: Int, id: Long) => v.putLong(i, id)
+        case "bucket" => (v: OnHeapColumnVector, i: Int, id: Long) =>
+          v.putInt(i, (SynthSource.mix(id) % 100).toInt)
+        case "score"  => (v: OnHeapColumnVector, i: Int, id: Long) =>
+          v.putInt(i, (SynthSource.mix(id) % 1000).toInt)
+        case "value"  => (v: OnHeapColumnVector, i: Int, id: Long) =>
+          v.putDouble(i, SynthSource.mix(id).toDouble / SynthSource.M)
+        case "tag"    => (v: OnHeapColumnVector, i: Int, id: Long) => {
+          val b = ("t" + (SynthSource.mix(id) % 7)).getBytes("UTF-8")
+          v.putByteArray(i, b, 0, b.length); ()
+        }
+        case other    => throw new IllegalArgumentException(s"unknown column $other")
+      }
+    new PartitionReader[ColumnarBatch] {
+      private val vectors = OnHeapColumnVector.allocateColumns(batchSize, required)
+      private val batch =
+        new ColumnarBatch(vectors.map(v => v: ColumnVector).toArray)
+      private var cur = lo
+      override def next(): Boolean =
+        cur < hi && {
+          var i = 0
+          val n = math.min(batchSize.toLong, hi - cur).toInt
+          while (i < vectors.length) { vectors(i).reset(); i += 1 }
+          i = 0
+          while (i < n) {
+            var c = 0
+            while (c < writers.length) { writers(c)(vectors(c), i, cur + i); c += 1 }
+            i += 1
+          }
+          batch.setNumRows(n)
+          cur += n
+          true
+        }
+      override def get(): ColumnarBatch = batch
+      override def close(): Unit = batch.close()
+    }
+  }
 
   private def rowReader(partition: SynthPartition): PartitionReader[InternalRow] = {
     val SynthPartition(lo, hi) = partition

@@ -101,6 +101,23 @@ class SourcesSpec extends GraftSpec {
     assert(!scanOf(grouped).scan.description().contains("agg="))
   }
 
+  test("generation partitions read columnar; the pushed-count partition stays row-based") {
+    // normal scans take the vectorized path (values cross into codegen
+    // via ColumnarToRow, like parquet's vectorized reader) — the
+    // derivation test above already value-checks this path end-to-end
+    val scan = scanOf(synth(10000, 4).filter(col("id") < 5000L))
+    assert(scan.supportsColumnar, "generation scan should be columnar")
+    // batch boundaries (4096) must not show at row level: exact count
+    // and exact sum across a 3-batch partition
+    val df = synth(10000, 1)
+    assert(df.count() == 10000) // count pushdown: single row-based partition
+    val agg = df.agg(sum("score")).collect().head.getLong(0)
+    val brute = (0L until 10000L).map(id => id * 48271L % 2147483647L % 1000).sum
+    assert(agg == brute)
+    val counted = synth(10000, 4).groupBy().count()
+    assert(!scanOf(counted).supportsColumnar, "count(*) scan should be row-based")
+  }
+
   test("SQL DDL entry: CREATE TABLE ... USING graft-synth resolves and pushes down") {
     spark.sql("DROP TABLE IF EXISTS synth_sql")
     spark.sql(
