@@ -174,13 +174,15 @@ private[graft] object BenchFormat {
     *    the base twins' signal line-budget-for-line-budget (the skew
     *    mechanics stay pinned by ScaleDesignSpec's engineered-skew tests
     *    and the base/salted timings recorded in PLANS.md). */
-  /** The generator-source query has no file input at all — `rows` is a
-    * fixed option, so its cost is constant along the bench's sf axis
-    * and a timed entry would dilute the sf-scaling signal while
-    * spending line budget the 2dp floor needs. Its scan semantics
-    * (partition planning, filter-pruning arithmetic, column pruning)
-    * are pinned by SourcesSpec and its values by the range() oracle. */
-  val fixedSizeSources = Set("synth_bucket_agg")
+  /** The generator-source queries have no file input at all — `rows` is
+    * a fixed option, so their cost is constant along the bench's sf
+    * axis and a timed entry would dilute the sf-scaling signal while
+    * spending line budget the 2dp floor needs. (synth_stream_agg is
+    * additionally a driver-drained memory-sink replay, the
+    * parity-harness shape.) Scan semantics (partition planning,
+    * filter-pruning arithmetic, column pruning, paced micro-batches)
+    * are pinned by SourcesSpec and values by the range() oracle. */
+  val fixedSizeSources = Set("synth_bucket_agg", "synth_stream_agg")
 
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",

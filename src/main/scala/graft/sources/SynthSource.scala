@@ -12,6 +12,7 @@ import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapabil
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -110,18 +111,21 @@ private[sources] class SynthTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val rows = options.getLong("rows", 100000L)
   private val partitions = options.getInt("partitions", 8)
-  require(rows >= 0 && partitions > 0,
-    s"graft-synth needs rows >= 0 and partitions > 0, got $rows/$partitions")
+  private val rowsPerBatch = options.getLong("rowsPerBatch", rows)
+  require(rows >= 0 && partitions > 0 && rowsPerBatch > 0,
+    s"graft-synth needs rows >= 0, partitions > 0, rowsPerBatch > 0, " +
+      s"got $rows/$partitions/$rowsPerBatch")
 
   override def name(): String = s"graft_synth($rows)"
   override def schema(): StructType = SynthSource.schema
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_READ).asJava
+    Set(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ).asJava
   override def newScanBuilder(o: CaseInsensitiveStringMap): ScanBuilder =
-    new SynthScanBuilder(rows, partitions)
+    new SynthScanBuilder(rows, partitions, rowsPerBatch)
 }
 
-private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
+private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
+                                        rowsPerBatch: Long)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
     with SupportsPushDownLimit with SupportsPushDownAggregates {
@@ -178,10 +182,10 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int)
     }
 
   override def build(): Scan =
-    new SynthScan(rows, partitions, required, pushed, limit, countStars)
+    new SynthScan(rows, partitions, rowsPerBatch, required, pushed, limit, countStars)
 }
 
-private[sources] class SynthScan(rows: Long, partitions: Int,
+private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long,
                                  required: StructType, pushed: Array[Filter],
                                  limit: Long, countStars: Int)
     extends Scan with Batch with SupportsReportStatistics {
@@ -222,6 +226,18 @@ private[sources] class SynthScan(rows: Long, partitions: Int,
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required, countStars)
 
+  /** Micro-batch streaming over the same interval — the custom
+    * streaming-source surface (the reference's queueStream analog,
+    * S9/R6 in SURVEY §2, here as a library-grade connector). Offsets
+    * are id positions; each trigger admits `rowsPerBatch` ids
+    * (admission control), and Trigger.AvailableNow drains to the
+    * interval end in those same paced batches
+    * (SupportsTriggerAvailableNow), exactly like the file source's
+    * maxFilesPerTrigger semantics. Batches reuse the batch path's
+    * partition slicing and (columnar) reader factory. */
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new SynthMicroBatchStream(lo, hi, partitions, rowsPerBatch, required)
+
   override def estimateStatistics(): Statistics = new Statistics {
     // 29 bytes/row: 8 (id) + 4 + 4 + 8 + ~5 (tag) — lets Catalyst make
     // an informed broadcast decision when the generator is a join side
@@ -232,6 +248,50 @@ private[sources] class SynthScan(rows: Long, partitions: Int,
 
 private[sources] case class SynthPartition(lo: Long, hi: Long) extends InputPartition
 private[sources] case class SynthCountPartition(count: Long) extends InputPartition
+
+private[sources] case class SynthOffset(pos: Long) extends StreamOffset {
+  override def json(): String = pos.toString
+}
+
+private[sources] class SynthMicroBatchStream(lo: Long, hi: Long, partitions: Int,
+                                             rowsPerBatch: Long, required: StructType)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+  // under ProcessingTime triggers everything up to `hi` is available;
+  // prepareForTriggerAvailableNow re-pins the same bound (the generator
+  // has no late arrivals), so AvailableNow drains [lo, hi) and stops
+  @volatile private var availableTarget: Long = hi
+  override def prepareForTriggerAvailableNow(): Unit = availableTarget = hi
+
+  override def initialOffset(): StreamOffset = SynthOffset(lo)
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+  /** Admission control: each trigger advances by at most rowsPerBatch —
+    * bounded state per micro-batch regardless of how far behind the
+    * stream is, the property that matters on an unbounded source. */
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset =
+    SynthOffset(math.min(availableTarget,
+      start.asInstanceOf[SynthOffset].pos + rowsPerBatch))
+  override def latestOffset(): StreamOffset =
+    throw new UnsupportedOperationException(
+      "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")
+  override def reportLatestOffset(): StreamOffset = SynthOffset(availableTarget)
+
+  override def planInputPartitions(start: StreamOffset,
+                                   end: StreamOffset): Array[InputPartition] = {
+    val s = start.asInstanceOf[SynthOffset].pos
+    val e = end.asInstanceOf[SynthOffset].pos
+    val width = math.max(1L, (e - s + partitions - 1) / partitions)
+    Iterator.range(0, partitions)
+      .map(i => (s + i * width, math.min(e, s + (i + 1) * width)))
+      .collect { case (l, h) if l < h => SynthPartition(l, h): InputPartition }
+      .toArray
+  }
+  override def createReaderFactory(): PartitionReaderFactory =
+    new SynthReaderFactory(required, 0)
+  override def deserializeOffset(json: String): StreamOffset =
+    SynthOffset(json.toLong)
+  override def commit(end: StreamOffset): Unit = ()
+  override def stop(): Unit = ()
+}
 
 private[sources] class SynthReaderFactory(required: StructType, countStars: Int)
     extends PartitionReaderFactory {

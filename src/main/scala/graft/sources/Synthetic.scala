@@ -25,11 +25,8 @@ object Synthetic {
   val synthPartitions = 8
   val idCap = 50000L
 
-  def synthBucketAgg(spark: SparkSession, dir: String): DataFrame =
-    spark.read.format("graft-synth")
-      .option("rows", synthRows).option("partitions", synthPartitions)
-      .load()
-      .filter(col("id") < idCap)
+  private def bucketAgg(df: DataFrame): DataFrame =
+    df.filter(col("id") < idCap)
       .groupBy("bucket", "tag")
       .agg(
         count(lit(1)).as("cnt"),
@@ -38,24 +35,54 @@ object Synthetic {
         max("value").as("max_value"))
       .orderBy("bucket", "tag")
 
+  def synthBucketAgg(spark: SparkSession, dir: String): DataFrame =
+    bucketAgg(spark.read.format("graft-synth")
+      .option("rows", synthRows).option("partitions", synthPartitions)
+      .load())
+
+  /** Streaming twin: drain the generator's micro-batch stream (paced at
+    * 10k ids/trigger — six AvailableNow batches) into a memory sink,
+    * then run the SAME aggregate the batch query runs, against the SAME
+    * oracle. The memory sink is bounded by `synthRows` and the drain is
+    * the declared parity harness (bench-excluded with its twin); the
+    * production shape is the unbounded readStream pipeline itself. */
+  def synthStreamAgg(spark: SparkSession, dir: String): DataFrame = {
+    val qn = "synth_stream_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", synthRows).option("partitions", synthPartitions)
+      .option("rowsPerBatch", 10000L)
+      .load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    bucketAgg(spark.table(qn))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "synth_bucket_agg" -> synthBucketAgg)
+    "synth_bucket_agg" -> synthBucketAgg,
+    "synth_stream_agg" -> synthStreamAgg)
 
   /** Same Lehmer derivation over range(): x = id*48271 mod (2^31−1);
     * min/max on the double quotient are order-insensitive (no float
-    * summation), sum is over the exact int `score`. */
+    * summation), sum is over the exact int `score`. The streaming twin
+    * must reproduce the batch table exactly, so it carries the SAME
+    * oracle. */
+  private val bucketAggSql: String =
+    s"""WITH g AS (
+       |  SELECT id, (id * 48271) % 2147483647 AS x
+       |  FROM range(0, $synthRows) t(id)
+       |  WHERE id < $idCap
+       |)
+       |SELECT (x % 100)::INT AS bucket,
+       |       't' || (x % 7) AS tag,
+       |       count(*) AS cnt,
+       |       sum((x % 1000)::INT)::BIGINT AS sum_score,
+       |       min(x / 2147483647.0) AS min_value,
+       |       max(x / 2147483647.0) AS max_value
+       |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "synth_bucket_agg" ->
-      s"""WITH g AS (
-         |  SELECT id, (id * 48271) % 2147483647 AS x
-         |  FROM range(0, $synthRows) t(id)
-         |  WHERE id < $idCap
-         |)
-         |SELECT (x % 100)::INT AS bucket,
-         |       't' || (x % 7) AS tag,
-         |       count(*) AS cnt,
-         |       sum((x % 1000)::INT)::BIGINT AS sum_score,
-         |       min(x / 2147483647.0) AS min_value,
-         |       max(x / 2147483647.0) AS max_value
-         |FROM g GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    "synth_bucket_agg" -> bucketAggSql,
+    "synth_stream_agg" -> bucketAggSql)
 }

@@ -133,6 +133,27 @@ class SourcesSpec extends GraftSpec {
     } finally spark.sql("DROP TABLE synth_sql")
   }
 
+  test("micro-batch streaming read: AvailableNow drains in paced batches, batch parity") {
+    val qn = "synth_stream_spec"
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 30000).option("partitions", 4).option("rowsPerBatch", 10000)
+      .load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val got = spark.table(qn)
+    assert(got.count() == 30000)
+    // admission control paced the drain: three 10k-row micro-batches,
+    // not one 30k gulp
+    assert(q.recentProgress.count(_.numInputRows > 0) == 3,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+    assert(q.recentProgress.filter(_.numInputRows > 0).forall(_.numInputRows == 10000))
+    // exact parity with the batch scan (sum over the exact int column)
+    val batch = synth(30000, 4).agg(sum("score")).collect().head.getLong(0)
+    assert(got.agg(sum("score")).collect().head.getLong(0) == batch)
+  }
+
   test("the registered aggregate matches a driver-side brute recompute") {
     val got = graft.sources.Synthetic.synthBucketAgg(spark, sfDir).collect()
     val brute = (0L until graft.sources.Synthetic.idCap)
