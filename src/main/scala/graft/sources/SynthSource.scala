@@ -9,8 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
-import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
@@ -50,11 +50,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *     schema (`SELECT bucket` never materializes `text`-like wide
   *     fields), the `ReadSchema` analog the audits require of the
   *     parquet scans;
-  *   - '''limit + complete COUNT(*) pushdown''': a bare-scan LIMIT
-  *     truncates the planned interval, and an ungrouped COUNT(*) is
-  *     answered at planning time from the interval width (one
-  *     partition, one precomputed row — the row-group-statistics-count
-  *     analog), composing with consumed id-range filters;
+  *   - '''limit + complete aggregate pushdown''': a bare-scan LIMIT
+  *     truncates the planned interval, and ungrouped COUNT(*) /
+  *     MIN(id) / MAX(id) are answered at planning time from the
+  *     pruned interval alone (one partition, one precomputed row —
+  *     the row-group-statistics analog), composing with consumed
+  *     id-range filters;
   *   - '''vectorized reads''': generation partitions emit
   *     OnHeapColumnVector batches (4,096 rows) that reach whole-stage
   *     codegen through ColumnarToRow — the same columnar hand-off the
@@ -132,7 +133,7 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
   private var required: StructType = SynthSource.schema
   private var pushed: Array[Filter] = Array.empty
   private var limit: Long = Long.MaxValue
-  private var countStars = 0
+  private var pushedAgg: Seq[String] = Nil
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     // id-range conjuncts are CONSUMED (not residual): each one is
@@ -165,29 +166,46 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
     * `limit` ids of it ARE a correct LIMIT result. */
   override def pushLimit(l: Int): Boolean = { limit = l; true }
 
-  /** Complete COUNT(*) pushdown: with no grouping, the generator knows
-    * the answer at PLANNING time — the pruned interval's width — so the
-    * scan emits one precomputed row and Spark skips both the generation
-    * loop and its own aggregation. The row-group-statistics-count
-    * analog of a parquet `SELECT count(*)`. Anything beyond CountStar
-    * (grouping, min/max/sum) is declined and Spark aggregates the
-    * generated rows as usual. */
+  /** Complete pushdown of the aggregates the generator can answer at
+    * PLANNING time from the pruned interval alone: COUNT(*) = interval
+    * width, MIN(id) = interval start, MAX(id) = interval end − 1 (id is
+    * the one monotone column; min/max of DERIVED columns are not
+    * closed-form and are declined). The scan then emits one precomputed
+    * row and Spark skips both the generation loop and its own
+    * aggregation — the row-group-statistics analog of parquet's
+    * count/min/max shortcuts. Grouping or any other aggregate declines
+    * the whole push and Spark aggregates generated rows as usual. */
+  private def aggTags(agg: Aggregation): Option[Seq[String]] = {
+    def idRef(e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: NamedReference => f.fieldNames.sameElements(Array("id"))
+        case _                 => false
+      }
+    val tags = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar          => Some("count")
+      case m: Min if idRef(m.column) => Some("min_id")
+      case m: Max if idRef(m.column) => Some("max_id")
+      case _                     => None
+    }
+    if (agg.groupByExpressions.isEmpty && tags.nonEmpty && tags.forall(_.isDefined))
+      Some(tags.flatten)
+    else None
+  }
   override def supportCompletePushDown(agg: Aggregation): Boolean =
-    agg.groupByExpressions.isEmpty && agg.aggregateExpressions.nonEmpty &&
-      agg.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    aggTags(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean =
-    supportCompletePushDown(agg) && {
-      countStars = agg.aggregateExpressions.length
-      true
+    aggTags(agg) match {
+      case Some(tags) => pushedAgg = tags; true
+      case None       => false
     }
 
   override def build(): Scan =
-    new SynthScan(rows, partitions, rowsPerBatch, required, pushed, limit, countStars)
+    new SynthScan(rows, partitions, rowsPerBatch, required, pushed, limit, pushedAgg)
 }
 
 private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long,
                                  required: StructType, pushed: Array[Filter],
-                                 limit: Long, countStars: Int)
+                                 limit: Long, pushedAgg: Seq[String])
     extends Scan with Batch with SupportsReportStatistics {
   private val (lo, hi) = {
     val (l, h) = SynthSource.prune(0L, rows, pushed.toSeq)
@@ -195,17 +213,19 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
   }
 
   /** With a completely pushed aggregation the scan's schema IS the
-    * aggregate output (one LongType per COUNT(*) — Spark asserts the
-    * column count and binds by position), not the pruned row schema. */
+    * aggregate output (one LongType per entry — Spark asserts the
+    * column count and binds by position; min/max are nullable for the
+    * empty-interval case), not the pruned row schema. */
   override def readSchema(): StructType =
-    if (countStars > 0)
-      StructType((1 to countStars).map(i =>
-        StructField(s"count_$i", LongType, nullable = false)))
+    if (pushedAgg.nonEmpty)
+      StructType(pushedAgg.zipWithIndex.map { case (tag, i) =>
+        StructField(s"${tag}_$i", LongType, nullable = tag != "count")
+      })
     else required
   override def toBatch: Batch = this
   override def description(): String = {
     val f = pushed.map(_.toString).mkString(", ")
-    val agg = if (countStars > 0) s" agg=count(*)x$countStars" else ""
+    val agg = if (pushedAgg.nonEmpty) s" agg=${pushedAgg.mkString(",")}" else ""
     s"graft-synth rows=$rows range=[$lo,$hi)$agg PushedFilters: [$f]"
   }
 
@@ -215,7 +235,7 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
     * pushed COUNT(*) needs no generation at all: one partition, one
     * precomputed row. */
   override def planInputPartitions(): Array[InputPartition] =
-    if (countStars > 0) Array(SynthCountPartition(hi - lo))
+    if (pushedAgg.nonEmpty) Array(SynthAggPartition(lo, hi, pushedAgg))
     else {
       val width = math.max(1L, (rows + partitions - 1) / partitions)
       Iterator.range(0, partitions)
@@ -224,7 +244,7 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
         .toArray
     }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required, countStars)
+    new SynthReaderFactory(required)
 
   /** Micro-batch streaming over the same interval — the custom
     * streaming-source surface (the reference's queueStream analog,
@@ -247,7 +267,8 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
 }
 
 private[sources] case class SynthPartition(lo: Long, hi: Long) extends InputPartition
-private[sources] case class SynthCountPartition(count: Long) extends InputPartition
+private[sources] case class SynthAggPartition(lo: Long, hi: Long,
+                                              tags: Seq[String]) extends InputPartition
 
 private[sources] case class SynthOffset(pos: Long) extends StreamOffset {
   override def json(): String = pos.toString
@@ -286,31 +307,38 @@ private[sources] class SynthMicroBatchStream(lo: Long, hi: Long, partitions: Int
       .toArray
   }
   override def createReaderFactory(): PartitionReaderFactory =
-    new SynthReaderFactory(required, 0)
+    new SynthReaderFactory(required)
   override def deserializeOffset(json: String): StreamOffset =
     SynthOffset(json.toLong)
   override def commit(end: StreamOffset): Unit = ()
   override def stop(): Unit = ()
 }
 
-private[sources] class SynthReaderFactory(required: StructType, countStars: Int)
+private[sources] class SynthReaderFactory(required: StructType)
     extends PartitionReaderFactory {
 
   /** Generation partitions read COLUMNAR (the vectorized path parquet
     * scans use): values land directly in OnHeapColumnVectors and reach
     * whole-stage codegen through ColumnarToRow, skipping per-row
-    * InternalRow allocation. The pushed-COUNT(*) partition stays
+    * InternalRow allocation. The pushed-aggregate partition stays
     * row-based — one precomputed row gains nothing from batching. */
   override def supportColumnarReads(partition: InputPartition): Boolean =
     partition.isInstanceOf[SynthPartition]
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     partition match {
-      case SynthCountPartition(n) => new PartitionReader[InternalRow] {
+      case SynthAggPartition(lo, hi, tags) => new PartitionReader[InternalRow] {
         private var emitted = false
         override def next(): Boolean = { val go = !emitted; emitted = true; go }
-        override def get(): InternalRow =
-          new GenericInternalRow(Array.fill[Any](countStars)(n))
+        override def get(): InternalRow = {
+          val values: Array[Any] = tags.map {
+            case "count"  => (hi - lo): Any
+            case "min_id" => if (hi > lo) lo: Any else null
+            case "max_id" => if (hi > lo) (hi - 1): Any else null
+            case other    => throw new IllegalStateException(s"unknown agg tag $other")
+          }.toArray
+          new GenericInternalRow(values)
+        }
         override def close(): Unit = ()
       }
       case p: SynthPartition => rowReader(p)

@@ -89,16 +89,32 @@ class SourcesSpec extends GraftSpec {
     assert(scanOf(blocked).scan.description().contains("range=[0,100000)"))
   }
 
-  test("complete COUNT(*) pushdown answers at planning time") {
+  test("complete COUNT(*)/MIN(id)/MAX(id) pushdown answers at planning time") {
     val counted = synth(100000, 10).filter(col("id") < 1234L).groupBy().count()
     assert(counted.collect().map(_.getLong(0)).toSeq == Seq(1234L))
-    assert(scanOf(counted).scan.description().contains("agg=count(*)x1"),
+    assert(scanOf(counted).scan.description().contains("agg=count"),
       "COUNT(*) was not completely pushed")
-    // grouped and non-count aggregates are declined: computed from
-    // generated rows, still exact
+    // min/max of the monotone id column compose with a consumed range
+    // filter; the whole answer comes from the pruned interval
+    val mm = synth(100000, 10).filter(col("id") >= 500L && col("id") < 2000L)
+      .agg(min("id").as("mn"), max("id").as("mx"), count(lit(1)).as("n"))
+    val r = mm.collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((500L, 1999L, 1500L)))
+    assert(scanOf(mm).scan.description().contains("agg=min_id,max_id,count"))
+    // empty interval: count 0, min/max NULL — one row, like any SQL agg
+    val empty = synth(1000, 4).filter(col("id") < 0L)
+      .agg(count(lit(1)).as("n"), min("id").as("mn"))
+    val e = empty.collect().head
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    // grouped aggregates and min/max of DERIVED columns are declined:
+    // computed from generated rows, still exact
     val grouped = synth(1000, 4).groupBy("tag").count()
     assert(grouped.collect().map(_.getLong(1)).sum == 1000L)
     assert(!scanOf(grouped).scan.description().contains("agg="))
+    val derived = synth(1000, 4).agg(min("bucket"))
+    assert(derived.collect().head.getInt(0) ==
+      (0L until 1000L).map(id => (id * 48271L % 2147483647L % 100).toInt).min)
+    assert(!scanOf(derived).scan.description().contains("agg="))
   }
 
   test("generation partitions read columnar; the pushed-count partition stays row-based") {
