@@ -79,7 +79,16 @@ object TaxiEvents {
     import spark.implicits._
     val sinkName = "taxi_region_hourly_stream_sink"
     spark.catalog.dropTempView(sinkName)
-    val agg = parse(spark.readStream.option("pathGlobFilter", "part-*.csv").text(taxiDir))
+    // drain in ONE micro-batch: under AvailableNow the file source caps
+    // batches at 1,000 files by default, so the 1,440-file directory
+    // paid a second state-store round + complete-mode re-emit for the
+    // 440-file tail. A backfill drain wants few, large batches; the
+    // per-arrival production pacing (maxFilesPerTrigger ~ arrival rate)
+    // is a deployment knob, not part of the drained result.
+    val agg = parse(spark.readStream
+      .option("pathGlobFilter", "part-*.csv")
+      .option("maxFilesPerTrigger", 2000)
+      .text(taxiDir))
       .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("cnt"))
     val q = agg.writeStream.outputMode("complete").format("memory")
