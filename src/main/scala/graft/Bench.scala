@@ -185,6 +185,15 @@ private[graft] object BenchFormat {
   val fixedSizeSources = Set("synth_bucket_agg", "synth_stream_agg")
 
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
+    // r6h: the four boolean retrievals probe the SAME persisted index
+    // with the same term-pruned-scan + docno-intersection plan; their
+    // differences (graded geo boxes in the term set, OR-chain vs
+    // rare-AND selectivity) are term-set selectivity, not plan
+    // structure. Two stay timed — the base AND shape and the OR chain
+    // (the two boolean operators) — graded + rare_and move here, with
+    // filtered timings recorded in PLANS.md. Freed line budget funds
+    // genuinely new shapes (events_resample).
+    "boolean_retrieval_graded", "boolean_retrieval_rare_and",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
     "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
     "ann_sq_cosine", "index_incremental", "user_sessions_stream",
@@ -243,9 +252,13 @@ private[graft] object BenchFormat {
     // canary_end < 0 (not yet measured) is omitted, not printed as -1
     val endPart =
       if (canaryEnd >= 0) s""""canary_end_sec":${fmt(canaryEnd)},""" else ""
+    // an all-dropped spread omits the empty object too (spread_n still
+    // reports the count) — ~12 chars that belong to the per-query 2dp
+    // budget on the spread-less rungs
+    val spPart = if (sp.nonEmpty) s""""spread":${obj(sp)},""" else ""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$phasePart""" +
       s""""canary_sec":${fmt(canary)},$endPart"queries":${obj(results)},""" +
-      s""""spread":${obj(sp)},"spread_n":$spreadN,"sf":"$sfName"}"""
+      s"""$spPart"spread_n":$spreadN,"sf":"$sfName"}"""
   }
 
   /** The degradation ladder: drop spread (an unbounded diagnostic — the

@@ -36,6 +36,46 @@ object EventAnalytics {
 
   /** R1: tumbling hourly count of all events. `window()` is the streaming
     * primitive; its epoch-aligned start equals DuckDB's time_bucket. */
+  /** Time-series resampling with forward-fill — the feature-pipeline
+    * staple Spark has no single operator for, built by composition:
+    * (1) aggregate onto the hourly grid cells that HAVE data (max keeps
+    * the value exact — carried, never arithmetic); (2) generate the
+    * complete regular grid with `sequence()` from the global bounds —
+    * one scalar row exploded, crossed with the distinct types, both
+    * bounded (types × hours); (3) left-join the sparse aggregate onto
+    * the grid and close gaps with an ignore-nulls `last` over the
+    * per-type hour order. Hours before a type's first observation
+    * remain NULL — there is nothing to carry forward, and inventing a
+    * value would silently fabricate features. At 100 TB the plan is one
+    * shuffle for the hourly agg + one broadcast-able grid join; the
+    * fill window partitions by type, so no global sort.
+    *
+    * The grid cross-product is the one step that REQUIRES a bounded
+    * series-key set (series × hours explodes otherwise — exactly the
+    * shape the registry's join audit exists to catch), so the bound is
+    * in the plan: `limit(maxSeries)` on the distinct keys, the same
+    * declared-bound pattern knn_brute_cosine uses for its query side.
+    * Resampling an unbounded key set (e.g. per-user) is a different
+    * operator — window it per partition, don't grid it. */
+  val maxSeries = 64
+
+  def eventsResample(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+    val hourly = ev.groupBy("event_type", "hour").agg(max("value").as("hmax"))
+    val grid = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+      .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    ev.select("event_type").distinct().limit(maxSeries)
+      .crossJoin(grid)
+      .join(hourly, Seq("event_type", "hour"), "left")
+      .select(col("event_type"), col("hour").as("hour_start"),
+        last(col("hmax"), ignoreNulls = true).over(w).as("filled"))
+      .orderBy("event_type", "hour_start")
+  }
+
   def eventCountHourly(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"))
@@ -870,6 +910,7 @@ object EventAnalytics {
     "event_count_hourly_incremental" -> (eventCountHourlyIncremental _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
+    "events_resample" -> (eventsResample _),
     "region_event_count" -> (regionEventCount _),
     "trending_arrivals" -> (trendingArrivals _),
     "trending_arrivals_late" -> (trendingArrivalsLate _),
@@ -1100,6 +1141,28 @@ object EventAnalytics {
          SELECT region, time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
          FROM r WHERE region IS NOT NULL
          GROUP BY region, hour_start ORDER BY region, hour_start""",
+    // resample: same composition — sparse hourly max, generated grid,
+    // left join, ignore-nulls fill; `filled` is a CARRIED double (never
+    // arithmetic), so it ships raw. Leading pre-first-observation hours
+    // stay NULL on both engines.
+    "events_resample" ->
+      """WITH ev AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour, value FROM events),
+         hourly AS (
+           SELECT event_type, hour, max(value) AS hmax FROM ev GROUP BY 1, 2),
+         grid AS (
+           SELECT unnest(generate_series(min(hour), max(hour), INTERVAL 1 HOUR)) AS hour
+           FROM ev),
+         g AS (
+           SELECT t.event_type, grid.hour
+           FROM (SELECT DISTINCT event_type FROM ev) t CROSS JOIN grid)
+         SELECT g.event_type, g.hour AS hour_start,
+                last_value(h.hmax IGNORE NULLS) OVER (
+                  PARTITION BY g.event_type ORDER BY g.hour
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+         FROM g LEFT JOIN hourly h
+           ON g.event_type = h.event_type AND g.hour = h.hour
+         ORDER BY 1, 2""",
     "trending_arrivals" -> trendingOracleSql,
     // the late-replay streaming variant must land on the IDENTICAL batch
     // truth: the lateness buffer folds the delayed third of each early
