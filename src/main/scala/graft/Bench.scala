@@ -194,6 +194,11 @@ private[graft] object BenchFormat {
     // filtered timings recorded in PLANS.md. Freed line budget funds
     // genuinely new shapes (events_resample).
     "boolean_retrieval_graded", "boolean_retrieval_rare_and",
+    // sample_weighted (r6h) is sample_balanced's exact plan shape —
+    // map-only key computation + the bounded-PQ rank-filter window —
+    // with priority keys u/w instead of raw hashes; the delta is key
+    // arithmetic, not plan structure (filtered timing in PLANS.md)
+    "sample_weighted",
     "phrase_retrieval", "wordcount_salted", "q4_nation_count_salted",
     "doc_logprob_bigram", "doc_chunks", "knn_filtered_cosine",
     "ann_sq_cosine", "index_incremental", "user_sessions_stream",

@@ -170,6 +170,41 @@ object CorpusPipeline {
       .orderBy("lang", "rk")
   }
 
+  /** Weighted sampling without replacement via sequential Poisson
+    * sampling (Ohlsson 1998, the survey-sampling PPS scheme; the
+    * integer-friendly cousin of Efraimidis–Espirakis reservoir keys):
+    * priority key = u / w with u = (md5Int(doc_id)+1) / 2^48 ∈ (0, 1]
+    * and weight w = n_chars, keep the k SMALLEST keys per language —
+    * longer documents draw proportionally higher inclusion probability,
+    * the standard size-weighted mixing step in training-data pipelines.
+    *
+    * Cross-engine exactness without the usual u^(1/w) transcendental:
+    * the key is two IEEE divisions over exact inputs ((h+1) ≤ 2^48 and
+    * 2^48 are both exactly representable; division is correctly
+    * rounded), so DuckDB computes bit-identical keys and the oracle
+    * checks the SELECTION, not a rounded shadow of it. Ties (md5
+    * collisions) break on doc_id.
+    *
+    * Scale shape: identical to [[sampleBalanced]] — map-only key
+    * computation, then the row_number-over-window + rank filter that
+    * TopKRewrite lowers to the bounded-PQ operator (k-row heap per
+    * partition per language, never a global sort). */
+  val weightedK = 20
+
+  def sampleWeighted(spark: SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("lang").orderBy(col("pk"), col("doc_id"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("pk",
+        (md5Int(col("doc_id").cast("string"), 12) + 1).cast("double")
+          / lit(281474976710656.0) / col("n_chars"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= weightedK)
+      .select("doc_id", "lang", "rk")
+      .orderBy("lang", "rk")
+  }
+
   /** Per-source document cap — the per-domain quota pass (even a
     * deduplicated corpus over-represents hot domains; production
     * pipelines cap each domain's contribution): keep the [[sourceCapK]]
@@ -354,6 +389,7 @@ object CorpusPipeline {
     "doc_chunks" -> (docChunks _),
     "sample_stratified" -> (sampleStratified _),
     "sample_balanced" -> (sampleBalanced _),
+    "sample_weighted" -> (sampleWeighted _),
     "sample_temperature" -> (sampleTemperature _),
     "source_cap" -> (sourceCap _),
     "quality_deciles" -> (qualityDeciles _),
@@ -396,6 +432,21 @@ object CorpusPipeline {
                    row_number() OVER (PARTITION BY lang ORDER BY h, doc_id) AS rk
             FROM h)
           SELECT doc_id, lang, rk FROM r WHERE rk <= $balancedK
+          ORDER BY lang, rk""",
+    // sequential Poisson priority keys: two correctly-rounded IEEE
+    // divisions over exact operands — bit-identical cross-engine, so
+    // the weighted SELECTION itself is oracle-checked (no rounding)
+    "sample_weighted" ->
+      s"""WITH h AS (
+            SELECT doc_id, lang,
+                   (${md5IntSql("(doc_id)::VARCHAR", 12)} + 1)::DOUBLE
+                     / 281474976710656.0 / n_chars AS pk
+            FROM documents),
+          r AS (
+            SELECT doc_id, lang,
+                   row_number() OVER (PARTITION BY lang ORDER BY pk, doc_id) AS rk
+            FROM h)
+          SELECT doc_id, lang, rk FROM r WHERE rk <= $weightedK
           ORDER BY lang, rk""",
     "pack_sequences" ->
       s"""WITH $toksSql,

@@ -201,4 +201,35 @@ class CorpusPipelineSpec extends GraftSpec {
     // the binning is doing real work: more than one populated bin
     assert(bins.length > 5, s"only ${bins.length} populated bins")
   }
+
+  test("weighted sample equals a driver-side sequential-Poisson brute recompute") {
+    val got = CorpusPipeline.sampleWeighted(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    def md5Int12(s: String): Long =
+      java.lang.Long.parseLong(
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(12), 16)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("doc_id", "lang", "n_chars").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = docs
+      .map { case (id, lang, n) =>
+        (id, lang, (md5Int12(id.toString) + 1).toDouble / 281474976710656.0 / n)
+      }
+      .groupBy(_._2).toSeq
+      .flatMap { case (_, rows) =>
+        rows.sortBy { case (id, _, pk) => (pk, id) }
+          .take(CorpusPipeline.weightedK).zipWithIndex
+          .map { case ((id, lang, _), i) => (id, lang, i + 1) }
+      }
+      .sortBy { case (id, lang, rk) => (lang, rk) }
+    assert(got.toSeq == brute, "selection or ranking diverged from the scheme")
+    // the weighting is doing real work: the selected docs' mean length
+    // exceeds the corpus mean (longer docs draw higher inclusion odds)
+    val byId = docs.map(d => d._1 -> d._3).toMap
+    val meanSel = got.map(g => byId(g._1)).sum.toDouble / got.length
+    val meanAll = docs.map(_._3).sum.toDouble / docs.length
+    assert(meanSel > meanAll,
+      s"selected mean $meanSel not above corpus mean $meanAll")
+  }
 }
