@@ -206,7 +206,22 @@ private[graft] object BenchFormat {
     "dedup_best_survivor", "split_leakage_safe", "decontaminate_semantic",
     "source_cap", "first_touch", "vocab_coverage", "quality_deciles",
     "conversion_funnel", "events_pivot", "user_set_ops",
-    "retention_cohorts")
+    "retention_cohorts",
+    // r6i: q14_small_qty_revenue stays TIMED (fact-table agg joined back
+    // to its own scan — a self-join-back workload no timed entry
+    // measures). Its three siblings reuse timed plan structures:
+    //  - q15_large_orders is q14's agg→join-back shape with the HAVING
+    //    shrinking the build side to the heavy tail — strictly less work
+    //    over the same structure, plus the TakeOrderedAndProject q7
+    //    already times.
+    //  - q16_disjunctive_parts is q3_part_supplier's scan⋈part join +
+    //    residual filter + the single-row aggregate q1 times; its delta
+    //    is expression content (the disjunction), not plan structure —
+    //    the CNF-extraction behavior is pinned by RelationalSpec.
+    //  - q17_wealthy_dormant composes q12_outer_anti's anti-join shape
+    //    with a single-row broadcast scalar (the bounded crossJoin
+    //    pattern) over the 1/400-scale customer table.
+    "q15_large_orders", "q16_disjunctive_parts", "q17_wealthy_dormant")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -307,6 +307,100 @@ object Relational {
       .orderBy("o_custkey", "o_orderkey")
   }
 
+  /** TPC-H Q17 shape (correlated scalar subquery over the fact table —
+    * an optimizer surface the reference's hand-built RDD plans cannot
+    * express): revenue of lineitems whose quantity is below 20% of their
+    * part's average quantity. Declarative decorrelation: the per-part
+    * threshold is a map-side-combinable groupBy over the SAME scan, then
+    * a shuffle join back on partkey — both sides scale together, so no
+    * broadcast hint; at 100 TB the threshold table is |part| rows and
+    * AQE may still elect broadcast at runtime. Determinism: quantities
+    * are integral (TESTDATA), so sum is exact in double regardless of
+    * summation order, avg is one exact-operand division and ×0.2 one
+    * multiplication — the threshold compare is bit-identical in DuckDB. */
+  def q14SmallQtyRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice")
+    val thresh = li.groupBy("l_partkey")
+      .agg((avg(col("l_quantity")) * lit(0.2)).as("qty_limit"))
+    li.join(thresh, "l_partkey")
+      .filter(col("l_quantity") < col("qty_limit"))
+      .agg(round(sum(col("l_extendedprice")) / lit(7.0), 2).as("avg_yearly"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q18 shape (HAVING + join back to the dimensions): orders whose
+    * total quantity exceeds [[q15QtyThreshold]], with customer name and
+    * order header, top-100 by total price. The grouped sum runs FIRST
+    * (partial map-side combine shrinks the shuffle), the filter keeps
+    * only the heavy tail, and the join back touches orders/customer for
+    * that tail only. sum(l_quantity) is exact (integral doubles) → cast
+    * to long for a clean schema on both engines. */
+  val q15QtyThreshold = 220
+  def q15LargeOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables.lineitem(spark, dir)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity")).cast("long").as("sum_qty"))
+      .filter(col("sum_qty") > q15QtyThreshold)
+    Tables.orders(spark, dir)
+      .join(big, col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_name"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_name", "o_orderkey", "o_orderdate", "o_totalprice", "sum_qty")
+      .orderBy(desc("o_totalprice"), col("o_orderkey"))
+      .limit(100)
+  }
+
+  /** TPC-H Q19 shape (disjunctive OR-of-ANDs mixing both join sides —
+    * the predicate-pushdown stress case): revenue over three
+    * brand/size/quantity bands. The filter references part AND lineitem
+    * columns inside each disjunct, so it cannot move below the join
+    * whole; Catalyst's CNF extraction derives the per-side residuals
+    * (the brand/size disjunction for the part scan, the quantity range
+    * union for the lineitem scan) and pushes those — RelationalSpec
+    * asserts the derived part-side filter reaches the scan. */
+  def q16DisjunctiveParts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#3", 15, 1, 11) || band("Brand#15", 25, 10, 20) ||
+        band("Brand#24", 35, 20, 30))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** TPC-H Q22 shape (ungrouped scalar subquery + anti join): customers
+    * with above-average positive balance and no order since
+    * [[q17DormantDate]], counted per market segment. The average is a
+    * single-row frame broadcast via crossJoin (the bounded-broadcast
+    * pattern); the anti join's date filter pushes to the orders scan so
+    * the probe side shrinks before the shuffle. Determinism: balances
+    * are 2dp, so cents = round(bal×100) is an exact long, the positive
+    * subset's avg is one exact-operand division, and the compare is
+    * bit-identical in DuckDB. */
+  val q17DormantDate = "2000-01-01"
+  def q17WealthyDormant(spark: SparkSession, dir: String): DataFrame = {
+    val cust = Tables.customer(spark, dir)
+      .withColumn("cents", round(col("c_acctbal") * 100).cast("long"))
+    val avgPos = cust.filter(col("cents") > 0)
+      .agg(avg(col("cents")).as("avg_cents"))
+    val recent = Tables.orders(spark, dir)
+      .filter(col("o_orderdate") >= tsLit(q17DormantDate))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(avgPos))
+      .filter(col("cents") > col("avg_cents"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_customers"),
+        round(sum(col("c_acctbal")), 2).as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
   /** The same TPC-H Q1 block through the SQL entry point (`spark.sql`
     * over registered temp views) — exercising the parser/analyzer path
     * rather than the DataFrame DSL; plans converge to the same physical
@@ -344,7 +438,11 @@ object Relational {
     "q10_rollup_sets" -> (q10RegionNationRollup _),
     "q11_distinct_customers" -> (q11DistinctCustomers _),
     "q12_outer_anti" -> (q12OuterAnti _),
-    "q13_running_revenue" -> (q13RunningRevenue _))
+    "q13_running_revenue" -> (q13RunningRevenue _),
+    "q14_small_qty_revenue" -> (q14SmallQtyRevenue _),
+    "q15_large_orders" -> (q15LargeOrders _),
+    "q16_disjunctive_parts" -> (q16DisjunctiveParts _),
+    "q17_wealthy_dormant" -> (q17WealthyDormant _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -494,7 +592,49 @@ object Relational {
                   AS running_total
           FROM orders
           WHERE o_custkey < 100
-          ORDER BY o_custkey, o_orderkey""")
+          ORDER BY o_custkey, o_orderkey""",
+    // the oracle keeps the CORRELATED form — DuckDB decorrelates it into
+    // the same agg+join the Spark plan declares explicitly
+    "q14_small_qty_revenue" ->
+      """SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly,
+                count(*) AS n_items
+          FROM lineitem l
+          WHERE l_quantity < (
+            SELECT 0.2 * avg(l_quantity) FROM lineitem i
+            WHERE i.l_partkey = l.l_partkey)""",
+    "q15_large_orders" ->
+      s"""SELECT c_name, o_orderkey, o_orderdate, o_totalprice, sum_qty
+          FROM orders
+          JOIN (SELECT l_orderkey, cast(sum(l_quantity) AS BIGINT) AS sum_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING sum(l_quantity) > $q15QtyThreshold) big
+            ON o_orderkey = big.l_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+    "q16_disjunctive_parts" ->
+      """SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#3'
+                 AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#15'
+                 AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#24'
+                 AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+    "q17_wealthy_dormant" ->
+      s"""WITH c AS (
+            SELECT *, cast(round(c_acctbal * 100) AS BIGINT) AS cents
+            FROM customer)
+          SELECT c_mktsegment, count(*) AS n_customers,
+                 round(sum(c_acctbal), 2) AS total_bal
+          FROM c
+          WHERE cents > (SELECT avg(cents) FROM c WHERE cents > 0)
+            AND NOT EXISTS (
+              SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey
+                AND o_orderdate >= TIMESTAMP '$q17DormantDate 00:00:00')
+          GROUP BY c_mktsegment
+          ORDER BY c_mktsegment""")
 
   /** The reference's dual-format grading contract: every relational query
     * re-registered on the pipe-text path (`Tables.CsvDirPrefix`), checked

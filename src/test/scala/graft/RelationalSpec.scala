@@ -41,6 +41,74 @@ class RelationalSpec extends GraftSpec {
     assert(revs.sameElements(revs.sortBy(-_)))
   }
 
+  test("q14: below-avg-quantity revenue matches a brute recompute") {
+    // the decorrelated agg→join-back must equal the naive per-part scan
+    val rows = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_quantity", "l_extendedprice").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val lim = rows.groupBy(_._1).map { case (pk, g) =>
+      pk -> g.map(_._2).sum / g.size * 0.2
+    }
+    val expect = rows.filter { case (pk, q, _) => q < lim(pk) }
+    val got = Relational.q14SmallQtyRevenue(spark, sfDir).collect()(0)
+    assert(got.getAs[Long]("n_items") == expect.length)
+    assert(math.abs(got.getAs[Double]("avg_yearly")
+      - BigDecimal(expect.map(_._3).sum / 7.0)
+          .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble) < 0.02)
+  }
+
+  test("q15: only heavy-tail orders survive, sorted by total price") {
+    val rows = Relational.q15LargeOrders(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_.getAs[Long]("sum_qty") > Relational.q15QtyThreshold))
+    val prices = rows.map(_.getAs[Double]("o_totalprice"))
+    assert(prices.sameElements(prices.sortBy(-(_: Double))))
+    // the grouped-HAVING build side must equal the brute count of
+    // qualifying orders (capped by the limit)
+    val brute = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_quantity").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1))
+      .groupBy(_._1).count(_._2.map(_._2).sum > Relational.q15QtyThreshold)
+    assert(rows.length == math.min(100, brute))
+  }
+
+  test("q16: CNF extraction pushes per-side residuals of the OR-of-ANDs to both scans") {
+    // the disjuncts mix part and lineitem columns, so the OR cannot move
+    // below the join whole; Catalyst must still derive each side's
+    // residual disjunction and push it into the parquet scan — at 100 TB
+    // this is the difference between scanning three quantity bands and
+    // scanning all of lineitem
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val df = Relational.q16DisjunctiveParts(spark, sfDir)
+    df.write.format("noop").mode("overwrite").save()
+    val scans = physicalNodes(df).collect { case s: FileSourceScanExec => s }
+    val pushed = scans.map(s =>
+      s.metadata("Location") -> s.metadata.getOrElse("PushedFilters", ""))
+    val Some((_, partF)) = pushed.find(_._1.contains("part.parquet"))
+    val Some((_, liF)) = pushed.find(_._1.contains("lineitem.parquet"))
+    assert(partF.contains("EqualTo(p_brand,Brand#3)"), partF)
+    assert(liF.contains("l_quantity"), liF)
+  }
+
+  test("q17: dormancy is an anti join; the scalar-avg threshold matches brute") {
+    val got = Relational.q17WealthyDormant(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // brute recompute on the driver at sf0.001
+    val cust = Tables.customer(spark, sfDir)
+      .select("c_custkey", "c_acctbal", "c_mktsegment").collect()
+      .map(r => (r.getLong(0), math.round(r.getDouble(1) * 100), r.getString(2)))
+    val avg = { val pos = cust.map(_._2).filter(_ > 0); pos.sum.toDouble / pos.length }
+    val active = Tables.orders(spark, sfDir)
+      .filter(col("o_orderdate") >= to_timestamp(lit(Relational.q17DormantDate)))
+      .select("o_custkey").collect().map(_.getLong(0)).toSet
+    val expect = cust.filter(c => c._2 > avg && !active(c._1))
+      .groupBy(_._3).view.mapValues(_.size.toLong).toMap
+    assert(got == expect)
+    val plan = Relational.q17WealthyDormant(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
   test("malformed pipe-text rows degrade to nulls, not job failures (PERMISSIVE)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
     java.nio.file.Files.writeString(
