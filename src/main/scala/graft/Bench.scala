@@ -221,7 +221,13 @@ private[graft] object BenchFormat {
     //  - q17_wealthy_dormant composes q12_outer_anti's anti-join shape
     //    with a single-row broadcast scalar (the bounded crossJoin
     //    pattern) over the 1/400-scale customer table.
-    "q15_large_orders", "q16_disjunctive_parts", "q17_wealthy_dormant")
+    "q15_large_orders", "q16_disjunctive_parts", "q17_wealthy_dormant",
+    // r6i: snapshot_merge is q12_outer_anti's anti-join shape (the base
+    // side) + a CDC-local window over the small batch + the grouped
+    // rollup q4 times; key_skew_profile is two stacked hash aggregates
+    // (wordcount's shape re-aggregated into a ≤64-row histogram) —
+    // neither adds plan structure the timed set lacks.
+    "snapshot_merge", "key_skew_profile")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -890,7 +890,33 @@ object EventAnalytics {
       .orderBy("user_id", "session_start")
   }
 
+  /** Pre-flight shuffle-skew diagnostic: the log2 histogram of per-key
+    * row counts for the join/aggregation keys a pipeline is about to
+    * shuffle on. At 100 TB this tiny two-level aggregate (map-side
+    * partial → ≤64-row histogram) is what decides the salting factor
+    * and AQE skew thresholds BEFORE the expensive job runs — the repo's
+    * own salted twins (wordcount_salted, q4_nation_count_salted) pick
+    * [[Relational.joinSalts]] from exactly this shape of evidence.
+    * Bucket arithmetic is exact integer work on both engines:
+    * `length(bin(cnt)) - 1` is floor(log2) without a float log. */
+  def keySkewProfile(spark: SparkSession, dir: String): DataFrame = {
+    def profile(df: DataFrame, key: String, label: String): DataFrame =
+      df.groupBy(col(key)).agg(count(lit(1)).as("cnt"))
+        .groupBy((length(bin(col("cnt"))) - 1).cast("long").as("log2_bucket"))
+        .agg(count(lit(1)).as("n_keys"), max(col("cnt")).as("max_per_key"),
+          sum(col("cnt")).as("n_rows"))
+        .withColumn("keyspace", lit(label))
+    profile(Tables.events(spark, dir).select("user_id"),
+        "user_id", "events.user_id")
+      .unionByName(profile(
+        Tables.lineitem(spark, dir).select("l_orderkey"),
+        "l_orderkey", "lineitem.l_orderkey"))
+      .select("keyspace", "log2_bucket", "n_keys", "max_per_key", "n_rows")
+      .orderBy("keyspace", "log2_bucket")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "key_skew_profile" -> (keySkewProfile _),
     "user_sessions_stream" -> (userSessionsStream _),
     "approx_distinct_users" -> (approxDistinctUsers _),
     "value_percentiles" -> (valuePercentiles _),
@@ -940,6 +966,23 @@ object EventAnalytics {
        ORDER BY c.event_type, c.win_start"""
 
   val oracleSql: Map[String, String] = Map(
+    "key_skew_profile" ->
+      """WITH ev AS (
+           SELECT cast(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
+                  count(*) AS n_keys, max(cnt) AS max_per_key,
+                  cast(sum(cnt) AS BIGINT) AS n_rows, 'events.user_id' AS keyspace
+           FROM (SELECT user_id, count(*) AS cnt FROM events GROUP BY user_id)
+           GROUP BY 1),
+         li AS (
+           SELECT cast(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
+                  count(*) AS n_keys, max(cnt) AS max_per_key,
+                  cast(sum(cnt) AS BIGINT) AS n_rows, 'lineitem.l_orderkey' AS keyspace
+           FROM (SELECT l_orderkey, count(*) AS cnt FROM lineitem
+                 GROUP BY l_orderkey)
+           GROUP BY 1)
+         SELECT keyspace, log2_bucket, n_keys, max_per_key, n_rows
+         FROM (SELECT * FROM ev UNION ALL SELECT * FROM li)
+         ORDER BY keyspace, log2_bucket""",
     // the exact column is compared exactly; TRUE asserts the sketch's
     // 5% accuracy contract (a property oracle for the HLL estimate)
     "approx_distinct_users" ->

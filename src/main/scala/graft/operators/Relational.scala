@@ -401,6 +401,52 @@ object Relational {
       .orderBy("c_mktsegment")
   }
 
+  /** Lakehouse MERGE (CDC latest-wins upsert), the snapshot-maintenance
+    * primitive a warehouse user expects — absent from the reference,
+    * whose sinks are overwrite-only. The CDC batch is derived
+    * deterministically from the base so the oracle can rebuild it:
+    * every key ≡ 3 (mod 10) arrives updated (price +1000, status 'U'),
+    * and fresh rows arrive under negated keys (guaranteed absent from
+    * the positive base keyspace, status 'N').
+    *
+    * Plan shape — chosen for the 100 TB snapshot, not the small one: the
+    * naive MERGE (union all → row_number per key → keep latest) shuffles
+    * the ENTIRE base; here the window dedups only the CDC batch (small
+    * by nature), and the base contributes through a left_anti on the
+    * CDC keyset — which AQE turns into a broadcast anti join when the
+    * batch fits, leaving the snapshot side map-only with zero shuffle.
+    * No hint: the batch grows with SF, so the broadcast decision belongs
+    * to runtime stats. Output is the merged snapshot's per-status
+    * rollup (counts + 2dp-rounded price mass). */
+  def snapshotMerge(spark: SparkSession, dir: String): DataFrame = {
+    val cols = Seq("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority").map(col)
+    val base = Tables.orders(spark, dir).select(cols: _*)
+    val updates = base
+      .filter(pmod(col("o_orderkey"), lit(10)) === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+      .withColumn("o_orderstatus", lit("U"))
+    val inserts = base
+      .filter(pmod(col("o_orderkey"), lit(100)) === 7)
+      .withColumn("o_orderkey", -col("o_orderkey"))
+      .withColumn("o_orderstatus", lit("N"))
+    // latest-wins WITHIN the batch (CDC feeds can carry several versions
+    // of one key); the window runs over the batch alone, never the base
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy("o_orderkey").orderBy(desc("version"))
+    val batch = updates.withColumn("version", lit(2))
+      .unionByName(inserts.withColumn("version", lit(2)))
+      .withColumn("rn", row_number().over(wv))
+      .filter(col("rn") === 1).select(cols: _*)
+    base
+      .join(batch.select("o_orderkey"), Seq("o_orderkey"), "left_anti")
+      .unionByName(batch)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("total_price"))
+      .orderBy("o_orderstatus")
+  }
+
   /** The same TPC-H Q1 block through the SQL entry point (`spark.sql`
     * over registered temp views) — exercising the parser/analyzer path
     * rather than the DataFrame DSL; plans converge to the same physical
@@ -442,7 +488,8 @@ object Relational {
     "q14_small_qty_revenue" -> (q14SmallQtyRevenue _),
     "q15_large_orders" -> (q15LargeOrders _),
     "q16_disjunctive_parts" -> (q16DisjunctiveParts _),
-    "q17_wealthy_dormant" -> (q17WealthyDormant _))
+    "q17_wealthy_dormant" -> (q17WealthyDormant _),
+    "snapshot_merge" -> (snapshotMerge _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -634,7 +681,32 @@ object Relational {
               WHERE o_custkey = c_custkey
                 AND o_orderdate >= TIMESTAMP '$q17DormantDate 00:00:00')
           GROUP BY c_mktsegment
-          ORDER BY c_mktsegment""")
+          ORDER BY c_mktsegment""",
+    "snapshot_merge" ->
+      """WITH batch_all AS (
+            SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
+                   o_totalprice + 1000.0 AS o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 10 = 3
+            UNION ALL
+            SELECT -o_orderkey, o_custkey, 'N', o_totalprice,
+                   o_orderdate, o_orderpriority
+            FROM orders WHERE o_orderkey % 100 = 7),
+          batch AS (
+            SELECT * FROM (
+              SELECT *, row_number() OVER (PARTITION BY o_orderkey) AS rn
+              FROM batch_all)
+            WHERE rn = 1),
+          merged AS (
+            SELECT o_orderstatus, o_totalprice FROM orders
+            WHERE o_orderkey NOT IN (SELECT o_orderkey FROM batch)
+            UNION ALL
+            SELECT o_orderstatus, o_totalprice FROM batch)
+          SELECT o_orderstatus, count(*) AS n_orders,
+                 round(sum(o_totalprice), 2) AS total_price
+          FROM merged
+          GROUP BY o_orderstatus
+          ORDER BY o_orderstatus""")
 
   /** The reference's dual-format grading contract: every relational query
     * re-registered on the pipe-text path (`Tables.CsvDirPrefix`), checked

@@ -109,6 +109,31 @@ class RelationalSpec extends GraftSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("snapshot_merge: latest-wins upsert via anti join, base side never windowed") {
+    val base = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val nUpd = base.count(_._1 % 10 == 3)
+    val nIns = base.count(_._1 % 100 == 7)
+    val df = Relational.snapshotMerge(spark, sfDir)
+    val rows = df.collect().map(r =>
+      r.getString(0) -> (r.getAs[Long]("n_orders"), r.getAs[Double]("total_price"))).toMap
+    // updated keys all land under 'U', inserts under 'N', and the merged
+    // snapshot's cardinality is base + inserts (updates replace in place)
+    assert(rows("U")._1 == nUpd && rows("N")._1 == nIns)
+    assert(rows.values.map(_._1).sum == base.length + nIns)
+    // the price mass moved by the update is exactly +1000 per touched row
+    val total = rows.values.map(_._2).sum
+    val expect = base.map(_._3).sum + 1000.0 * nUpd +
+      base.filter(_._1 % 100 == 7).map(_._3).sum
+    assert(math.abs(total - expect) < 0.1, s"$total vs $expect")
+    // the scale contract: the base reaches the result through a LeftAnti
+    // (broadcast-able, map-only over the snapshot) — never through a
+    // window over the unioned whole
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan.take(2000))
+  }
+
   test("malformed pipe-text rows degrade to nulls, not job failures (PERMISSIVE)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
     java.nio.file.Files.writeString(

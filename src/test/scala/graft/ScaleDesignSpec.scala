@@ -743,6 +743,29 @@ class ScaleDesignSpec extends GraftSpec {
     assert(merged.filter(col("score").isNull).count() == 2)
   }
 
+  test("key_skew_profile: exact log2 histogram, conservation, bucket bounds") {
+    val rows = graft.operators.EventAnalytics.keySkewProfile(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // conservation: every profiled row is in exactly one bucket
+    val evTotal = Tables.events(spark, sfDir).count()
+    val liTotal = Tables.lineitem(spark, sfDir).count()
+    assert(rows.filter(_._1 == "events.user_id").map(_._5).sum == evTotal)
+    assert(rows.filter(_._1 == "lineitem.l_orderkey").map(_._5).sum == liTotal)
+    // bucket arithmetic: max_per_key of bucket b lies in [2^b, 2^(b+1))
+    rows.foreach { case (ks, b, nKeys, maxK, nRows) =>
+      assert(maxK >= (1L << b) && maxK < (1L << (b + 1)), s"$ks bucket $b max $maxK")
+      assert(nRows >= nKeys, "each key contributes at least one row")
+    }
+    // the diagnostic answers the salting question: the histogram's top
+    // bucket bounds the hottest key, so a planner reading it can size
+    // joinSalts without running the expensive job first
+    val hottest = rows.filter(_._1 == "events.user_id").map(_._4).max
+    val brute = Tables.events(spark, sfDir).groupBy("user_id").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(hottest == brute)
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently
