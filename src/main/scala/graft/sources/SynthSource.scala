@@ -10,7 +10,7 @@ import org.apache.spark.sql.execution.vectorized.OnHeapColumnVector
 import org.apache.spark.sql.vectorized.{ColumnVector, ColumnarBatch}
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.{NamedReference, Transform}
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, Count, CountStar, Max, Min, Sum}
 import org.apache.spark.sql.connector.read._
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, ReadLimit, SupportsTriggerAvailableNow, Offset => StreamOffset}
 import org.apache.spark.sql.sources._
@@ -106,6 +106,16 @@ object SynthSource {
       case ((l, h), EqualTo("id", v: Long))            => (math.max(l, v), math.min(h, v + 1))
       case (acc, _)                                    => acc
     }
+
+  /** One grouped-partial aggregate column: what to fold per generated id
+    * within a group. `col` is a generator column name; the fold and the
+    * partial's type are fixed per op (count → long, sum over integral
+    * columns → long, min/max → the column's type). */
+  sealed trait GroupAgg extends Serializable { def col: String }
+  case class AggCount(col: String = "") extends GroupAgg
+  case class AggSum(col: String) extends GroupAgg
+  case class AggMin(col: String) extends GroupAgg
+  case class AggMax(col: String) extends GroupAgg
 }
 
 private[sources] class SynthTable(options: CaseInsensitiveStringMap)
@@ -191,21 +201,68 @@ private[sources] class SynthScanBuilder(rows: Long, partitions: Int,
       Some(tags.flatten)
     else None
   }
+
+  /** GROUPED aggregations push PARTIALLY (supportCompletePushDown stays
+    * false): bucket/tag/score are Lehmer scatters of id, so no per-group
+    * result is closed-form — but the source CAN fold each generated
+    * slice into per-group partials during the one generation pass and
+    * emit ≤|groups| rows per partition instead of the slice's rows.
+    * Spark then merges partials (COUNT→SUM, SUM→SUM, MIN→MIN, MAX→MAX)
+    * — the JDBC-style DSv2 partial-aggregate contract. Translated:
+    * COUNT(*)/COUNT(col) (all columns are non-null), SUM over INTEGRAL
+    * columns (exact long partials; a float sum would claim an exactness
+    * the summation order cannot give), MIN/MAX of any column. Any
+    * untranslatable expression — or a DISTINCT — declines the whole
+    * push and the plan falls back to generated rows. */
+  private def groupedSpec(agg: Aggregation)
+      : Option[(Seq[String], Seq[SynthSource.GroupAgg])] = {
+    import SynthSource._
+    def refName(e: org.apache.spark.sql.connector.expressions.Expression)
+        : Option[String] = e match {
+      case f: NamedReference if f.fieldNames.length == 1 &&
+        schema.fieldNames.contains(f.fieldNames()(0)) => Some(f.fieldNames()(0))
+      case _ => None
+    }
+    val integral = Set("id", "bucket", "score")
+    val groups = agg.groupByExpressions.toSeq.map(refName)
+    if (groups.isEmpty || groups.exists(_.isEmpty)) return None
+    val aggs = agg.aggregateExpressions.toSeq.map {
+      case _: CountStar => Some(AggCount())
+      case c: Count if !c.isDistinct => refName(c.column).map(_ => AggCount())
+      case s: Sum if !s.isDistinct =>
+        refName(s.column).filter(integral).map(AggSum)
+      case m: Min => refName(m.column).map(AggMin)
+      case m: Max => refName(m.column).map(AggMax)
+      case _ => None
+    }
+    if (aggs.nonEmpty && aggs.forall(_.isDefined))
+      Some((groups.flatten, aggs.flatten))
+    else None
+  }
+
+  private var pushedGrouped: Option[(Seq[String], Seq[SynthSource.GroupAgg])] = None
+
   override def supportCompletePushDown(agg: Aggregation): Boolean =
     aggTags(agg).isDefined
   override def pushAggregation(agg: Aggregation): Boolean =
     aggTags(agg) match {
       case Some(tags) => pushedAgg = tags; true
-      case None       => false
+      case None =>
+        groupedSpec(agg) match {
+          case Some(spec) => pushedGrouped = Some(spec); true
+          case None       => false
+        }
     }
 
   override def build(): Scan =
-    new SynthScan(rows, partitions, rowsPerBatch, required, pushed, limit, pushedAgg)
+    new SynthScan(rows, partitions, rowsPerBatch, required, pushed, limit,
+      pushedAgg, pushedGrouped)
 }
 
 private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long,
                                  required: StructType, pushed: Array[Filter],
-                                 limit: Long, pushedAgg: Seq[String])
+                                 limit: Long, pushedAgg: Seq[String],
+                                 grouped: Option[(Seq[String], Seq[SynthSource.GroupAgg])] = None)
     extends Scan with Batch with SupportsReportStatistics {
   private val (lo, hi) = {
     val (l, h) = SynthSource.prune(0L, rows, pushed.toSeq)
@@ -215,33 +272,61 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
   /** With a completely pushed aggregation the scan's schema IS the
     * aggregate output (one LongType per entry — Spark asserts the
     * column count and binds by position; min/max are nullable for the
-    * empty-interval case), not the pruned row schema. */
+    * empty-interval case), not the pruned row schema. A grouped partial
+    * push emits the group columns (their table types) followed by one
+    * partial per aggregate: counts and integral sums as long, min/max
+    * as the folded column's type — the positional contract Spark's
+    * partial-merge rewrite binds to. */
   override def readSchema(): StructType =
     if (pushedAgg.nonEmpty)
       StructType(pushedAgg.zipWithIndex.map { case (tag, i) =>
         StructField(s"${tag}_$i", LongType, nullable = tag != "count")
       })
-    else required
+    else grouped match {
+      case Some((groups, aggs)) =>
+        import SynthSource._
+        val table = SynthSource.schema
+        StructType(
+          groups.map(g => table(table.fieldIndex(g)).copy(nullable = false)) ++
+            aggs.zipWithIndex.map {
+              case (AggCount(_), i) => StructField(s"count_$i", LongType, nullable = false)
+              case (AggSum(_), i)   => StructField(s"sum_$i", LongType, nullable = false)
+              case (a @ (AggMin(_) | AggMax(_)), i) =>
+                StructField(s"mm_$i", table(table.fieldIndex(a.col)).dataType,
+                  nullable = false)
+            })
+      case None => required
+    }
   override def toBatch: Batch = this
   override def description(): String = {
     val f = pushed.map(_.toString).mkString(", ")
     val agg = if (pushedAgg.nonEmpty) s" agg=${pushedAgg.mkString(",")}" else ""
-    s"graft-synth rows=$rows range=[$lo,$hi)$agg PushedFilters: [$f]"
+    val gagg = grouped.fold("") { case (g, as) =>
+      s" groupedAgg=[${g.mkString(",")}][${as.map(_.getClass.getSimpleName).mkString(",")}]"
+    }
+    s"graft-synth rows=$rows range=[$lo,$hi)$agg$gagg PushedFilters: [$f]"
   }
 
   /** Slice the PRUNED interval by the configured width (rows/partitions
     * of the unpruned table), so pruning drops whole slices instead of
     * re-spreading a narrow interval across all of them. A completely
     * pushed COUNT(*) needs no generation at all: one partition, one
-    * precomputed row. */
+    * precomputed row. A grouped partial push keeps the slices (the
+    * generation pass is still O(interval)) but each slice emits its
+    * per-group partials — ≤|groups| rows — instead of its rows. */
   override def planInputPartitions(): Array[InputPartition] =
     if (pushedAgg.nonEmpty) Array(SynthAggPartition(lo, hi, pushedAgg))
     else {
       val width = math.max(1L, (rows + partitions - 1) / partitions)
-      Iterator.range(0, partitions)
+      val slices = Iterator.range(0, partitions)
         .map(i => (math.max(lo, i * width), math.min(hi, (i + 1) * width)))
-        .collect { case (l, h) if l < h => SynthPartition(l, h): InputPartition }
-        .toArray
+        .filter { case (l, h) => l < h }
+      grouped match {
+        case Some((groups, aggs)) =>
+          slices.map(s => SynthGroupAggPartition(s._1, s._2, groups, aggs): InputPartition).toArray
+        case None =>
+          slices.map(s => SynthPartition(s._1, s._2): InputPartition).toArray
+      }
     }
   override def createReaderFactory(): PartitionReaderFactory =
     new SynthReaderFactory(required)
@@ -269,6 +354,8 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
 private[sources] case class SynthPartition(lo: Long, hi: Long) extends InputPartition
 private[sources] case class SynthAggPartition(lo: Long, hi: Long,
                                               tags: Seq[String]) extends InputPartition
+private[sources] case class SynthGroupAggPartition(lo: Long, hi: Long,
+    groups: Seq[String], aggs: Seq[SynthSource.GroupAgg]) extends InputPartition
 
 private[sources] case class SynthOffset(pos: Long) extends StreamOffset {
   override def json(): String = pos.toString
@@ -341,8 +428,88 @@ private[sources] class SynthReaderFactory(required: StructType)
         }
         override def close(): Unit = ()
       }
+      case p: SynthGroupAggPartition => groupAggReader(p)
       case p: SynthPartition => rowReader(p)
     }
+
+  /** Grouped-partial reader: ONE generation pass over the slice folding
+    * into a per-group state table (bounded by the group-domain product —
+    * ≤ 100 buckets × 7 tags for the widest registered key), then emit
+    * one row per observed group: group values first, partials after, in
+    * [[SynthScan.readSchema]]'s positional order. Exactness: counts and
+    * integral sums are long arithmetic; min/max are order-insensitive —
+    * nothing here depends on fold order, so partial-merge on the Spark
+    * side reproduces the unpushed plan bit-for-bit. */
+  private def groupAggReader(p: SynthGroupAggPartition): PartitionReader[InternalRow] = {
+    import SynthSource._
+    val gen: String => Long => Any = {
+      case "id"     => id => id
+      case "bucket" => id => (mix(id) % 100).toInt
+      case "score"  => id => (mix(id) % 1000).toInt
+      case "value"  => id => mix(id).toDouble / M
+      case "tag"    => id => "t" + (mix(id) % 7)
+      case other    => throw new IllegalArgumentException(s"unknown column $other")
+    }
+    val groupGens = p.groups.map(gen).toArray
+    val aggCols = p.aggs.map(a => if (a.col.isEmpty) (_: Long) => null else gen(a.col)).toArray
+    val aggSpecs = p.aggs.toArray
+    new PartitionReader[InternalRow] {
+      private var it: Iterator[InternalRow] = _
+      private def fold(): Iterator[InternalRow] = {
+        val state = new java.util.LinkedHashMap[Seq[Any], Array[Any]]()
+        var id = p.lo
+        while (id < p.hi) {
+          val key: Seq[Any] = groupGens.map(g => g(id)).toSeq
+          var st = state.get(key)
+          if (st == null) { st = new Array[Any](aggSpecs.length); state.put(key, st) }
+          var i = 0
+          while (i < aggSpecs.length) {
+            val v = aggCols(i)(id)
+            st(i) = (aggSpecs(i), st(i)) match {
+              case (AggCount(_), null) => 1L
+              case (AggCount(_), c)    => c.asInstanceOf[Long] + 1L
+              case (AggSum(_), acc) =>
+                val x = v match { case n: Int => n.toLong; case n: Long => n }
+                (if (acc == null) 0L else acc.asInstanceOf[Long]) + x
+              case (AggMin(_), null) => v
+              case (AggMin(_), acc)  => minOf(acc, v)
+              case (AggMax(_), null) => v
+              case (AggMax(_), acc)  => maxOf(acc, v)
+            }
+            i += 1
+          }
+          id += 1
+        }
+        state.entrySet().iterator().asScala.map { e =>
+          val vals = (e.getKey ++ e.getValue.toSeq).map {
+            case s: String => UTF8String.fromString(s)
+            case other     => other
+          }
+          new GenericInternalRow(vals.toArray): InternalRow
+        }
+      }
+      private def minOf(a: Any, b: Any): Any = (a, b) match {
+        case (x: Int, y: Int)       => math.min(x, y)
+        case (x: Long, y: Long)     => math.min(x, y)
+        case (x: Double, y: Double) => math.min(x, y)
+        case (x: String, y: String) => if (x <= y) x else y
+        case _ => throw new IllegalStateException(s"min over ${a.getClass}")
+      }
+      private def maxOf(a: Any, b: Any): Any = (a, b) match {
+        case (x: Int, y: Int)       => math.max(x, y)
+        case (x: Long, y: Long)     => math.max(x, y)
+        case (x: Double, y: Double) => math.max(x, y)
+        case (x: String, y: String) => if (x >= y) x else y
+        case _ => throw new IllegalStateException(s"max over ${a.getClass}")
+      }
+      override def next(): Boolean = {
+        if (it == null) it = fold()
+        it.hasNext
+      }
+      override def get(): InternalRow = it.next()
+      override def close(): Unit = ()
+    }
+  }
 
   private val batchSize = 4096
 

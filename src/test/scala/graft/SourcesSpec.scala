@@ -170,6 +170,47 @@ class SourcesSpec extends GraftSpec {
     assert(got.agg(sum("score")).collect().head.getLong(0) == batch)
   }
 
+  test("grouped partial aggregate pushdown: scan emits per-group partials") {
+    // the JDBC-style DSv2 contract: GROUP BY bucket,tag folds inside the
+    // generation pass and the scan ships ≤ |groups|×|slices| partial
+    // rows instead of the interval's rows; Spark merges (COUNT is
+    // rewritten to SUM over the pushed counts)
+    val df = synth(50000, 8)
+      .groupBy("bucket", "tag")
+      .agg(count(lit(1)).as("cnt"), sum("score").as("s"),
+        min("value").as("mn"), max("value").as("mx"))
+    val scan = scanOf(df)
+    assert(scan.toString.contains("groupedAgg=[bucket,tag]"), scan.toString)
+    // the scan's output is the partial schema, not generated rows
+    assert(scan.schema.fieldNames.toSeq ==
+      Seq("bucket", "tag", "count_0", "sum_1", "mm_2", "mm_3"))
+    // partial-merge reproduces the brute per-group values exactly
+    val got = df.orderBy("bucket", "tag").collect()
+    assert(got.length == 700)
+    val brute = (0L until 50000L).map(_ * 48271L % 2147483647L)
+      .groupBy(x => ((x % 100).toInt, "t" + (x % 7)))
+    got.foreach { r =>
+      val g = brute((r.getInt(0), r.getString(1)))
+      assert(r.getLong(2) == g.size)
+      assert(r.getLong(3) == g.map(x => (x % 1000)).sum)
+      assert(r.getDouble(4) == g.map(_.toDouble / 2147483647L).min)
+      assert(r.getDouble(5) == g.map(_.toDouble / 2147483647L).max)
+    }
+  }
+
+  test("grouped pushdown declines float sums and distincts; results stay exact") {
+    // a double SUM's value depends on fold order, so the source refuses
+    // to claim it — the whole push declines and the plan aggregates
+    // generated rows as usual
+    val dbl = synth(10000, 4).groupBy("bucket").agg(sum("value").as("sv"))
+    assert(!scanOf(dbl).toString.contains("groupedAgg"), scanOf(dbl).toString)
+    assert(dbl.count() == 100)
+    val dist = synth(10000, 4).groupBy("bucket")
+      .agg(countDistinct("tag").as("nt"))
+    assert(!scanOf(dist).toString.contains("groupedAgg"))
+    assert(dist.collect().forall(_.getLong(1) == 7))
+  }
+
   test("the registered aggregate matches a driver-side brute recompute") {
     val got = graft.sources.Synthetic.synthBucketAgg(spark, sfDir).collect()
     val brute = (0L until graft.sources.Synthetic.idCap)
