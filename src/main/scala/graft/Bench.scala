@@ -227,7 +227,12 @@ private[graft] object BenchFormat {
     // rollup q4 times; key_skew_profile is two stacked hash aggregates
     // (wordcount's shape re-aggregated into a ≤64-row histogram) —
     // neither adds plan structure the timed set lacks.
-    "snapshot_merge", "key_skew_profile")
+    "snapshot_merge", "key_skew_profile",
+    // events_anomaly is the hourly pre-aggregate every timed event query
+    // prices + one WindowExec pass (q13_running_revenue's physical
+    // operator; the sliding frame changes the frame spec, not the
+    // operator) over a ≤|types|×|hours| table
+    "events_anomaly")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -915,7 +915,40 @@ object EventAnalytics {
       .orderBy("keyspace", "log2_bucket")
   }
 
+  /** Rolling-baseline anomaly detection — the monitoring-pipeline staple
+    * over any metric stream: each (event_type, hour)'s count is tested
+    * against its own trailing 24-hour baseline with a 3σ rule. The
+    * sliding frame (ROWS 24 PRECEDING..1 PRECEDING — a frame shape no
+    * other registered window uses; q13 is cumulative-unbounded) carries
+    * exact integer sums Σx and Σx², and the σ test is the integer
+    * inequality (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — algebraically
+    * (x − μ)² > (3σ)² with both sides scaled by n², so the flag is
+    * hash-exact across engines with NO float at the decision boundary.
+    * Domain bound (documented, not hidden): per-cell counts up to ~6×10⁸
+    * keep the squared term inside Long; a 100 TB deployment over hotter
+    * cells switches the comparison to double, where 1e-15 ulp noise is
+    * meaningless against a 3σ margin. Rows with fewer than 12 baseline
+    * hours report false (no baseline, no claim). */
+  def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.events(spark, dir)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
+      .agg(count(lit(1)).as("cnt"))
+    val fr = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    hourly
+      .withColumn("n", count(lit(1)).over(fr))
+      .withColumn("sx", sum(col("cnt")).over(fr))
+      .withColumn("sxx", sum(col("cnt") * col("cnt")).over(fr))
+      .select(col("event_type"), col("hour"), col("cnt"),
+        (col("n") >= 12 &&
+          (col("n") * col("cnt") - col("sx")) * (col("n") * col("cnt") - col("sx")) >
+            lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+          .as("is_anomaly"))
+      .orderBy("event_type", "hour")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "events_anomaly" -> (eventsAnomaly _),
     "key_skew_profile" -> (keySkewProfile _),
     "user_sessions_stream" -> (userSessionsStream _),
     "approx_distinct_users" -> (approxDistinctUsers _),
@@ -966,6 +999,23 @@ object EventAnalytics {
        ORDER BY c.event_type, c.win_start"""
 
   val oracleSql: Map[String, String] = Map(
+    "events_anomaly" ->
+      """WITH hourly AS (
+           SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+           FROM events GROUP BY 1, 2),
+         w AS (
+           SELECT event_type, hour, cnt,
+                  count(*) OVER fr AS n,
+                  cast(sum(cnt) OVER fr AS BIGINT) AS sx,
+                  cast(sum(cnt * cnt) OVER fr AS BIGINT) AS sxx
+           FROM hourly
+           WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+         SELECT event_type, hour, cnt,
+                (n >= 12 AND
+                 (n * cnt - sx) * (n * cnt - sx) > 9 * (n * sxx - sx * sx))
+                  AS is_anomaly
+         FROM w ORDER BY event_type, hour""",
     "key_skew_profile" ->
       """WITH ev AS (
            SELECT cast(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,

@@ -766,6 +766,32 @@ class ScaleDesignSpec extends GraftSpec {
     assert(hottest == brute)
   }
 
+  test("events_anomaly: integer 3-sigma test agrees with a float brute recompute") {
+    val rows = graft.operators.EventAnalytics.eventsAnomaly(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.get(1).toString, r.getLong(2), r.getBoolean(3)))
+    assert(rows.nonEmpty)
+    // brute: trailing-24 baseline in plain double arithmetic per type
+    val byType = rows.groupBy(_._1)
+    byType.values.foreach { seq =>
+      val s = seq.sortBy(_._2)
+      s.indices.foreach { i =>
+        val base = s.slice(math.max(0, i - 24), i).map(_._3.toDouble)
+        val expected = base.length >= 12 && {
+          val mean = base.sum / base.length
+          val varr = base.map(x => (x - mean) * (x - mean)).sum / base.length
+          val d = s(i)._3 - mean
+          d * d > 9.0 * varr
+        }
+        assert(s(i)._4 == expected,
+          s"${s(i)._1} ${s(i)._2}: flag ${s(i)._4} vs brute $expected")
+      }
+    }
+    // the flag must do real work on this data: some true, most false
+    val nTrue = rows.count(_._4)
+    assert(nTrue > 0 && nTrue < rows.length / 2, s"$nTrue of ${rows.length}")
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently
