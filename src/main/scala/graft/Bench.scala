@@ -232,7 +232,11 @@ private[graft] object BenchFormat {
     // prices + one WindowExec pass (q13_running_revenue's physical
     // operator; the sliding frame changes the frame spec, not the
     // operator) over a ≤|types|×|hours| table
-    "events_anomaly")
+    "events_anomaly",
+    // interval_join_outer re-runs the timed interval_join_errors inner
+    // pipeline and adds a left_anti on the matched keyset (the shape
+    // q12_outer_anti times)
+    "interval_join_outer")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -109,7 +109,8 @@ object EventAnalytics {
     * joining on (user, bucket ± 1) turns the inequality join into an
     * equi-join + residual filter — the scale path; a bare inequality
     * condition would fall back to a nested-loop join. */
-  def intervalJoinErrors(spark: SparkSession, dir: String): DataFrame = {
+  private def intervalJoinParts(spark: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
     val intervalSec = 300L
     val ev = Tables.events(spark, dir)
     val purchases = ev.filter(col("event_type") === "purchase")
@@ -118,14 +119,34 @@ object EventAnalytics {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("event_id").as("error_id"), col("user_id"), col("ts").as("e_ts"))
       .withColumn("e_bucket", (unix_timestamp(col("e_ts").cast("timestamp")) / intervalSec).cast("long"))
-    purchases
+    val inner = purchases
       .withColumn("probe_bucket", explode(array(col("bucket") - 1, col("bucket"))))
       .join(errors, col("probe_bucket") === col("e_bucket") &&
         purchases("user_id") === errors("user_id"))
       .filter(col("e_ts") <= col("p_ts") &&
         col("e_ts") > col("p_ts") - expr(s"INTERVAL $intervalSec SECONDS"))
       .select(col("purchase_id"), col("error_id"), purchases("user_id"))
-      .orderBy("purchase_id", "error_id")
+    (purchases, inner)
+  }
+
+  def intervalJoinErrors(spark: SparkSession, dir: String): DataFrame =
+    intervalJoinParts(spark, dir)._2.orderBy("purchase_id", "error_id")
+
+  /** LEFT OUTER interval join: every purchase appears, unmatched ones
+    * with a null error_id. A naive left-outer over the bucket-exploded
+    * probe side would fabricate one null row per probe bucket, so the
+    * outer shape is inner ∪ (purchases left_anti matched) — the
+    * equi-join scale path is preserved and the anti join runs on the
+    * already-tiny matched keyset. An unmatched purchase has exactly one
+    * (null) row, so no ordering tie between null and a real error_id
+    * can exist within a purchase_id. */
+  def intervalJoinOuter(spark: SparkSession, dir: String): DataFrame = {
+    val (purchases, inner) = intervalJoinParts(spark, dir)
+    val unmatched = purchases
+      .join(inner.select("purchase_id").distinct(), Seq("purchase_id"), "left_anti")
+      .select(col("purchase_id"), lit(null).cast("long").as("error_id"),
+        col("user_id"))
+    inner.unionByName(unmatched).orderBy("purchase_id", "error_id")
   }
 
   /** Sliding (not just tumbling) window — beyond the reference, which
@@ -964,6 +985,7 @@ object EventAnalytics {
     "user_set_ops" -> (userSetOps _),
     "first_touch_stream" -> (firstTouchStream _),
     "interval_join_errors" -> (intervalJoinErrors _),
+    "interval_join_outer" -> (intervalJoinOuter _),
     "interval_join_stream" -> (intervalJoinStream _),
     "events_enrich_stream" -> (eventsEnrichStream _),
     "event_count_hourly_incremental" -> (eventCountHourlyIncremental _),
@@ -1060,6 +1082,14 @@ object EventAnalytics {
          JOIN events e
            ON p.event_type = 'purchase' AND e.event_type = 'error'
           AND e.user_id = p.user_id
+          AND e.ts <= p.ts
+          AND e.ts > p.ts - INTERVAL '300 seconds'
+         ORDER BY purchase_id, error_id""",
+    "interval_join_outer" ->
+      """SELECT p.event_id AS purchase_id, e.event_id AS error_id, p.user_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+         LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+           ON e.user_id = p.user_id
           AND e.ts <= p.ts
           AND e.ts > p.ts - INTERVAL '300 seconds'
          ORDER BY purchase_id, error_id""",

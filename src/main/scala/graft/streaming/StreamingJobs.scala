@@ -68,6 +68,32 @@ object StreamingJobs {
       .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
   }
 
+  /** LEFT OUTER stream-stream interval join — the semantics inner joins
+    * dodge: an unmatched purchase cannot emit when it arrives (a match
+    * may still come), so the state store holds it until the ERROR-side
+    * watermark passes its join horizon and only THEN emits the
+    * null-padded row. The null is therefore a watermark-gated promise,
+    * not a per-batch miss — StreamingSpec drives this: the unmatched
+    * row is absent right after its batch and appears exactly once after
+    * a later batch advances the watermark. Same both-sided watermarks +
+    * time-bound condition as the inner form (they are what make outer
+    * emission decidable at all). */
+  def streamIntervalJoinOuter(purchases: DataFrame, errors: DataFrame): DataFrame = {
+    val p = purchases
+      .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
+        col("ts").cast("timestamp").as("p_ts"))
+      .withWatermark("p_ts", "10 minutes")
+    val e = errors
+      .select(col("event_id").as("error_id"), col("user_id").as("e_user"),
+        col("ts").cast("timestamp").as("e_ts"))
+      .withWatermark("e_ts", "10 minutes")
+    p.join(e, expr(
+      """p_user = e_user AND
+         e_ts <= p_ts AND
+         e_ts > p_ts - INTERVAL 300 SECONDS"""), "left_outer")
+      .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
+  }
+
   /** Streaming exact dedup — the ingest-side form of the batch
     * `Dedup.dedupExact`: drop re-crawled duplicate documents AS THEY
     * ARRIVE. The dedup key is the same md5 over whitespace-normalized

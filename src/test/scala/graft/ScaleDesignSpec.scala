@@ -792,6 +792,30 @@ class ScaleDesignSpec extends GraftSpec {
     assert(nTrue > 0 && nTrue < rows.length / 2, s"$nTrue of ${rows.length}")
   }
 
+  test("dynamic partition overwrite rewrites only the written partitions") {
+    // the backfill contract at 100 TB: re-running one day/type must not
+    // truncate the other thousand partitions (static overwrite mode —
+    // the default — drops ALL partitions first; one backfill job would
+    // erase the table). Pin the dynamic mode end-to-end.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dpo").toString + "/t"
+    val ev = Tables.events(spark, sfDir).select("event_id", "event_type")
+    ev.write.partitionBy("event_type").parquet(tmp)
+    val before = spark.read.parquet(tmp).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+    try {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      // backfill ONE partition with a halved slice of its rows
+      ev.filter(col("event_type") === "error" && col("event_id") % 2 === 0)
+        .write.mode("overwrite").partitionBy("event_type").parquet(tmp)
+    } finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    val after = spark.read.parquet(tmp).groupBy("event_type").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after.keySet == before.keySet, "untouched partitions must survive")
+    assert(after("error") < before("error"), "the written partition is replaced")
+    (before.keySet - "error").foreach(t => assert(after(t) == before(t), t))
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently

@@ -68,6 +68,51 @@ class StreamingSpec extends GraftSpec {
     assert(got == want, s"stream $got vs batch $want")
   }
 
+  test("left-outer stream-stream join: null rows are watermark-gated, emitted once") {
+    // the semantics inner joins dodge: an unmatched purchase must NOT
+    // emit in its own batch (a match may still arrive) and MUST emit
+    // null-padded exactly once after the watermark passes its horizon
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val eIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(ms: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      ms.toDF.toDF("event_id", "user_id", "ts")
+    val qn = "ssj_outer_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = StreamingJobs.streamIntervalJoinOuter(df(pIn), df(eIn))
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    try {
+      // batch 1: purchase 1 matches error 100; purchase 2 has no match
+      pIn.addData((1L, 1L, t("10:00:00")), (2L, 2L, t("10:00:00")))
+      eIn.addData((100L, 1L, t("09:58:00")))
+      q.processAllAvailable()
+      val after1 = spark.table(qn).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSet
+      assert(after1.contains((1L, Some(100L))), s"matched row missing: $after1")
+      assert(!after1.exists(_._1 == 2L),
+        "unmatched purchase emitted before its watermark horizon")
+      // batch 2 advances both watermarks past purchase 2's horizon
+      // (10:00 + 5 min interval < 10:30 − 10 min delay)
+      pIn.addData((3L, 9L, t("10:30:00")))
+      eIn.addData((101L, 8L, t("10:30:00")))
+      q.processAllAvailable()
+      // batch 3: any further data lets the evicting batch run
+      pIn.addData((4L, 9L, t("11:30:00")))
+      eIn.addData((102L, 8L, t("11:30:00")))
+      q.processAllAvailable()
+      val rows = spark.table(qn).collect()
+        .map(r => (r.getLong(0), Option(r.get(1)))).toSeq
+      assert(rows.count(_ == (2L, None)) == 1,
+        s"null-padded row must appear exactly once: $rows")
+      // purchase 3 (no same-user error) is past the watermark too
+      assert(rows.count(_ == (3L, None)) == 1, rows.toString)
+      // batch 3's own purchase is still pending — no premature null
+      assert(!rows.exists(_._1 == 4L), rows.toString)
+    } finally q.stop()
+  }
+
   test("registered interval_join_stream: batch-row parity + bounded join state") {
     // the registered replay drives the SAME dataflow as the file-source
     // test above, but in six time-ordered micro-batches — so the
