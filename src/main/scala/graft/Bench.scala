@@ -236,7 +236,10 @@ private[graft] object BenchFormat {
     // interval_join_outer re-runs the timed interval_join_errors inner
     // pipeline and adds a left_anti on the matched keyset (the shape
     // q12_outer_anti times)
-    "interval_join_outer")
+    "interval_join_outer",
+    // dq_audit is two single-pass conditional aggregates (q6's multi-
+    // aggregate scan shape) + the left_anti count q12 times
+    "dq_audit")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -447,6 +447,54 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** Data-quality audit (the Deequ-style expectation surface): declared
+    * constraints checked as data, not assumptions — the pre-flight every
+    * 100 TB ingest runs before downstream jobs trust a feed. Plan shape
+    * is the cheapest possible: ALL row-local constraints fold into ONE
+    * conditional-aggregation pass over each table (a single scan emits
+    * every violation counter; `stack` reshapes the 1-row result), and
+    * the one cross-table constraint — referential integrity — is a
+    * left_anti count, the shape that broadcasts when the key side fits.
+    * Output: one row per constraint with checked/violation counts and
+    * the verdict, so a scheduler can gate on `bool_and(pass)`. */
+  def dqAudit(spark: SparkSession, dir: String): DataFrame = {
+    def viol(c: org.apache.spark.sql.Column) = sum(when(c, 0L).otherwise(1L))
+    val li = Tables.lineitem(spark, dir)
+    val liChecks = li.agg(
+      count(lit(1)).as("n"),
+      viol(col("l_quantity").between(1, 50)).as("v1"),
+      viol(col("l_discount").between(0.0, 1.0)).as("v2"),
+      viol(col("l_extendedprice") > 0).as("v3"),
+      viol(col("l_shipdate").isNotNull).as("v4"))
+      .selectExpr(
+        """stack(4,
+             'lineitem.quantity_in_1_50', n, v1,
+             'lineitem.discount_in_0_1', n, v2,
+             'lineitem.extendedprice_positive', n, v3,
+             'lineitem.shipdate_not_null', n, v4)
+           AS (check_name, n_checked, n_violations)""")
+    val ord = Tables.orders(spark, dir)
+    val ordChecks = ord.agg(
+      count(lit(1)).as("n"),
+      viol(col("o_totalprice") > 0).as("v1"),
+      viol(col("o_orderdate").isNotNull).as("v2"))
+      .selectExpr(
+        """stack(2,
+             'orders.totalprice_positive', n, v1,
+             'orders.orderdate_not_null', n, v2)
+           AS (check_name, n_checked, n_violations)""")
+    val fk = li.select("l_orderkey")
+      .join(ord.select("o_orderkey"),
+        col("l_orderkey") === col("o_orderkey"), "left_anti")
+      .agg(count(lit(1)).as("orphans"))
+      .crossJoin(li.agg(count(lit(1)).as("n")))
+      .select(lit("lineitem.orderkey_fk_orders").as("check_name"),
+        col("n").as("n_checked"), col("orphans").as("n_violations"))
+    liChecks.unionByName(ordChecks).unionByName(fk)
+      .withColumn("pass", col("n_violations") === 0)
+      .orderBy("check_name")
+  }
+
   /** The same TPC-H Q1 block through the SQL entry point (`spark.sql`
     * over registered temp views) — exercising the parser/analyzer path
     * rather than the DataFrame DSL; plans converge to the same physical
@@ -489,7 +537,8 @@ object Relational {
     "q15_large_orders" -> (q15LargeOrders _),
     "q16_disjunctive_parts" -> (q16DisjunctiveParts _),
     "q17_wealthy_dormant" -> (q17WealthyDormant _),
-    "snapshot_merge" -> (snapshotMerge _))
+    "snapshot_merge" -> (snapshotMerge _),
+    "dq_audit" -> (dqAudit _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -706,7 +755,36 @@ object Relational {
                  round(sum(o_totalprice), 2) AS total_price
           FROM merged
           GROUP BY o_orderstatus
-          ORDER BY o_orderstatus""")
+          ORDER BY o_orderstatus""",
+    "dq_audit" ->
+      """WITH li AS (
+            SELECT count(*) AS n,
+              cast(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+              cast(sum(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
+              cast(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+              cast(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v4
+            FROM lineitem),
+          ord AS (
+            SELECT count(*) AS n,
+              cast(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
+              cast(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v2
+            FROM orders),
+          fk AS (
+            SELECT (SELECT count(*) FROM lineitem) AS n,
+                   (SELECT count(*) FROM lineitem
+                    WHERE NOT EXISTS (SELECT 1 FROM orders
+                                      WHERE o_orderkey = l_orderkey)) AS orphans),
+          rows_out AS (
+            SELECT 'lineitem.quantity_in_1_50' AS check_name, n AS n_checked, v1 AS n_violations FROM li
+            UNION ALL SELECT 'lineitem.discount_in_0_1', n, v2 FROM li
+            UNION ALL SELECT 'lineitem.extendedprice_positive', n, v3 FROM li
+            UNION ALL SELECT 'lineitem.shipdate_not_null', n, v4 FROM li
+            UNION ALL SELECT 'orders.totalprice_positive', n, v1 FROM ord
+            UNION ALL SELECT 'orders.orderdate_not_null', n, v2 FROM ord
+            UNION ALL SELECT 'lineitem.orderkey_fk_orders', n, orphans FROM fk)
+          SELECT check_name, n_checked, n_violations,
+                 n_violations = 0 AS pass
+          FROM rows_out ORDER BY check_name""")
 
   /** The reference's dual-format grading contract: every relational query
     * re-registered on the pipe-text path (`Tables.CsvDirPrefix`), checked

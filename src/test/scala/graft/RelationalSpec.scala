@@ -134,6 +134,29 @@ class RelationalSpec extends GraftSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("dq_audit: engineered violations are counted and attributed") {
+    // the audit must CATCH bad data, not just bless clean data: doctor a
+    // copy of the tables with one violation per constraint class and
+    // assert each lands under exactly its own check
+    val tmp = java.nio.file.Files.createTempDirectory("graft-dq").toString
+    val base = Tables.lineitem(spark, sfDir).limit(100)
+    val badQty = base.limit(1).withColumn("l_quantity", lit(99.0))
+    val badPrice = base.limit(1).withColumn("l_extendedprice", lit(-5.0))
+    val orphan = base.limit(1).withColumn("l_orderkey", lit(-999L))
+    base.unionByName(badQty).unionByName(badPrice).unionByName(orphan)
+      .write.parquet(s"$tmp/lineitem.parquet")
+    Tables.load(spark, sfDir, "orders").write.parquet(s"$tmp/orders.parquet")
+    val got = Relational.dqAudit(spark, tmp).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(got("lineitem.quantity_in_1_50") == ((103L, 1L, false)))
+    assert(got("lineitem.extendedprice_positive") == ((103L, 1L, false)))
+    assert(got("lineitem.orderkey_fk_orders") == ((103L, 1L, false)))
+    assert(got("lineitem.shipdate_not_null")._3, "clean constraint must pass")
+    assert(got("orders.totalprice_positive")._3)
+    // the scheduler gate: bool_and over the verdict column
+    assert(!got.values.forall(_._3), "the audit must fail overall on bad data")
+  }
+
   test("malformed pipe-text rows degrade to nulls, not job failures (PERMISSIVE)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-badcsv").toString
     java.nio.file.Files.writeString(
