@@ -56,9 +56,13 @@ private[graft] object BenchFormat {
   // whose cost is micro-batch orchestration of workloads the bench
   // already times (interval_join_errors / event_count_hourly /
   // first_touch)
+  // mv_hourly_rewrite (r6i) is a driver-mediated demonstration harness:
+  // it registers/clears the MV around an eventCountHourly run and
+  // returns collected rows — its cost is the MV build plus a workload
+  // the bench already times
   val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql",
     "interval_join_stream", "event_count_hourly_incremental",
-    "first_touch_stream")
+    "first_touch_stream", "mv_hourly_rewrite")
 
   /** The family-build metrics the bench times alongside the queries —
     * valid subsumers for [[subsumedTwins]]. */

@@ -76,12 +76,53 @@ object EventAnalytics {
       .orderBy("event_type", "hour_start")
   }
 
-  def eventCountHourly(spark: SparkSession, dir: String): DataFrame =
+  /** The UNORDERED hourly-count definition — the registrable
+    * materialized-view form (a table, not a result list); the registered
+    * query adds the ORDER BY above it. */
+  def eventCountHourlyDef(spark: SparkSession, dir: String): DataFrame =
     Tables.events(spark, dir)
       .groupBy(window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("cnt"))
       .select(col("w.start").as("hour_start"), col("cnt"))
-      .orderBy("hour_start")
+
+  def eventCountHourly(spark: SparkSession, dir: String): DataFrame =
+    eventCountHourlyDef(spark, dir).orderBy("hour_start")
+
+  /** The transparent MV rewrite ([[graft.plans.MVRewrite]]) driven as a
+    * registered, oracle-checked query: register the hourly-count
+    * definition as a materialized view, run the UNCHANGED
+    * [[eventCountHourly]] query, and return its rows — which now come
+    * from the materialization, not the events scan. The `require` makes
+    * the query fail loudly if the rewrite ever stops engaging (a
+    * registered query that silently tested the ordinary path would be
+    * worse than no query). The collect is bounded by the feed's hourly
+    * grid (≤ |hours| rows — time-bounded, not sf-bounded, the
+    * events_resample discipline) and exists so the view registry can be
+    * CLEARED before returning — leaving it registered would silently
+    * rewrite every later event_count_hourly run in the same session
+    * (Verify and the bench share one session across queries). */
+  def mvHourlyRewrite(spark: SparkSession, dir: String): DataFrame = {
+    val path = java.nio.file.Files.createTempDirectory("graft-mv").toString +
+      "/hourly_counts"
+    graft.plans.MaterializedViews.register("hourly_counts",
+      eventCountHourlyDef(spark, dir), path)
+    try {
+      val df = eventCountHourly(spark, dir)
+      val usesMv = df.queryExecution.optimizedPlan.collect {
+        case l: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+          l.relation match {
+            case h: org.apache.spark.sql.execution.datasources.HadoopFsRelation =>
+              h.location.rootPaths.exists(_.toString.contains("hourly_counts"))
+            case _ => false
+          }
+      }.exists(identity)
+      require(usesMv, "MV rewrite did not engage — the registered query " +
+        "would be exercising the ordinary plan")
+      val rows = df.collect()
+      import scala.jdk.CollectionConverters._
+      spark.createDataFrame(rows.toSeq.asJava, df.schema).orderBy("hour_start")
+    } finally graft.plans.MaterializedViews.clear()
+  }
 
   /** As-of join (a mandate-named operator Spark lacks natively): for every
     * event, the timestamp of that user's most recent PREVIOUS 'error'
@@ -991,6 +1032,7 @@ object EventAnalytics {
     "event_count_hourly_incremental" -> (eventCountHourlyIncremental _),
     "events_json_extract" -> (eventsJsonExtract _),
     "event_count_hourly" -> (eventCountHourly _),
+    "mv_hourly_rewrite" -> (mvHourlyRewrite _),
     "events_resample" -> (eventsResample _),
     "region_event_count" -> (regionEventCount _),
     "trending_arrivals" -> (trendingArrivals _),
@@ -1249,6 +1291,11 @@ object EventAnalytics {
                 count(json_extract_string(props, '$.k')) AS n_with_k
          FROM events GROUP BY event_type ORDER BY event_type""",
     "event_count_hourly" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
+         FROM events GROUP BY hour_start ORDER BY hour_start""",
+    // the MV-rewritten query must be indistinguishable from the base
+    // hourly query — same oracle
+    "mv_hourly_rewrite" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS hour_start, count(*) AS cnt
          FROM events GROUP BY hour_start ORDER BY hour_start""",
     // the incrementally-maintained MV must be indistinguishable from a

@@ -1,0 +1,92 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, NamedExpression}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Project, Subquery}
+import org.apache.spark.sql.catalyst.rules.Rule
+
+/** Transparent materialized-view rewrite — the warehouse feature where a
+  * query that RE-STATES a precomputed aggregate is answered from the
+  * materialization instead of the base tables, without the query
+  * changing at all. Registered through `SparkSessionExtensions`
+  * ([[GraftExtensions]]), the same surface as [[TopKRewrite]].
+  *
+  * Contract (kept deliberately narrow and honest):
+  *   - a view is registered with [[MaterializedViews.register]], which
+  *     MATERIALIZES the definition to parquet first and only then
+  *     publishes the entry — there is no window where a query can match
+  *     an unwritten view, and re-registering is the refresh operation
+  *     (this is an explicit-refresh MV, not an incrementally maintained
+  *     one; the incremental discipline lives in
+  *     `event_count_hourly_incremental`);
+  *   - matching is EXACT-SUBTREE on canonicalized optimized plans: a
+  *     query subtree whose canonical form equals the registered
+  *     definition's is substituted. Operators above it that the
+  *     optimizer does NOT rewrite into the subtree — sort, limit —
+  *     compose over the substitution soundly (the subtree's rows are
+  *     identical by construction). A consuming filter or projection,
+  *     by contrast, is PUSHED INTO the subtree by the main optimizer
+  *     before this rule sees it, which changes the canonical form and
+  *     stops the match — the deliberate cost of exactness: no
+  *     containment reasoning, therefore no wrong-rewrite risk.
+  *   - definitions are UNORDERED (a table, not a result list): an outer
+  *     ORDER BY in the consuming query sits ABOVE the matched subtree
+  *     and keeps ordering semantics over the substituted scan.
+  *
+  * Scale story: the rewrite turns a full fact-table scan + aggregation
+  * into a scan of the ≤|groups| materialization — at 100 TB this is the
+  * difference between touching the feed and touching a few thousand
+  * rows, which is why every warehouse ships some form of it.
+  *
+  * Output-attribute fidelity: the substituted scan's attributes are
+  * re-aliased to the replaced subtree's exprIds (positionally — equal
+  * canonical forms have positionally equal outputs), so parent
+  * operators' references stay bound.
+  */
+object MaterializedViews {
+  final case class Entry(name: String, canonical: LogicalPlan, path: String,
+                         output: Seq[Attribute])
+
+  private val entries =
+    new scala.collection.concurrent.TrieMap[String, Entry]()
+
+  /** Materialize `definition` to `path` (overwrite = refresh), then
+    * publish. The definition must be an unordered plan — registering a
+    * sorted one would never match under an outer operator anyway (the
+    * optimizer strips non-top-level sorts), it would only waste the
+    * write. */
+  def register(name: String, definition: DataFrame, path: String): Unit = {
+    definition.write.mode("overwrite").parquet(path)
+    val opt = definition.queryExecution.optimizedPlan
+    entries.put(name, Entry(name, opt.canonicalized, path, opt.output))
+  }
+
+  def deregister(name: String): Unit = entries.remove(name)
+  def clear(): Unit = entries.clear()
+  def isEmpty: Boolean = entries.isEmpty
+  def all: Seq[Entry] = entries.values.toSeq
+}
+
+/** The optimizer rule: replace any subtree whose canonical form equals a
+  * registered definition with a parquet scan of its materialization.
+  * Runs in the user-rule batch (after the main optimizer), so the
+  * subtrees it sees are in the same optimized form `register` captured.
+  * A no-op (cheap reference check) while no view is registered. */
+class MVRewrite(session: SparkSession) extends Rule[LogicalPlan] {
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    if (MaterializedViews.isEmpty) plan
+    else plan.transformUp {
+      case p if !p.isInstanceOf[Subquery] =>
+        MaterializedViews.all.find(_.canonical == p.canonicalized) match {
+          case Some(entry) =>
+            val scan = session.read.parquet(entry.path).queryExecution.analyzed
+            val byName = scan.output.map(a => a.name -> a).toMap
+            val fields: Seq[NamedExpression] =
+              p.output.zip(entry.output).map { case (orig, defOut) =>
+                Alias(byName(defOut.name), orig.name)(exprId = orig.exprId)
+              }
+            Project(fields, scan)
+          case None => p
+        }
+    }
+}

@@ -270,6 +270,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectOptimizerRule(_ => TopKRewrite)
+    e.injectOptimizerRule(session => new MVRewrite(session))
     e.injectPlannerStrategy(_ => TopKStrategy)
     e.injectFunction(fn("cosine_similarity",
       classOf[graft.functions.CosineSimilarity], 2,

@@ -1,0 +1,85 @@
+package graft
+
+import graft.operators.EventAnalytics
+import graft.plans.MaterializedViews
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.functions._
+
+/** Pins the transparent materialized-view rewrite (plans/MaterializedView
+  * .scala): substitution on exact canonical match, composition of
+  * operators above the matched subtree, non-matching plans untouched,
+  * and clean restore on clear(). */
+class MaterializedViewSpec extends GraftSpec {
+
+  private def mvScans(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.queryExecution.optimizedPlan.collect {
+      case l: LogicalRelation => l.relation match {
+        case h: HadoopFsRelation => h.location.rootPaths.map(_.toString)
+        case _ => Nil
+      }
+    }.flatten.filter(_.contains("graft-mvspec"))
+
+  private def withMv[A](body: String => A): A = {
+    val path = java.nio.file.Files.createTempDirectory("graft-mvspec").toString + "/hourly"
+    MaterializedViews.register("spec_hourly",
+      EventAnalytics.eventCountHourlyDef(spark, sfDir), path)
+    try body(path) finally MaterializedViews.clear()
+  }
+
+  test("an exactly re-stated query is answered from the materialization") {
+    val base = EventAnalytics.eventCountHourly(spark, sfDir).collect().toSeq
+    withMv { _ =>
+      val rewritten = EventAnalytics.eventCountHourly(spark, sfDir)
+      assert(mvScans(rewritten).nonEmpty, "expected the MV scan in the plan")
+      assert(rewritten.collect().toSeq == base,
+        "the rewrite must be row-identical to the base plan")
+    }
+    // clear() restores the ordinary plan
+    assert(mvScans(EventAnalytics.eventCountHourly(spark, sfDir)).isEmpty)
+  }
+
+  test("non-intrusive operators above the match (sort, limit) compose over it") {
+    val base = EventAnalytics.eventCountHourlyDef(spark, sfDir)
+      .orderBy(desc("cnt"), col("hour_start")).limit(5).collect().toSeq
+    withMv { _ =>
+      val df = EventAnalytics.eventCountHourlyDef(spark, sfDir)
+        .orderBy(desc("cnt"), col("hour_start")).limit(5)
+      assert(mvScans(df).nonEmpty,
+        "the definition subtree under sort+limit must still match")
+      assert(df.collect().toSeq == base)
+    }
+  }
+
+  test("non-matching plans are untouched — including pushed-into subtrees") {
+    withMv { _ =>
+      // different window width → different canonical subtree
+      val sliding = EventAnalytics.eventCountSliding(spark, sfDir)
+      assert(mvScans(sliding).isEmpty, "sliding-window query must not match")
+      // a predicate INSIDE the subtree (on the base table) breaks the
+      // match: the pushed filter changes the canonical form
+      val narrowed = Tables.events(spark, sfDir)
+        .filter(col("event_type") === "error")
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("hour_start"), col("cnt"))
+      assert(mvScans(narrowed).isEmpty, "narrowed aggregate must not match")
+      // a CONSUMING filter gets pushed into the subtree by the main
+      // optimizer before the rule runs — same outcome, exactness wins
+      // over coverage (the documented trade)
+      val consuming = EventAnalytics.eventCountHourlyDef(spark, sfDir)
+        .filter(col("cnt") > 1)
+      assert(mvScans(consuming).isEmpty,
+        "a pushed consuming filter must break the exact match")
+      assert(consuming.count() > 0, "and the ordinary plan still answers it")
+    }
+  }
+
+  test("register materializes before publishing; refresh is re-register") {
+    withMv { path =>
+      // the parquet exists and holds exactly the definition's rows
+      val mv = spark.read.parquet(path)
+      assert(mv.count() ==
+        EventAnalytics.eventCountHourlyDef(spark, sfDir).count())
+    }
+  }
+}
