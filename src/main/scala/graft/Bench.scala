@@ -243,7 +243,14 @@ private[graft] object BenchFormat {
     "interval_join_outer",
     // dq_audit is two single-pass conditional aggregates (q6's multi-
     // aggregate scan shape) + the left_anti count q12 times
-    "dq_audit")
+    "dq_audit",
+    // triangle_count composes timed shapes only — distinct scans, the
+    // bounded-PQ rank window (topk_by_group), equi-joins and single-row
+    // aggregates; its scale content (degree orientation, O(m^1.5)
+    // wedges) is a plan property, pinned in PageRankSpec. Filtered
+    // timing in PLANS.md; a timed entry would also overflow the
+    // 1,990-char line rung BenchFormatSpec holds.
+    "triangle_count")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

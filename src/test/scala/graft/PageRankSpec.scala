@@ -84,4 +84,30 @@ class PageRankSpec extends GraftSpec {
       assert(rs.minBy(_.getAs[Int]("rnk")).getAs[Long]("node") == s)
     }
   }
+
+  test("triangle_count matches a brute set recompute; orientation bounds wedges") {
+    val row = PageRank.triangleCount(spark, sfDir).collect()(0)
+    // brute: capped projection and raw set arithmetic on the driver
+    val byPart = Tables.lineitem(spark, sfDir)
+      .select("l_partkey", "l_suppkey").distinct().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).groupBy(_._1)
+      .map { case (p, rs) =>
+        p -> rs.map(_._2).sorted.take(PageRank.triMaxPerPart)
+      }
+    val edges = byPart.values.flatMap(s =>
+      for (i <- s.indices; j <- i + 1 until s.length) yield (s(i), s(j))).toSet
+    val adj = (edges.toSeq.flatMap { case (u, v) => Seq(u -> v, v -> u) })
+      .groupBy(_._1).map { case (n, ps) => n -> ps.map(_._2).toSet }
+    val triBrute = edges.toSeq.map { case (u, v) =>
+      (adj(u) intersect adj(v)).size.toLong
+    }.sum / 3
+    assert(row.getAs[Long]("n_nodes") == adj.size)
+    assert(row.getAs[Long]("n_edges") == edges.size)
+    assert(row.getAs[Long]("n_triangles") == triBrute)
+    // the orientation's whole point: wedge work is Σ C(outdeg,2) over
+    // the DEGREE-ORDERED graph, far below the naive Σ C(deg,2)
+    val naiveWedges = adj.values.map(s => s.size.toLong * (s.size - 1) / 2).sum
+    assert(row.getAs[Long]("n_wedges") <= naiveWedges,
+      s"${row.getAs[Long]("n_wedges")} oriented vs $naiveWedges naive")
+  }
 }
