@@ -250,7 +250,10 @@ private[graft] object BenchFormat {
     // wedges) is a plan property, pinned in PageRankSpec. Filtered
     // timing in PLANS.md; a timed entry would also overflow the
     // 1,990-char line rung BenchFormatSpec holds.
-    "triangle_count")
+    "triangle_count",
+    // q18_cube_revenue is q10_rollup_sets' Expand+aggregate physical
+    // shape with the full lattice instead of the prefix chain
+    "q18_cube_revenue")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

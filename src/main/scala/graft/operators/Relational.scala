@@ -447,6 +447,22 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** CUBE — the full grouping-sets lattice (q10 covers ROLLUP's prefix
+    * chain; CUBE adds the cross-margins: per-linestatus totals across
+    * all returnflags, which ROLLUP cannot express). Same NULL→'ALL'
+    * coalescing discipline as q10 so the hash compare stays null-free. */
+  def q18CubeRevenue(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue"), col("n_items"))
+      .orderBy("returnflag", "linestatus")
+
   /** Data-quality audit (the Deequ-style expectation surface): declared
     * constraints checked as data, not assumptions — the pre-flight every
     * 100 TB ingest runs before downstream jobs trust a feed. Plan shape
@@ -538,7 +554,8 @@ object Relational {
     "q16_disjunctive_parts" -> (q16DisjunctiveParts _),
     "q17_wealthy_dormant" -> (q17WealthyDormant _),
     "snapshot_merge" -> (snapshotMerge _),
-    "dq_audit" -> (dqAudit _))
+    "dq_audit" -> (dqAudit _),
+    "q18_cube_revenue" -> (q18CubeRevenue _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -784,7 +801,15 @@ object Relational {
             UNION ALL SELECT 'lineitem.orderkey_fk_orders', n, orphans FROM fk)
           SELECT check_name, n_checked, n_violations,
                  n_violations = 0 AS pass
-          FROM rows_out ORDER BY check_name""")
+          FROM rows_out ORDER BY check_name""",
+    "q18_cube_revenue" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+          FROM lineitem
+          GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY returnflag, linestatus""")
 
   /** The reference's dual-format grading contract: every relational query
     * re-registered on the pipe-text path (`Tables.CsvDirPrefix`), checked

@@ -134,6 +134,23 @@ class RelationalSpec extends GraftSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("q18 cube: margins are consistent sums of the leaf cells") {
+    val rows = Relational.q18CubeRevenue(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Double]("revenue"), r.getAs[Long]("n_items")))).toMap
+    val leaves = rows.filter { case ((rf, ls), _) => rf != "ALL" && ls != "ALL" }
+    // grand total = sum of leaves; every one-dim margin = sum of its row/col
+    assert(rows(("ALL", "ALL"))._2 == leaves.values.map(_._2).sum)
+    leaves.keys.map(_._1).toSet.foreach { rf: String =>
+      assert(rows((rf, "ALL"))._2 ==
+        leaves.collect { case ((`rf`, _), v) => v._2 }.sum)
+    }
+    leaves.keys.map(_._2).toSet.foreach { ls: String =>
+      assert(rows(("ALL", ls))._2 ==
+        leaves.collect { case ((_, `ls`), v) => v._2 }.sum)
+    }
+  }
+
   test("dq_audit: engineered violations are counted and attributed") {
     // the audit must CATCH bad data, not just bless clean data: doctor a
     // copy of the tables with one violation per constraint class and
