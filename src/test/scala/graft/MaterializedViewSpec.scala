@@ -74,6 +74,27 @@ class MaterializedViewSpec extends GraftSpec {
     }
   }
 
+  test("the SQL entry path rewrites too (same canonical plan, same MV)") {
+    // a spark.sql user re-stating the view definition gets the same
+    // substitution — the parser lowers to the same canonical subtree
+    Tables.events(spark, sfDir).createOrReplaceTempView("mv_events")
+    // queryExecution memoizes, so build a FRESH frame per inspection
+    def sql() = spark.sql(
+      """SELECT window.start AS hour_start, count(*) AS cnt
+         FROM (SELECT window(ts, '1 hour') AS window FROM mv_events)
+         GROUP BY window ORDER BY hour_start""")
+    val base = EventAnalytics.eventCountHourly(spark, sfDir)
+    // precondition: both entries really share one optimized plan
+    assert(sql().queryExecution.optimizedPlan.canonicalized ==
+      base.queryExecution.optimizedPlan.canonicalized,
+      "SQL and DataFrame forms must converge for this pin to be meaningful")
+    withMv { _ =>
+      val rewritten = sql()
+      assert(mvScans(rewritten).nonEmpty, "the SQL-stated query must rewrite")
+      assert(rewritten.collect().toSeq == base.collect().toSeq)
+    }
+  }
+
   test("register materializes before publishing; refresh is re-register") {
     withMv { path =>
       // the parquet exists and holds exactly the definition's rows

@@ -816,6 +816,33 @@ class ScaleDesignSpec extends GraftSpec {
     (before.keySet - "error").foreach(t => assert(after(t) == before(t), t))
   }
 
+  test("ANALYZE TABLE statistics reach the optimizer's cost model") {
+    // the CBO input path: computed stats must be visible where join
+    // planning reads them (plan.stats), not just in the catalog — this
+    // is what lets a 1000-executor cluster cost joins from metadata
+    // instead of guessing from file sizes
+    spark.sql("DROP TABLE IF EXISTS nation_stats")
+    // rowCount surfaces in plan.stats only under the cost-based path
+    val prevCbo = spark.conf.get("spark.sql.cbo.enabled", "false")
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    try {
+      Tables.nation(spark, sfDir).write.saveAsTable("nation_stats")
+      spark.sql("ANALYZE TABLE nation_stats COMPUTE STATISTICS FOR ALL COLUMNS")
+      val rel = spark.table("nation_stats")
+      val stats = rel.queryExecution.optimizedPlan.stats
+      val n = rel.count()
+      assert(stats.rowCount.contains(BigInt(n)),
+        s"expected rowCount $n in plan stats, got ${stats.rowCount}")
+      // column-level stats flow too (distinct counts for join costing)
+      val colStats = stats.attributeStats.map { case (a, s) => a.name -> s }
+      assert(colStats.get("n_nationkey").exists(_.distinctCount.contains(BigInt(n))),
+        s"n_nationkey NDV missing: ${colStats.keys}")
+    } finally {
+      spark.conf.set("spark.sql.cbo.enabled", prevCbo)
+      spark.sql("DROP TABLE IF EXISTS nation_stats")
+    }
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently
