@@ -414,6 +414,15 @@ object PageRank {
       .groupBy("u", "v").agg(count(lit(1)).as("w"))
       .orderBy(desc("w"), col("u"), col("v")).limit(triEdgeCap)
       .select("u", "v")
+    triangleStats(spark, edges)
+  }
+
+  /** The orientation + wedge pipeline over an arbitrary deduped
+    * undirected edge set (columns `u < v`) — separated from the
+    * projection so correctness is pinned on adversarial graphs too
+    * (PageRankSpec feeds seeded random graphs where almost every node
+    * ties on degree, the case the (deg, id) total order must break). */
+  private[graft] def triangleStats(spark: SparkSession, edges: DataFrame): DataFrame = {
     val edgesP = edges.persist()
     try {
       val nEdges = edgesP.count()

@@ -110,4 +110,29 @@ class PageRankSpec extends GraftSpec {
     assert(row.getAs[Long]("n_wedges") <= naiveWedges,
       s"${row.getAs[Long]("n_wedges")} oriented vs $naiveWedges naive")
   }
+
+  test("triangleStats on adversarial random graphs (mass degree ties) matches brute") {
+    val sp = spark
+    import sp.implicits._
+    for (seed <- 1 to 6) {
+      val rnd = new scala.util.Random(seed)
+      val n = 8 + rnd.nextInt(9)
+      val p = 0.3 + rnd.nextDouble() * 0.4
+      val edges = (for {
+        i <- 0L until n; j <- i + 1 until n if rnd.nextDouble() < p
+      } yield (i, j)).toSeq
+      if (edges.nonEmpty) {
+        val row = PageRank.triangleStats(spark, edges.toDF("u", "v")).collect()(0)
+        val adj = edges.flatMap { case (u, v) => Seq(u -> v, v -> u) }
+          .groupBy(_._1).map { case (k, ps) => k -> ps.map(_._2).toSet }
+        val tri = edges.map { case (u, v) => (adj(u) intersect adj(v)).size.toLong }
+          .sum / 3
+        assert(row.getAs[Long]("n_nodes") == adj.size, s"seed $seed nodes")
+        assert(row.getAs[Long]("n_edges") == edges.size, s"seed $seed edges")
+        assert(row.getAs[Long]("n_triangles") == tri,
+          s"seed $seed: got ${row.getAs[Long]("n_triangles")}, brute $tri " +
+            s"(n=$n p=$p edges=${edges.size})")
+      }
+    }
+  }
 }
