@@ -843,6 +843,39 @@ class ScaleDesignSpec extends GraftSpec {
     }
   }
 
+  test("join-strategy hints override the planner (DataFrame and SQL forms)") {
+    // the user control surface for when runtime stats guess wrong: with
+    // auto-broadcast off, the plain plan must shuffle, the hinted plan
+    // must broadcast — through both entries
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val li = Tables.lineitem(spark, sfDir).select("l_orderkey", "l_suppkey")
+      val sup = Tables.supplier(spark, sfDir).select("s_suppkey", "s_name")
+      def joins(df: org.apache.spark.sql.DataFrame): (Boolean, Boolean) = {
+        df.write.format("noop").mode("overwrite").save()
+        val nodes = physicalNodes(df)
+        (nodes.exists(_.isInstanceOf[
+           org.apache.spark.sql.execution.joins.BroadcastHashJoinExec]),
+         nodes.exists(n => n.isInstanceOf[
+           org.apache.spark.sql.execution.joins.SortMergeJoinExec] ||
+           n.isInstanceOf[
+             org.apache.spark.sql.execution.joins.ShuffledHashJoinExec]))
+      }
+      val (plainB, plainS) =
+        joins(li.join(sup, col("l_suppkey") === col("s_suppkey")))
+      assert(!plainB && plainS, "baseline must be a shuffle join")
+      val (hintB, _) =
+        joins(li.join(sup.hint("broadcast"), col("l_suppkey") === col("s_suppkey")))
+      assert(hintB, "DataFrame hint must force the broadcast join")
+      Tables.registerViews(spark, sfDir)
+      val (sqlB, _) = joins(spark.sql(
+        """SELECT /*+ BROADCAST(supplier) */ l_orderkey, s_name
+           FROM lineitem JOIN supplier ON l_suppkey = s_suppkey"""))
+      assert(sqlB, "SQL hint must force the broadcast join")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently
