@@ -78,7 +78,20 @@ object StreamingJobs {
     * a later batch advances the watermark. Same both-sided watermarks +
     * time-bound condition as the inner form (they are what make outer
     * emission decidable at all). */
-  def streamIntervalJoinOuter(purchases: DataFrame, errors: DataFrame): DataFrame = {
+  def streamIntervalJoinOuter(purchases: DataFrame, errors: DataFrame): DataFrame =
+    streamIntervalJoinTyped(purchases, errors, "left_outer")
+
+  /** FULL OUTER: unmatched rows from BOTH sides emit null-padded once
+    * their own watermark horizon passes — an unmatched error waits for
+    * the purchase-side watermark to rule out a future purchase inside
+    * its forward interval, symmetric to the left-outer case. The joined
+    * user_id coalesces across sides because only one side populates it
+    * on an outer row. */
+  def streamIntervalJoinFull(purchases: DataFrame, errors: DataFrame): DataFrame =
+    streamIntervalJoinTyped(purchases, errors, "full_outer")
+
+  private def streamIntervalJoinTyped(purchases: DataFrame, errors: DataFrame,
+                                      joinType: String): DataFrame = {
     val p = purchases
       .select(col("event_id").as("purchase_id"), col("user_id").as("p_user"),
         col("ts").cast("timestamp").as("p_ts"))
@@ -90,8 +103,9 @@ object StreamingJobs {
     p.join(e, expr(
       """p_user = e_user AND
          e_ts <= p_ts AND
-         e_ts > p_ts - INTERVAL 300 SECONDS"""), "left_outer")
-      .select(col("purchase_id"), col("error_id"), col("p_user").as("user_id"))
+         e_ts > p_ts - INTERVAL 300 SECONDS"""), joinType)
+      .select(col("purchase_id"), col("error_id"),
+        coalesce(col("p_user"), col("e_user")).as("user_id"))
   }
 
   /** Streaming exact dedup — the ingest-side form of the batch

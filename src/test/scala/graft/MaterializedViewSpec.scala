@@ -95,6 +95,25 @@ class MaterializedViewSpec extends GraftSpec {
     }
   }
 
+  test("a join-shaped definition (not just aggregates) substitutes too") {
+    // matching is plan-shape-agnostic: any canonical subtree works.
+    // Definition: the customer→nation dimension join q4/q9 use.
+    def dims() = Tables.load(spark, sfDir, "customer")
+      .select("c_custkey", "c_nationkey")
+      .join(Tables.load(spark, sfDir, "nation"),
+        col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey", "n_name")
+    val path = java.nio.file.Files.createTempDirectory("graft-mvspec").toString + "/dims"
+    MaterializedViews.register("spec_dims", dims(), path)
+    try {
+      val q = dims().orderBy("c_custkey").limit(10)
+      assert(mvScans(q).nonEmpty, "the join subtree must substitute")
+      MaterializedViews.clear()
+      assert(q.collect().toSeq ===
+        dims().orderBy("c_custkey").limit(10).collect().toSeq)
+    } finally MaterializedViews.clear()
+  }
+
   test("register materializes before publishing; refresh is re-register") {
     withMv { path =>
       // the parquet exists and holds exactly the definition's rows

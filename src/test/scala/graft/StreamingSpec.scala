@@ -113,6 +113,41 @@ class StreamingSpec extends GraftSpec {
     } finally q.stop()
   }
 
+  test("full-outer stream-stream join: both sides' unmatched rows emit null-padded") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    val eIn = MemoryStream[(Long, Long, java.sql.Timestamp)]
+    def df(ms: MemoryStream[(Long, Long, java.sql.Timestamp)]) =
+      ms.toDF.toDF("event_id", "user_id", "ts")
+    val qn = "ssj_full_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = StreamingJobs.streamIntervalJoinFull(df(pIn), df(eIn))
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s"2024-01-01 $s")
+    try {
+      // purchase 1 ↔ error 100 match; purchase 2 and error 101 are both
+      // unmatched (different users)
+      pIn.addData((1L, 1L, t("10:00:00")), (2L, 2L, t("10:00:00")))
+      eIn.addData((100L, 1L, t("09:58:00")), (101L, 3L, t("09:58:00")))
+      q.processAllAvailable()
+      // advance both watermarks far past every horizon, then one more
+      // batch so the eviction pass runs
+      pIn.addData((3L, 9L, t("11:00:00"))); eIn.addData((102L, 8L, t("11:00:00")))
+      q.processAllAvailable()
+      pIn.addData((4L, 9L, t("12:00:00"))); eIn.addData((103L, 8L, t("12:00:00")))
+      q.processAllAvailable()
+      val rows = spark.table(qn).collect()
+        .map(r => (Option(r.get(0)), Option(r.get(1)), r.getLong(2))).toSeq
+      assert(rows.contains((Some(1L), Some(100L), 1L)), rows.toString)
+      // purchase-side null (unmatched purchase 2) AND error-side null
+      // (unmatched error 101), each exactly once, each with the right
+      // coalesced user
+      assert(rows.count(_ == ((Some(2L), None, 2L))) == 1, rows.toString)
+      assert(rows.count(_ == ((None, Some(101L), 3L))) == 1, rows.toString)
+    } finally q.stop()
+  }
+
   test("registered interval_join_stream: batch-row parity + bounded join state") {
     // the registered replay drives the SAME dataflow as the file-source
     // test above, but in six time-ordered micro-batches — so the
