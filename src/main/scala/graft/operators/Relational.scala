@@ -406,8 +406,11 @@ object Relational {
     * whose sinks are overwrite-only. The CDC batch is derived
     * deterministically from the base so the oracle can rebuild it:
     * every key ≡ 3 (mod 10) arrives updated (price +1000, status 'U'),
-    * and fresh rows arrive under negated keys (guaranteed absent from
-    * the positive base keyspace, status 'N').
+    * keys ≡ 3 (mod 20) arrive updated TWICE in the same batch (a
+    * version-3 supersede at +2000 — CDC feeds routinely carry several
+    * versions of one key per batch, and latest-wins must pick the
+    * newest, not either), and fresh rows arrive under negated keys
+    * (guaranteed absent from the positive base keyspace, status 'N').
     *
     * Plan shape — chosen for the 100 TB snapshot, not the small one: the
     * naive MERGE (union all → row_number per key → keep latest) shuffles
@@ -426,16 +429,22 @@ object Relational {
       .filter(pmod(col("o_orderkey"), lit(10)) === 3)
       .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
       .withColumn("o_orderstatus", lit("U"))
+      .withColumn("version", lit(2))
+    val supersedes = base
+      .filter(pmod(col("o_orderkey"), lit(20)) === 3)
+      .withColumn("o_totalprice", col("o_totalprice") + lit(2000.0))
+      .withColumn("o_orderstatus", lit("U"))
+      .withColumn("version", lit(3))
     val inserts = base
       .filter(pmod(col("o_orderkey"), lit(100)) === 7)
       .withColumn("o_orderkey", -col("o_orderkey"))
       .withColumn("o_orderstatus", lit("N"))
-    // latest-wins WITHIN the batch (CDC feeds can carry several versions
-    // of one key); the window runs over the batch alone, never the base
+      .withColumn("version", lit(2))
+    // latest-wins WITHIN the batch (the ≡3 mod 20 keys carry v2 AND v3);
+    // the window runs over the batch alone, never the base
     val wv = org.apache.spark.sql.expressions.Window
       .partitionBy("o_orderkey").orderBy(desc("version"))
-    val batch = updates.withColumn("version", lit(2))
-      .unionByName(inserts.withColumn("version", lit(2)))
+    val batch = updates.unionByName(supersedes).unionByName(inserts)
       .withColumn("rn", row_number().over(wv))
       .filter(col("rn") === 1).select(cols: _*)
     base
@@ -752,15 +761,21 @@ object Relational {
       """WITH batch_all AS (
             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,
                    o_totalprice + 1000.0 AS o_totalprice,
-                   o_orderdate, o_orderpriority
+                   o_orderdate, o_orderpriority, 2 AS version
             FROM orders WHERE o_orderkey % 10 = 3
             UNION ALL
+            SELECT o_orderkey, o_custkey, 'U',
+                   o_totalprice + 2000.0,
+                   o_orderdate, o_orderpriority, 3
+            FROM orders WHERE o_orderkey % 20 = 3
+            UNION ALL
             SELECT -o_orderkey, o_custkey, 'N', o_totalprice,
-                   o_orderdate, o_orderpriority
+                   o_orderdate, o_orderpriority, 2
             FROM orders WHERE o_orderkey % 100 = 7),
           batch AS (
             SELECT * FROM (
-              SELECT *, row_number() OVER (PARTITION BY o_orderkey) AS rn
+              SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                           ORDER BY version DESC) AS rn
               FROM batch_all)
             WHERE rn = 1),
           merged AS (

@@ -114,7 +114,9 @@ class RelationalSpec extends GraftSpec {
       .select("o_orderkey", "o_orderstatus", "o_totalprice").collect()
       .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
     val nUpd = base.count(_._1 % 10 == 3)
+    val nSup = base.count(_._1 % 20 == 3) // superseded twice in-batch
     val nIns = base.count(_._1 % 100 == 7)
+    assert(nSup > 0, "the multi-version path must actually be exercised")
     val df = Relational.snapshotMerge(spark, sfDir)
     val rows = df.collect().map(r =>
       r.getString(0) -> (r.getAs[Long]("n_orders"), r.getAs[Double]("total_price"))).toMap
@@ -122,9 +124,10 @@ class RelationalSpec extends GraftSpec {
     // snapshot's cardinality is base + inserts (updates replace in place)
     assert(rows("U")._1 == nUpd && rows("N")._1 == nIns)
     assert(rows.values.map(_._1).sum == base.length + nIns)
-    // the price mass moved by the update is exactly +1000 per touched row
+    // price mass: +1000 per updated row, and the v3 supersede (+2000,
+    // latest-wins) replaces — not adds to — the v2 (+1000) for its keys
     val total = rows.values.map(_._2).sum
-    val expect = base.map(_._3).sum + 1000.0 * nUpd +
+    val expect = base.map(_._3).sum + 1000.0 * (nUpd - nSup) + 2000.0 * nSup +
       base.filter(_._1 % 100 == 7).map(_._3).sum
     assert(math.abs(total - expect) < 0.1, s"$total vs $expect")
     // the scale contract: the base reaches the result through a LeftAnti
