@@ -253,7 +253,11 @@ private[graft] object BenchFormat {
     "triangle_count",
     // q18_cube_revenue is q10_rollup_sets' Expand+aggregate physical
     // shape with the full lattice instead of the prefix chain
-    "q18_cube_revenue")
+    "q18_cube_revenue",
+    // dedup_cluster_profile re-reads the memoized cluster artifact the
+    // timed dedup_clusters builds and adds key_skew_profile's stacked
+    // histogram aggregate over it
+    "dedup_cluster_profile")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -140,7 +140,8 @@ object Dedup {
     * filtered bench run selecting only those would time a useless build. */
   val familyMembers: Set[String] = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
-    "split_leakage_safe", "decontaminate", "dedup_incremental")
+    "split_leakage_safe", "decontaminate", "dedup_incremental",
+    "dedup_cluster_profile")
 
   /** Force-materialize the family's shared artifacts (shingle table,
     * verified pair graph, minhash band index). Bench times this as its
@@ -382,6 +383,22 @@ object Dedup {
       labels
     } finally edges.unpersist()
   }
+
+  /** Dedup telemetry: log2 histogram of near-dup cluster sizes — the
+    * number every dedup run reads before trusting its survivors (a fat
+    * tail means a boilerplate template or a broken shingle threshold).
+    * Every cluster has size >= 2 by construction — singletons never
+    * enter the pair graph. Same exact-integer
+    * bucket arithmetic as key_skew_profile (`length(bin(n))-1`), over
+    * the memoized cluster artifact — marginal cost is one ≤|clusters|
+    * aggregation. */
+  def dedupClusterProfile(spark: SparkSession, dir: String): DataFrame =
+    dedupClusters(spark, dir)
+      .groupBy("cluster_rep").agg(count(lit(1)).as("n"))
+      .groupBy((length(bin(col("n"))) - 1).cast("long").as("log2_bucket"))
+      .agg(count(lit(1)).as("n_clusters"), max(col("n")).as("max_size"),
+        sum(col("n")).as("n_docs"))
+      .orderBy("log2_bucket")
 
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // the verified pair graph is the memoized artifact shared with
@@ -631,6 +648,7 @@ object Dedup {
     "decontaminate" -> (decontaminate _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_clusters" -> (dedupClusters _),
+    "dedup_cluster_profile" -> (dedupClusterProfile _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_best_survivor" -> (dedupBestSurvivor _),
     "split_leakage_safe" -> (splitLeakageSafe _),
@@ -856,6 +874,13 @@ object Dedup {
           SELECT doc_id, cluster_rep,
                  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
           FROM comp ORDER BY doc_id""",
+    "dedup_cluster_profile" ->
+      s"""WITH RECURSIVE $clusterCteSql,
+          sizes AS (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1)
+          SELECT cast(length(bin(n)) - 1 AS BIGINT) AS log2_bucket,
+                 count(*) AS n_clusters, max(n) AS max_size,
+                 cast(sum(n) AS BIGINT) AS n_docs
+          FROM sizes GROUP BY 1 ORDER BY 1""",
     "dedup_survivors" ->
       s"""WITH RECURSIVE $clusterCteSql,
           dropped AS (

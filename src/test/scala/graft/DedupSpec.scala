@@ -253,4 +253,20 @@ class DedupSpec extends GraftSpec {
     // all three bands are populated at 500 groups (P(miss) ~ 1e-11)
     assert(splits.map(_._4).distinct.sorted.toSeq == Seq("test", "train", "val"))
   }
+
+  test("dedup_cluster_profile conserves the cluster table and bounds sizes") {
+    val profile = graft.operators.Dedup.dedupClusterProfile(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val clusters = graft.operators.Dedup.dedupClusters(spark, sfDir)
+      .collect().map(r => r.getAs[Long]("cluster_rep"))
+    val sizes = clusters.groupBy(identity).values.map(_.length.toLong).toSeq
+    assert(profile.map(_._2).sum == sizes.length, "every cluster in one bucket")
+    assert(profile.map(_._4).sum == clusters.length, "every member counted")
+    // pair-graph clusters have >= 2 members, so no bucket-0 row exists
+    assert(profile.forall(_._1 >= 1))
+    profile.foreach { case (b, _, maxS, _) =>
+      assert(maxS >= (1L << b) && maxS < (1L << (b + 1)))
+    }
+    assert(profile.map(_._3).max == sizes.max)
+  }
 }
