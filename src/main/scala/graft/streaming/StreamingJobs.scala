@@ -15,6 +15,14 @@ case class KeyedEvent(key: String, tsMicros: Long)
   * additionally BUFFERS the most recently closed window (`pend*`) so
   * late events within one window of the open one fold in before the
   * window is emitted; `pendStart = -1` means nothing is buffered. */
+/** Ring state for the streaming anomaly detector: the open window plus
+  * the counts of the ≤24 most recently CLOSED windows (newest first) —
+  * bounded per-key state by construction, the property that lets the
+  * operator run forever. */
+case class AnomalyState(winStart: Long, cur: Long, ring: List[Long])
+case class AnomalyResult(key: String, winStartMicros: Long, cnt: Long,
+                         baselineN: Int, isAnomaly: Boolean)
+
 case class TrendState(winStart: Long, cur: Long, prev: Long,
     pendStart: Long = -1L, pendCur: Long = 0L, pendPrev: Long = 0L)
 
@@ -191,6 +199,53 @@ object StreamingJobs {
       .partitionBy("hour_id").parquet(mvPath)
     finally graft.Tables.releaseCheckpoint(pinned)
     touched.length
+  }
+
+  /** Streaming twin of `events_anomaly`: rolling-baseline 3σ detection
+    * as a `flatMapGroupsWithState` machine keyed by event type. State is
+    * the open hourly window plus a ring of the ≤24 most recently CLOSED
+    * window counts — bounded per key no matter how long the stream runs.
+    * A window closes when a later-window event arrives (in-order
+    * delivery, the detectTrends default); on close the flag is computed
+    * against the ring with the SAME integer inequality as the batch
+    * query — (n·x−Σx)² > 9·(n·Σx²−(Σx)²), no float at the decision
+    * boundary — then the count joins the ring and the oldest entry
+    * beyond 24 falls off. Rows with fewer than 12 baseline windows
+    * report false, exactly like the batch frame. Trailing open windows
+    * are closed by the caller's drain discipline (StreamingSpec feeds
+    * per-key sentinels, the registered-replay pattern). */
+  def detectAnomalies(events: Dataset[KeyedEvent], windowMicros: Long,
+      minBaseline: Int = 12): Dataset[AnomalyResult] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val func: (String, Iterator[KeyedEvent], GroupState[AnomalyState]) => Iterator[AnomalyResult] =
+      (key, it, state) => {
+        val out = scala.collection.mutable.ListBuffer.empty[AnomalyResult]
+        var st = state.getOption.getOrElse(AnomalyState(-1L, 0L, Nil))
+        def close(): Unit = {
+          val ring = st.ring
+          val n = ring.length.toLong
+          val flag = n >= minBaseline && {
+            val sx = ring.sum
+            val sxx = ring.map(c => c * c).sum
+            val d = n * st.cur - sx
+            d * d > 9L * (n * sxx - sx * sx)
+          }
+          out += AnomalyResult(key, st.winStart, st.cur, ring.length, flag)
+          st = AnomalyState(-1L, 0L, (st.cur :: ring).take(24))
+        }
+        it.toSeq.sortBy(_.tsMicros).foreach { e =>
+          val w = e.tsMicros - e.tsMicros % windowMicros
+          if (st.winStart == -1L) st = st.copy(winStart = w, cur = 1L)
+          else if (w == st.winStart) st = st.copy(cur = st.cur + 1L)
+          else if (w > st.winStart) { close(); st = st.copy(winStart = w, cur = 1L) }
+          // w < open window: late beyond the in-order contract — dropped
+        }
+        state.update(st)
+        out.iterator
+      }
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout)(func)
   }
 
   /** R4: the trend state machine — `flatMapGroupsWithState` keyed by

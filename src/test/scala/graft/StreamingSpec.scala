@@ -265,6 +265,53 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("streaming anomaly detector reproduces the batch flags with bounded ring state") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val sp = spark
+    import sp.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val W = 3600L * 1000000L
+    val input = MemoryStream[KeyedEvent]
+    val qn = "anom_" + java.util.UUID.randomUUID().toString.take(8)
+    val q = StreamingJobs.detectAnomalies(input.toDS(), W)
+      .writeStream.outputMode("append").format("memory").queryName(qn).start()
+    val events = Tables.events(spark, sfDir).select("event_type", "ts").collect()
+      .map { r =>
+        KeyedEvent(r.getString(0),
+          r.getAs[java.time.LocalDateTime]("ts")
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L)
+      }.sortBy(_.tsMicros)
+    try {
+      // two in-order batches, then one far-future sentinel per key to
+      // close the trailing windows (the registered-replay discipline);
+      // sentinel windows themselves never close, so they never emit
+      val (b1, b2) = events.splitAt(events.length / 2)
+      input.addData(b1.toSeq); q.processAllAvailable()
+      input.addData(b2.toSeq); q.processAllAvailable()
+      val sentinelTs = events.last.tsMicros + 1000L * W
+      input.addData(events.map(_.key).distinct.toSeq
+        .map(k => KeyedEvent(k, sentinelTs)))
+      q.processAllAvailable()
+      def micros(v: Any): Long = v match {
+        case t: java.sql.Timestamp => t.toInstant.toEpochMilli * 1000L
+        case d: java.time.LocalDateTime =>
+          d.toInstant(java.time.ZoneOffset.UTC).toEpochMilli * 1000L
+      }
+      val got = spark.table(qn).collect()
+        .map(r => (r.getString(0), r.getLong(1)) ->
+          ((r.getLong(2), r.getBoolean(4)))).toMap
+      val want = graft.operators.EventAnalytics.eventsAnomaly(spark, sfDir)
+        .collect()
+        .map(r => (r.getString(0), micros(r.get(1))) ->
+          ((r.getLong(2), r.getBoolean(3)))).toMap
+      assert(want.nonEmpty && got.size == want.size,
+        s"stream ${got.size} rows vs batch ${want.size}")
+      assert(got == want)
+      // the state bound: every emitted row's baseline arity is <= 24
+      assert(spark.table(qn).collect().forall(_.getInt(3) <= 24))
+    } finally q.stop()
+  }
+
   test("restart from checkpoint restores state and processes only new files (R7)") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-restart").toString
     val ckpt = s"$tmp/ckpt"
