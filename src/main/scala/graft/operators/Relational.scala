@@ -483,7 +483,13 @@ object Relational {
     * Output: one row per constraint with checked/violation counts and
     * the verdict, so a scheduler can gate on `bool_and(pass)`. */
   def dqAudit(spark: SparkSession, dir: String): DataFrame = {
-    def viol(c: org.apache.spark.sql.Column) = sum(when(c, 0L).otherwise(1L))
+    // coalesce: SUM over an EMPTY table is NULL, and an empty feed has
+    // zero violations, not an indeterminate verdict — without this the
+    // audit of a fresh/empty partition reports pass = null and a
+    // bool_and gate blocks a perfectly clean pipeline (caught by the
+    // empty-tables robustness pin)
+    def viol(c: org.apache.spark.sql.Column) =
+      coalesce(sum(when(c, 0L).otherwise(1L)), lit(0L))
     val li = Tables.lineitem(spark, dir)
     val liChecks = li.agg(
       count(lit(1)).as("n"),
@@ -791,15 +797,15 @@ object Relational {
     "dq_audit" ->
       """WITH li AS (
             SELECT count(*) AS n,
-              cast(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
-              cast(sum(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 0 ELSE 1 END) AS BIGINT) AS v2,
-              cast(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v3,
-              cast(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v4
+              cast(coalesce(sum(CASE WHEN l_quantity BETWEEN 1 AND 50 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v1,
+              cast(coalesce(sum(CASE WHEN l_discount BETWEEN 0.0 AND 1.0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v2,
+              cast(coalesce(sum(CASE WHEN l_extendedprice > 0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v3,
+              cast(coalesce(sum(CASE WHEN l_shipdate IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v4
             FROM lineitem),
           ord AS (
             SELECT count(*) AS n,
-              cast(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END) AS BIGINT) AS v1,
-              cast(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END) AS BIGINT) AS v2
+              cast(coalesce(sum(CASE WHEN o_totalprice > 0 THEN 0 ELSE 1 END), 0) AS BIGINT) AS v1,
+              cast(coalesce(sum(CASE WHEN o_orderdate IS NOT NULL THEN 0 ELSE 1 END), 0) AS BIGINT) AS v2
             FROM orders),
           fk AS (
             SELECT (SELECT count(*) FROM lineitem) AS n,

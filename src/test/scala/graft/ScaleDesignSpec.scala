@@ -876,6 +876,45 @@ class ScaleDesignSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("representative operators degrade gracefully on EMPTY tables") {
+    // at 100 TB empty inputs are routine (an empty hour, a fresh feed, a
+    // filtered-to-nothing partition); a library that throws on them
+    // cannot be scheduled unconditionally. Pin one operator per family
+    // against a fully empty dataset: no exceptions, structurally sane
+    // results. (Sketch/iterative ops that REQUIRE data — IVF's sampled
+    // quantizer — document their precondition instead.)
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    Tables.schemas.foreach { case (name, schema) =>
+      spark.createDataFrame(new java.util.ArrayList[Row](), schema)
+        .write.parquet(s"$tmp/$name.parquet")
+    }
+    val sample = Seq(
+      "q6_pricing_summary", "q14_small_qty_revenue", "q17_wealthy_dormant",
+      "snapshot_merge", "dq_audit", "q18_cube_revenue", "wordcount",
+      "dedup_exact", "user_sessions", "events_anomaly", "key_skew_profile",
+      "event_count_hourly", "doc_quality", "token_stats", "sample_stratified",
+      "interval_join_outer", "knn_brute_cosine")
+    sample.foreach { name =>
+      val rows = SparkEntry.queries(name)(spark, tmp).collect()
+      name match {
+        case "q1_shipdate_count" | "q14_small_qty_revenue" =>
+          () // single-row aggregates may be empty-null; just no throw
+        case "dq_audit" =>
+          // the audit still reports every constraint — all clean
+          assert(rows.length == 7 && rows.forall(_.getAs[Boolean]("pass")))
+        case "q18_cube_revenue" =>
+          // documented cross-engine divergence: ANSI (and DuckDB) keep
+          // the () grouping set's one aggregate row over empty input;
+          // Spark's Expand-based cube emits nothing. Testdata is never
+          // empty so the oracle holds; an empty feed under a CUBE is
+          // the one place the two engines disagree — pinned here so a
+          // future Spark behavior change is noticed
+          assert(rows.isEmpty)
+        case _ => assert(rows.isEmpty || rows.nonEmpty) // materializes fine
+      }
+    }
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently
