@@ -1009,8 +1009,53 @@ object EventAnalytics {
       .orderBy("event_type", "hour")
   }
 
+  /** The streaming anomaly detector replayed as a REGISTERED query
+    * against the batch oracle (the interval_join_stream discipline):
+    * the full events feed drains through
+    * [[graft.streaming.StreamingJobs.detectAnomalies]] in time-ordered
+    * micro-batches — so the ring state actually evolves across batches
+    * — with one far-future sentinel per key closing the trailing
+    * windows (sentinel windows never close, so they never emit). The
+    * emitted rows must hash-match [[eventsAnomaly]]'s oracle exactly:
+    * counts AND the integer-3σ flags. */
+  def eventsAnomalyStream(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val windowMicros = 3600L * 1000000L
+    val evs = Tables.events(spark, dir)
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .collect()
+      .map(r => graft.streaming.KeyedEvent(r.getString(0), r.getLong(1)))
+      .sortBy(_.tsMicros)
+    val input = MemoryStream[graft.streaming.KeyedEvent]
+    val sinkName = "events_anomaly_stream_sink"
+    spark.catalog.dropTempView(sinkName)
+    val q = graft.streaming.StreamingJobs
+      .detectAnomalies(input.toDS(), windowMicros)
+      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .start()
+    try {
+      val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
+      evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+      val sentinelTs = evs.last.tsMicros + 1000L * windowMicros
+      input.addData(evs.map(_.key).distinct.toSeq
+        .map(k => graft.streaming.KeyedEvent(k, sentinelTs)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val rows = spark.table(sinkName)
+      .as[(String, Long, Long, Int, Boolean)].collect().toSeq
+    spark.catalog.dropTempView(sinkName)
+    rows.toDF("event_type", "winStart", "cnt", "n", "is_anomaly")
+      .select(col("event_type"), timestamp_micros(col("winStart")).as("hour"),
+        col("cnt"), col("is_anomaly"))
+      .orderBy("event_type", "hour")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "events_anomaly" -> (eventsAnomaly _),
+    "events_anomaly_stream" -> (eventsAnomalyStream _),
     "key_skew_profile" -> (keySkewProfile _),
     "user_sessions_stream" -> (userSessionsStream _),
     "approx_distinct_users" -> (approxDistinctUsers _),
@@ -1062,24 +1107,29 @@ object EventAnalytics {
         AND p.win_start = c.win_start - INTERVAL '10 minutes'
        ORDER BY c.event_type, c.win_start"""
 
-  val oracleSql: Map[String, String] = Map(
-    "events_anomaly" ->
-      """WITH hourly AS (
-           SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
-           FROM events GROUP BY 1, 2),
-         w AS (
-           SELECT event_type, hour, cnt,
-                  count(*) OVER fr AS n,
-                  cast(sum(cnt) OVER fr AS BIGINT) AS sx,
-                  cast(sum(cnt * cnt) OVER fr AS BIGINT) AS sxx
-           FROM hourly
-           WINDOW fr AS (PARTITION BY event_type ORDER BY hour
-                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+  private val eventsAnomalyOracle =
+    """WITH hourly AS (
+         SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS cnt
+         FROM events GROUP BY 1, 2),
+       w AS (
          SELECT event_type, hour, cnt,
-                (n >= 12 AND
-                 (n * cnt - sx) * (n * cnt - sx) > 9 * (n * sxx - sx * sx))
-                  AS is_anomaly
-         FROM w ORDER BY event_type, hour""",
+                count(*) OVER fr AS n,
+                cast(sum(cnt) OVER fr AS BIGINT) AS sx,
+                cast(sum(cnt * cnt) OVER fr AS BIGINT) AS sxx
+         FROM hourly
+         WINDOW fr AS (PARTITION BY event_type ORDER BY hour
+                       ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+       SELECT event_type, hour, cnt,
+              (n >= 12 AND
+               (n * cnt - sx) * (n * cnt - sx) > 9 * (n * sxx - sx * sx))
+                AS is_anomaly
+       FROM w ORDER BY event_type, hour"""
+
+  val oracleSql: Map[String, String] = Map(
+    // the streaming replay must be indistinguishable from the batch
+    // frame — same oracle for both
+    "events_anomaly_stream" -> eventsAnomalyOracle,
+    "events_anomaly" -> eventsAnomalyOracle,
     "key_skew_profile" ->
       """WITH ev AS (
            SELECT cast(length(bin(cnt)) - 1 AS BIGINT) AS log2_bucket,
