@@ -259,7 +259,10 @@ private[graft] object BenchFormat {
     // dedup_cluster_profile re-reads the memoized cluster artifact the
     // timed dedup_clusters builds and adds key_skew_profile's stacked
     // histogram aggregate over it
-    "dedup_cluster_profile")
+    "dedup_cluster_profile",
+    // value_moments is a single grouped-aggregate pass over the events
+    // scan — q6's multi-aggregate shape with moment buffers
+    "value_moments")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -1053,7 +1053,27 @@ object EventAnalytics {
       .orderBy("event_type", "hour")
   }
 
+  /** The statistical-aggregate surface (second moments + bivariate):
+    * sample stddev/variance, Pearson correlation, sample covariance and
+    * the least-squares slope of value on user_id, per event type — all
+    * single-pass map-side-combinable aggregates (Spark's are Welford/
+    * co-moment updates, constant state per group). 6dp rounding on both
+    * engines absorbs summation-order ulps, the registry-wide float
+    * discipline. The near-zero correlations are the honest answer:
+    * user_id and value are independent by construction in this feed. */
+  def valueMoments(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .groupBy("event_type")
+      .agg(
+        round(stddev_samp(col("value")), 6).as("sd"),
+        round(var_samp(col("value")), 6).as("variance"),
+        round(corr(col("value"), col("user_id").cast("double")), 6).as("corr_user"),
+        round(covar_samp(col("value"), col("user_id").cast("double")), 6).as("covar_user"),
+        round(regr_slope(col("value"), col("user_id").cast("double")), 6).as("slope_user"))
+      .orderBy("event_type")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "value_moments" -> (valueMoments _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_anomaly_stream" -> (eventsAnomalyStream _),
     "key_skew_profile" -> (keySkewProfile _),
@@ -1126,6 +1146,14 @@ object EventAnalytics {
        FROM w ORDER BY event_type, hour"""
 
   val oracleSql: Map[String, String] = Map(
+    "value_moments" ->
+      """SELECT event_type,
+                round(stddev_samp(value), 6) AS sd,
+                round(var_samp(value), 6) AS variance,
+                round(corr(value, cast(user_id AS DOUBLE)), 6) AS corr_user,
+                round(covar_samp(value, cast(user_id AS DOUBLE)), 6) AS covar_user,
+                round(regr_slope(value, cast(user_id AS DOUBLE)), 6) AS slope_user
+          FROM events GROUP BY event_type ORDER BY event_type""",
     // the streaming replay must be indistinguishable from the batch
     // frame — same oracle for both
     "events_anomaly_stream" -> eventsAnomalyOracle,

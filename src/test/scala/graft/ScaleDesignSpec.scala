@@ -915,6 +915,19 @@ class ScaleDesignSpec extends GraftSpec {
     }
   }
 
+  test("value_moments: algebraic identities hold across the aggregate family") {
+    val rows = graft.operators.EventAnalytics.valueMoments(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val sd = r.getAs[Double]("sd"); val v = r.getAs[Double]("variance")
+      // stddev² = variance (within the 6dp rounding both carry)
+      assert(math.abs(sd * sd - v) < 1e-2, s"${r.getString(0)}: $sd² vs $v")
+      // corr and covariance must agree in sign
+      val c = r.getAs[Double]("corr_user"); val cv = r.getAs[Double]("covar_user")
+      assert(c == 0 || cv == 0 || c.sign == cv.sign)
+    }
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently
