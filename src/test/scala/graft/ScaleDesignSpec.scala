@@ -928,6 +928,30 @@ class ScaleDesignSpec extends GraftSpec {
     }
   }
 
+  test("ORC round-trips row-identical to parquet and takes predicate pushdown") {
+    // the third columnar format users bring (after parquet/csv): same
+    // data in, same rows out, and the date filter must reach the ORC
+    // reader as a search argument, not a post-scan filter
+    val tmp = java.nio.file.Files.createTempDirectory("graft-orc").toString + "/li"
+    Tables.lineitem(spark, sfDir).write.orc(tmp)
+    val orc = spark.read.orc(tmp)
+    val viaOrc = orc
+      .filter(col("l_shipdate") <= to_timestamp(lit(graft.operators.Relational.q6CutoffDate)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    val viaPq = Tables.lineitem(spark, sfDir)
+      .filter(col("l_shipdate") <= to_timestamp(lit(graft.operators.Relational.q6CutoffDate)))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(round(sum("l_quantity"), 2).as("q"), count(lit(1)).as("n"))
+      .orderBy("l_returnflag", "l_linestatus").collect().toSeq
+    assert(viaOrc == viaPq)
+    val scan = orc.filter(col("l_shipdate") <= to_timestamp(lit("1998-09-01")))
+      .queryExecution.executedPlan.toString
+    assert(scan.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"),
+      scan.take(1500))
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently
