@@ -262,7 +262,11 @@ private[graft] object BenchFormat {
     "dedup_cluster_profile",
     // value_moments is a single grouped-aggregate pass over the events
     // scan — q6's multi-aggregate shape with moment buffers
-    "value_moments")
+    "value_moments",
+    // dedup_rate_by_source is one doc_id left join against the memoized
+    // cluster artifact (priced by dedup_family_build + dedup_clusters)
+    // + a grouped conditional aggregate
+    "dedup_rate_by_source")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

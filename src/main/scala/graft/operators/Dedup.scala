@@ -141,7 +141,7 @@ object Dedup {
   val familyMembers: Set[String] = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
     "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
     "split_leakage_safe", "decontaminate", "dedup_incremental",
-    "dedup_cluster_profile")
+    "dedup_cluster_profile", "dedup_rate_by_source")
 
   /** Force-materialize the family's shared artifacts (shingle table,
     * verified pair graph, minhash band index). Bench times this as its
@@ -400,6 +400,27 @@ object Dedup {
         sum(col("n")).as("n_docs"))
       .orderBy("log2_bucket")
 
+  /** Per-source duplicate-rate scoreboard — the curation metric that
+    * decides which feeds are worth re-crawling: for each document
+    * source, how many docs sit in near-dup clusters and how many a
+    * survivor pass would drop (cluster members that are not the
+    * representative). One left join of documents against the memoized
+    * cluster artifact + a grouped conditional aggregate; dup_rate is
+    * one exact-integer division rounded at 6dp on both engines. */
+  def dedupRateBySource(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.documents(spark, dir).select("doc_id", "source")
+    val clusters = dedupClusters(spark, dir).select("doc_id", "cluster_rep")
+    docs.join(clusters, Seq("doc_id"), "left_outer")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("cluster_rep")).as("n_clustered"),
+        sum(when(col("cluster_rep").isNotNull &&
+            col("cluster_rep") =!= col("doc_id"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .withColumn("dup_rate", round(col("n_dropped") / col("n_docs"), 6))
+      .orderBy("source")
+  }
+
   def dedupClusters(spark: SparkSession, dir: String): DataFrame = {
     // the verified pair graph is the memoized artifact shared with
     // dedup_survivors — the quadratic shingle self-join runs once per
@@ -649,6 +670,7 @@ object Dedup {
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_cluster_profile" -> (dedupClusterProfile _),
+    "dedup_rate_by_source" -> (dedupRateBySource _),
     "dedup_survivors" -> (dedupSurvivors _),
     "dedup_best_survivor" -> (dedupBestSurvivor _),
     "split_leakage_safe" -> (splitLeakageSafe _),
@@ -874,6 +896,22 @@ object Dedup {
           SELECT doc_id, cluster_rep,
                  count(*) OVER (PARTITION BY cluster_rep) AS cluster_size
           FROM comp ORDER BY doc_id""",
+    "dedup_rate_by_source" ->
+      s"""WITH RECURSIVE $clusterCteSql,
+          j AS (
+            SELECT d.source, d.doc_id, c.cluster_rep
+            FROM documents d LEFT JOIN comp c ON c.doc_id = d.doc_id)
+          SELECT source, count(*) AS n_docs,
+                 count(cluster_rep) AS n_clustered,
+                 cast(coalesce(sum(CASE WHEN cluster_rep IS NOT NULL
+                                         AND cluster_rep <> doc_id
+                                        THEN 1 ELSE 0 END), 0) AS BIGINT)
+                   AS n_dropped,
+                 round(coalesce(sum(CASE WHEN cluster_rep IS NOT NULL
+                                          AND cluster_rep <> doc_id
+                                         THEN 1 ELSE 0 END), 0)
+                       / count(*), 6) AS dup_rate
+          FROM j GROUP BY source ORDER BY source""",
     "dedup_cluster_profile" ->
       s"""WITH RECURSIVE $clusterCteSql,
           sizes AS (SELECT cluster_rep, count(*) AS n FROM comp GROUP BY 1)

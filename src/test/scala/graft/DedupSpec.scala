@@ -254,6 +254,21 @@ class DedupSpec extends GraftSpec {
     assert(splits.map(_._4).distinct.sorted.toSeq == Seq("test", "train", "val"))
   }
 
+  test("dedup_rate_by_source conserves documents and agrees with the survivors") {
+    val rows = graft.operators.Dedup.dedupRateBySource(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getAs[Double]("dup_rate")))
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._2).sum == nDocs, "every document in exactly one source row")
+    // total dropped across sources = docs the survivor pass removes
+    val survivors = graft.operators.Dedup.dedupSurvivors(spark, sfDir).count()
+    assert(rows.map(_._4).sum == nDocs - survivors)
+    rows.foreach { case (src, n, clustered, dropped, rate) =>
+      assert(dropped <= clustered && clustered <= n, src)
+      assert(math.abs(rate - dropped.toDouble / n) < 1e-6, src)
+    }
+  }
+
   test("dedup_cluster_profile conserves the cluster table and bounds sizes") {
     val profile = graft.operators.Dedup.dedupClusterProfile(spark, sfDir)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
