@@ -952,6 +952,25 @@ class ScaleDesignSpec extends GraftSpec {
       scan.take(1500))
   }
 
+  test("JSON-lines round-trips row-identical with an explicit schema") {
+    // the interchange format raw feeds actually arrive in; schema
+    // DECLARED on read (inference over 100 TB is a full extra scan and
+    // type-unstable across partitions), timestamps pinned to a format
+    val tmp = java.nio.file.Files.createTempDirectory("graft-json").toString + "/ev"
+    val src = Tables.events(spark, sfDir)
+      .select("event_id", "user_id", "event_type", "value", "ts")
+    src.write
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .json(tmp)
+    val back = spark.read.schema(src.schema)
+      .option("timestampNTZFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+      .json(tmp)
+    assert(back.schema == src.schema, back.schema.treeString)
+    val key = (df: org.apache.spark.sql.DataFrame) =>
+      df.orderBy("event_id").collect().toSeq
+    assert(key(back) == key(src))
+  }
+
   test("registry hygiene: every oracle names a query; no orphan dumps") {
     // a stale oracleSql key (query renamed or removed) would make the
     // driver's DuckDB run fail on a missing dump - or worse, silently
