@@ -198,6 +198,21 @@ class SourcesSpec extends GraftSpec {
     }
   }
 
+  test("grouped pushdown composes with consumed id-range filters") {
+    // the filter narrows the PLANNED interval (consumed, no residual),
+    // and the grouped fold then runs over the pruned slices only — the
+    // registered synth_bucket_agg shape, pinned explicitly
+    val df = synth(60000, 8).filter(col("id") >= 10000 && col("id") < 30000)
+      .groupBy("bucket").agg(count(lit(1)).as("cnt"))
+    val scan = scanOf(df)
+    assert(scan.toString.contains("groupedAgg=[bucket]"), scan.toString)
+    assert(scan.toString.contains("range=[10000,30000)"), scan.toString)
+    val got = df.collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val brute = (10000L until 30000L).map(_ * 48271L % 2147483647L)
+      .groupBy(x => (x % 100).toInt).view.mapValues(_.size.toLong).toMap
+    assert(got == brute)
+  }
+
   test("grouped pushdown declines float sums and distincts; results stay exact") {
     // a double SUM's value depends on fold order, so the source refuses
     // to claim it — the whole push declines and the plan aggregates
