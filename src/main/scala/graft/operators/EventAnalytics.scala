@@ -53,10 +53,13 @@ object EventAnalytics {
     * The grid cross-product is the one step that REQUIRES a bounded
     * series-key set (series × hours explodes otherwise — exactly the
     * shape the registry's join audit exists to catch), so the bound is
-    * in the plan: `limit(maxSeries)` on the distinct keys, the same
-    * declared-bound pattern knn_brute_cosine uses for its query side.
-    * Resampling an unbounded key set (e.g. per-user) is a different
-    * operator — window it per partition, don't grid it. */
+    * LOUD, not a silent truncation: the distinct keys are collected
+    * under a maxSeries+1 limit (a bounded driver fetch, the
+    * knn_brute_cosine pattern) and a feed with more series than the
+    * bound fails with instructions rather than gridding a
+    * nondeterministic subset that would silently diverge from the
+    * all-types oracle. Resampling an unbounded key set (e.g. per-user)
+    * is a different operator — window it per partition, don't grid it. */
   val maxSeries = 64
 
   def eventsResample(spark: SparkSession, dir: String): DataFrame = {
@@ -68,7 +71,13 @@ object EventAnalytics {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("hour")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    ev.select("event_type").distinct().limit(maxSeries)
+    val keys = ev.select("event_type").distinct().limit(maxSeries + 1).collect()
+    require(keys.length <= maxSeries,
+      s"events_resample grids series × hours and the feed has more than " +
+        s"$maxSeries event types — resample per-key with a window instead " +
+        s"of the grid, or raise maxSeries deliberately")
+    import spark.implicits._
+    keys.map(_.getString(0)).toSeq.toDF("event_type")
       .crossJoin(grid)
       .join(hourly, Seq("event_type", "hour"), "left")
       .select(col("event_type"), col("hour").as("hour_start"),
@@ -102,8 +111,8 @@ object EventAnalytics {
     * rewrite every later event_count_hourly run in the same session
     * (Verify and the bench share one session across queries). */
   def mvHourlyRewrite(spark: SparkSession, dir: String): DataFrame = {
-    val path = java.nio.file.Files.createTempDirectory("graft-mv").toString +
-      "/hourly_counts"
+    val tmpRoot = java.nio.file.Files.createTempDirectory("graft-mv")
+    val path = tmpRoot.toString + "/hourly_counts"
     graft.plans.MaterializedViews.register("hourly_counts",
       eventCountHourlyDef(spark, dir), path)
     try {
@@ -121,7 +130,12 @@ object EventAnalytics {
       val rows = df.collect()
       import scala.jdk.CollectionConverters._
       spark.createDataFrame(rows.toSeq.asJava, df.schema).orderBy("hour_start")
-    } finally graft.plans.MaterializedViews.clear()
+    } finally {
+      graft.plans.MaterializedViews.clear()
+      // the materialization is per-invocation scratch — delete it so
+      // repeated verify/bench sessions don't leak one parquet dir per run
+      org.apache.commons.io.FileUtils.deleteQuietly(tmpRoot.toFile)
+    }
   }
 
   /** As-of join (a mandate-named operator Spark lacks natively): for every
@@ -986,27 +1000,59 @@ object EventAnalytics {
     * inequality (n·x − Σx)² > 9·(n·Σx² − (Σx)²) — algebraically
     * (x − μ)² > (3σ)² with both sides scaled by n², so the flag is
     * hash-exact across engines with NO float at the decision boundary.
-    * Domain bound (documented, not hidden): per-cell counts up to ~6×10⁸
-    * keep the squared term inside Long; a 100 TB deployment over hotter
-    * cells switches the comparison to double, where 1e-15 ulp noise is
-    * meaningless against a 3σ margin. Rows with fewer than 12 baseline
-    * hours report false (no baseline, no claim). */
+    * Domain bound, ENFORCED in the plan (not a comment): per-cell counts
+    * up to [[graft.streaming.AnomalyMath.longSafeCellBound]] keep every
+    * intermediate exact in Long (the binding term is 9·n·Σx² ≤ 5184·B²
+    * — see AnomalyMath's derivation); rows whose frame contains a hotter
+    * cell evaluate the SAME inequality in the double domain, where
+    * 1e-15 ulp noise is meaningless against a 3σ margin. The streaming
+    * ring state applies the identical guarded predicate via
+    * [[graft.streaming.AnomalyMath.threeSigma]], so the replay
+    * differential cannot drift. Rows with fewer than 12 baseline hours
+    * report false (no baseline, no claim). */
   def eventsAnomaly(spark: SparkSession, dir: String): DataFrame = {
     val hourly = Tables.events(spark, dir)
       .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hour"))
       .agg(count(lit(1)).as("cnt"))
+    anomalyFlags(hourly).orderBy("event_type", "hour")
+  }
+
+  /** The guarded 3σ flag computation over an (event_type, hour, cnt)
+    * frame — split out so the overflow-guard test can feed a synthetic
+    * hot cell without rebuilding the events aggregate. */
+  private[graft] def anomalyFlags(hourly: DataFrame): DataFrame = {
     val fr = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("hour").rowsBetween(-24, -1)
+    val cd = col("cnt").cast("double")
+    val longTest =
+      (col("n") * col("cnt") - col("sx")) * (col("n") * col("cnt") - col("sx")) >
+        lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx"))
+    // the double-domain fallback mirrors AnomalyMath's else-branch:
+    // Σx and Σx² accumulated as doubles, same inequality
+    val nd = col("n").cast("double")
+    val doubleTest =
+      (nd * cd - col("sxd")) * (nd * cd - col("sxd")) >
+        lit(9.0) * (nd * col("sxxd") - col("sxd") * col("sxd"))
+    // The Long-path window sums are computed EAGERLY for every row (a
+    // window agg has no branch laziness), so under ANSI mode a hot cell
+    // would throw ARITHMETIC_OVERFLOW before the when() ever chose the
+    // double branch. Clamping cells above the bound to 0 makes the Long
+    // sums total functions (≤ 24·B and ≤ 24·B² — overflow-free by
+    // construction); the clamp is the identity exactly when mx ≤ B,
+    // which is the only case the when() consumes them.
+    val bound = graft.streaming.AnomalyMath.longSafeCellBound
+    val safeCnt = when(col("cnt") <= bound, col("cnt")).otherwise(lit(0L))
     hourly
       .withColumn("n", count(lit(1)).over(fr))
-      .withColumn("sx", sum(col("cnt")).over(fr))
-      .withColumn("sxx", sum(col("cnt") * col("cnt")).over(fr))
+      .withColumn("sx", sum(safeCnt).over(fr))
+      .withColumn("sxx", sum(safeCnt * safeCnt).over(fr))
+      .withColumn("sxd", sum(cd).over(fr))
+      .withColumn("sxxd", sum(cd * cd).over(fr))
+      .withColumn("mx", greatest(max(col("cnt")).over(fr), col("cnt")))
       .select(col("event_type"), col("hour"), col("cnt"),
         (col("n") >= 12 &&
-          (col("n") * col("cnt") - col("sx")) * (col("n") * col("cnt") - col("sx")) >
-            lit(9L) * (col("n") * col("sxx") - col("sx") * col("sx")))
+          when(col("mx") <= lit(bound), longTest).otherwise(doubleTest))
           .as("is_anomaly"))
-      .orderBy("event_type", "hour")
   }
 
   /** The streaming anomaly detector replayed as a REGISTERED query
@@ -1037,12 +1083,17 @@ object EventAnalytics {
       .writeStream.outputMode("append").format("memory").queryName(sinkName)
       .start()
     try {
-      val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
-      evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
-      val sentinelTs = evs.last.tsMicros + 1000L * windowMicros
-      input.addData(evs.map(_.key).distinct.toSeq
-        .map(k => graft.streaming.KeyedEvent(k, sentinelTs)))
-      q.processAllAvailable()
+      // empty feed: nothing to drain, no sentinel to anchor (evs.last
+      // would throw) — the query below returns the empty-schema frame,
+      // matching the batch oracle's empty result
+      if (evs.nonEmpty) {
+        val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
+        evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
+        val sentinelTs = evs.last.tsMicros + 1000L * windowMicros
+        input.addData(evs.map(_.key).distinct.toSeq
+          .map(k => graft.streaming.KeyedEvent(k, sentinelTs)))
+        q.processAllAvailable()
+      }
     } finally q.stop()
     val rows = spark.table(sinkName)
       .as[(String, Long, Long, Int, Boolean)].collect().toSeq

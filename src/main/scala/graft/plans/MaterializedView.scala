@@ -45,20 +45,57 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object MaterializedViews {
   final case class Entry(name: String, canonical: LogicalPlan, path: String,
-                         output: Seq[Attribute])
+                         output: Seq[Attribute]) {
+    /** Cheap structural pre-filter for the rule's walk: canonicalization
+      * preserves the root node class and output arity, so a node that
+      * fails either check cannot equal `canonical` — no canonicalization
+      * needed to reject it. */
+    val rootClass: Class[_] = canonical.getClass
+    val rootArity: Int = canonical.output.size
+  }
 
   private val entries =
     new scala.collection.concurrent.TrieMap[String, Entry]()
+
+  /** While true, [[MVRewrite]] is a no-op. Held during [[register]] so
+    * (a) the refresh write can never be rewritten to scan the very
+    * materialization it is overwriting — even via a same-canonical entry
+    * under a DIFFERENT name — and (b) the canonical is captured from a
+    * plan optimized WITHOUT the rewrite, so it states the definition in
+    * base-table form (a canonical captured from a rewritten plan would
+    * never match user queries again). */
+  @volatile private[plans] var suspended = false
+
+  /** Counts the rule's canonicalization attempts (the expensive half of
+    * matching) — asserted by MaterializedViewSpec the way
+    * `bandedRowsSwept` pins the one-pass banding. */
+  val canonicalizeAttempts = new java.util.concurrent.atomic.LongAdder
 
   /** Materialize `definition` to `path` (overwrite = refresh), then
     * publish. The definition must be an unordered plan — registering a
     * sorted one would never match under an outer operator anyway (the
     * optimizer strips non-top-level sorts), it would only waste the
-    * write. */
+    * write.
+    *
+    * Refresh safety: the name is unpublished FIRST and the rewrite rule
+    * suspended for the duration, so re-registering — the refresh
+    * operation — cannot rewrite its own overwrite into a scan of the
+    * files being deleted. The canonical is recaptured from a fresh
+    * optimization (the passed frame's QueryExecution may be memoized
+    * from a run under different registry state). */
   def register(name: String, definition: DataFrame, path: String): Unit = {
-    definition.write.mode("overwrite").parquet(path)
-    val opt = definition.queryExecution.optimizedPlan
-    entries.put(name, Entry(name, opt.canonicalized, path, opt.output))
+    entries.remove(name)
+    suspended = true
+    try {
+      definition.write.mode("overwrite").parquet(path)
+      // where(lit(true)) forces a NEW QueryExecution over the same
+      // logical definition; PruneFilters drops the vacuous predicate, so
+      // the optimized form is the definition's own — now captured with
+      // the rule suspended, i.e. in base-table terms.
+      val fresh = definition.where(org.apache.spark.sql.functions.lit(true))
+      val opt = fresh.queryExecution.optimizedPlan
+      entries.put(name, Entry(name, opt.canonicalized, path, opt.output))
+    } finally suspended = false
   }
 
   def deregister(name: String): Unit = entries.remove(name)
@@ -74,19 +111,31 @@ object MaterializedViews {
   * A no-op (cheap reference check) while no view is registered. */
 class MVRewrite(session: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
-    if (MaterializedViews.isEmpty) plan
-    else plan.transformUp {
-      case p if !p.isInstanceOf[Subquery] =>
-        MaterializedViews.all.find(_.canonical == p.canonicalized) match {
-          case Some(entry) =>
-            val scan = session.read.parquet(entry.path).queryExecution.analyzed
-            val byName = scan.output.map(a => a.name -> a).toMap
-            val fields: Seq[NamedExpression] =
-              p.output.zip(entry.output).map { case (orig, defOut) =>
-                Alias(byName(defOut.name), orig.name)(exprId = orig.exprId)
-              }
-            Project(fields, scan)
-          case None => p
-        }
+    if (MaterializedViews.isEmpty || MaterializedViews.suspended) plan
+    else {
+      val entries = MaterializedViews.all
+      plan.transformUp {
+        // The guard is the cost bound: canonicalization (which walks the
+        // whole subtree) only happens on nodes that pass the O(1)
+        // class+arity pre-filter against some entry. A plan with no
+        // shape-compatible node pays |plan| class compares, zero
+        // canonicalizations — pinned by MaterializedViewSpec via
+        // `canonicalizeAttempts`.
+        case p if !p.isInstanceOf[Subquery] && entries.exists(e =>
+            (e.rootClass eq p.getClass) && e.rootArity == p.output.size) =>
+          MaterializedViews.canonicalizeAttempts.increment()
+          val canon = p.canonicalized
+          entries.find(_.canonical == canon) match {
+            case Some(entry) =>
+              val scan = session.read.parquet(entry.path).queryExecution.analyzed
+              val byName = scan.output.map(a => a.name -> a).toMap
+              val fields: Seq[NamedExpression] =
+                p.output.zip(entry.output).map { case (orig, defOut) =>
+                  Alias(byName(defOut.name), orig.name)(exprId = orig.exprId)
+                }
+              Project(fields, scan)
+            case None => p
+          }
+      }
     }
 }

@@ -122,7 +122,9 @@ private[sources] class SynthTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   private val rows = options.getLong("rows", 100000L)
   private val partitions = options.getInt("partitions", 8)
-  private val rowsPerBatch = options.getLong("rowsPerBatch", rows)
+  // default to max(1, rows) so the documented rows=0 empty-table case is
+  // reachable without the caller also spelling out a vacuous batch size
+  private val rowsPerBatch = options.getLong("rowsPerBatch", math.max(1L, rows))
   require(rows >= 0 && partitions > 0 && rowsPerBatch > 0,
     s"graft-synth needs rows >= 0, partitions > 0, rowsPerBatch > 0, " +
       s"got $rows/$partitions/$rowsPerBatch")

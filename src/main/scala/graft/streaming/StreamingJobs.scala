@@ -23,6 +23,38 @@ case class AnomalyState(winStart: Long, cur: Long, ring: List[Long])
 case class AnomalyResult(key: String, winStartMicros: Long, cnt: Long,
                          baselineN: Int, isAnomaly: Boolean)
 
+/** The integer 3σ anomaly test shared by the batch plan
+  * (`EventAnalytics.eventsAnomaly`) and the streaming ring state
+  * ([[StreamingJobs.detectAnomalies]]) — one definition so the replay
+  * differential can never drift.
+  *
+  * Exactness bound: with every cell count ≤ B and a ≤24-cell baseline,
+  * the worst Long intermediate is rhs = 9·(n·sxx − sx²) ≤ 9·24·24·B² =
+  * 5184·B², which stays under Long.MaxValue (9.22e18) iff B ≤ ~4.2e7
+  * (lhs (48B)² = 2304·B² is smaller; sxx itself ≤ 24B² needs B ≤ 6.2e8).
+  * Beyond [[AnomalyMath.longSafeCellBound]] the test switches to the
+  * double-domain form — same inequality, 53-bit mantissa precision
+  * instead of silent wraparound. */
+object AnomalyMath {
+  /** Per-cell count up to which every Long intermediate above is exact. */
+  val longSafeCellBound: Long = 40000000L
+
+  def threeSigma(cur: Long, ring: Seq[Long]): Boolean = {
+    val n = ring.length.toLong
+    if (cur <= longSafeCellBound && ring.forall(_ <= longSafeCellBound)) {
+      val sx = ring.sum
+      val sxx = ring.map(c => c * c).sum
+      val d = n * cur - sx
+      d * d > 9L * (n * sxx - sx * sx)
+    } else {
+      val sx = ring.foldLeft(0.0)(_ + _.toDouble)
+      val sxx = ring.foldLeft(0.0)((a, c) => a + c.toDouble * c.toDouble)
+      val d = n.toDouble * cur.toDouble - sx
+      d * d > 9.0 * (n.toDouble * sxx - sx * sx)
+    }
+  }
+}
+
 case class TrendState(winStart: Long, cur: Long, prev: Long,
     pendStart: Long = -1L, pendCur: Long = 0L, pendPrev: Long = 0L)
 
@@ -224,13 +256,8 @@ object StreamingJobs {
         var st = state.getOption.getOrElse(AnomalyState(-1L, 0L, Nil))
         def close(): Unit = {
           val ring = st.ring
-          val n = ring.length.toLong
-          val flag = n >= minBaseline && {
-            val sx = ring.sum
-            val sxx = ring.map(c => c * c).sum
-            val d = n * st.cur - sx
-            d * d > 9L * (n * sxx - sx * sx)
-          }
+          val flag = ring.length >= minBaseline &&
+            AnomalyMath.threeSigma(st.cur, ring)
           out += AnomalyResult(key, st.winStart, st.cur, ring.length, flag)
           st = AnomalyState(-1L, 0L, (st.cur :: ring).take(24))
         }

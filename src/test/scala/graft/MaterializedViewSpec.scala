@@ -122,4 +122,63 @@ class MaterializedViewSpec extends GraftSpec {
         EventAnalytics.eventCountHourlyDef(spark, sfDir).count())
     }
   }
+
+  test("re-register (refresh) with the same name and path succeeds " +
+       "and serves the NEW definition") {
+    // The failure mode this pins: with the old entry still published
+    // during the refresh write, MVRewrite rewrote the write's own plan
+    // to scan the files being overwritten → FAILED_READ_FILE on a
+    // same-path refresh, silent staleness on a different path.
+    val path = java.nio.file.Files
+      .createTempDirectory("graft-mvspec").toString + "/refresh"
+    def defn() = EventAnalytics.eventCountHourlyDef(spark, sfDir)
+    try {
+      MaterializedViews.register("spec_refresh", defn(), path)
+      val v1 = spark.read.parquet(path).count()
+      // refresh: same name, same path, same canonical — must not read
+      // the files it deletes, must repopulate completely
+      MaterializedViews.register("spec_refresh", defn(), path)
+      assert(spark.read.parquet(path).count() == v1,
+        "refresh must rematerialize the full definition")
+      // and the refreshed entry still matches user queries (the
+      // canonical must be captured in BASE-TABLE form, not from a
+      // rewritten plan)
+      val q = EventAnalytics.eventCountHourly(spark, sfDir)
+      assert(mvScans(q).nonEmpty, "post-refresh query must still rewrite")
+      // refresh under a DIFFERENT name with the same canonical: the
+      // same-canonical sibling entry must not hijack the write either
+      val path2 = java.nio.file.Files
+        .createTempDirectory("graft-mvspec").toString + "/refresh2"
+      MaterializedViews.register("spec_refresh_b", defn(), path2)
+      assert(spark.read.parquet(path2).count() == v1,
+        "sibling registration must materialize from base tables")
+    } finally MaterializedViews.clear()
+  }
+
+  test("matching cost is bounded: a walk with no shape-compatible node " +
+       "performs ZERO canonicalizations") {
+    withMv { _ =>
+      val entryShapes = MaterializedViews.all
+        .map(e => (e.rootClass, e.rootArity)).toSet
+      // a probe whose every node fails the class+arity pre-filter —
+      // verified against the registered entries, not assumed
+      val probe = Tables.events(spark, sfDir)
+        .select("ts", "event_type", "user_id")
+      val nodes = probe.queryExecution.analyzed.collect { case n => n }
+      MaterializedViews.canonicalizeAttempts.reset()
+      val opt = probe.queryExecution.optimizedPlan // forces the rule
+      assert(opt.collect { case n
+          if entryShapes.contains((n.getClass, n.output.size)) => n }.isEmpty,
+        "probe invalid: a node passes the pre-filter; pick another probe")
+      assert(MaterializedViews.canonicalizeAttempts.sum() == 0,
+        s"expected zero canonicalizations on a shape-incompatible walk " +
+        s"(${nodes.size} nodes)")
+      // sanity: a genuinely matching query does pay (bounded) attempts
+      MaterializedViews.canonicalizeAttempts.reset()
+      val hit = EventAnalytics.eventCountHourly(spark, sfDir)
+      assert(mvScans(hit).nonEmpty)
+      assert(MaterializedViews.canonicalizeAttempts.sum() > 0,
+        "instrument must count the real match attempt")
+    }
+  }
 }

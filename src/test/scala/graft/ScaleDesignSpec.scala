@@ -792,6 +792,43 @@ class ScaleDesignSpec extends GraftSpec {
     assert(nTrue > 0 && nTrue < rows.length / 2, s"$nTrue of ${rows.length}")
   }
 
+  test("events_anomaly: per-cell counts past the Long-safe bound switch " +
+       "to the double test and flag CORRECTLY (no silent overflow)") {
+    import spark.implicits._
+    import graft.streaming.AnomalyMath
+    val hot = 700000000L // > longSafeCellBound; Σx² alone wraps Long (24·(7e8)² ≈ 1.2e19)
+    // 24 flat baseline hours at `hot`, then a quiet 25th and a 2× 26th
+    val cells = (0 until 24).map(h => ("hot", h, hot)) ++
+      Seq(("hot", 24, hot), ("hot", 25, 2L * hot))
+    val hourly = cells.toDF("event_type", "h", "cnt")
+      .select(col("event_type"),
+        expr("timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,h,0,0)")
+          .as("hour"), col("cnt"))
+    val got = graft.operators.EventAnalytics.anomalyFlags(hourly)
+      .orderBy("hour").collect()
+      .map(r => (r.getLong(2), r.getBoolean(3)))
+    // independent exact truth via BigInt — immune to both failure modes
+    def exact(cur: Long, ring: Seq[Long]): Boolean = {
+      val n = BigInt(ring.length); val sx = ring.map(BigInt(_)).sum
+      val sxx = ring.map(c => BigInt(c) * BigInt(c)).sum
+      val d = n * cur - sx
+      ring.length >= 12 && d * d > 9 * (n * sxx - sx * sx)
+    }
+    val counts = cells.map(_._3)
+    got.zipWithIndex.foreach { case ((cnt, flag), i) =>
+      val ring = counts.slice(math.max(0, i - 24), i)
+      assert(flag == exact(cnt, ring.reverse),
+        s"hour $i cnt=$cnt: plan flag $flag vs exact ${exact(cnt, ring)}")
+      // and the shared scalar predicate (the streaming ring) agrees
+      if (ring.length >= 12)
+        assert(AnomalyMath.threeSigma(cnt, ring) == exact(cnt, ring),
+          s"AnomalyMath drifts from exact at hour $i")
+    }
+    // the interesting rows: flat continuation is calm, the 2× spike flags
+    assert(!got(24)._2, "flat hot cell must not flag")
+    assert(got(25)._2, "2x spike over a flat hot baseline must flag")
+  }
+
   test("dynamic partition overwrite rewrites only the written partitions") {
     // the backfill contract at 100 TB: re-running one day/type must not
     // truncate the other thousand partitions (static overwrite mode —
