@@ -266,7 +266,14 @@ private[graft] object BenchFormat {
     // dedup_rate_by_source is one doc_id left join against the memoized
     // cluster artifact (priced by dedup_family_build + dedup_clusters)
     // + a grouped conditional aggregate
-    "dedup_rate_by_source")
+    "dedup_rate_by_source",
+    // r7: image_features stays TIMED (the real-codec PNG encode+decode
+    // mapPartitions pass is a new physical workload — codec CPU, not
+    // scan shape). image_resize re-runs that same encode+decode per
+    // record and adds the stride-2 copy loop plus a second (quarter-
+    // size) round trip — its dominant cost IS the timed sibling's codec
+    // work over the identical plan
+    "image_resize")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

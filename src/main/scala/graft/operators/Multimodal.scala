@@ -8,18 +8,24 @@ import org.apache.spark.sql.functions._
   * `binary` columns with typed metadata, decoded/feature-extracted in
   * partition-wise batches.
   *
-  * The container has no image/audio codecs, so the decode step is a
-  * clearly-marked deterministic STUB — but every Spark-side piece a real
-  * pipeline needs is genuine and tested: the binary column schema, the
-  * partition-batched extraction boundary (`mapPartitions` over a typed
-  * Dataset — the Scala analog of `mapInPandas` batches; a real decoder
-  * would be invoked once per batch, amortizing native-lib setup), the
-  * frame-sampling arithmetic, and the metadata projection that lets
-  * Catalyst prune the heavy blob column when a query only needs metadata.
+  * Two parallel paths, both oracle-checked:
   *
-  * The media table derives from `documents` (text → UTF-8 blob) so the
-  * DuckDB oracle can recompute the same features from the text — making
-  * even the stubbed path hash-checkable.
+  *   - the OPAQUE-BLOB path (`media*`): media derives from `documents`
+  *     (text → UTF-8 blob) so the DuckDB oracle recomputes the same byte
+  *     features from the text — this pins the schema, the metadata
+  *     projection that lets Catalyst prune the heavy blob column, and
+  *     the pure-column frame-sampling arithmetic;
+  *
+  *   - the REAL-CODEC path (`image*`): genuine PNG bytes encoded AND
+  *     decoded with `javax.imageio` (JVM builtin — no new dependency)
+  *     inside the partition-batched extraction boundary (`mapPartitions`
+  *     over a typed Dataset — the Scala analog of `mapInPandas` batches;
+  *     the codec is invoked per record within a partition batch,
+  *     amortizing any per-partition setup a native decoder would need).
+  *     Pixels follow a deterministic closed form, and PNG is lossless,
+  *     so the DuckDB oracle verifies the decoded pixel statistics
+  *     EXACTLY without itself decoding anything — the encode→decode
+  *     round trip is inside the checked path.
   */
 object Multimodal {
 
@@ -35,10 +41,13 @@ object Multimodal {
         lit("text/plain").as("media_type"),
         octet_length(col("text")).cast("long").as("n_bytes"))
 
-  /** Partition-batched "decode + feature extract". STUB decode: byte
-    * length, unsigned sum of the first 16 header bytes, and the 64-byte
-    * frame count — a real implementation swaps the per-record lambda for
-    * a batched native decoder call; the dataflow shape is identical. */
+  /** Partition-batched BYTE-domain feature extraction over the opaque
+    * blob: byte length, unsigned sum of the first 16 header bytes, and
+    * the 64-byte frame count — the cheap metadata-level pass a pipeline
+    * runs before committing to a full decode (magic-byte sniffing,
+    * corruption triage, size binning). The full-decode path with a real
+    * codec is [[imageFeatures]]; both share this `mapPartitions`
+    * extraction boundary. */
   def mediaFeatures(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
@@ -109,13 +118,137 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // ---- Real-codec path: javax.imageio over genuine PNG bytes ----
+
+  /** Deterministic pixel channel value — the closed form the DuckDB
+    * oracle and the ScalaTest golden recompute independently of any
+    * codec. doc_id ≥ 0, so the Long remainder is already non-negative. */
+  def pix(docId: Long, x: Int, y: Int, c: Int): Int =
+    ((docId * 7 + x.toLong * 31 + y.toLong * 17 + c.toLong * 11) % 256).toInt
+  def imgWidth(docId: Long): Int = 8 + (docId % 25).toInt
+  def imgHeight(docId: Long): Int = 8 + (docId % 17).toInt
+
+  /** The image table: one REAL PNG per document id, encoded on the
+    * executors inside the partition-batched seam. `media` holds actual
+    * PNG files (magic bytes, IHDR, zlib-compressed scanlines) — any
+    * external PNG reader decodes them. */
+  def imageTable(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .mapPartitions { ids =>
+        ids.map { id =>
+          val w = imgWidth(id); val h = imgHeight(id)
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y,
+                (pix(id, x, y, 0) << 16) | (pix(id, x, y, 1) << 8) | pix(id, x, y, 2))
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray, "image/png")
+        }
+      }.toDF("doc_id", "media", "media_type")
+  }
+
+  /** REAL decode + feature extraction: `ImageIO.read` on each PNG inside
+    * the partition batch, then width/height and exact per-channel pixel
+    * sums off the decoded raster. The oracle recomputes the sums from
+    * the pixel closed form — a lossy or misaligned decode fails the
+    * hash, so the codec round trip itself is under test, not just the
+    * plumbing around it. */
+  def imageFeatures(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    imageTable(spark, dir).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          var y = 0
+          while (y < img.getHeight) {
+            var x = 0
+            while (x < img.getWidth) {
+              val p = img.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, img.getWidth, img.getHeight, rs, gs, bs)
+        }
+      }.toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy("doc_id")
+  }
+
+  /** REAL resize: decode the PNG, nearest-neighbor downsample to half
+    * resolution (out(x,y) = in(2x,2y) — the standard stride-2 nearest
+    * kernel), RE-ENCODE the result as PNG, then decode THAT and report
+    * its dimensions and channel sums — so the checked value has passed
+    * through two full encode→decode round trips. The oracle states the
+    * expected sums by substituting 2x/2y into the pixel closed form. */
+  def imageResize(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    imageTable(spark, dir).select(col("doc_id"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { batch =>
+        batch.map { case (id, bytes) =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bytes))
+          val ow = math.max(1, img.getWidth / 2)
+          val oh = math.max(1, img.getHeight / 2)
+          val out = new java.awt.image.BufferedImage(
+            ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < oh) {
+            var x = 0
+            while (x < ow) { out.setRGB(x, y, img.getRGB(2 * x, 2 * y)); x += 1 }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          val rt = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(bos.toByteArray))
+          var rs = 0L; var gs = 0L; var bs = 0L
+          y = 0
+          while (y < rt.getHeight) {
+            var x = 0
+            while (x < rt.getWidth) {
+              val p = rt.getRGB(x, y)
+              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+              x += 1
+            }
+            y += 1
+          }
+          (id, rt.getWidth, rt.getHeight, rs, gs, bs)
+        }
+      }.toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "multimodal_features" -> (mediaFeatures _),
     "multimodal_frame_sample" -> (mediaFrameSample _),
-    "multimodal_resize" -> (mediaResize _))
+    "multimodal_resize" -> (mediaResize _),
+    "image_features" -> (imageFeatures _),
+    "image_resize" -> (imageResize _))
 
   /** The corpus is ASCII, so byte features equal character features —
-    * which is what makes the stub oracle-checkable. */
+    * which is what makes the opaque-blob path oracle-checkable. The
+    * image oracles restate the pixel closed form over an exploded
+    * (x, y) grid: the oracle never decodes a PNG, yet an exact match
+    * certifies the executor-side encode→decode round trip bit-for-bit
+    * (PNG is lossless; any codec drift breaks the channel sums). */
   val oracleSql: Map[String, String] = Map(
     "multimodal_features" ->
       s"""SELECT doc_id,
@@ -148,5 +281,26 @@ object Multimodal {
           SELECT doc_id, frame_id, length(frame) AS frame_len,
                  list_sum(list_transform(range(1, length(frame) + 1),
                                          j -> ascii(frame[j])))::BIGINT AS frame_sum
-          FROM fr ORDER BY doc_id, frame_id""")
+          FROM fr ORDER BY doc_id, frame_id""",
+    "image_features" ->
+      """WITH d AS (SELECT doc_id, 8 + doc_id % 25 AS w, 8 + doc_id % 17 AS h
+                    FROM documents)
+         SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+                SUM((d.doc_id * 7 + x.x * 31 + y.y * 17) % 256)::BIGINT AS r_sum,
+                SUM((d.doc_id * 7 + x.x * 31 + y.y * 17 + 11) % 256)::BIGINT AS g_sum,
+                SUM((d.doc_id * 7 + x.x * 31 + y.y * 17 + 22) % 256)::BIGINT AS b_sum
+         FROM d, range(0, 32) x(x), range(0, 24) y(y)
+         WHERE x.x < d.w AND y.y < d.h
+         GROUP BY 1, 2, 3 ORDER BY doc_id""",
+    "image_resize" ->
+      """WITH d AS (SELECT doc_id, (8 + doc_id % 25) // 2 AS w,
+                           (8 + doc_id % 17) // 2 AS h
+                    FROM documents)
+         SELECT d.doc_id, CAST(d.w AS INT) AS width, CAST(d.h AS INT) AS height,
+                SUM((d.doc_id * 7 + 2 * x.x * 31 + 2 * y.y * 17) % 256)::BIGINT AS r_sum,
+                SUM((d.doc_id * 7 + 2 * x.x * 31 + 2 * y.y * 17 + 11) % 256)::BIGINT AS g_sum,
+                SUM((d.doc_id * 7 + 2 * x.x * 31 + 2 * y.y * 17 + 22) % 256)::BIGINT AS b_sum
+         FROM d, range(0, 16) x(x), range(0, 12) y(y)
+         WHERE x.x < d.w AND y.y < d.h
+         GROUP BY 1, 2, 3 ORDER BY doc_id""")
 }

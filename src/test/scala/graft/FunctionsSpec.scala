@@ -125,6 +125,54 @@ class FunctionsSpec extends GraftSpec {
     }
   }
 
+  test("image table holds REAL PNGs; decode reproduces every pixel exactly") {
+    // the golden the DuckDB oracle can't provide: decode the executor-
+    // encoded PNG here with an independent ImageIO call and compare
+    // PIXEL BY PIXEL against the closed form — lossless round trip, no
+    // channel swizzle, no row/column transposition
+    val rows = Multimodal.imageTable(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+      .collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val id = r.getLong(0)
+      val bytes = r.getAs[Array[Byte]](1)
+      // PNG magic bytes: a real container, not a labeled blob
+      assert((bytes(0) & 0xff) == 0x89 && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte,
+        s"doc $id media is not a PNG")
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img.getWidth == Multimodal.imgWidth(id))
+      assert(img.getHeight == Multimodal.imgHeight(id))
+      for (y <- 0 until img.getHeight; x <- 0 until img.getWidth) {
+        val p = img.getRGB(x, y)
+        assert(((p >> 16) & 0xff) == Multimodal.pix(id, x, y, 0), s"R at ($x,$y) doc $id")
+        assert(((p >> 8) & 0xff) == Multimodal.pix(id, x, y, 1), s"G at ($x,$y) doc $id")
+        assert((p & 0xff) == Multimodal.pix(id, x, y, 2), s"B at ($x,$y) doc $id")
+      }
+    }
+  }
+
+  test("image resize halves dimensions and keeps exactly the stride-2 pixels") {
+    val feat = Multimodal.imageResize(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("doc_id") < 5)
+      .collect()
+    feat.foreach { r =>
+      val id = r.getLong(0)
+      val ow = Multimodal.imgWidth(id) / 2
+      val oh = Multimodal.imgHeight(id) / 2
+      assert(r.getInt(1) == ow && r.getInt(2) == oh)
+      var rs = 0L; var gs = 0L; var bs = 0L
+      for (y <- 0 until oh; x <- 0 until ow) {
+        rs += Multimodal.pix(id, 2 * x, 2 * y, 0)
+        gs += Multimodal.pix(id, 2 * x, 2 * y, 1)
+        bs += Multimodal.pix(id, 2 * x, 2 * y, 2)
+      }
+      assert(r.getLong(3) == rs && r.getLong(4) == gs && r.getLong(5) == bs,
+        s"doc $id resized channel sums drift from the stride-2 closed form")
+    }
+  }
+
   test("SQL surface: cosine_similarity and log_sum_exp are registered functions") {
     // the extension registers both customs with the function registry -
     // spark.sql users get the same surface the Column API exposes
