@@ -1,0 +1,199 @@
+package graft.sources
+
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsWrite, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write._
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+/** The WRITE half of the DataSourceV2 contract — the seam `graft-synth`
+  * demonstrates for reads (SURVEY §2.11). A 100 TB library's sinks live
+  * or die on the commit protocol: tasks retry, executors die mid-write,
+  * speculative duplicates race — and the table must still end up with
+  * exactly one copy of every row. This sink implements the classic
+  * two-phase file commit (the FileOutputCommitter-v1 shape every
+  * Hadoop/Spark file sink descends from):
+  *
+  *   1. each task ATTEMPT writes to a private temp file under
+  *      `path/_temp/<queryId>/` whose name carries (partition, task id)
+  *      — attempts never share a file, so a failed or speculative
+  *      attempt can be discarded without touching anyone else's output;
+  *   2. `DataWriter.commit()` does NOT publish — it returns a
+  *      [[FileSinkCommitMessage]] naming the temp file. Spark's commit
+  *      coordinator guarantees at most one attempt per partition gets
+  *      its message delivered to the driver;
+  *   3. `BatchWrite.commit(messages)` — the only publisher — renames
+  *      exactly the named temp files into `path/part-*.tsv`, then
+  *      removes the whole `_temp/<queryId>` dir, sweeping every orphan
+  *      a failed attempt left behind. `abort()` removes the temp dir
+  *      without publishing anything.
+  *
+  * Rows only become visible through step 3, so task retry CANNOT
+  * duplicate rows — pinned by SourcesSpec, which drives two attempts of
+  * the same partition through the factory and shows one copy published
+  * and zero temp residue.
+  *
+  * Truncate (`SaveMode.Overwrite` lowers to it via [[SupportsTruncate]])
+  * deletes previously committed `part-*` files inside the SAME commit
+  * step, after the new files are safely staged — the overwrite is
+  * staged-then-swapped, never write-in-place.
+  *
+  * Deliberate demo bounds (documented, not hidden): paths are
+  * local-filesystem `java.nio` operations — a cluster deployment swaps
+  * them for Hadoop `FileSystem` calls against shared storage (same
+  * protocol, same seam; rename-based v1 commit assumes the store gives
+  * atomic rename, which HDFS does and S3 does not — S3 needs a
+  * manifest/staging committer, a different round's work). The row codec
+  * is TSV over scalar types — the protocol under test is commit, not
+  * encoding.
+  */
+class FileSinkProvider extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-filesink"
+  // a pure sink has no schema of its own; ACCEPT_ANY_SCHEMA (the noop/
+  // console-sink pattern) makes the write query's schema authoritative
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    new StructType()
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: java.util.Map[String, String]): Table =
+    new FileSinkTable(new CaseInsensitiveStringMap(properties))
+}
+
+private[sources] class FileSinkTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsWrite {
+  private val path = {
+    val p = options.get("path")
+    require(p != null && p.nonEmpty, "graft-filesink requires a 'path' option")
+    p
+  }
+  override def name(): String = s"graft_filesink($path)"
+  override def schema(): StructType = new StructType()
+  override def capabilities(): java.util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new FileSinkWriteBuilder(path, info)
+}
+
+private[sources] class FileSinkWriteBuilder(path: String, info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+  override def build(): Write = new Write {
+    override def toBatch: BatchWrite =
+      new FileSinkBatchWrite(path, info.queryId(), info.schema(), doTruncate)
+  }
+}
+
+final case class FileSinkCommitMessage(partitionId: Int, tempFile: String,
+                                       rows: Long) extends WriterCommitMessage
+
+private[graft] class FileSinkBatchWrite(path: String, queryId: String,
+    schema: StructType, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FileSinkWriterFactory(path, queryId, schema)
+
+  /** The ONLY publisher: stage→publish under the driver's control. */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    if (truncate) listParts(dir).foreach(Files.delete)
+    messages.foreach { case FileSinkCommitMessage(pid, temp, _) =>
+      Files.move(Paths.get(temp), dir.resolve(f"part-$queryId-$pid%05d.tsv"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteTempDir() // sweeps every orphan attempt's file
+    Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteTempDir() // nothing was published; remove all staged attempts
+
+  private def listParts(dir: Path): Seq[Path] = {
+    val s = Files.list(dir)
+    try s.iterator().asScala.toSeq.filter(_.getFileName.toString.startsWith("part-"))
+    finally s.close()
+  }
+  private def deleteTempDir(): Unit = {
+    val t = Paths.get(path, "_temp", queryId)
+    if (Files.exists(t)) {
+      val s = Files.walk(t)
+      try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
+      finally s.close()
+    }
+    // drop the shared `_temp` parent once the last query's staging is
+    // gone (concurrent writers to the same path each own a queryId
+    // subdir, so a non-empty parent just stays)
+    val parent = Paths.get(path, "_temp")
+    try Files.deleteIfExists(parent)
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+  }
+}
+
+private[graft] class FileSinkWriterFactory(path: String, queryId: String,
+    schema: StructType) extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new FileSinkDataWriter(path, queryId, schema, partitionId, taskId)
+}
+
+/** One task ATTEMPT's writer. The temp file name carries the task id, so
+  * concurrent attempts of the same partition (retry, speculation) write
+  * disjoint files; only the attempt whose commit message reaches
+  * `BatchWrite.commit` is ever published. */
+private[graft] class FileSinkDataWriter(path: String, queryId: String,
+    schema: StructType, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val tempFile = {
+    val dir = Paths.get(path, "_temp", queryId)
+    Files.createDirectories(dir)
+    dir.resolve(f"attempt-$partitionId%05d-$taskId")
+  }
+  private val out = Files.newBufferedWriter(tempFile, StandardCharsets.UTF_8)
+  private var count = 0L
+
+  override def write(row: InternalRow): Unit = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < schema.length) {
+      if (i > 0) sb.append('\t')
+      sb.append(cell(row, i, schema(i).dataType))
+      i += 1
+    }
+    sb.append('\n')
+    out.write(sb.toString)
+    count += 1
+  }
+
+  private def cell(row: InternalRow, i: Int, dt: DataType): String =
+    if (row.isNullAt(i)) "" else dt match {
+      case LongType      => row.getLong(i).toString
+      case IntegerType   => row.getInt(i).toString
+      case DoubleType    => row.getDouble(i).toString
+      case BooleanType   => row.getBoolean(i).toString
+      case StringType    => row.getUTF8String(i).toString
+      case DateType      => row.getInt(i).toString   // days since epoch
+      case TimestampType => row.getLong(i).toString  // micros since epoch
+      case other => throw new UnsupportedOperationException(
+        s"graft-filesink demo codec does not serialize $other")
+    }
+
+  override def commit(): WriterCommitMessage = {
+    out.close()
+    FileSinkCommitMessage(partitionId, tempFile.toString, count)
+  }
+
+  override def abort(): Unit = {
+    out.close()
+    Files.deleteIfExists(tempFile) // best-effort; job commit sweeps the rest
+  }
+
+  override def close(): Unit = () // closed in commit/abort
+}

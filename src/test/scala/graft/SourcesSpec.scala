@@ -242,4 +242,90 @@ class SourcesSpec extends GraftSpec {
       assert(r.getDouble(4) == mn && r.getDouble(5) == mx)
     }
   }
+
+  // ---- graft-filesink: the DSv2 WRITE contract ----
+
+  private def sinkDir(): String =
+    java.nio.file.Files.createTempDirectory("graft-filesink").toString
+
+  private def readSink(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    val parts = try s.iterator().asScala.toSeq.filter(
+      _.getFileName.toString.startsWith("part-")) finally s.close()
+    parts.flatMap(p =>
+      java.nio.file.Files.readAllLines(p).asScala).sorted.toSeq
+  }
+
+  test("filesink end-to-end: append publishes rows, overwrite truncates") {
+    import spark.implicits._
+    val path = sinkDir()
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "tag")
+    df.write.format("graft-filesink").option("path", path).mode("append").save()
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_SUCCESS")))
+    assert(readSink(path) == Seq("1\ta", "2\tb", "3\tc"))
+    // append accumulates (second job's queryId keeps file names disjoint)
+    df.write.format("graft-filesink").option("path", path).mode("append").save()
+    assert(readSink(path) == Seq("1\ta", "1\ta", "2\tb", "2\tb", "3\tc", "3\tc"))
+    // overwrite lowers to SupportsTruncate: old parts swept, one copy left
+    df.write.format("graft-filesink").option("path", path).mode("overwrite").save()
+    assert(readSink(path) == Seq("1\ta", "2\tb", "3\tc"))
+    // no staging residue after any of the three commits
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_temp")))
+  }
+
+  test("filesink commit protocol: a retried task attempt does NOT " +
+       "duplicate rows, and the failed attempt leaves zero residue") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = sinkDir()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("tag", StringType)))
+    val bw = new graft.sources.FileSinkBatchWrite(path, "q-retry", schema,
+      truncate = false)
+    val factory = bw.createBatchWriterFactory(null)
+    def row(id: Long, tag: String) =
+      InternalRow(id, UTF8String.fromString(tag))
+    // ATTEMPT 0 of partition 0: writes a row, then the task dies before
+    // its commit message is produced (executor crash — abort() may never
+    // run). Its staged file must be invisible forever.
+    val attempt0 = factory.createWriter(0, 100L)
+    attempt0.write(row(1L, "lost"))
+    // no commit, no abort: the orphan temp file stays staged
+    // ATTEMPT 1 (the retry) writes the SAME logical rows and commits.
+    val attempt1 = factory.createWriter(0, 101L)
+    attempt1.write(row(1L, "kept"))
+    val msg1 = attempt1.commit()
+    // a second partition completes normally on its first attempt
+    val p1 = factory.createWriter(1, 102L)
+    p1.write(row(2L, "p1"))
+    val msgP1 = p1.commit()
+    // the driver publishes ONLY the delivered messages (Spark's commit
+    // coordinator guarantees one per partition)
+    bw.commit(Array(msg1, msgP1))
+    assert(readSink(path) == Seq("1\tkept", "2\tp1"),
+      "published rows must be exactly the committed attempts'")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_temp")),
+      "job commit must sweep the failed attempt's staged file")
+  }
+
+  test("filesink abort publishes nothing and cleans all staged attempts") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    val path = sinkDir()
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val bw = new graft.sources.FileSinkBatchWrite(path, "q-abort", schema,
+      truncate = false)
+    val factory = bw.createBatchWriterFactory(null)
+    val w = factory.createWriter(0, 1L)
+    w.write(InternalRow(42L))
+    val msg = w.commit()
+    bw.abort(Array(msg))
+    assert(readSink(path).isEmpty, "aborted job must publish nothing")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_temp")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(path, "_SUCCESS")))
+  }
 }
