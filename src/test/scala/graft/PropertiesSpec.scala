@@ -118,4 +118,104 @@ class PropertiesSpec extends AnyFunSuite {
       Prop(interval == brute)
     })
   }
+
+  // ---- graph-family laws (Spark-backed: each trial runs real jobs, so
+  // trial counts are sized for coverage-per-second, not the pure-JVM 200) ----
+
+  private lazy val spark = TestSession.spark
+
+  private def checkN(n: Int)(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, res.status.toString)
+  }
+
+  /** Random multigraph-ish edge lists on ≤200 nodes: duplicates, self
+    * loops, both orientations — everything a dedup pair graph can emit. */
+  private val ccEdges: Gen[List[(Long, Long)]] = for {
+    n <- Gen.chooseNum(2, 200)
+    m <- Gen.chooseNum(1, 2 * n)
+    es <- Gen.listOfN(m, for {
+      a <- Gen.chooseNum(0L, (n - 1).toLong)
+      b <- Gen.chooseNum(0L, (n - 1).toLong)
+    } yield (a, b))
+  } yield es
+
+  test("connectedComponents equals a driver-side union-find on random graphs") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    checkN(12)(forAll(ccEdges) { es =>
+      val labels = graft.operators.Dedup.connectedComponents(es.toDF("a", "b"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // reference: union-find with path compression; component label is
+      // the min node id (hash-to-min's fixed point by construction)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElse(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      es.foreach { case (a, b) =>
+        val ra = find(a); val rb = find(b)
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+      val minOf = nodes.groupBy(find).map { case (root, ns) => root -> ns.min }
+      val expected = nodes.map(x => x -> minOf(find(x))).toMap
+      Prop(labels == expected) :| s"nodes=${nodes.size} edges=${es.size}"
+    })
+  }
+
+  /** ≤30-node simple graphs, with a 1-in-5 weight on complete graphs —
+    * every degree tied, the orientation's (deg, id) tiebreak fully
+    * load-bearing. */
+  private val triEdges: Gen[List[(Long, Long)]] = Gen.frequency(
+    4 -> (for {
+      n <- Gen.chooseNum(3, 30)
+      m <- Gen.chooseNum(1, 90)
+      es <- Gen.listOfN(m, for {
+        a <- Gen.chooseNum(0, n - 1)
+        b <- Gen.chooseNum(0, n - 1)
+      } yield (math.min(a, b).toLong, math.max(a, b).toLong))
+    } yield es.filter(e => e._1 != e._2).distinct),
+    1 -> Gen.chooseNum(3, 8).map(k =>
+      (for { i <- 0 until k; j <- (i + 1) until k }
+        yield (i.toLong, j.toLong)).toList))
+
+  test("triangleStats equals brute-force enumeration, degree-tied cases included") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    checkN(20)(forAll(triEdges) { es =>
+      if (es.isEmpty) Prop(true)
+      else {
+        val r = graft.operators.PageRank
+          .triangleStats(spark, es.toDF("u", "v")).collect()(0)
+        val nodes = es.flatMap(e => Seq(e._1, e._2)).distinct
+        val adj = es.toSet
+        def conn(a: Long, b: Long) = adj((math.min(a, b), math.max(a, b)))
+        val ns = nodes.sorted
+        var tri = 0L
+        for {
+          i <- ns.indices; j <- (i + 1) until ns.length
+          if conn(ns(i), ns(j))
+          k <- (j + 1) until ns.length
+          if conn(ns(j), ns(k)) && conn(ns(i), ns(k))
+        } tri += 1
+        // wedge count under the documented compact-forward orientation:
+        // orient to the (deg, id)-larger endpoint, then Σ C(outdeg, 2)
+        val deg = nodes.map(x =>
+          x -> es.count(e => e._1 == x || e._2 == x).toLong).toMap
+        def lt(a: Long, b: Long) =
+          deg(a) < deg(b) || (deg(a) == deg(b) && a < b)
+        val out = nodes.map(x => x -> es.count { case (u, v) =>
+          (lt(u, v) && u == x) || (lt(v, u) && v == x) }.toLong).toMap
+        val wedges = nodes.map { x => val d = out(x); d * (d - 1) / 2 }.sum
+        Prop(r.getLong(0) == nodes.length.toLong &&
+             r.getLong(1) == es.length.toLong &&
+             r.getLong(2) == wedges && r.getLong(3) == tri) :|
+          s"n=${nodes.size} m=${es.size} expTri=$tri got=${r.toSeq}"
+      }
+    })
+  }
 }
