@@ -19,7 +19,13 @@ import org.apache.spark.sql.SparkSession
   *     dropped entirely (before any precision downgrade) if the line
   *     would overflow the harness's ~2000-char tail window;
   *   - log level is ERROR so post-print WARN floods can't push the JSON
-  *     line out of the tail window.
+  *     line out of the tail window;
+  *   - a hot canary (> SPARK_GRAFT_CANARY_BAR, default 0.35 s) triggers
+  *     bounded wait-and-remeasure retries before the timed runs start,
+  *     so the official artifact prefers a quiet window over a degraded
+  *     phase (r6 verdict: 65/77 entries carried ≥50 ms spread on a hot
+  *     box); the reported canary is always the LAST measurement, the
+  *     one that precedes the runs.
   *
   * Each query is timed with a noop-sink write, which executes the FULL
   * physical plan — `count()` would let Catalyst eliminate top-level sorts
@@ -486,9 +492,30 @@ object Bench {
     // JIT. Runs regardless of SPARK_GRAFT_BENCH_FILTER so filtered A/B
     // runs are self-calibrating against the box's phase (quiet ≈ 0.4 s
     // on this box; degraded phases read 0.8-1.4 and scale everything).
-    val canarySec = {
+    def measureCanary(): Double = {
       exec("q1_shipdate_count", warmDir)
       exec("q1_shipdate_count", sfDir)
+    }
+    // Quiet-box gate (r6 verdict): a hot canary means every per-query
+    // number is inflated by neighbor load, so rather than burn the one
+    // official artifact on a degraded phase, WAIT for a quiet window —
+    // bounded retries, each preceded by a pause, abandoned whenever the
+    // remaining deadline approaches what the full run itself needs. The
+    // line reports the LAST measurement — the one that actually precedes
+    // the timed runs — never an optimistic earlier minimum; if no
+    // attempt clears the bar the run proceeds anyway, honestly labeled.
+    val canaryQuietBar =
+      sys.env.getOrElse("SPARK_GRAFT_CANARY_BAR", "0.35").toDouble
+    var canarySec = measureCanary()
+    var canaryTries = 1
+    while (canarySec > canaryQuietBar && canaryTries < 6 &&
+           remaining() > 320) {
+      System.err.println(
+        f"[bench] canary $canarySec%.2f > $canaryQuietBar%.2f " +
+          f"(try $canaryTries) — pausing for a quiet window")
+      Thread.sleep(20000)
+      canarySec = measureCanary()
+      canaryTries += 1
     }
     emit(Some("canary"), Nil, Nil, canarySec)
 
