@@ -373,13 +373,28 @@ private[sources] class SynthMicroBatchStream(lo: Long, hi: Long, partitions: Int
   override def prepareForTriggerAvailableNow(): Unit = availableTarget = hi
 
   override def initialOffset(): StreamOffset = SynthOffset(lo)
-  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
-  /** Admission control: each trigger advances by at most rowsPerBatch —
-    * bounded state per micro-batch regardless of how far behind the
-    * stream is, the property that matters on an unbounded source. */
-  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset =
-    SynthOffset(math.min(availableTarget,
-      start.asInstanceOf[SynthOffset].pos + rowsPerBatch))
+  /** The batch-size option is DECLARED to the engine as a ReadLimit and
+    * honored only when the engine passes it back into latestOffset —
+    * the real admission-control round trip (Spark composes it with
+    * AvailableNow's own limit as a CompositeReadLimit; the min of the
+    * components is the contract). Bounded ingest per micro-batch
+    * regardless of how far behind the stream is — the property that
+    * matters on an unbounded source — pinned by SourcesSpec via
+    * per-batch numInputRows. */
+  override def getDefaultReadLimit: ReadLimit =
+    if (rowsPerBatch >= hi - lo) ReadLimit.allAvailable()
+    else ReadLimit.maxRows(rowsPerBatch)
+  override def latestOffset(start: StreamOffset, limit: ReadLimit): StreamOffset = {
+    import org.apache.spark.sql.connector.read.streaming.{CompositeReadLimit, ReadAllAvailable, ReadMaxRows}
+    val pos = start.asInstanceOf[SynthOffset].pos
+    def bound(l: ReadLimit): Long = l match {
+      case _: ReadAllAvailable  => availableTarget
+      case m: ReadMaxRows       => math.min(availableTarget, pos + m.maxRows())
+      case c: CompositeReadLimit => c.getReadLimits.map(bound).min
+      case _                    => availableTarget // min-rows etc.: no cap
+    }
+    SynthOffset(bound(limit))
+  }
   override def latestOffset(): StreamOffset =
     throw new UnsupportedOperationException(
       "latestOffset(Offset, ReadLimit) is used (SupportsAdmissionControl)")

@@ -170,6 +170,27 @@ class SourcesSpec extends GraftSpec {
     assert(got.agg(sum("score")).collect().head.getLong(0) == batch)
   }
 
+  test("ReadLimit round trip: pacing comes from the engine-passed limit, " +
+       "and a covering limit drains in one gulp") {
+    // rowsPerBatch is declared via getDefaultReadLimit and honored only
+    // when latestOffset receives it back (possibly composed with
+    // AvailableNow's limit) — there is no side-channel pacing left, so
+    // the paced test above AND this one-gulp case together pin the
+    // round trip through Spark's admission control.
+    val qn = "synth_stream_gulp"
+    val q = spark.readStream.format("graft-synth")
+      .option("rows", 20000).option("partitions", 4)
+      .option("rowsPerBatch", 20000) // covers the table -> allAvailable
+      .load()
+      .writeStream.format("memory").queryName(qn)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    assert(spark.table(qn).count() == 20000)
+    assert(q.recentProgress.count(_.numInputRows > 0) == 1,
+      q.recentProgress.map(_.numInputRows).mkString(","))
+  }
+
   test("grouped partial aggregate pushdown: scan emits per-group partials") {
     // the JDBC-style DSv2 contract: GROUP BY bucket,tag folds inside the
     // generation pass and the scan ships ≤ |groups|×|slices| partial
