@@ -93,6 +93,11 @@ object SynthSource {
 
   def mix(id: Long): Long = id * A % M
 
+  /** Counts runtime-filter narrowings (the bandedRowsSwept pattern) so
+    * SourcesSpec can assert the DPP hand-off actually fired rather than
+    * the test passing on an unpruned scan. */
+  val runtimeNarrowed = new java.util.concurrent.atomic.LongAdder
+
   /** Fold pushed range predicates on `id` into a [lo, hi) interval.
     * Unknown filters (and filters on derived columns) leave the
     * interval unchanged — they stay residual and Spark evaluates them
@@ -265,11 +270,47 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
                                  required: StructType, pushed: Array[Filter],
                                  limit: Long, pushedAgg: Seq[String],
                                  grouped: Option[(Seq[String], Seq[SynthSource.GroupAgg])] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   private val (lo, hi) = {
     val (l, h) = SynthSource.prune(0L, rows, pushed.toSeq)
     (l, math.min(h, if (limit > h - l) h else l + limit))
   }
+
+  /** Runtime filtering (the dynamic-partition-pruning analog for DSv2):
+    * when this scan feeds a broadcast join on `id`, Spark executes the
+    * dim side first and hands the realized join-key values back through
+    * [[filter]] BEFORE input partitions are planned. Narrowing is the
+    * [min, max+1] envelope of the delivered In-set intersected with any
+    * range conjuncts — a pure optimization: ids inside the envelope but
+    * outside the exact key set are still dropped by the join itself, so
+    * correctness never depends on the narrowing (the DPP contract).
+    * Skipped when an aggregate was completely/partially pushed — those
+    * scans answer from the PLAN-time interval and must not move under a
+    * runtime narrowing that the precomputed answer didn't see. */
+  @volatile private var rlo = lo
+  @volatile private var rhi = hi
+  override def filterAttributes(): Array[NamedReference] =
+    if (pushedAgg.isEmpty && grouped.isEmpty)
+      Array(org.apache.spark.sql.connector.expressions.Expressions.column("id")
+        .asInstanceOf[NamedReference])
+    else Array.empty
+  override def filter(filters: Array[Filter]): Unit =
+    if (pushedAgg.isEmpty && grouped.isEmpty) filters.foreach {
+      case In("id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
+        val ids = vs.map(_.asInstanceOf[Long])
+        val (l, h) = (math.max(rlo, ids.min), math.min(rhi, ids.max + 1))
+        if (l > rlo || h < rhi) {
+          rlo = l; rhi = h
+          SynthSource.runtimeNarrowed.increment()
+        }
+      case f =>
+        val (l, h) = SynthSource.prune(rlo, rhi, Seq(f))
+        if (l > rlo || h < rhi) {
+          rlo = l; rhi = h
+          SynthSource.runtimeNarrowed.increment()
+        }
+    }
 
   /** With a completely pushed aggregation the scan's schema IS the
     * aggregate output (one LongType per entry — Spark asserts the
@@ -319,9 +360,11 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
   override def planInputPartitions(): Array[InputPartition] =
     if (pushedAgg.nonEmpty) Array(SynthAggPartition(lo, hi, pushedAgg))
     else {
+      // rlo/rhi: the plan-time interval, possibly narrowed by a runtime
+      // filter delivered before partition planning (see filter() above)
       val width = math.max(1L, (rows + partitions - 1) / partitions)
       val slices = Iterator.range(0, partitions)
-        .map(i => (math.max(lo, i * width), math.min(hi, (i + 1) * width)))
+        .map(i => (math.max(rlo, i * width), math.min(rhi, (i + 1) * width)))
         .filter { case (l, h) => l < h }
       grouped match {
         case Some((groups, aggs)) =>

@@ -264,6 +264,33 @@ class SourcesSpec extends GraftSpec {
     }
   }
 
+  test("runtime filtering: broadcast-join key values narrow the scan " +
+       "interval at EXECUTION time (DSv2 dynamic pruning)") {
+    import spark.implicits._
+    graft.sources.SynthSource.runtimeNarrowed.reset()
+    // big generated fact, tiny dim whose keys cluster at [5000, 5004] —
+    // plan-time pruning CANNOT see them (no static predicate on id);
+    // only the runtime hand-off can
+    val fact = synth(1000000, 10)
+    // the dim must be a REAL scan with a surviving selective predicate —
+    // a local relation's filter constant-folds away and DPP declines
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft-dpp").toString + "/dim"
+    ((5000L to 5004L).map((_, 1)) ++ (900000L to 900049L).map((_, 0)))
+      .toDF("k", "m").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("m") === 1).select("k")
+    val joined = fact.join(broadcast(dim), fact("id") === dim("k"))
+    val rows = joined.collect()
+    assert(rows.length == 5)
+    assert(rows.map(_.getLong(0)).sorted.toSeq == (5000L to 5004L))
+    assert(graft.sources.SynthSource.runtimeNarrowed.sum() > 0,
+      "the runtime filter never reached SynthScan.filter — the scan ran unpruned")
+    // and the narrowing is an optimization only: equal result without it
+    val unpruned = fact.filter(col("id").between(4000, 6000))
+      .join(broadcast(dim), fact("id") === dim("k")).count()
+    assert(unpruned == 5)
+  }
+
   // ---- graft-filesink: the DSv2 WRITE contract ----
 
   private def sinkDir(): String =
