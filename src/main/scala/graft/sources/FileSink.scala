@@ -75,8 +75,8 @@ private[sources] class FileSinkTable(options: CaseInsensitiveStringMap)
   override def name(): String = s"graft_filesink($path)"
   override def schema(): StructType = new StructType()
   override def capabilities(): java.util.Set[TableCapability] =
-    Set(TableCapability.BATCH_WRITE, TableCapability.TRUNCATE,
-      TableCapability.ACCEPT_ANY_SCHEMA).asJava
+    Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
+      TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new FileSinkWriteBuilder(path, info)
 }
@@ -88,6 +88,8 @@ private[sources] class FileSinkWriteBuilder(path: String, info: LogicalWriteInfo
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
       new FileSinkBatchWrite(path, info.queryId(), info.schema(), doTruncate)
+    override def toStreaming: streaming.StreamingWrite =
+      new FileSinkStreamingWrite(path, info.queryId(), info.schema())
   }
 }
 
@@ -141,6 +143,70 @@ private[graft] class FileSinkWriterFactory(path: String, queryId: String,
     schema: StructType) extends DataWriterFactory {
   override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
     new FileSinkDataWriter(path, queryId, schema, partitionId, taskId)
+}
+
+/** The STREAMING write half: same staged two-phase protocol, one commit
+  * per EPOCH (micro-batch), made IDEMPOTENT on the epoch id — after a
+  * driver restart Structured Streaming replays the last un-checkpointed
+  * micro-batch and re-commits the same epoch; a marker file makes the
+  * second commit a no-op instead of a duplicate publish (the same
+  * batch-id guard `foreachBatch` sinks keep in a table, kept here as a
+  * filesystem marker because the sink IS the filesystem). Epoch staging
+  * dirs are per-(query, epoch), so concurrent epochs of a restarted
+  * query can never cross-contaminate. */
+private[graft] class FileSinkStreamingWrite(path: String, queryId: String,
+    schema: StructType) extends streaming.StreamingWrite {
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
+    new FileSinkStreamingWriterFactory(path, queryId, schema)
+
+  private def epochTemp(epochId: Long): Path =
+    Paths.get(path, "_temp", s"$queryId-epoch-$epochId")
+  private def marker(epochId: Long): Path =
+    Paths.get(path, s"_epoch-$queryId-$epochId")
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    if (Files.exists(marker(epochId))) {
+      // replayed epoch after restart: already published — clean the
+      // re-staged attempts and do NOT publish twice
+      deleteEpochTemp(epochId)
+      return
+    }
+    messages.foreach { case FileSinkCommitMessage(pid, temp, _) =>
+      // a replayed epoch re-stages before the marker check above ran on
+      // THIS invocation; tolerate a temp that a prior commit already moved
+      val t = Paths.get(temp)
+      if (Files.exists(t))
+        Files.move(t, dir.resolve(f"part-$queryId-$epochId-$pid%05d.tsv"),
+          StandardCopyOption.ATOMIC_MOVE)
+    }
+    deleteEpochTemp(epochId)
+    Files.write(marker(epochId), Array.emptyByteArray)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    deleteEpochTemp(epochId)
+
+  private def deleteEpochTemp(epochId: Long): Unit = {
+    val t = epochTemp(epochId)
+    if (Files.exists(t)) {
+      val s = Files.walk(t)
+      try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
+      finally s.close()
+    }
+  }
+}
+
+private[graft] class FileSinkStreamingWriterFactory(path: String,
+    queryId: String, schema: StructType)
+    extends streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+                            epochId: Long): DataWriter[InternalRow] =
+    new FileSinkDataWriter(path, s"$queryId-epoch-$epochId", schema,
+      partitionId, taskId)
 }
 
 /** One task ATTEMPT's writer. The temp file name carries the task id, so

@@ -359,6 +359,50 @@ class SourcesSpec extends GraftSpec {
       "job commit must sweep the failed attempt's staged file")
   }
 
+  test("filesink streaming write: per-epoch publish, and a REPLAYED epoch " +
+       "commit is idempotent (no duplicate rows after driver restart)") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = sinkDir()
+    // e2e: two micro-batches through a real streaming query
+    val input = MemoryStream[Long]
+    val q = input.toDS().toDF("id")
+      .writeStream.format("graft-filesink")
+      .option("path", path)
+      .option("checkpointLocation", sinkDir() + "/ckpt")
+      .start()
+    try {
+      input.addData(1L, 2L); q.processAllAvailable()
+      input.addData(3L); q.processAllAvailable()
+    } finally q.stop()
+    assert(readSink(path) == Seq("1", "2", "3"))
+    // idempotence: re-commit of an already-committed epoch must not
+    // publish twice (Structured Streaming replays the last epoch after
+    // a driver restart; the marker makes the second commit a no-op)
+    import org.apache.spark.sql.types._
+    val sw = new graft.sources.FileSinkStreamingWrite(path, "q-replay",
+      StructType(Seq(StructField("id", LongType))))
+    val factory = sw.createStreamingWriterFactory(null)
+    def stageEpoch7(taskId: Long) = {
+      val w = factory.createWriter(0, taskId, 7L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(99L))
+      w.commit()
+    }
+    sw.commit(7L, Array(stageEpoch7(1L)))
+    val afterFirst = readSink(path)
+    assert(afterFirst.count(_ == "99") == 1)
+    // the replay: same epoch re-staged (new task ids) and re-committed
+    sw.commit(7L, Array(stageEpoch7(2L)))
+    assert(readSink(path) == afterFirst,
+      "replayed epoch commit must be a no-op, not a duplicate publish")
+    val tempDir = java.nio.file.Paths.get(path, "_temp")
+    assert(!java.nio.file.Files.exists(tempDir) || {
+      val s = java.nio.file.Files.list(tempDir)
+      try !s.iterator().hasNext finally s.close()
+    }, "replayed staging must be swept")
+  }
+
   test("filesink abort publishes nothing and cleans all staged attempts") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
