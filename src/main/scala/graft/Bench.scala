@@ -480,9 +480,21 @@ object Bench {
     def writeLocal(results: Seq[(String, Double)],
                    spread: Seq[(String, Double)], canary: Double,
                    canaryEnd: Double): Unit =
-      try java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
-        (BenchFormat.render(results, spread, canary, canaryEnd, 3, spread.size,
-          spread.size, Some("final"), sfName) + "\n").getBytes("UTF-8"))
+      try {
+        // post-GC used driver heap: the measured leg under the scaling
+        // table's "flat driver memory" claim (PLANS.md r7) — every
+        // driver-side collect in the registry is bounded by
+        // construction, so this number must not scale with sf
+        System.gc()
+        val rt = Runtime.getRuntime
+        val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
+        val line = BenchFormat.render(results, spread, canary, canaryEnd, 3,
+          spread.size, spread.size, Some("final"), sfName)
+        val withHeap =
+          line.stripSuffix("}") + s""","driver_heap_mb":$heapMb}"""
+        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+          (withHeap + "\n").getBytes("UTF-8"))
+      }
       catch { case e: Throwable => System.err.println(s"[bench] local dump failed: $e") }
 
     // ---- canary: one fixed trivial query, timed FIRST -----------------
