@@ -158,6 +158,24 @@ object Multimodal {
       }.toDF("doc_id", "media", "media_type")
   }
 
+  /** Exact per-channel pixel sums off a decoded raster — the one shared
+    * summation both image queries (and their oracles' closed forms)
+    * agree on. */
+  private def channelSums(img: java.awt.image.BufferedImage): (Long, Long, Long) = {
+    var rs = 0L; var gs = 0L; var bs = 0L
+    var y = 0
+    while (y < img.getHeight) {
+      var x = 0
+      while (x < img.getWidth) {
+        val p = img.getRGB(x, y)
+        rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
+        x += 1
+      }
+      y += 1
+    }
+    (rs, gs, bs)
+  }
+
   /** REAL decode + feature extraction: `ImageIO.read` on each PNG inside
     * the partition batch, then width/height and exact per-channel pixel
     * sums off the decoded raster. The oracle recomputes the sums from
@@ -173,17 +191,7 @@ object Multimodal {
         batch.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
-          var rs = 0L; var gs = 0L; var bs = 0L
-          var y = 0
-          while (y < img.getHeight) {
-            var x = 0
-            while (x < img.getWidth) {
-              val p = img.getRGB(x, y)
-              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (rs, gs, bs) = channelSums(img)
           (id, img.getWidth, img.getHeight, rs, gs, bs)
         }
       }.toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")
@@ -219,17 +227,7 @@ object Multimodal {
           javax.imageio.ImageIO.write(out, "png", bos)
           val rt = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bos.toByteArray))
-          var rs = 0L; var gs = 0L; var bs = 0L
-          y = 0
-          while (y < rt.getHeight) {
-            var x = 0
-            while (x < rt.getWidth) {
-              val p = rt.getRGB(x, y)
-              rs += (p >> 16) & 0xff; gs += (p >> 8) & 0xff; bs += p & 0xff
-              x += 1
-            }
-            y += 1
-          }
+          val (rs, gs, bs) = channelSums(rt)
           (id, rt.getWidth, rt.getHeight, rs, gs, bs)
         }
       }.toDF("doc_id", "width", "height", "r_sum", "g_sum", "b_sum")

@@ -57,14 +57,21 @@ object MaterializedViews {
   private val entries =
     new scala.collection.concurrent.TrieMap[String, Entry]()
 
-  /** While true, [[MVRewrite]] is a no-op. Held during [[register]] so
-    * (a) the refresh write can never be rewritten to scan the very
+  /** While positive, [[MVRewrite]] is a no-op. Held during [[register]]
+    * so (a) the refresh write can never be rewritten to scan the very
     * materialization it is overwriting — even via a same-canonical entry
     * under a DIFFERENT name — and (b) the canonical is captured from a
     * plan optimized WITHOUT the rewrite, so it states the definition in
     * base-table form (a canonical captured from a rewritten plan would
-    * never match user queries again). */
-  @volatile private[plans] var suspended = false
+    * never match user queries again). A COUNTER, not a boolean: the
+    * registry is JVM-global across sessions/threads, and a boolean would
+    * let one register()'s finally re-arm the rule while another's write
+    * is still in flight — the exact self-scan hazard suspension exists
+    * to prevent. */
+  private val suspensions = new java.util.concurrent.atomic.AtomicInteger(0)
+  private[plans] def suspended: Boolean = suspensions.get() > 0
+  private[plans] def suspend(): Unit = suspensions.incrementAndGet()
+  private[plans] def resume(): Unit = suspensions.decrementAndGet()
 
   /** Counts the rule's canonicalization attempts (the expensive half of
     * matching) — asserted by MaterializedViewSpec the way
@@ -85,7 +92,7 @@ object MaterializedViews {
     * from a run under different registry state). */
   def register(name: String, definition: DataFrame, path: String): Unit = {
     entries.remove(name)
-    suspended = true
+    suspend()
     try {
       definition.write.mode("overwrite").parquet(path)
       // where(lit(true)) forces a NEW QueryExecution over the same
@@ -95,7 +102,7 @@ object MaterializedViews {
       val fresh = definition.where(org.apache.spark.sql.functions.lit(true))
       val opt = fresh.queryExecution.optimizedPlan
       entries.put(name, Entry(name, opt.canonicalized, path, opt.output))
-    } finally suspended = false
+    } finally resume()
   }
 
   def deregister(name: String): Unit = entries.remove(name)

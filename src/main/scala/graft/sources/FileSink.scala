@@ -96,6 +96,25 @@ private[sources] class FileSinkWriteBuilder(path: String, info: LogicalWriteInfo
 final case class FileSinkCommitMessage(partitionId: Int, tempFile: String,
                                        rows: Long) extends WriterCommitMessage
 
+private[graft] object FileSinkFs {
+  /** Recursive delete (children before parents) — the one shared copy. */
+  def deleteRecursively(t: Path): Unit =
+    if (Files.exists(t)) {
+      val s = Files.walk(t)
+      try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
+      finally s.close()
+    }
+
+  def list(dir: Path, prefix: String): Seq[Path] =
+    if (!Files.exists(dir)) Nil
+    else {
+      val s = Files.list(dir)
+      try s.iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith(prefix))
+      finally s.close()
+    }
+}
+
 private[graft] class FileSinkBatchWrite(path: String, queryId: String,
     schema: StructType, truncate: Boolean) extends BatchWrite {
 
@@ -106,7 +125,12 @@ private[graft] class FileSinkBatchWrite(path: String, queryId: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     Files.createDirectories(dir)
-    if (truncate) listParts(dir).foreach(Files.delete)
+    if (truncate) {
+      FileSinkFs.list(dir, "part-").foreach(Files.delete)
+      // a truncate resets the whole destination: stale epoch markers
+      // from a previous streaming query in this path go too
+      FileSinkFs.list(dir, "_epoch-").foreach(Files.delete)
+    }
     messages.foreach { case FileSinkCommitMessage(pid, temp, _) =>
       Files.move(Paths.get(temp), dir.resolve(f"part-$queryId-$pid%05d.tsv"),
         StandardCopyOption.ATOMIC_MOVE)
@@ -118,23 +142,12 @@ private[graft] class FileSinkBatchWrite(path: String, queryId: String,
   override def abort(messages: Array[WriterCommitMessage]): Unit =
     deleteTempDir() // nothing was published; remove all staged attempts
 
-  private def listParts(dir: Path): Seq[Path] = {
-    val s = Files.list(dir)
-    try s.iterator().asScala.toSeq.filter(_.getFileName.toString.startsWith("part-"))
-    finally s.close()
-  }
   private def deleteTempDir(): Unit = {
-    val t = Paths.get(path, "_temp", queryId)
-    if (Files.exists(t)) {
-      val s = Files.walk(t)
-      try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
-      finally s.close()
-    }
+    FileSinkFs.deleteRecursively(Paths.get(path, "_temp", queryId))
     // drop the shared `_temp` parent once the last query's staging is
     // gone (concurrent writers to the same path each own a queryId
     // subdir, so a non-empty parent just stays)
-    val parent = Paths.get(path, "_temp")
-    try Files.deleteIfExists(parent)
+    try Files.deleteIfExists(Paths.get(path, "_temp"))
     catch { case _: java.nio.file.DirectoryNotEmptyException => () }
   }
 }
@@ -151,7 +164,12 @@ private[graft] class FileSinkWriterFactory(path: String, queryId: String,
   * micro-batch and re-commits the same epoch; a marker file makes the
   * second commit a no-op instead of a duplicate publish (the same
   * batch-id guard `foreachBatch` sinks keep in a table, kept here as a
-  * filesystem marker because the sink IS the filesystem). Epoch staging
+  * filesystem marker because the sink IS the filesystem). A commit that
+  * crashed MID-publish (files moved, marker not yet written) is healed
+  * by the replay: no marker means the epoch's part files are swept
+  * before this replay's complete set publishes, so a replay that plans
+  * a different partition count cannot leave torn leftovers. Markers are
+  * pruned to the latest epoch (only it can ever replay). Epoch staging
   * dirs are per-(query, epoch), so concurrent epochs of a restarted
   * query can never cross-contaminate. */
 private[graft] class FileSinkStreamingWrite(path: String, queryId: String,
@@ -170,34 +188,36 @@ private[graft] class FileSinkStreamingWrite(path: String, queryId: String,
     val dir = Paths.get(path)
     Files.createDirectories(dir)
     if (Files.exists(marker(epochId))) {
-      // replayed epoch after restart: already published — clean the
-      // re-staged attempts and do NOT publish twice
+      // replayed epoch after a SUCCESSFUL commit: already published —
+      // clean the re-staged attempts and do NOT publish twice
       deleteEpochTemp(epochId)
       return
     }
+    // no marker: either the first commit of this epoch, or a replay
+    // after a commit that CRASHED mid-publish. Self-heal: remove any
+    // part files a torn commit left for this epoch (they may cover
+    // partitions this replay no longer produces), then publish this
+    // replay's complete set. The trailing '-' in the prefix keeps
+    // epoch 1 from matching epoch 10.
+    FileSinkFs.list(dir, s"part-$queryId-$epochId-").foreach(Files.delete)
     messages.foreach { case FileSinkCommitMessage(pid, temp, _) =>
-      // a replayed epoch re-stages before the marker check above ran on
-      // THIS invocation; tolerate a temp that a prior commit already moved
-      val t = Paths.get(temp)
-      if (Files.exists(t))
-        Files.move(t, dir.resolve(f"part-$queryId-$epochId-$pid%05d.tsv"),
-          StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(temp),
+        dir.resolve(f"part-$queryId-$epochId-$pid%05d.tsv"),
+        StandardCopyOption.ATOMIC_MOVE)
     }
     deleteEpochTemp(epochId)
     Files.write(marker(epochId), Array.emptyByteArray)
+    // only the LATEST epoch can ever replay, so older markers are dead
+    // weight — prune them instead of growing the dir one file per batch
+    FileSinkFs.list(dir, s"_epoch-$queryId-")
+      .filter(_ != marker(epochId)).foreach(Files.delete)
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
     deleteEpochTemp(epochId)
 
-  private def deleteEpochTemp(epochId: Long): Unit = {
-    val t = epochTemp(epochId)
-    if (Files.exists(t)) {
-      val s = Files.walk(t)
-      try s.iterator().asScala.toSeq.sortBy(-_.getNameCount).foreach(Files.delete)
-      finally s.close()
-    }
-  }
+  private def deleteEpochTemp(epochId: Long): Unit =
+    FileSinkFs.deleteRecursively(epochTemp(epochId))
 }
 
 private[graft] class FileSinkStreamingWriterFactory(path: String,

@@ -299,7 +299,11 @@ private[sources] class SynthScan(rows: Long, partitions: Int, rowsPerBatch: Long
     if (pushedAgg.isEmpty && grouped.isEmpty) filters.foreach {
       case In("id", vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[Long]) =>
         val ids = vs.map(_.asInstanceOf[Long])
-        val (l, h) = (math.max(rlo, ids.min), math.min(rhi, ids.max + 1))
+        // saturate the exclusive upper bound: a Long.MaxValue sentinel in
+        // the delivered key set must not wrap to Long.MinValue and
+        // collapse the scan to empty (narrowing may only ever widen-safe)
+        val hiEnv = if (ids.max == Long.MaxValue) rhi else ids.max + 1
+        val (l, h) = (math.max(rlo, ids.min), math.min(rhi, hiEnv))
         if (l > rlo || h < rhi) {
           rlo = l; rhi = h
           SynthSource.runtimeNarrowed.increment()

@@ -396,6 +396,21 @@ class SourcesSpec extends GraftSpec {
     sw.commit(7L, Array(stageEpoch7(2L)))
     assert(readSink(path) == afterFirst,
       "replayed epoch commit must be a no-op, not a duplicate publish")
+    // torn-commit heal: files published but the marker write crashed —
+    // the replay (here planning FEWER partitions) must sweep the torn
+    // epoch's parts before publishing its own complete set
+    def stage(pid: Int, taskId: Long, v: Long) = {
+      val w = factory.createWriter(pid, taskId, 9L)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(v))
+      w.commit()
+    }
+    sw.commit(9L, Array(stage(0, 10L, 90L), stage(1, 11L, 91L)))
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(path, "_epoch-q-replay-9")) // simulate the crash
+    sw.commit(9L, Array(stage(0, 12L, 90L))) // replay plans only pid 0
+    val after9 = readSink(path)
+    assert(after9.count(_ == "90") == 1 && !after9.contains("91"),
+      s"torn epoch must be swept before republish, got $after9")
     val tempDir = java.nio.file.Paths.get(path, "_temp")
     assert(!java.nio.file.Files.exists(tempDir) || {
       val s = java.nio.file.Files.list(tempDir)
