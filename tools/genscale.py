@@ -31,7 +31,7 @@ import sys
 import duckdb
 
 SRC = "/root/testdata/sf0.1"
-K = 10  # replicas => ~sf1
+K = int(__import__("os").environ.get("GRAFT_SCALE_K", "10"))  # replicas
 
 def main(out_dir: str) -> None:
     con = duckdb.connect()
