@@ -279,7 +279,12 @@ private[graft] object BenchFormat {
     // record and adds the stride-2 copy loop plus a second (quarter-
     // size) round trip — its dominant cost IS the timed sibling's codec
     // work over the identical plan
-    "image_resize")
+    "image_resize",
+    // r7: q9_region_rollup_cents is q9's exact plan (same joins, same
+    // grouped agg) with integer-cents revenue arithmetic — the
+    // any-scale-exact twin the sf1 float audit motivated; the delta is
+    // expression content, not plan structure
+    "q9_region_rollup_cents")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

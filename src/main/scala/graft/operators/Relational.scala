@@ -236,6 +236,35 @@ object Relational {
       .orderBy("r_name")
   }
 
+  /** [[q9RegionRollup]] with the q17 integer-cents discipline applied to
+    * the revenue sum — the EXACT-AT-ANY-SCALE twin. The float q9 is
+    * hash-exact at the sf0.01 gate but its 2dp rounding stops absorbing
+    * summation-order ulp noise once group sums reach ~6e10 (measured in
+    * the r7 sf1 audit, PLANS.md). Here each row's revenue becomes the
+    * exact integer price_cents × (100 − discount_hundredths) — both
+    * factors are 2dp-quantized in the data, so the product is an exact
+    * long in 10⁻⁴ currency units, the group sum is exact integer
+    * arithmetic in ANY aggregation order (≤ 1e9/row → no overflow below
+    * ~9e9 rows/group), and the hash matches at every scale. The output
+    * keeps the integer (revenue_e4): dividing back to a double would
+    * reintroduce the representability problem the encoding removes. */
+  def q9RegionRollupCents(spark: SparkSession, dir: String): DataFrame = {
+    val dims = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey", "r_name")
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(dims, col("o_custkey") === col("c_custkey"))
+      .groupBy("r_name")
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy("r_name")
+  }
+
   /** Grouping sets beyond the reference's surface (it has none, SURVEY
     * §2.4): revenue ROLLUP over region → nation with subtotal rows. NULL
     * group keys are coalesced to 'ALL' on both engines so the hash
@@ -560,6 +589,7 @@ object Relational {
     "q7_top_unshipped" -> (q7TopUnshipped _),
     "q8_semi_join" -> (q8SemiJoin _),
     "q9_region_rollup" -> (q9RegionRollup _),
+    "q9_region_rollup_cents" -> (q9RegionRollupCents _),
     "q10_rollup_sets" -> (q10RegionNationRollup _),
     "q11_distinct_customers" -> (q11DistinctCustomers _),
     "q12_outer_anti" -> (q12OuterAnti _),
@@ -667,6 +697,19 @@ object Relational {
     "q9_region_rollup" ->
       """SELECT r_name,
             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+            count(*) AS n_items
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY r_name
+          ORDER BY r_name""",
+    "q9_region_rollup_cents" ->
+      """SELECT r_name,
+            sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+              AS revenue_e4,
             count(*) AS n_items
           FROM lineitem
           JOIN orders ON l_orderkey = o_orderkey
