@@ -280,11 +280,11 @@ private[graft] object BenchFormat {
     // size) round trip — its dominant cost IS the timed sibling's codec
     // work over the identical plan
     "image_resize",
-    // r7: q9_region_rollup_cents is q9's exact plan (same joins, same
-    // grouped agg) with integer-cents revenue arithmetic — the
-    // any-scale-exact twin the sf1 float audit motivated; the delta is
-    // expression content, not plan structure
-    "q9_region_rollup_cents")
+    // r7: the cents twins are their float originals' exact plans (same
+    // joins, same rollup/cube lattices) with integer-cents revenue
+    // arithmetic — the any-scale-exact alternatives the sf1 float audit
+    // motivated; the delta is expression content, not plan structure
+    "q9_region_rollup_cents", "q10_rollup_cents", "q18_cube_cents")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

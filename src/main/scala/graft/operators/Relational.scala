@@ -288,6 +288,31 @@ object Relational {
       .orderBy("region", "nation")
   }
 
+  /** [[q10RegionNationRollup]]'s any-scale-exact twin — the
+    * [[q9RegionRollupCents]] integer-cents discipline through the
+    * rollup lattice: subtotal rows sum the identical exact longs, so
+    * every grouping-set level is hash-exact at any magnitude. */
+  def q10RollupCents(spark: SparkSession, dir: String): DataFrame = {
+    val joined = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .join(Tables.orders(spark, dir).select("o_orderkey", "o_custkey"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(spark, dir).select("c_custkey", "c_nationkey"),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(spark, dir)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, dir)), col("n_regionkey") === col("r_regionkey"))
+    joined
+      .rollup(col("r_name"), col("n_name"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"))
+      .select(
+        coalesce(col("r_name"), lit("ALL")).as("region"),
+        coalesce(col("n_name"), lit("ALL")).as("nation"),
+        col("revenue_e4"))
+      .orderBy("region", "nation")
+  }
+
   /** Distinct aggregation (absent from the reference): exact distinct
     * customers per order priority — the shuffle-heavy exact form. */
   def q11DistinctCustomers(spark: SparkSession, dir: String): DataFrame =
@@ -501,6 +526,23 @@ object Relational {
         col("revenue"), col("n_items"))
       .orderBy("returnflag", "linestatus")
 
+  /** [[q18CubeRevenue]]'s any-scale-exact twin: the integer-cents
+    * discipline through the full CUBE lattice (cross-margins included)
+    * — with q9/q10's twins, every float seam the r7 sf1 audit found has
+    * a registered exact alternative. */
+  def q18CubeCents(spark: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_returnflag"), col("l_linestatus"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("revenue_e4"), col("n_items"))
+      .orderBy("returnflag", "linestatus")
+
   /** Data-quality audit (the Deequ-style expectation surface): declared
     * constraints checked as data, not assumptions — the pre-flight every
     * 100 TB ingest runs before downstream jobs trust a feed. Plan shape
@@ -600,7 +642,9 @@ object Relational {
     "q17_wealthy_dormant" -> (q17WealthyDormant _),
     "snapshot_merge" -> (snapshotMerge _),
     "dq_audit" -> (dqAudit _),
-    "q18_cube_revenue" -> (q18CubeRevenue _))
+    "q18_cube_revenue" -> (q18CubeRevenue _),
+    "q10_rollup_cents" -> (q10RollupCents _),
+    "q18_cube_cents" -> (q18CubeCents _))
 
   /** DuckDB-dialect oracles; aliases/ordering mirror the Spark plans. */
   val oracleSql: Map[String, String] = Map(
@@ -870,6 +914,29 @@ object Relational {
       """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
                 coalesce(l_linestatus, 'ALL') AS linestatus,
                 round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+                count(*) AS n_items
+          FROM lineitem
+          GROUP BY CUBE (l_returnflag, l_linestatus)
+          ORDER BY returnflag, linestatus""",
+    "q10_rollup_cents" ->
+      """SELECT coalesce(r_name, 'ALL') AS region,
+                coalesce(n_name, 'ALL') AS nation,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                  AS revenue_e4
+          FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)
+          ORDER BY region, nation""",
+    "q18_cube_cents" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+                coalesce(l_linestatus, 'ALL') AS linestatus,
+                sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                  AS revenue_e4,
                 count(*) AS n_items
           FROM lineitem
           GROUP BY CUBE (l_returnflag, l_linestatus)
