@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables
+import graft.functions.TextFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Byte-pair-encoding merge learning over the corpus — the tokenizer-
+  * training stage of an LLM data pipeline (Sennrich et al. 2016,
+  * "Neural Machine Translation of Rare Words with Subword Units"),
+  * expressed Spark-first.
+  *
+  * Scale shape — why this survives 100 TB where a naive port would not:
+  * after ONE pass over the corpus (the wordcount shuffle), the working
+  * set is the (distinct token, count) table, whose size is the VOCABULARY
+  * — corpus-size-independent (Heaps-law sublinear in practice). Every
+  * merge iteration is then one grouped aggregation + one map over that
+  * table: pair counts weighted by word frequency are exactly the corpus
+  * pair counts, so no iteration ever touches the documents again. The
+  * per-iteration argmax is a 1-row driver fetch (bounded by
+  * construction, the knn-query-side pattern).
+  *
+  * Representation: each distinct token becomes its DOUBLE-space-joined
+  * symbol string with a terminal `_` marker ("the" → "t  h  e  _";
+  * tokens are [a-z0-9]+ so `_` cannot collide). A merge of pair (a, b)
+  * pads the word with one outer space and rewrites every " a  b "
+  * occurrence to " ab " — `replace` has identical
+  * leftmost-non-overlapping semantics in Spark and DuckDB, and the
+  * double-space invariant is what makes that EQUAL true left-to-right
+  * BPE: each match consumes one of the two delimiter spaces on each
+  * side and the replacement restores it, so an immediately adjacent
+  * occurrence still has its boundary. (The single-space encoding fails
+  * exactly there — consecutive "a b a b" merges only the first pair
+  * because the shared delimiter is consumed — a divergence the
+  * PropertiesSpec generative law caught against a driver-side reference
+  * before it shipped.) Boundaries cannot match mid-symbol: a match
+  * requires a space immediately before the full symbol `a` and after
+  * `b`, and symbols never contain spaces. This is what makes the whole
+  * iterative procedure SQL-oracle-able: the oracle replays all K
+  * iterations as unrolled MATERIALIZED CTE stages (the spam-SGD / IVF
+  * discipline). Ties on pair count break by pair string ascending —
+  * total order, both engines.
+  *
+  * [[bpeMerges]] returns the learned merge table (step, pair, merged,
+  * pair count at selection time). [[bpeVocab]] returns the corpus
+  * subword vocabulary after applying all K merges — segmentation counts
+  * weighted by token frequency, i.e. the APPLY side's aggregate result.
+  */
+object Bpe {
+
+  /** Number of merges learned. Small because the synthetic corpus's
+    * vocabulary is small; the plan is K-iteration generic. */
+  val merges = 12
+
+  /** (spaced symbol string, token count) fixed point after `upTo` merges,
+    * plus the merge log. One corpus pass, then vocabulary-sized work. */
+  private def trainLoop(spark: SparkSession, dir: String)
+      : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val words = Tables.documents(spark, dir)
+      .select(explode(TextFunctions.tokenize(col("text"))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cnt"))
+      .select(
+        concat(regexp_replace(col("tok"), "(.)", "$1  "), lit("_")).as("w"),
+        col("cnt"))
+    var cur = words.localCheckpoint(true) // cut the lineage once; each
+    // iteration below re-checkpoints so the plan stays K-independent
+    val log = Seq.newBuilder[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= merges && !exhausted) {
+      val toks = split(col("w"), "  ")
+      val best = cur
+        .select(explode(TextFunctions.bigrams(toks)).as("p"), col("cnt"))
+        .groupBy(concat_ws(" ", col("p.w1"), col("p.w2")).as("pair"))
+        .agg(sum(col("cnt")).as("c"))
+        .orderBy(desc("c"), asc("pair"))
+        .limit(1)
+        .collect() // 1 row — the per-iteration argmax, bounded by construction
+      if (best.isEmpty) {
+        // a tiny vocabulary can fully merge before K steps: every word
+        // is a single symbol, no pairs remain — stop, don't throw. (The
+        // unrolled oracle assumes K available merges, which holds for
+        // the fixtures; the generative PropertiesSpec law covers the
+        // early-exhaustion corpora against the driver-side reference.)
+        exhausted = true
+      } else {
+        val (pair, c) = (best(0).getString(0), best(0).getLong(1))
+        val merged = pair.replace(" ", "")
+        log += ((k, pair, merged, c))
+        cur = cur.select(
+          trim(regexp_replace(
+            concat(lit(" "), col("w"), lit(" ")),
+            lit(" " + java.util.regex.Pattern.quote(pair.replace(" ", "  ")) + " "),
+            lit(" " + merged + " "))).as("w"),
+          col("cnt")).localCheckpoint(true)
+        k += 1
+      }
+    }
+    (cur, log.result())
+  }
+
+  /** The learned merge table — deterministic, hash-checkable against the
+    * unrolled-CTE oracle. */
+  def bpeMerges(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    trainLoop(spark, dir)._2
+      .toDF("step", "pair", "merged", "pair_count")
+      .orderBy("step")
+  }
+
+  /** The subword vocabulary after all merges: explode each token's final
+    * segmentation, weight by token frequency — the aggregate the APPLY
+    * stage of the pipeline feeds to the embedding table. */
+  def bpeVocab(spark: SparkSession, dir: String): DataFrame =
+    trainLoop(spark, dir)._1
+      .select(explode(split(col("w"), "  ")).as("subword"), col("cnt"))
+      .groupBy("subword").agg(sum(col("cnt")).as("n_occurrences"))
+      .orderBy("subword")
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bpe_merges" -> (bpeMerges _),
+    "bpe_vocab" -> (bpeVocab _))
+
+  /** The oracle: K merge iterations unrolled as CTE stages. Stage s{k}
+    * holds the spaced forms after k merges; p{k} the weighted pair
+    * counts; b{k} the argmax. Identical `replace` semantics on both
+    * engines make the replay exact. */
+  private def stagesSql(k: Int): String = {
+    val sb = new StringBuilder
+    sb.append(s"""WITH toks AS (
+        SELECT unnest(${TextFunctions.tokenizeSql}) AS tok FROM documents),
+      w0 AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
+      s0 AS MATERIALIZED (SELECT regexp_replace(tok, '(.)', '\\1  ', 'g') || '_' AS w, cnt FROM w0)""")
+    for (i <- 1 to k) {
+      sb.append(s""",
+      p$i AS MATERIALIZED (
+        SELECT l[x] || ' ' || l[x + 1] AS pair, sum(cnt)::BIGINT AS c
+        FROM (SELECT string_split(w, '  ') AS l, cnt FROM s${i - 1}),
+             unnest(range(1, len(l))) t(x)
+        GROUP BY 1),
+      b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
+      s$i AS MATERIALIZED (
+        SELECT trim(replace(' ' || w || ' ',
+                            ' ' || replace((SELECT pair FROM b$i), ' ', '  ') || ' ',
+                            ' ' || replace((SELECT pair FROM b$i), ' ', '') || ' ')) AS w,
+               cnt
+        FROM s${i - 1})""")
+    }
+    sb.toString
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "bpe_merges" -> {
+      val rows = (1 to merges).map(i =>
+        s"SELECT $i AS step, pair, replace(pair, ' ', '') AS merged, c AS pair_count FROM b$i")
+        .mkString("\n        UNION ALL ")
+      s"""${stagesSql(merges)}
+      SELECT step, pair, merged, pair_count FROM (
+        $rows)
+      ORDER BY step"""
+    },
+    "bpe_vocab" ->
+      s"""${stagesSql(merges)}
+      SELECT sub.subword, sum(s.cnt)::BIGINT AS n_occurrences
+      FROM (SELECT w, cnt FROM s$merges) s,
+           unnest(string_split(s.w, '  ')) sub(subword)
+      GROUP BY 1 ORDER BY subword""")
+}

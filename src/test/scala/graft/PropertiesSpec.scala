@@ -1,6 +1,7 @@
 package graft
 
 import graft.functions.LogSumExp
+import org.apache.spark.sql.functions.{col, length, lit}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import org.scalacheck.Prop.forAll
 import org.scalatest.funsuite.AnyFunSuite
@@ -163,6 +164,70 @@ class PropertiesSpec extends AnyFunSuite {
       val minOf = nodes.groupBy(find).map { case (root, ns) => root -> ns.min }
       val expected = nodes.map(x => x -> minOf(find(x))).toMap
       Prop(labels == expected) :| s"nodes=${nodes.size} edges=${es.size}"
+    })
+  }
+
+  test("distributed BPE merge learning equals a driver-side reference " +
+       "on random corpora (ties, repeats, single chars)") {
+    // reference implementation: greedy BPE over a (word, count) map —
+    // max pair by (count desc, pair asc), leftmost non-overlapping merge
+    def refBpe(words: Map[String, Long], k: Int): Seq[(String, Long)] = {
+      var forms: Seq[(Seq[String], Long)] =
+        words.map { case (w, c) => (w.map(_.toString) :+ "_", c) }.toSeq
+      val out = Seq.newBuilder[(String, Long)]
+      for (_ <- 1 to k) {
+        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+        forms.foreach { case (syms, c) =>
+          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+        }
+        if (counts.nonEmpty) {
+          val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x + " " + y) }
+          out += ((a + " " + b, c))
+          forms = forms.map { case (syms, cnt) =>
+            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < syms.length) {
+              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+                merged += a + b; i += 2
+              } else { merged += syms(i); i += 1 }
+            }
+            (merged.toSeq, cnt)
+          }
+        }
+      }
+      out.result()
+    }
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val corpus: Gen[List[String]] = for {
+      n <- Gen.chooseNum(1, 30)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c')) // tiny alphabet forces ties
+      } yield cs.mkString)
+    } yield ws
+    checkN(10)(forAll(corpus) { ws0 =>
+      // ScalaCheck's shrinker does not respect the generator's alphabet
+      // (it shrinks Chars numerically, below 'a'); normalize to what the
+      // pipeline's tokenizer would keep so both sides see one corpus
+      val ws = ws0.map(_.filter(c => c >= 'a' && c <= 'z')).filter(_.nonEmpty)
+      // drive the REGISTERED pipeline end-to-end: write the corpus as a
+      // documents-shaped parquet table and learn merges from it
+      val dir = java.nio.file.Files.createTempDirectory("graft-bpe").toString
+      ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("gen").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .write.parquet(dir + "/documents.parquet")
+      val got =
+        if (ws.isEmpty) Seq.empty
+        else graft.operators.Bpe.bpeMerges(spark, dir)
+          .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
+      val expected = refBpe(
+        ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong },
+        graft.operators.Bpe.merges)
+      Prop(got == expected) :| s"corpus=$ws\ngot=$got\nexp=$expected"
     })
   }
 
