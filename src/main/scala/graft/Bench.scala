@@ -290,7 +290,13 @@ private[graft] object BenchFormat {
     // checkpointed word table after one corpus pass). bpe_vocab re-runs
     // that same train loop and adds one explode+groupBy over its fixed
     // point — its dominant cost IS the timed sibling's loop
-    "bpe_vocab")
+    "bpe_vocab",
+    // r7: ann_pq_cosine is the knn_brute/ann_sq broadcast-score-rank
+    // shape twice (integer ADC coarse pass + float rescore — exactly
+    // ann_sq's two-stage structure with codebook arithmetic instead of
+    // int8 dot products) plus a driver-side codebook train over the
+    // same bounded sample ann_ivf_cosine already times
+    "ann_pq_cosine")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -558,11 +558,12 @@ object Similarity {
     * for |Σ| ≪ 2^53: when n ∤ Σ the true quotient sits ≥ 1/n — far more
     * than one ulp — from the nearest integer, so the DuckDB mirror's
     * double-division floor lands on the same value. */
-  private[graft] def trainQuantizer(sample: Array[Array[Long]]): Array[Array[Long]] = {
-    var centroids = sample.take(ivfCells).map(_.clone())
-    for (_ <- 1 to ivfIters) {
-      val sums = Array.fill(ivfCells)(new Array[Long](sample.head.length))
-      val counts = new Array[Long](ivfCells)
+  private[graft] def trainQuantizer(sample: Array[Array[Long]],
+      cells: Int = ivfCells, iters: Int = ivfIters): Array[Array[Long]] = {
+    var centroids = sample.take(cells).map(_.clone())
+    for (_ <- 1 to iters) {
+      val sums = Array.fill(cells)(new Array[Long](sample.head.length))
+      val counts = new Array[Long](cells)
       sample.foreach { v =>
         var best = 0
         var bestD = Long.MaxValue
@@ -632,6 +633,91 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** PQ (product quantization) ANN — the codes half of Jégou/Douze/
+    * Schmid TPAMI 2011 that [[annIvfCosine]] deliberately left out: the
+    * 64-dim space splits into [[pqM]] subspaces of [[pqSub]] dims, each
+    * with its own [[pqK]]-centroid codebook (integer-exact Lloyd's on
+    * the milli grid, the IVF trainer per subspace), and every vector
+    * compresses to pqM codes — 8 nibbles where the raw vector is 256
+    * bytes, the memory ratio that lets a billion-vector index live in
+    * RAM. Queries rank candidates by ASYMMETRIC distance (ADC): the raw
+    * query subvector against each candidate's reconstructed centroid,
+    * Σ_m L2(q_m, cb[m][code_m]) — all integer arithmetic, so the coarse
+    * candidate set is bit-reproducible and the oracle replays the whole
+    * train→encode→ADC pipeline exactly (ONE keyed k-means replay with
+    * the subspace as a grouping key — 5 CTE stages, not 8×5). The float
+    * cosine rescore over the top-[[sqRescoreDepth]] candidates is the
+    * same tail as [[annSqCosine]].
+    *
+    * Scale shape: encoding is a map-only scan against a broadcast
+    * literal codebook (pqM·pqK·pqSub = 1,024 longs); ADC scoring
+    * touches pqM additions per candidate instead of `dim` multiplies;
+    * at 100 TB the codes table is ~1/64 the vectors' bytes, and the
+    * rescore joins back to floats only for candidates. */
+  val pqM = 8
+  val pqSub = dim / pqM
+  val pqK = 16
+  val pqIters = 5
+
+  def annPqCosine(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val vecs = emb(spark, dir)
+    val sample = vecs.filter(col("vec_id") < ivfSampleSize)
+      .as[(Long, Seq[Double])].collect().sortBy(_._1)
+      .map(_._2.map(x => math.floor(x * milliScale).toLong).toArray)
+    val codebooks: Seq[Seq[Seq[Long]]] = (0 until pqM).map { m =>
+      trainQuantizer(sample.map(_.slice(m * pqSub, (m + 1) * pqSub)),
+        pqK, pqIters).map(_.toSeq).toSeq
+    }
+    val cbLit = typedlit(codebooks)
+
+    def subSlice(vq: Column, m: Column): Column =
+      slice(vq, m * pqSub + 1, lit(pqSub))
+    def l2(a: Column, b: Column): Column =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, d) => acc + d)
+
+    val withQ = vecs.withColumn("vq", quantize(col("v")))
+    // encode: per subspace, integer argmin over the literal codebook
+    // (tie → lowest code, matching the trainer's first-minimal rule)
+    val codes = transform(sequence(lit(0), lit(pqM - 1)), m => {
+      val scored = transform(sequence(lit(0), lit(pqK - 1)), k =>
+        struct(
+          l2(subSlice(col("vq"), m),
+            element_at(element_at(cbLit, m + 1), k + 1)).as("d"),
+          k.as("k")))
+      element_at(array_sort(scored), 1)("k")
+    })
+    val encoded = withQ.select(col("vec_id"), codes.as("codes"))
+    val queries = withQ.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("vq").as("qvq"))
+    val adc = aggregate(sequence(lit(0), lit(pqM - 1)), lit(0L), (acc, m) =>
+      acc + l2(subSlice(col("qvq"), m),
+        element_at(element_at(cbLit, m + 1),
+          element_at(col("codes"), m + 1) + 1)))
+    val coarse = encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adist"), col("neighbor_id"))))
+      .filter(col("crank") <= sqRescoreDepth)
+      .select("query_id", "neighbor_id")
+    val qFloats = vecs.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    coarse
+      .join(vecs.select(col("vec_id"), col("v")),
+        col("neighbor_id") === col("vec_id"))
+      .join(broadcast(qFloats), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rank") <= knnK)
+      .orderBy("query_id", "rank")
+  }
+
   /** Metadata-FILTERED vector search ("hybrid search"): each query's
     * top-k nearest neighbors restricted to vectors sharing its `label`
     * — the retrieval-with-predicate pattern every production vector
@@ -668,6 +754,7 @@ object Similarity {
     "ann_sq_cosine" -> (annSqCosine _),
     "ann_lsh_cosine" -> (annLshCosine _),
     "ann_ivf_cosine" -> (annIvfCosine _),
+    "ann_pq_cosine" -> (annPqCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "decontaminate_semantic" -> (decontaminateSemantic _))
@@ -741,6 +828,90 @@ object Similarity {
   private def ivfDistSql(a: String, b: String): String =
     s"list_sum(list_transform(range($dim), d -> ($a[d+1]-$b[d+1])*($a[d+1]-$b[d+1])))::BIGINT"
 
+  private def pqDistSql(a: String, b: String): String =
+    s"list_sum(list_transform(range($pqSub), d -> ($a[d+1]-$b[d+1])*($a[d+1]-$b[d+1])))::BIGINT"
+
+  /** PQ oracle: ONE keyed Lloyd's replay (subspace `m` as a grouping
+    * key — per-m independence makes 8 codebooks train in 5 shared CTE
+    * stages), then encode-all, ADC scoring against reconstructed
+    * centroids, coarse rank, float rescore. MATERIALIZED throughout
+    * (the BPE lesson: plain CTE chains inline exponentially). */
+  private def pqOracleSql: String = {
+    val iters = (1 to pqIters).map { i =>
+      s"""assign$i AS MATERIALIZED (
+            SELECT m, vec_id, sq, k FROM (
+              SELECT s.m, s.vec_id, s.sq, c.k,
+                     row_number() OVER (PARTITION BY s.m, s.vec_id
+                       ORDER BY ${pqDistSql("s.sq", "c.c")}, c.k) AS rn
+              FROM sub s JOIN cent${i - 1} c ON s.m = c.m)
+            WHERE rn = 1),
+          cent$i AS MATERIALIZED (
+            SELECT p.m, p.k, coalesce(n.c, p.c) AS c
+            FROM cent${i - 1} p
+            LEFT JOIN (
+              SELECT m, k, list(cd ORDER BY d) AS c
+              FROM (SELECT m, k, d,
+                           floor(sum(sq[d+1])::DOUBLE / count(*))::BIGINT AS cd
+                    FROM assign$i, unnest(range($pqSub)) AS u(d)
+                    GROUP BY m, k, d)
+              GROUP BY m, k) n
+            ON p.m = n.m AND p.k = n.k)"""
+    }.mkString(",\n          ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          w AS (SELECT vec_id, v,
+                       list_transform(v, x -> floor(x * 1000)::BIGINT) AS vq
+                FROM v),
+          subsAll AS MATERIALIZED (
+            SELECT mm.m, w.vec_id,
+                   list_slice(w.vq, mm.m * $pqSub + 1, mm.m * $pqSub + $pqSub) AS sq
+            FROM w, range(0, $pqM) mm(m)),
+          sub AS MATERIALIZED (
+            SELECT m, vec_id, sq FROM subsAll WHERE vec_id < $ivfSampleSize),
+          cent0 AS MATERIALIZED (
+            SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1)::INT AS k,
+                   sq AS c
+            FROM sub
+            QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= $pqK),
+          $iters,
+          enc AS MATERIALIZED (
+            SELECT m, vec_id, k AS code, c FROM (
+              SELECT s.m, s.vec_id, c.k, c.c,
+                     row_number() OVER (PARTITION BY s.m, s.vec_id
+                       ORDER BY ${pqDistSql("s.sq", "c.c")}, c.k) AS rn
+              FROM subsAll s JOIN cent$pqIters c ON s.m = c.m)
+            WHERE rn = 1),
+          qsubs AS (
+            SELECT m, vec_id AS query_id, sq AS qsq
+            FROM subsAll WHERE vec_id < $nQueries),
+          adc AS MATERIALIZED (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   sum(${pqDistSql("q.qsq", "e.c")})::BIGINT AS adist
+            FROM qsubs q JOIN enc e ON q.m = e.m
+            WHERE e.vec_id <> q.query_id
+            GROUP BY 1, 2),
+          coarse AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist, neighbor_id) AS crank
+              FROM adc)
+            WHERE crank <= $sqRescoreDepth),
+          scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(q.v, n.v) /
+                         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)
+                     AS cosine
+            FROM coarse
+            JOIN v q ON query_id = q.vec_id
+            JOIN v n ON neighbor_id = n.vec_id),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, cosine, rank
+          FROM ranked WHERE rank <= $knnK
+          ORDER BY query_id, rank"""
+  }
+
   private def ivfOracleSql: String = {
     val iters = (1 to ivfIters).map { i =>
       s"""assign$i AS (
@@ -813,6 +984,7 @@ object Similarity {
     * (see [[ivfOracleSql]]). */
   val oracleSql: Map[String, String] = Map(
     "ann_ivf_cosine" -> ivfOracleSql,
+    "ann_pq_cosine" -> pqOracleSql,
     "ann_lsh_cosine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           planes(t, p, pl) AS (VALUES

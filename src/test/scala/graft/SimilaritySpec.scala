@@ -32,6 +32,19 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("PQ ANN achieves reasonable recall vs brute force") {
+    val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
+    val approx = neighborSets(Similarity.annPqCosine(spark, sfDir))
+    val hits = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size
+    }.sum
+    val recall = hits.toDouble / (exact.size * Similarity.knnK)
+    // 8 subspaces × 16 codes is a coarse code on weakly-correlated
+    // synthetic vectors; the rescore keeps top-in-ADC candidates, so
+    // recall tracks how well the ADC proxy orders them
+    assert(recall >= 0.2, s"PQ recall $recall too low")
+  }
+
   test("IVF quantizer is deterministic and returns k centroids") {
     val sample = Array.tabulate(64)(i => Array.tabulate(8)(j => (i * 31 + j * 7 % 13).toLong))
     val c1 = Similarity.trainQuantizer(sample)
