@@ -296,7 +296,11 @@ private[graft] object BenchFormat {
     // ann_sq's two-stage structure with codebook arithmetic instead of
     // int8 dot products) plus a driver-side codebook train over the
     // same bounded sample ann_ivf_cosine already times
-    "ann_pq_cosine")
+    "ann_pq_cosine",
+    // r7: mixture_plan is token_stats' map-only tokenize scan + one
+    // grouped aggregate + two unpartitioned windows over a <=|langs|
+    // row table — no plan structure the timed set lacks
+    "mixture_plan")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

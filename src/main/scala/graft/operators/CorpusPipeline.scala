@@ -385,7 +385,50 @@ object CorpusPipeline {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  /** Declared target mixture over languages — the data-recipe input a
+    * training run fixes up front (the DoReMi / LLaMA-style mixture
+    * table). Literal constants so the oracle carries the same VALUES. */
+  val mixtureTargets: Seq[(String, Double)] = Seq(
+    "en" -> 0.5, "zh" -> 0.2, "de" -> 0.1, "es" -> 0.1, "fr" -> 0.1)
+
+  /** The mixture PLAN: given per-language natural token shares and the
+    * declared target shares, the per-language sampling rates that hit
+    * the target under a DOWNSAMPLE-ONLY discipline — rates scale so the
+    * most over-demanded language samples at exactly 1.0 and nothing is
+    * repeated (repetition schedules are a training-loop decision, not a
+    * data-pipeline one). This is the artifact a 100 TB ingest computes
+    * ONCE and every sampler downstream consumes; one corpus pass + a
+    * ≤|langs| row working set (the unpartitioned windows below move at
+    * most |langs| rows — bounded by the declared target list, the
+    * events_resample discipline). Float shares/rates round to 6dp under
+    * the registry discipline; the division sequencing matches the
+    * oracle expression-for-expression. */
+  def mixturePlan(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val stats = Tables.documents(spark, dir)
+      .select(col("lang"), size(tokenize(col("text"))).cast("long").as("ntok"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("ntok")).as("n_tokens"))
+    val tgt = mixtureTargets.toDF("lang", "target_share")
+    val all = org.apache.spark.sql.expressions.Window.partitionBy()
+    stats.join(broadcast(tgt), "lang")
+      .withColumn("tot", sum(col("n_tokens")).over(all))
+      .withColumn("rate_raw",
+        col("target_share") / (col("n_tokens") / col("tot")))
+      .withColumn("mx", max(col("rate_raw")).over(all))
+      .select(
+        col("lang"), col("n_docs"), col("n_tokens"),
+        round(col("n_tokens") / col("tot"), 6).as("natural_share"),
+        col("target_share"),
+        round(col("rate_raw") / col("mx"), 6).as("sampling_rate"),
+        floor(col("n_tokens") * (col("rate_raw") / col("mx"))).cast("long")
+          .as("kept_tokens"))
+      .orderBy("lang")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "mixture_plan" -> (mixturePlan _),
     "doc_chunks" -> (docChunks _),
     "sample_stratified" -> (sampleStratified _),
     "sample_balanced" -> (sampleBalanced _),
@@ -406,7 +449,31 @@ object CorpusPipeline {
   private def bucketSql(e: String) =
     s"(${md5IntSql(s"($e)::VARCHAR", 15)} % 1000)"
 
+  private val mixtureTargetsSql: String =
+    mixtureTargets.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
+
   val oracleSql: Map[String, String] = Map(
+    "mixture_plan" ->
+      s"""WITH stats AS (
+            SELECT lang, count(*)::BIGINT AS n_docs,
+                   sum(len($tokenizeSql))::BIGINT AS n_tokens
+            FROM documents GROUP BY lang),
+          tgt(lang, target_share) AS (VALUES $mixtureTargetsSql),
+          j AS (
+            SELECT s.lang, s.n_docs, s.n_tokens, t.target_share,
+                   (SELECT sum(n_tokens) FROM stats s2
+                    WHERE s2.lang IN (SELECT lang FROM tgt))::BIGINT AS tot
+            FROM stats s JOIN tgt t USING (lang)),
+          r AS (
+            SELECT *, target_share / (n_tokens / tot::DOUBLE) AS rate_raw
+            FROM j),
+          m AS (SELECT max(rate_raw) AS mx FROM r)
+          SELECT lang, n_docs, n_tokens,
+                 round(n_tokens / tot::DOUBLE, 6) AS natural_share,
+                 target_share,
+                 round(rate_raw / mx, 6) AS sampling_rate,
+                 floor(n_tokens * (rate_raw / mx))::BIGINT AS kept_tokens
+          FROM r, m ORDER BY lang""",
     // chunk grid mirrored with the same integer arithmetic; DuckDB's
     // end-exclusive range(0, m) == Spark's inclusive sequence(0, m-1)
     "doc_chunks" ->
