@@ -930,7 +930,13 @@ class ScaleDesignSpec extends GraftSpec {
       "snapshot_merge", "dq_audit", "q18_cube_revenue", "wordcount",
       "dedup_exact", "user_sessions", "events_anomaly", "key_skew_profile",
       "event_count_hourly", "doc_quality", "token_stats", "sample_stratified",
-      "interval_join_outer", "knn_brute_cosine")
+      "interval_join_outer", "knn_brute_cosine",
+      // r7 additions: BPE's train loop must take the early-exhaustion
+      // path (no tokens => no pairs => empty merge table, not a throw);
+      // the codec, cents, and mixture queries are map/agg shapes that
+      // must materialize empty
+      "bpe_merges", "bpe_vocab", "image_features", "image_resize",
+      "q9_region_rollup_cents", "q10_rollup_cents", "mixture_plan")
     sample.foreach { name =>
       val rows = SparkEntry.queries(name)(spark, tmp).collect()
       name match {
