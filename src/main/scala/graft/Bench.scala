@@ -394,14 +394,28 @@ object Bench {
     // kill erase the artifact.
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "420").toDouble
     def remaining(): Double = deadlineSec - (System.nanoTime() - procT0) / 1e9
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bypassMergeThreshold: below it Spark's bypass shuffle writer
+      // opens mappers x reducers files per exchange; an iterative loop
+      // with a few hundred explicit partitions lands squarely in the
+      // trap (measured r7: PPR at sf3 width 163 took 40 s vs 4.4 s with
+      // the threshold at core count — the 200-default is tuned for ETL
+      // shuffles, not repartition-heavy iteration)
+      .config("spark.shuffle.sort.bypassMergeThreshold", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // A/B hook for confs that must be set BEFORE the context exists
+    // (core/shuffle confs — runtime spark.conf.set rejects them)
+    sys.env.get("SPARK_GRAFT_BUILDER_CONF")
+      .foreach(_.split(';').filter(_.contains('=')).foreach { kv =>
+        val i = kv.indexOf('=')
+        builder.config(kv.take(i).trim, kv.drop(i + 1).trim)
+      })
+    val spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     // A/B hook for custom rewrites (e.g. graft.plans.TopKRewrite)
     sys.env.get("SPARK_GRAFT_EXCLUDE_RULES")

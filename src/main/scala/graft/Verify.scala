@@ -16,6 +16,13 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.sql.shuffle.partitions", cpus)
+      // bypassMergeThreshold: below it Spark's bypass shuffle writer
+      // opens mappers x reducers files per exchange; an iterative loop
+      // with a few hundred explicit partitions lands squarely in the
+      // trap (measured r7: PPR at sf3 width 163 took 40 s vs 4.4 s with
+      // the threshold at core count — the 200-default is tuned for ETL
+      // shuffles, not repartition-heavy iteration)
+      .config("spark.shuffle.sort.bypassMergeThreshold", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

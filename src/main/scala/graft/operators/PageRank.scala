@@ -90,7 +90,10 @@ object PageRank {
     * in the estimate, capped. Pure so ScaleDesignSpec can pin the
     * contract. */
   private[graft] def loopWidthFor(estBytes: BigInt): Int =
-    (estBytes / adjBytesPerPartition).min(maxLoopPartitions).max(8).toInt
+    // SPARK_GRAFT_PPR_WIDTH: A/B override (the r7 width sweep that
+    // isolated the bypass-merge shuffle-writer cliff — see PLANS.md)
+    sys.env.get("SPARK_GRAFT_PPR_WIDTH").map(_.toInt).getOrElse(
+      (estBytes / adjBytesPerPartition).min(maxLoopPartitions).max(8).toInt)
 
   /** (adjacency-with-outdegree, outdegree, hasDangling): the adjacency
     * rows CARRY the source's outdegree, so each of the 10 iterations

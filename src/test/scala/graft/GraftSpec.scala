@@ -10,6 +10,7 @@ object TestSession {
     .appName("graft-test")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.shuffle.partitions", "4")
+    .config("spark.shuffle.sort.bypassMergeThreshold", "4")
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
