@@ -49,7 +49,18 @@ object MaterializedViews {
     /** Cheap structural pre-filter for the rule's walk: canonicalization
       * preserves the root node class and output arity, so a node that
       * fails either check cannot equal `canonical` — no canonicalization
-      * needed to reject it. */
+      * needed to reject it.
+      *
+      * Assumption, stated rather than hidden: the filter compares the
+      * QUERY node's own class against the ENTRY's canonical class, so a
+      * node type whose `doCanonicalize` changed its root class could be
+      * wrongly rejected (a missed rewrite, never a wrong one). No node
+      * the optimizer emits does this — `doCanonicalize` rewrites
+      * children/expressions in place for every plan operator Spark's
+      * optimizer can leave in its output — and MaterializedViewSpec
+      * pins that empirically: it canonicalizes every node of a
+      * representative optimized-plan corpus (agg/join/window/sort
+      * shapes) and asserts the class is preserved. */
     val rootClass: Class[_] = canonical.getClass
     val rootArity: Int = canonical.output.size
   }

@@ -45,12 +45,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * step, after the new files are safely staged — the overwrite is
   * staged-then-swapped, never write-in-place.
   *
+  * Two commit protocols, selected by `.option("commit", ...)`:
+  *
+  *   - `rename` (default) — the v1 shape above. Correct where rename is
+  *     atomic (local fs, HDFS). Its publish loop is one move per file,
+  *     so an IO failure MID-loop can tear: some part files visible, no
+  *     `_SUCCESS`. The commit best-effort deletes what it already
+  *     published before rethrowing, but a reader that ignores `_SUCCESS`
+  *     during that window (or if the cleanup itself fails) can see a
+  *     partial set — the documented residual of rename-commit, and the
+  *     reason object stores need the second protocol.
+  *   - `manifest` — the S3-safe shape (the Iceberg/Delta/S3A-magic
+  *     commit idea reduced to one file): task output is PLACED under
+  *     never-referenced `data-*` names, then visibility is a SINGLE
+  *     atomic publish of a `_manifest` file listing exactly the visible
+  *     data files. Readers list via the manifest
+  *     ([[FileSinkManifest.visibleFiles]]), so a crash anywhere before
+  *     the manifest write exposes NOTHING — placed-but-unreferenced
+  *     files are inert garbage a later truncate publish sweeps. On a
+  *     real object store the manifest publish is one atomic object PUT;
+  *     locally it is simulated by write-temp-then-atomic-move of the
+  *     one manifest file (one atomic step, not one per data file —
+  *     that is the entire point).
+  *
   * Deliberate demo bounds (documented, not hidden): paths are
   * local-filesystem `java.nio` operations — a cluster deployment swaps
   * them for Hadoop `FileSystem` calls against shared storage (same
-  * protocol, same seam; rename-based v1 commit assumes the store gives
-  * atomic rename, which HDFS does and S3 does not — S3 needs a
-  * manifest/staging committer, a different round's work). The row codec
+  * protocol, same seam). Manifest mode is batch-only (streaming epochs
+  * keep rename-commit + idempotence markers; requesting
+  * `commit=manifest` on a streaming write fails loudly). The row codec
   * is TSV over scalar types — the protocol under test is commit, not
   * encoding.
   */
@@ -72,24 +95,39 @@ private[sources] class FileSinkTable(options: CaseInsensitiveStringMap)
     require(p != null && p.nonEmpty, "graft-filesink requires a 'path' option")
     p
   }
+  private val commitMode = {
+    val m = Option(options.get("commit")).getOrElse("rename")
+    require(m == "rename" || m == "manifest",
+      s"graft-filesink 'commit' must be rename|manifest, got '$m'")
+    m
+  }
   override def name(): String = s"graft_filesink($path)"
   override def schema(): StructType = new StructType()
   override def capabilities(): java.util.Set[TableCapability] =
     Set(TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE,
       TableCapability.TRUNCATE, TableCapability.ACCEPT_ANY_SCHEMA).asJava
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new FileSinkWriteBuilder(path, info)
+    new FileSinkWriteBuilder(path, info, commitMode)
 }
 
-private[sources] class FileSinkWriteBuilder(path: String, info: LogicalWriteInfo)
-    extends WriteBuilder with SupportsTruncate {
+private[sources] class FileSinkWriteBuilder(path: String, info: LogicalWriteInfo,
+    commitMode: String) extends WriteBuilder with SupportsTruncate {
   private var doTruncate = false
   override def truncate(): WriteBuilder = { doTruncate = true; this }
   override def build(): Write = new Write {
     override def toBatch: BatchWrite =
-      new FileSinkBatchWrite(path, info.queryId(), info.schema(), doTruncate)
-    override def toStreaming: streaming.StreamingWrite =
-      new FileSinkStreamingWrite(path, info.queryId(), info.schema())
+      if (commitMode == "manifest")
+        new FileSinkManifestBatchWrite(path, info.queryId(), info.schema(),
+          doTruncate)
+      else
+        new FileSinkBatchWrite(path, info.queryId(), info.schema(), doTruncate)
+    override def toStreaming: streaming.StreamingWrite = {
+      // batch-only protocol: fail loudly rather than silently fall back
+      if (commitMode == "manifest") throw new UnsupportedOperationException(
+        "graft-filesink commit=manifest supports batch writes only; " +
+        "streaming epochs use rename-commit with idempotence markers")
+      new FileSinkStreamingWrite(path, info.queryId(), info.schema(), doTruncate)
+    }
   }
 }
 
@@ -131,9 +169,22 @@ private[graft] class FileSinkBatchWrite(path: String, queryId: String,
       // from a previous streaming query in this path go too
       FileSinkFs.list(dir, "_epoch-").foreach(Files.delete)
     }
-    messages.foreach { case FileSinkCommitMessage(pid, temp, _) =>
-      Files.move(Paths.get(temp), dir.resolve(f"part-$queryId-$pid%05d.tsv"),
-        StandardCopyOption.ATOMIC_MOVE)
+    // The publish loop is one rename per file — NOT atomic across files.
+    // An IO failure mid-loop would otherwise leave a published subset
+    // with no _SUCCESS (the torn window readers that skip the _SUCCESS
+    // check would see). Best-effort: unpublish what this commit already
+    // moved before rethrowing, shrinking that window to "cleanup itself
+    // also failed". commit=manifest removes the window entirely.
+    val published = scala.collection.mutable.ArrayBuffer.empty[Path]
+    try messages.foreach { case FileSinkCommitMessage(pid, temp, _) =>
+      val target = dir.resolve(f"part-$queryId-$pid%05d.tsv")
+      Files.move(Paths.get(temp), target, StandardCopyOption.ATOMIC_MOVE)
+      published += target
+    } catch { case e: Throwable =>
+      published.foreach(p =>
+        try Files.deleteIfExists(p) catch { case _: Throwable => () })
+      deleteTempDir()
+      throw e
     }
     deleteTempDir() // sweeps every orphan attempt's file
     Files.write(dir.resolve("_SUCCESS"), Array.emptyByteArray)
@@ -158,6 +209,102 @@ private[graft] class FileSinkWriterFactory(path: String, queryId: String,
     new FileSinkDataWriter(path, queryId, schema, partitionId, taskId)
 }
 
+/** The one-file commit ledger of manifest mode. The manifest IS the
+  * table state: a data file exists iff the manifest names it. Publishing
+  * a new manifest is the single atomic step every write reduces to —
+  * locally a write-temp-then-atomic-move; on an object store, one PUT. */
+private[graft] object FileSinkManifest {
+  val Name = "_manifest"
+
+  /** The committed view of `path`: the data files the manifest lists
+    * (absolute), in manifest order. No manifest → no committed data,
+    * whatever part/data files happen to sit in the directory. */
+  def visibleFiles(path: String): Seq[Path] = {
+    val m = Paths.get(path, Name)
+    if (!Files.exists(m)) Nil
+    else Files.readAllLines(m, StandardCharsets.UTF_8).asScala.toSeq
+      .filter(_.nonEmpty).map(Paths.get(path, _))
+  }
+
+  /** Atomically replace the manifest with `names` (data-file names
+    * relative to `path`). */
+  def publish(path: String, names: Seq[String]): Unit = {
+    val tmp = Paths.get(path, Name + ".tmp")
+    Files.write(tmp,
+      names.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
+    Files.move(tmp, Paths.get(path, Name), StandardCopyOption.ATOMIC_MOVE,
+      StandardCopyOption.REPLACE_EXISTING)
+  }
+}
+
+/** Manifest-commit batch write — the S3-safe protocol. Staging is
+  * identical to rename-commit (private attempt files under `_temp`);
+  * the difference is the publish step:
+  *
+  *   1. PLACE: each committed attempt's temp file moves to a
+  *      `data-<queryId>-<pid>.tsv` name. These moves need no atomicity
+  *      guarantee and no ordering — nothing references the names yet,
+  *      so a crash after any prefix of them exposes nothing (pinned in
+  *      SourcesSpec by a simulated torn placement).
+  *   2. PUBLISH: ONE atomic manifest write makes exactly this commit's
+  *      file set (plus, for append, the files the previous manifest
+  *      listed) visible. Truncate = publish a manifest listing only the
+  *      new files; the old data files become unreferenced garbage and
+  *      are best-effort swept after the publish.
+  *
+  * A failed job's retry is a NEW write (fresh queryId): its placement
+  * names cannot collide with the torn attempt's, and the torn garbage
+  * stays invisible until a truncate publish sweeps it — so a retry after
+  * a torn publish completes exactly-once by construction. */
+private[graft] class FileSinkManifestBatchWrite(path: String, queryId: String,
+    schema: StructType, truncate: Boolean) extends BatchWrite {
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory =
+    new FileSinkWriterFactory(path, queryId, schema)
+
+  /** Step 1 alone, exposed so the spec can simulate a commit that dies
+    * between placement and publish. */
+  private[graft] def place(messages: Array[WriterCommitMessage]): Seq[String] = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    messages.map { case FileSinkCommitMessage(pid, temp, _) =>
+      val name = f"data-$queryId-$pid%05d.tsv"
+      Files.move(Paths.get(temp), dir.resolve(name),
+        StandardCopyOption.REPLACE_EXISTING)
+      name
+    }.toSeq
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val dir = Paths.get(path)
+    val placed = place(messages)
+    val prev =
+      if (truncate) Nil
+      else FileSinkManifest.visibleFiles(path).map(_.getFileName.toString)
+    FileSinkManifest.publish(path, prev ++ placed) // THE commit point
+    deleteTempDir()
+    if (truncate) {
+      // GC, after the publish: data files no manifest references —
+      // the old generation plus any torn placements — are inert; sweep
+      // them best-effort (a failure here cannot affect visibility)
+      val live = (prev ++ placed).toSet
+      FileSinkFs.list(dir, "data-")
+        .filterNot(p => live.contains(p.getFileName.toString))
+        .foreach(p =>
+          try Files.deleteIfExists(p) catch { case _: Throwable => () })
+    }
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit =
+    deleteTempDir()
+
+  private def deleteTempDir(): Unit = {
+    FileSinkFs.deleteRecursively(Paths.get(path, "_temp", queryId))
+    try Files.deleteIfExists(Paths.get(path, "_temp"))
+    catch { case _: java.nio.file.DirectoryNotEmptyException => () }
+  }
+}
+
 /** The STREAMING write half: same staged two-phase protocol, one commit
   * per EPOCH (micro-batch), made IDEMPOTENT on the epoch id — after a
   * driver restart Structured Streaming replays the last un-checkpointed
@@ -171,9 +318,19 @@ private[graft] class FileSinkWriterFactory(path: String, queryId: String,
   * a different partition count cannot leave torn leftovers. Markers are
   * pruned to the latest epoch (only it can ever replay). Epoch staging
   * dirs are per-(query, epoch), so concurrent epochs of a restarted
-  * query can never cross-contaminate. */
+  * query can never cross-contaminate.
+  *
+  * `truncate` is the complete/update output-mode contract (Spark lowers
+  * those through SupportsTruncate before toStreaming): every epoch's
+  * publish REPLACES the query's previous snapshot, so the epoch commit
+  * sweeps ALL of this query's part files — prior epochs' snapshots
+  * included — before publishing its own set. Without the sweep a
+  * complete-mode query would accumulate one full snapshot per epoch,
+  * silently duplicating the result. Append mode (`truncate = false`)
+  * sweeps only its own epoch's torn leftovers, as before. */
 private[graft] class FileSinkStreamingWrite(path: String, queryId: String,
-    schema: StructType) extends streaming.StreamingWrite {
+    schema: StructType, truncate: Boolean = false)
+    extends streaming.StreamingWrite {
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): streaming.StreamingDataWriterFactory =
@@ -198,8 +355,13 @@ private[graft] class FileSinkStreamingWrite(path: String, queryId: String,
     // part files a torn commit left for this epoch (they may cover
     // partitions this replay no longer produces), then publish this
     // replay's complete set. The trailing '-' in the prefix keeps
-    // epoch 1 from matching epoch 10.
-    FileSinkFs.list(dir, s"part-$queryId-$epochId-").foreach(Files.delete)
+    // epoch 1 from matching epoch 10. Under truncate (complete/update
+    // mode) the sweep widens to the query's WHOLE previous snapshot —
+    // this epoch replaces it.
+    val stale =
+      if (truncate) FileSinkFs.list(dir, s"part-$queryId-")
+      else FileSinkFs.list(dir, s"part-$queryId-$epochId-")
+    stale.foreach(Files.delete)
     messages.foreach { case FileSinkCommitMessage(pid, temp, _) =>
       Files.move(Paths.get(temp),
         dir.resolve(f"part-$queryId-$epochId-$pid%05d.tsv"),

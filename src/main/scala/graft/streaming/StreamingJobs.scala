@@ -47,8 +47,16 @@ object AnomalyMath {
       val d = n * cur - sx
       d * d > 9L * (n * sxx - sx * sx)
     } else {
-      val sx = ring.foldLeft(0.0)(_ + _.toDouble)
-      val sxx = ring.foldLeft(0.0)((a, c) => a + c.toDouble * c.toDouble)
+      // Double addition is order-sensitive (non-associative). The batch
+      // plan's window sums accumulate the frame CHRONOLOGICALLY (rows in
+      // hour order, oldest first); the streaming ring is prepend-ordered
+      // (newest first). Summing the ring reversed keeps both paths adding
+      // the same values in the same order, so a hot cell sitting exactly
+      // at the 3σ boundary cannot make the replay differential disagree
+      // by one ulp.
+      val chron = ring.reverseIterator.toSeq
+      val sx = chron.foldLeft(0.0)(_ + _.toDouble)
+      val sxx = chron.foldLeft(0.0)((a, c) => a + c.toDouble * c.toDouble)
       val d = n.toDouble * cur.toDouble - sx
       d * d > 9.0 * (n.toDouble * sxx - sx * sx)
     }

@@ -155,6 +155,37 @@ class MaterializedViewSpec extends GraftSpec {
     } finally MaterializedViews.clear()
   }
 
+  test("pre-filter soundness: canonicalization preserves the root class " +
+       "of every node the optimizer emits") {
+    // The class+arity pre-filter compares the query node's OWN class
+    // against the entry's CANONICAL class (MaterializedView.scala Entry
+    // scaladoc). That is sound iff doCanonicalize never changes a node's
+    // root class in optimizer output. Verify it over a corpus spanning
+    // the shapes the registry exercises: aggregate+window (MV
+    // definition), join chain, window function, sort+limit, union,
+    // distinct, expand (cube).
+    import graft.operators.{EventAnalytics, Relational}
+    val corpus = Seq(
+      EventAnalytics.eventCountHourlyDef(spark, sfDir),
+      Relational.q4NationCount(spark, sfDir),
+      Relational.q13RunningRevenue(spark, sfDir),
+      Tables.events(spark, sfDir).select("event_type").distinct().limit(3),
+      Tables.events(spark, sfDir).select("event_type")
+        .union(Tables.events(spark, sfDir).select("props"))
+        .orderBy("event_type").limit(5),
+      Tables.events(spark, sfDir)
+        .cube(col("event_type"), col("user_id")).agg(count(lit(1)).as("c")))
+    val violations = corpus.flatMap { df =>
+      df.queryExecution.optimizedPlan.collect {
+        case n if n.canonicalized.getClass != n.getClass =>
+          s"${n.getClass.getSimpleName} -> ${n.canonicalized.getClass.getSimpleName}"
+      }
+    }
+    assert(violations.isEmpty,
+      s"doCanonicalize changed a root class — the MVRewrite pre-filter " +
+      s"would skip valid rewrites for: ${violations.mkString(", ")}")
+  }
+
   test("matching cost is bounded: a walk with no shape-compatible node " +
        "performs ZERO canonicalizations") {
     withMv { _ =>

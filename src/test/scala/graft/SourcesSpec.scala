@@ -418,6 +418,156 @@ class SourcesSpec extends GraftSpec {
     }, "replayed staging must be swept")
   }
 
+  test("filesink streaming truncate (complete mode): each epoch REPLACES " +
+       "the previous snapshot instead of accumulating one per batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val path = sinkDir()
+    // e2e: a complete-mode aggregation — Spark lowers complete output
+    // mode through SupportsTruncate, so every epoch must sweep the
+    // query's prior snapshot before publishing its own
+    val input = MemoryStream[String]
+    val q = input.toDS().toDF("tag").groupBy("tag")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("cnt"))
+      .writeStream.format("graft-filesink")
+      .outputMode("complete")
+      .option("path", path)
+      .option("checkpointLocation", sinkDir() + "/ckpt")
+      .start()
+    try {
+      input.addData("a", "b"); q.processAllAvailable()
+      input.addData("a"); q.processAllAvailable()
+    } finally q.stop()
+    // were prior epochs not swept, "a\t1"/"b\t1" from epoch 0 would
+    // still sit beside epoch 1's snapshot, duplicating the result
+    assert(readSink(path) == Seq("a\t2", "b\t1"),
+      "complete-mode sink must hold exactly the LATEST snapshot")
+    // unit: a replayed truncate epoch stays idempotent too
+    import org.apache.spark.sql.types._
+    val sw = new graft.sources.FileSinkStreamingWrite(path, "q-trunc",
+      StructType(Seq(StructField("id", LongType))), truncate = true)
+    val factory = sw.createStreamingWriterFactory(null)
+    def stage(taskId: Long, epoch: Long, v: Long) = {
+      val w = factory.createWriter(0, taskId, epoch)
+      w.write(org.apache.spark.sql.catalyst.InternalRow(v))
+      w.commit()
+    }
+    sw.commit(1L, Array(stage(1L, 1L, 10L)))
+    sw.commit(2L, Array(stage(2L, 2L, 20L)))
+    val afterTwo = readSink(path).filter(s => s == "10" || s == "20")
+    assert(afterTwo == Seq("20"), "epoch 2 must replace epoch 1's snapshot")
+    sw.commit(2L, Array(stage(3L, 2L, 20L))) // replay after restart
+    assert(readSink(path).count(_ == "20") == 1,
+      "replayed truncate epoch must remain a no-op")
+  }
+
+  private def readManifestSink(path: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    graft.sources.FileSinkManifest.visibleFiles(path)
+      .flatMap(p => java.nio.file.Files.readAllLines(p).asScala)
+      .sorted
+  }
+
+  test("filesink commit=manifest: visibility is the manifest, not the " +
+       "file listing — append accumulates, overwrite swaps and sweeps") {
+    import spark.implicits._
+    val path = sinkDir()
+    val df = Seq((1L, "a"), (2L, "b")).toDF("id", "tag")
+    def write(mode: String) = df.write.format("graft-filesink")
+      .option("path", path).option("commit", "manifest").mode(mode).save()
+    write("append")
+    assert(readManifestSink(path) == Seq("1\ta", "2\tb"))
+    write("append")
+    assert(readManifestSink(path) == Seq("1\ta", "1\ta", "2\tb", "2\tb"),
+      "append must carry the previous manifest's files forward")
+    write("overwrite")
+    assert(readManifestSink(path) == Seq("1\ta", "2\tb"))
+    // the truncate publish also GCs the now-unreferenced generations
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    val dataFiles = try s.iterator().asScala.toSeq
+      .map(_.getFileName.toString).filter(_.startsWith("data-"))
+      finally s.close()
+    val live = graft.sources.FileSinkManifest.visibleFiles(path)
+      .map(_.getFileName.toString).toSet
+    assert(dataFiles.toSet == live,
+      s"truncate publish must sweep unreferenced data files, " +
+      s"found ${dataFiles.size} on disk vs ${live.size} live")
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(path, "_temp")))
+  }
+
+  test("filesink commit=manifest: a publish torn between placement and " +
+       "manifest exposes NOTHING, and a retry completes exactly-once") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = sinkDir()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("tag", StringType)))
+    def row(id: Long, tag: String) =
+      InternalRow(id, UTF8String.fromString(tag))
+    def stage(bw: graft.sources.FileSinkManifestBatchWrite, pid: Int,
+              taskId: Long, id: Long, tag: String) = {
+      val w = bw.createBatchWriterFactory(null).createWriter(pid, taskId)
+      w.write(row(id, tag))
+      w.commit()
+    }
+    // ATTEMPT 1 places its data files but dies before the manifest
+    // write — the non-atomic window rename-commit tears in. Here the
+    // partial state is a PARTIAL placed set (one of two partitions)
+    // and no manifest at all.
+    val torn = new graft.sources.FileSinkManifestBatchWrite(
+      path, "q-torn", schema, truncate = false)
+    torn.place(Array(stage(torn, 0, 1L, 1L, "lost")))
+    // ... second partition's temp file stays staged, never placed
+    stage(torn, 1, 2L, 2L, "also-lost")
+    assert(readManifestSink(path).isEmpty,
+      "a torn publish (files placed, no manifest) must expose nothing")
+    // THE RETRY is a fresh write (new queryId, as Spark reruns the job)
+    val retry = new graft.sources.FileSinkManifestBatchWrite(
+      path, "q-retry2", schema, truncate = false)
+    retry.commit(Array(
+      stage(retry, 0, 3L, 1L, "kept"), stage(retry, 1, 4L, 2L, "kept2")))
+    assert(readManifestSink(path) == Seq("1\tkept", "2\tkept2"),
+      "the retry must publish exactly-once; torn garbage stays invisible")
+    // and a truncate publish sweeps the torn attempt's garbage for good
+    val trunc = new graft.sources.FileSinkManifestBatchWrite(
+      path, "q-trunc2", schema, truncate = true)
+    trunc.commit(Array(stage(trunc, 0, 5L, 9L, "fresh")))
+    assert(readManifestSink(path) == Seq("9\tfresh"))
+    import scala.jdk.CollectionConverters._
+    val s = java.nio.file.Files.list(java.nio.file.Paths.get(path))
+    val onDisk = try s.iterator().asScala.toSeq
+      .map(_.getFileName.toString).filter(_.startsWith("data-"))
+      finally s.close()
+    assert(onDisk.forall(_.contains("q-trunc2")),
+      s"truncate GC must sweep torn placements, disk holds $onDisk")
+  }
+
+  test("filesink commit=manifest on a STREAMING write fails loudly " +
+       "instead of silently downgrading the commit protocol") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val input = MemoryStream[Long]
+    val ex = intercept[Exception] {
+      val q = input.toDS().toDF("id")
+        .writeStream.format("graft-filesink")
+        .option("path", sinkDir())
+        .option("commit", "manifest")
+        .option("checkpointLocation", sinkDir() + "/ckpt")
+        .start()
+      try { input.addData(1L); q.processAllAvailable() } finally q.stop()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      if (t == null) Nil else t +: chain(t.getCause)
+    assert(chain(ex).exists(_.getMessage != null) && chain(ex).exists(t =>
+      t.getMessage != null && t.getMessage.contains("batch writes only")),
+      s"expected the loud manifest/streaming rejection, got $ex")
+  }
+
   test("filesink abort publishes nothing and cleans all staged attempts") {
     import org.apache.spark.sql.catalyst.InternalRow
     import org.apache.spark.sql.types._
