@@ -591,6 +591,22 @@ object Similarity {
   private def quantize(v: Column): Column =
     transform(v, x => floor(x * milliScale))
 
+  /** Top-`n` nearest coarse cells of an integer vector `vq` as pure
+    * Column expressions (no ScalaUDF in the plan): the centroid table
+    * rides in as a literal array<array<long>> ([[ivfCells]]×[[dim]]
+    * longs — tiny), per-cell squared L2 via zip_with+aggregate in pure
+    * integer arithmetic, argmin/top-n via array_sort on (distance,
+    * cell) structs. Struct sort tie-breaks by cell ascending, matching
+    * the trainer's first-minimal-index rule. */
+  private def nearestCellsExpr(centLit: Column, vq: Column, n: Int): Column = {
+    val scored = transform(sequence(lit(0), lit(ivfCells - 1)), c =>
+      struct(
+        aggregate(zip_with(vq, element_at(centLit, c + 1),
+          (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d).as("d"),
+        c.as("cell")))
+    transform(slice(array_sort(scored), 1, n), s => s("cell"))
+  }
+
   def annIvfCosine(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
@@ -607,14 +623,8 @@ object Similarity {
     // (distance, cell) structs. Struct sort tie-breaks by cell
     // ascending, matching the trainer's first-minimal-index rule.
     val centLit = typedlit(centroids.map(_.toSeq).toSeq)
-    def nearestCells(vq: Column, n: Int): Column = {
-      val scored = transform(sequence(lit(0), lit(ivfCells - 1)), c =>
-        struct(
-          aggregate(zip_with(vq, element_at(centLit, c + 1),
-            (x, y) => (x - y) * (x - y)), lit(0L), (acc, d) => acc + d).as("d"),
-          c.as("cell")))
-      transform(slice(array_sort(scored), 1, n), s => s("cell"))
-    }
+    def nearestCells(vq: Column, n: Int): Column =
+      nearestCellsExpr(centLit, vq, n)
     val withQ = vecs.withColumn("vq", quantize(col("v")))
     val assigned = withQ
       .withColumn("cell", nearestCells(col("vq"), 1)(0))
@@ -653,50 +663,240 @@ object Similarity {
     * literal codebook (pqM·pqK·pqSub = 1,024 longs); ADC scoring
     * touches pqM additions per candidate instead of `dim` multiplies;
     * at 100 TB the codes table is ~1/64 the vectors' bytes, and the
-    * rescore joins back to floats only for candidates. */
+    * rescore joins back to floats only for candidates. This query's ADC
+    * still scans ALL codes per (bounded) query set — the exhaustive-ADC
+    * baseline of the paper; [[annIvfPqCosine]] is the composed IVFADC
+    * that routes ADC through probed cells only. */
   val pqM = 8
   val pqSub = dim / pqM
   val pqK = 16
   val pqIters = 5
 
-  def annPqCosine(spark: SparkSession, dir: String): DataFrame = {
+  /** The corpus's milli-quantized bounded training sample, sorted by
+    * vec_id (the seed order every trainer and oracle replays). */
+  private def milliSample(spark: SparkSession, dir: String): Array[Array[Long]] = {
     val sp = spark
     import sp.implicits._
-    val vecs = emb(spark, dir)
-    val sample = vecs.filter(col("vec_id") < ivfSampleSize)
+    emb(spark, dir).filter(col("vec_id") < ivfSampleSize)
       .as[(Long, Seq[Double])].collect().sortBy(_._1)
       .map(_._2.map(x => math.floor(x * milliScale).toLong).toArray)
-    val codebooks: Seq[Seq[Seq[Long]]] = (0 until pqM).map { m =>
-      trainQuantizer(sample.map(_.slice(m * pqSub, (m + 1) * pqSub)),
-        pqK, pqIters).map(_.toSeq).toSeq
-    }
-    val cbLit = typedlit(codebooks)
+  }
 
-    def subSlice(vq: Column, m: Column): Column =
-      slice(vq, m * pqSub + 1, lit(pqSub))
-    def l2(a: Column, b: Column): Column =
-      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, d) => acc + d)
-
-    val withQ = vecs.withColumn("vq", quantize(col("v")))
-    // encode: per subspace, integer argmin over the literal codebook
-    // (tie → lowest code, matching the trainer's first-minimal rule)
-    val codes = transform(sequence(lit(0), lit(pqM - 1)), m => {
+  /** Per-subspace integer argmin codes over a literal codebook (tie →
+    * lowest code, matching the trainer's first-minimal rule), from the
+    * column `src` holding the vector to encode. */
+  private def pqCodesExpr(cbLit: Column, src: Column): Column =
+    transform(sequence(lit(0), lit(pqM - 1)), m => {
       val scored = transform(sequence(lit(0), lit(pqK - 1)), k =>
         struct(
-          l2(subSlice(col("vq"), m),
+          pqL2(pqSubSlice(src, m),
             element_at(element_at(cbLit, m + 1), k + 1)).as("d"),
           k.as("k")))
       element_at(array_sort(scored), 1)("k")
     })
-    val encoded = withQ.select(col("vec_id"), codes.as("codes"))
-    val queries = withQ.filter(col("vec_id") < nQueries).limit(nQueries)
-      .select(col("vec_id").as("query_id"), col("vq").as("qvq"))
+
+  private def pqSubSlice(vq: Column, m: Column): Column =
+    slice(vq, m * pqSub + 1, lit(pqSub))
+  private def pqL2(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0L), (acc, d) => acc + d)
+
+  /** The standing ANN codes INDEX — trained codebooks + the encoded
+    * codes table, the artifacts a production vector store builds once
+    * and probes many times. Memoized per (session, dir) exactly like
+    * the dedup family's shingle table (static-data assumption); Bench
+    * times the build as its own `ann_family_build` metric and
+    * [[clearMemos]] between runs, so the search queries report MARGINAL
+    * (probe-time) cost — at 100 TB re-encoding the corpus per query is
+    * precisely what an index exists to avoid. */
+  private[graft] final case class PqArtifacts(
+      codebooks: Seq[Seq[Seq[Long]]], encoded: DataFrame)
+  private[graft] final case class IvfPqArtifacts(
+      coarse: Seq[Seq[Long]], codebooks: Seq[Seq[Seq[Long]]], encoded: DataFrame)
+
+  private val pqMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), PqArtifacts]
+  private val ivfpqMemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), IvfPqArtifacts]
+
+  private[graft] def pqArtifactsShared(spark: SparkSession, dir: String): PqArtifacts =
+    pqMemo.synchronized {
+      pqMemo.getOrElseUpdate((spark, dir), {
+        val sample = milliSample(spark, dir)
+        val codebooks: Seq[Seq[Seq[Long]]] = (0 until pqM).map { m =>
+          trainQuantizer(sample.map(_.slice(m * pqSub, (m + 1) * pqSub)),
+            pqK, pqIters).map(_.toSeq).toSeq
+        }
+        val cbLit = typedlit(codebooks)
+        val encoded = emb(spark, dir)
+          .withColumn("vq", quantize(col("v")))
+          .select(col("vec_id"), pqCodesExpr(cbLit, col("vq")).as("codes"))
+          .localCheckpoint(true)
+        PqArtifacts(codebooks, encoded)
+      })
+    }
+
+  private[graft] def ivfpqArtifactsShared(spark: SparkSession, dir: String): IvfPqArtifacts =
+    ivfpqMemo.synchronized {
+      ivfpqMemo.getOrElseUpdate((spark, dir), {
+        val sample = milliSample(spark, dir)
+        val coarseCents = trainQuantizer(sample)
+        def nearestIdx(v: Array[Long]): Int = {
+          var best = 0
+          var bestD = Long.MaxValue
+          var c = 0
+          while (c < coarseCents.length) {
+            val d = l2SqLong(v, coarseCents(c))
+            if (d < bestD) { bestD = d; best = c }
+            c += 1
+          }
+          best
+        }
+        val residualSample = sample.map { v =>
+          val cc = coarseCents(nearestIdx(v))
+          Array.tabulate(v.length)(i => v(i) - cc(i))
+        }
+        val codebooks: Seq[Seq[Seq[Long]]] = (0 until pqM).map { m =>
+          trainQuantizer(residualSample.map(_.slice(m * pqSub, (m + 1) * pqSub)),
+            pqK, pqIters).map(_.toSeq).toSeq
+        }
+        val centLit = typedlit(coarseCents.map(_.toSeq).toSeq)
+        val cbLit = typedlit(codebooks)
+        val encoded = emb(spark, dir)
+          .withColumn("vq", quantize(col("v")))
+          .withColumn("cell", nearestCellsExpr(centLit, col("vq"), 1)(0))
+          .withColumn("res",
+            zip_with(col("vq"), element_at(centLit, col("cell") + 1), (x, y) => x - y))
+          .select(col("vec_id"), col("cell"),
+            pqCodesExpr(cbLit, col("res")).as("codes"))
+          .localCheckpoint(true)
+        IvfPqArtifacts(coarseCents.map(_.toSeq).toSeq, codebooks, encoded)
+      })
+    }
+
+  /** Registered queries that probe the shared codes index — Bench gates
+    * its `ann_family_build` metric on THIS set (see [[Dedup.familyMembers]]
+    * for the naming rationale). */
+  val annFamilyMembers: Set[String] = Set("ann_pq_cosine", "ann_ivfpq_cosine")
+
+  /** Force-build the codes index (both the raw-subvector PQ codebooks
+    * and the IVF+residual IVFADC artifacts). */
+  def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
+    pqArtifactsShared(spark, dir)
+    ivfpqArtifactsShared(spark, dir)
+  }
+
+  /** See [[Dedup.clearMemos]] — static-data assumption; Bench clears
+    * between timed runs, releasing the checkpointed blocks. */
+  def clearMemos(): Unit = {
+    pqMemo.synchronized {
+      pqMemo.values.foreach(a => graft.Tables.releaseCheckpoint(a.encoded))
+      pqMemo.clear()
+    }
+    ivfpqMemo.synchronized {
+      ivfpqMemo.values.foreach(a => graft.Tables.releaseCheckpoint(a.encoded))
+      ivfpqMemo.clear()
+    }
+  }
+
+  def annPqCosine(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(spark, dir)
+    val art = pqArtifactsShared(spark, dir)
+    val cbLit = typedlit(art.codebooks)
+
+    def subSlice(vq: Column, m: Column): Column = pqSubSlice(vq, m)
+    def l2(a: Column, b: Column): Column = pqL2(a, b)
+
+    val encoded = art.encoded
+    val queries = vecs.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("query_id"),
+        quantize(col("v")).as("qvq"))
     val adc = aggregate(sequence(lit(0), lit(pqM - 1)), lit(0L), (acc, m) =>
       acc + l2(subSlice(col("qvq"), m),
         element_at(element_at(cbLit, m + 1),
           element_at(col("codes"), m + 1) + 1)))
     val coarse = encoded.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id").as("neighbor_id"),
+        adc.as("adist"))
+      .withColumn("crank", row_number().over(
+        Window.partitionBy("query_id").orderBy(asc("adist"), col("neighbor_id"))))
+      .filter(col("crank") <= sqRescoreDepth)
+      .select("query_id", "neighbor_id")
+    val qFloats = vecs.filter(col("vec_id") < nQueries).limit(nQueries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"))
+    coarse
+      .join(vecs.select(col("vec_id"), col("v")),
+        col("neighbor_id") === col("vec_id"))
+      .join(broadcast(qFloats), "query_id")
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("v")), 6).as("cosine"))
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("query_id").orderBy(desc("cosine"), col("neighbor_id"))))
+      .filter(col("rank") <= knnK)
+      .orderBy("query_id", "rank")
+  }
+
+  /** IVF+PQ composed — the actual IVFADC design of Jégou/Douze/Schmid
+    * TPAMI 2011 §IV (the "non-exhaustive search" their paper is FOR),
+    * closing the gap [[annPqCosine]] documents: its ADC stage scans
+    * every code row per query, while here the coarse quantizer routes
+    * each query to [[ivfProbes]] of [[ivfCells]] cells and ADC touches
+    * ONLY the probed cells' codes — per-query work is |probed cells|
+    * (~probes/cells of the corpus), not |corpus|. Codes are trained and
+    * computed on RESIDUALS (vq − coarse centroid), per the paper: the
+    * residual distribution has far less variance than the raw vectors,
+    * so the same [[pqK]]-entry codebooks quantize it better.
+    *
+    * Pipeline, all integer-exact until the float rescore tail:
+    *  1. coarse quantizer: [[trainQuantizer]] on the milli-grid sample
+    *     (identical to [[annIvfCosine]]);
+    *  2. residual codebooks: per subspace m, [[trainQuantizer]] over
+    *     the SAMPLE's residuals (driver-side nearest-cell assignment
+    *     uses the same strict-< / lowest-index rule the Column
+    *     expression and the oracle's (distance, cell) sort implement);
+    *  3. encode: one map-only scan assigns every vector its cell and
+    *     its pqM residual codes against broadcast literal tables
+    *     (centroids 16×64 longs + codebooks 8×16×8 longs);
+    *  4. probe: each query explodes to its [[ivfProbes]] nearest cells,
+    *     carrying the residual w.r.t. THAT cell's centroid (IVFADC's
+    *     per-cell query residual);
+    *  5. ADC within probed cells: the cell equi-join bounds candidates,
+    *     asymmetric distance is Σ_m L2(qres_m, cb[m][code_m]) — a
+    *     vector lives in exactly one cell, so each (query, neighbor)
+    *     pair meets at most once and needs no dedup;
+    *  6. float cosine rescore of the top-[[sqRescoreDepth]], same tail
+    *     as [[annSqCosine]]/[[annPqCosine]].
+    *
+    * Scale shape: this is the 100 TB search path — the codes table is
+    * ~1/64 the vectors' bytes AND each query reads ~probes/cells of it;
+    * at a billion vectors both the memory and the scan bound come from
+    * this composition, neither half alone. The oracle replays the whole
+    * train→residual→encode→probe→ADC pipeline (coarse keyed-Lloyd +
+    * keyed-Lloyd per subspace + cell-filtered ADC) in DuckDB; recall vs
+    * [[knnBruteCosine]] is gated in SimilaritySpec alongside IVF/PQ. */
+  def annIvfPqCosine(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = emb(spark, dir)
+    val art = ivfpqArtifactsShared(spark, dir)
+    val centLit = typedlit(art.coarse)
+    val cbLit = typedlit(art.codebooks)
+
+    def residual(vq: Column, cell: Column): Column =
+      zip_with(vq, element_at(centLit, cell + 1), (x, y) => x - y)
+    def subSlice(r: Column, m: Column): Column = pqSubSlice(r, m)
+    def l2(a: Column, b: Column): Column = pqL2(a, b)
+
+    val encoded = art.encoded
+    val withQ = vecs.withColumn("vq", quantize(col("v")))
+    val queryCells = withQ.filter(col("vec_id") < nQueries).limit(nQueries)
+      .withColumn("cell", explode(nearestCellsExpr(centLit, col("vq"), ivfProbes)))
+      .select(col("vec_id").as("query_id"), col("cell"),
+        residual(col("vq"), col("cell")).as("qres"))
+    val adc = aggregate(sequence(lit(0), lit(pqM - 1)), lit(0L), (acc, m) =>
+      acc + l2(subSlice(col("qres"), m),
+        element_at(element_at(cbLit, m + 1),
+          element_at(col("codes"), m + 1) + 1)))
+    val coarse = encoded.join(broadcast(queryCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
         adc.as("adist"))
@@ -755,6 +955,7 @@ object Similarity {
     "ann_lsh_cosine" -> (annLshCosine _),
     "ann_ivf_cosine" -> (annIvfCosine _),
     "ann_pq_cosine" -> (annPqCosine _),
+    "ann_ivfpq_cosine" -> (annIvfPqCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
     "decontaminate_semantic" -> (decontaminateSemantic _))
@@ -912,6 +1113,132 @@ object Similarity {
           ORDER BY query_id, rank"""
   }
 
+  /** IVFADC oracle: the coarse trainer of [[ivfOracleSql]] (CTEs
+    * renamed ccent/cassign), full-corpus assignment WITH residuals,
+    * the keyed-Lloyd of [[pqOracleSql]] retrained on residual slices,
+    * then ADC joined on (m, CELL) — the cell filter is what this query
+    * adds over ann_pq_cosine, and the oracle replays it literally.
+    * MATERIALIZED throughout (plain CTE chains inline exponentially). */
+  private def ivfpqOracleSql: String = {
+    val citers = (1 to ivfIters).map { i =>
+      s"""cassign$i AS MATERIALIZED (
+            SELECT vec_id, cell, vq FROM (
+              SELECT s.vec_id, c.cell, s.vq,
+                     row_number() OVER (PARTITION BY s.vec_id
+                       ORDER BY ${ivfDistSql("s.vq", "c.c")}, c.cell) AS rn
+              FROM samp s CROSS JOIN ccent${i - 1} c)
+            WHERE rn = 1),
+          ccent$i AS MATERIALIZED (
+            SELECT p.cell, coalesce(n.c, p.c) AS c
+            FROM ccent${i - 1} p
+            LEFT JOIN (
+              SELECT cell, list(cd ORDER BY d) AS c
+              FROM (SELECT cell, d,
+                           floor(sum(vq[d+1])::DOUBLE / count(*))::BIGINT AS cd
+                    FROM cassign$i, unnest(range($dim)) AS u(d)
+                    GROUP BY cell, d)
+              GROUP BY cell) n
+            ON p.cell = n.cell)"""
+    }.mkString(",\n          ")
+    val piters = (1 to pqIters).map { i =>
+      s"""passign$i AS MATERIALIZED (
+            SELECT m, vec_id, sq, k FROM (
+              SELECT s.m, s.vec_id, s.sq, c.k,
+                     row_number() OVER (PARTITION BY s.m, s.vec_id
+                       ORDER BY ${pqDistSql("s.sq", "c.c")}, c.k) AS rn
+              FROM sub s JOIN pcent${i - 1} c ON s.m = c.m)
+            WHERE rn = 1),
+          pcent$i AS MATERIALIZED (
+            SELECT p.m, p.k, coalesce(n.c, p.c) AS c
+            FROM pcent${i - 1} p
+            LEFT JOIN (
+              SELECT m, k, list(cd ORDER BY d) AS c
+              FROM (SELECT m, k, d,
+                           floor(sum(sq[d+1])::DOUBLE / count(*))::BIGINT AS cd
+                    FROM passign$i, unnest(range($pqSub)) AS u(d)
+                    GROUP BY m, k, d)
+              GROUP BY m, k) n
+            ON p.m = n.m AND p.k = n.k)"""
+    }.mkString(",\n          ")
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          w AS (SELECT vec_id, v,
+                       list_transform(v, x -> floor(x * 1000)::BIGINT) AS vq
+                FROM v),
+          samp AS (SELECT vec_id, vq FROM w WHERE vec_id < $ivfSampleSize),
+          ccent0 AS (
+            SELECT (row_number() OVER (ORDER BY vec_id) - 1)::INT AS cell, vq AS c
+            FROM samp ORDER BY vec_id LIMIT $ivfCells),
+          $citers,
+          assigned AS MATERIALIZED (
+            SELECT vec_id, v, cell,
+                   list_transform(range($dim), d -> vq[d+1] - c[d+1]) AS r
+            FROM (
+              SELECT w.vec_id, w.v, w.vq, c.cell, c.c,
+                     row_number() OVER (PARTITION BY w.vec_id
+                       ORDER BY ${ivfDistSql("w.vq", "c.c")}, c.cell) AS rn
+              FROM w CROSS JOIN ccent$ivfIters c)
+            WHERE rn = 1),
+          subsAll AS MATERIALIZED (
+            SELECT mm.m, a.vec_id, a.cell,
+                   list_slice(a.r, mm.m * $pqSub + 1, mm.m * $pqSub + $pqSub) AS sq
+            FROM assigned a, range(0, $pqM) mm(m)),
+          sub AS MATERIALIZED (
+            SELECT m, vec_id, sq FROM subsAll WHERE vec_id < $ivfSampleSize),
+          pcent0 AS MATERIALIZED (
+            SELECT m, (row_number() OVER (PARTITION BY m ORDER BY vec_id) - 1)::INT AS k,
+                   sq AS c
+            FROM sub
+            QUALIFY row_number() OVER (PARTITION BY m ORDER BY vec_id) <= $pqK),
+          $piters,
+          enc AS MATERIALIZED (
+            SELECT m, vec_id, cell, c FROM (
+              SELECT s.m, s.vec_id, s.cell, c.c,
+                     row_number() OVER (PARTITION BY s.m, s.vec_id
+                       ORDER BY ${pqDistSql("s.sq", "c.c")}, c.k) AS rn
+              FROM subsAll s JOIN pcent$pqIters c ON s.m = c.m)
+            WHERE rn = 1),
+          qcells AS MATERIALIZED (
+            SELECT query_id, cell, qr FROM (
+              SELECT w.vec_id AS query_id, c.cell,
+                     list_transform(range($dim), d -> w.vq[d+1] - c.c[d+1]) AS qr,
+                     row_number() OVER (PARTITION BY w.vec_id
+                       ORDER BY ${ivfDistSql("w.vq", "c.c")}, c.cell) AS rn
+              FROM w CROSS JOIN ccent$ivfIters c
+              WHERE w.vec_id < $nQueries)
+            WHERE rn <= $ivfProbes),
+          qsubs AS (
+            SELECT mm.m, q.query_id, q.cell,
+                   list_slice(q.qr, mm.m * $pqSub + 1, mm.m * $pqSub + $pqSub) AS qsq
+            FROM qcells q, range(0, $pqM) mm(m)),
+          adc AS MATERIALIZED (
+            SELECT q.query_id, e.vec_id AS neighbor_id,
+                   sum(${pqDistSql("q.qsq", "e.c")})::BIGINT AS adist
+            FROM qsubs q JOIN enc e ON q.m = e.m AND q.cell = e.cell
+            WHERE e.vec_id <> q.query_id
+            GROUP BY 1, 2),
+          coarse AS (
+            SELECT query_id, neighbor_id FROM (
+              SELECT *, row_number() OVER (
+                PARTITION BY query_id ORDER BY adist, neighbor_id) AS crank
+              FROM adc)
+            WHERE crank <= $sqRescoreDepth),
+          scored AS (
+            SELECT query_id, neighbor_id,
+                   round(list_dot_product(q.v, n.v) /
+                         (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6)
+                     AS cosine
+            FROM coarse
+            JOIN v q ON query_id = q.vec_id
+            JOIN v n ON neighbor_id = n.vec_id),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, cosine, rank
+          FROM ranked WHERE rank <= $knnK
+          ORDER BY query_id, rank"""
+  }
+
   private def ivfOracleSql: String = {
     val iters = (1 to ivfIters).map { i =>
       s"""assign$i AS (
@@ -985,6 +1312,7 @@ object Similarity {
   val oracleSql: Map[String, String] = Map(
     "ann_ivf_cosine" -> ivfOracleSql,
     "ann_pq_cosine" -> pqOracleSql,
+    "ann_ivfpq_cosine" -> ivfpqOracleSql,
     "ann_lsh_cosine" ->
       s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           planes(t, p, pl) AS (VALUES

@@ -283,4 +283,71 @@ class PropertiesSpec extends AnyFunSuite {
       }
     })
   }
+
+  test("Lloyd trainer equals an independent reference and obeys its " +
+       "algebraic laws (translation equivariance, tail-order invariance, " +
+       "1-cell exact floor-mean)") {
+    // The IVF/PQ keyed-Lloyd ORACLE replays the trainer's own encoding
+    // (parity, by design); these laws are the independent semantic gate
+    // the BPE lesson demands. Reference: textbook Lloyd's written in a
+    // deliberately different style (groupBy/minBy over indexed
+    // centroids, BigInt sums) with the same declared contract — seeds =
+    // first `cells` vectors, argmin ties to the lowest index, centroid
+    // update = element-wise floorDiv, empty cells keep their centroid.
+    def refLloyd(sample: List[List[Long]], cells: Int, iters: Int): List[List[Long]] = {
+      def d2(a: List[Long], b: List[Long]): BigInt =
+        a.zip(b).map { case (x, y) => BigInt(x - y) * BigInt(x - y) }.sum
+      var cents = sample.take(cells)
+      for (_ <- 1 to iters) {
+        val byCell = sample.groupBy(v => cents.indices.minBy(i => (d2(v, cents(i)), i)))
+        cents = cents.indices.map { i =>
+          byCell.get(i) match {
+            case None => cents(i)
+            case Some(vs) =>
+              cents(i).indices.map { j =>
+                val s = vs.map(v => BigInt(v(j))).sum
+                // floorDiv over BigInt: round the true quotient toward -inf
+                val (q, r) = s /% vs.size
+                (if (r < 0) q - 1 else q).toLong
+              }.toList
+          }
+        }.toList
+      }
+      cents
+    }
+    val dimG = Gen.chooseNum(1, 6)
+    val samples: Gen[(List[List[Long]], Int, Int)] = for {
+      dim <- dimG
+      cells <- Gen.chooseNum(1, 4)
+      n <- Gen.chooseNum(cells, 40)
+      s <- Gen.listOfN(n, Gen.listOfN(dim, Gen.chooseNum(-1000L, 1000L)))
+      iters <- Gen.chooseNum(1, 4)
+    } yield (s, cells, iters)
+    def run(s: List[List[Long]], cells: Int, iters: Int): Seq[Seq[Long]] =
+      graft.operators.Similarity
+        .trainQuantizer(s.map(_.toArray).toArray, cells, iters).map(_.toSeq).toSeq
+    check(forAll(samples) { case (s, cells, iters) =>
+      val got = run(s, cells, iters)
+      val ref = refLloyd(s, cells, iters).map(_.toSeq)
+      val refProp = Prop(got == ref) :| s"ref mismatch: got=$got ref=$ref"
+      // translation equivariance: train(S + t) == train(S) + t — floor
+      // division commutes with integer translation, argmin with L2
+      val t = (s.hashCode % 97).toLong
+      val shifted = run(s.map(_.map(_ + t)), cells, iters)
+      val transProp = Prop(shifted == got.map(_.map(_ + t))) :| "translation"
+      // tail-order invariance: seeds fixed, the REST of the sample in
+      // reverse order — integer sums/counts are order-free, which is
+      // exactly what makes the trainer replayable as set-aggregations
+      val perm = s.take(cells) ++ s.drop(cells).reverse
+      val permProp = Prop(run(perm, cells, iters) == got) :| "tail order"
+      // 1-cell exact floor-mean
+      val oneProp = {
+        val one = run(s, 1, 1).head
+        val exp = s.head.indices.map { j =>
+          Math.floorDiv(s.map(_(j)).sum, s.size.toLong) }
+        Prop(one == exp) :| "1-cell mean"
+      }
+      refProp && transProp && permProp && oneProp
+    })
+  }
 }

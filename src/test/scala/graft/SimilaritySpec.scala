@@ -45,6 +45,24 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.2, s"PQ recall $recall too low")
   }
 
+  test("IVFADC (IVF+PQ composed) achieves reasonable recall vs brute force") {
+    val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
+    val approx = neighborSets(Similarity.annIvfPqCosine(spark, sfDir))
+    val hits = exact.keys.toSeq.map { q =>
+      approx.getOrElse(q, Set.empty).intersect(exact(q)).size
+    }.sum
+    val recall = hits.toDouble / (exact.size * Similarity.knnK)
+    // the composition can only see neighbors inside the probed cells,
+    // so its ceiling is IVF's recall; residual codebooks (less variance
+    // per subspace than raw-vector codebooks) claw back ADC ordering
+    // quality within that ceiling — gate at the same bar as IVF/PQ
+    assert(recall >= 0.2, s"IVFADC recall $recall too low")
+    assert(approx.size == Similarity.nQueries)
+    approx.foreach { case (q, ns) =>
+      assert(ns.size == Similarity.knnK, s"query $q returned ${ns.size} != k")
+    }
+  }
+
   test("IVF quantizer is deterministic and returns k centroids") {
     val sample = Array.tabulate(64)(i => Array.tabulate(8)(j => (i * 31 + j * 7 % 13).toLong))
     val c1 = Similarity.trainQuantizer(sample)

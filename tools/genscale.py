@@ -5,12 +5,25 @@ The driver's fixture generator is not available in-repo, so sf1 is built
 by 10x replication of the read-only sf0.1 fixtures with
 structure-preserving, content-disjoint transforms per replica k:
 
-  - documents: doc_id offset; every whitespace token gets a replica
-    suffix ("the" -> "thek3"). Token-level bijection => within-replica
-    shingle/jaccard structure is EXACTLY the base corpus's; cross-replica
-    shingle overlap is zero. Dedup/cluster workloads therefore scale
-    linearly in structure (10x clusters, same size distribution), which
-    is the honest null hypothesis a scaling curve should test.
+  - documents: doc_id offset; whitespace tokens get a replica suffix
+    ("the" -> "thek3") EXCEPT the retrieval query vocabulary (QVOCAB
+    below), which is preserved so the boolean/bm25/phrase/lookup family
+    has non-degenerate result sets at every scale point (the r7 audit
+    found the suffix-everything transform made retrieval vacuously
+    0 = 0 at sf1). Preservation is RUN-BROKEN: a QVOCAB token is still
+    suffixed when the two preceding tokens were both preserved, so no
+    3-token window is ever all-preserved => the dedup families' 3-gram
+    shingles keep ZERO cross-replica overlap (the guarantee the old
+    transform gave), while ~90% of each query term's occurrences
+    survive per replica (at ~47% QVOCAB mass the all-preserved-window
+    rate is ~0.47^3 ~ 10%). The run-break decision depends only on the
+    base document, so all replicas of a doc preserve/suffix the SAME
+    positions; within-replica shingle structure is no longer exactly
+    the base corpus's (run-broken positions split a token type into
+    preserved+suffixed forms) but near-dup geometry is preserved to
+    within the ~10% of windows the break touches, and correctness at
+    every scale point remains exact by construction (the oracle
+    recomputes on the same transformed data).
   - embeddings: vec_id offset; vector components circularly shifted by k
     (a permutation = orthogonal transform: ALL within-replica dot
     products and norms are preserved exactly; cross-replica pairs
@@ -33,6 +46,46 @@ import duckdb
 SRC = "/root/testdata/sf0.1"
 K = int(__import__("os").environ.get("GRAFT_SCALE_K", "10"))  # replicas
 
+# The union of every registered retrieval query's terms
+# (InvertedIndex.scala: retrievalQuery/retrievalQueries, bm25Terms,
+# phraseTerms, index_term_lookup's isin). Keep in sync with the Scala.
+QVOCAB = {"key", "value", "spark", "stream", "big", "data", "hash", "dup",
+          "fast", "slow", "query", "window", "sort", "order", "scan"}
+
+
+# phrase_retrieval's registered phrase needs token ADJACENCY, i.e. a
+# preserved 3-run — the one thing the run-break forbids. Exact
+# occurrences of the phrase are therefore FORCE-preserved: the ~1/31^3
+# base trigram rate (~9 docs per replica at sf0.1) means the handful of
+# shingle windows overlapping a phrase run are the ONLY cross-replica
+# shingle collisions, each with frequency ~9*K docs — far under the
+# stop-shingle cap and with cross-replica Jaccard still ~0. The
+# generator prints the measured collision count so the bound is
+# checked, not assumed.
+PHRASE = ("big", "order", "scan")
+
+
+def doc_text(text: str, k: int) -> str:
+    """Replica-k transform of one document: suffix every token except
+    run-broken QVOCAB occurrences (max preserved run = 2 < shingle
+    width 3) and force-preserved exact PHRASE runs. Deterministic,
+    position-aligned across replicas."""
+    ts = text.split(" ")
+    n = len(ts)
+    forced = [False] * n
+    for i in range(n - 2):
+        if tuple(ts[i:i + 3]) == PHRASE:
+            forced[i] = forced[i + 1] = forced[i + 2] = True
+    out, run = [], 0
+    for i, t in enumerate(ts):
+        if forced[i] or (t in QVOCAB and run < 2):
+            out.append(t)
+            run += 1
+        else:
+            out.append(t + "k" + str(k))
+            run = 0
+    return " ".join(out)
+
 def main(out_dir: str) -> None:
     con = duckdb.connect()
     con.execute(f"CREATE TABLE reps AS SELECT * FROM range(0, {K}) t(k)")
@@ -48,14 +101,37 @@ def main(out_dir: str) -> None:
     for dim in ("nation", "region"):
         gen(dim, "SELECT * FROM {src}")
 
-    gen("documents", """
-        SELECT doc_id + k * 1000000 AS doc_id,
-               array_to_string(list_transform(string_split(text, ' '),
-                                              t -> t || 'k' || k), ' ') AS text,
-               lang, source,
-               CAST(length(array_to_string(list_transform(string_split(text, ' '),
-                                           t -> t || 'k' || k), ' ')) AS BIGINT) AS n_chars
-        FROM {src}, reps""")
+    # documents: the run-broken transform is sequential per doc, so it
+    # runs in Python (50k rows at K=10 — trivial) and lands via a
+    # registered pandas frame
+    import pandas as pd
+    base = con.execute(
+        f"SELECT doc_id, text, lang, source FROM read_parquet('{SRC}/documents.parquet')"
+    ).fetchdf()
+    frames = []
+    for k in range(K):
+        f = base.copy()
+        f["doc_id"] = f["doc_id"] + k * 1000000
+        f["text"] = f["text"].map(lambda t, k=k: doc_text(t, k))
+        frames.append(f)
+    docs = pd.concat(frames, ignore_index=True)
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    con.register("docs_py", docs)
+    con.execute(f"COPY (SELECT * FROM docs_py) TO '{out_dir}/documents.parquet' (FORMAT parquet)")
+    print(f"documents: {len(docs)} rows", flush=True)
+    # check, don't assume: the cross-replica 3-shingle collision set must
+    # stay tiny (only windows overlapping force-preserved PHRASE runs)
+    coll, worst = con.execute(f"""
+        WITH toks AS (
+          SELECT doc_id // 1000000 AS rep, string_split(text, ' ') ts
+          FROM read_parquet('{out_dir}/documents.parquet')),
+        sh AS (
+          SELECT rep, unnest([ts[i] || '|' || ts[i+1] || '|' || ts[i+2]
+                              for i in range(1, greatest(len(ts) - 1, 1))]) AS s
+          FROM toks),
+        x AS (SELECT s, count(*) f FROM sh GROUP BY s HAVING count(DISTINCT rep) > 1)
+        SELECT count(*), coalesce(max(f), 0) FROM x""").fetchone()
+    print(f"documents: {coll} cross-replica shingles (max freq {worst})", flush=True)
 
     gen("embeddings", """
         SELECT vec_id + k * 1000000 AS vec_id,
