@@ -626,8 +626,11 @@ object Similarity {
     def nearestCells(vq: Column, n: Int): Column =
       nearestCellsExpr(centLit, vq, n)
     val withQ = vecs.withColumn("vq", quantize(col("v")))
-    val assigned = withQ
-      .withColumn("cell", nearestCells(col("vq"), 1)(0))
+    // corpus-scale assignment through the fused codegen'd kernel; the
+    // bounded query side keeps the Column-HOF top-n probe
+    val assigned = vecs
+      .withColumn("cell", graft.functions.PqKernels.nearest_cell(
+        col("v"), centroids.map(_.toSeq).toSeq))
       .select(col("vec_id"), col("v"), col("cell"))
     val queryCells = withQ.filter(col("vec_id") < nQueries)
       .withColumn("cell", explode(nearestCells(col("vq"), ivfProbes)))
@@ -727,10 +730,13 @@ object Similarity {
           trainQuantizer(sample.map(_.slice(m * pqSub, (m + 1) * pqSub)),
             pqK, pqIters).map(_.toSeq).toSeq
         }
-        val cbLit = typedlit(codebooks)
+        // fused codegen'd kernel (graft.functions.PqKernels): the HOF
+        // encode evaluated ~1k interpreted lambdas per row and dominated
+        // the family build; bit-identical integer arithmetic, so the
+        // oracle replay is unchanged
         val encoded = emb(spark, dir)
-          .withColumn("vq", quantize(col("v")))
-          .select(col("vec_id"), pqCodesExpr(cbLit, col("vq")).as("codes"))
+          .select(col("vec_id"),
+            graft.functions.PqKernels.pq_encode(col("v"), codebooks).as("codes"))
           .localCheckpoint(true)
         PqArtifacts(codebooks, encoded)
       })
@@ -760,17 +766,15 @@ object Similarity {
           trainQuantizer(residualSample.map(_.slice(m * pqSub, (m + 1) * pqSub)),
             pqK, pqIters).map(_.toSeq).toSeq
         }
-        val centLit = typedlit(coarseCents.map(_.toSeq).toSeq)
-        val cbLit = typedlit(codebooks)
+        // one fused codegen'd pass per row: quantize → cell argmin →
+        // residual → 8 code argmins (see PqKernels' exactness contract)
+        val coarseSeq = coarseCents.map(_.toSeq).toSeq
+        val enc = graft.functions.PqKernels.ivfpq_encode(col("v"), coarseSeq, codebooks)
         val encoded = emb(spark, dir)
-          .withColumn("vq", quantize(col("v")))
-          .withColumn("cell", nearestCellsExpr(centLit, col("vq"), 1)(0))
-          .withColumn("res",
-            zip_with(col("vq"), element_at(centLit, col("cell") + 1), (x, y) => x - y))
-          .select(col("vec_id"), col("cell"),
-            pqCodesExpr(cbLit, col("res")).as("codes"))
+          .select(col("vec_id"),
+            enc.getField("cell").as("cell"), enc.getField("codes").as("codes"))
           .localCheckpoint(true)
-        IvfPqArtifacts(coarseCents.map(_.toSeq).toSeq, codebooks, encoded)
+        IvfPqArtifacts(coarseSeq, codebooks, encoded)
       })
     }
 
@@ -802,19 +806,15 @@ object Similarity {
   def annPqCosine(spark: SparkSession, dir: String): DataFrame = {
     val vecs = emb(spark, dir)
     val art = pqArtifactsShared(spark, dir)
-    val cbLit = typedlit(art.codebooks)
-
-    def subSlice(vq: Column, m: Column): Column = pqSubSlice(vq, m)
-    def l2(a: Column, b: Column): Column = pqL2(a, b)
 
     val encoded = art.encoded
     val queries = vecs.filter(col("vec_id") < nQueries).limit(nQueries)
       .select(col("vec_id").as("query_id"),
         quantize(col("v")).as("qvq"))
-    val adc = aggregate(sequence(lit(0), lit(pqM - 1)), lit(0L), (acc, m) =>
-      acc + l2(subSlice(col("qvq"), m),
-        element_at(element_at(cbLit, m + 1),
-          element_at(col("codes"), m + 1) + 1)))
+    // fused codegen'd ADC (PqKernels) — the HOF form evaluated 64
+    // interpreted lambdas per candidate row on the hot scoring path
+    val adc = graft.functions.PqKernels.pq_adc(
+      col("qvq"), col("codes"), art.codebooks)
     val coarse = encoded.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
@@ -879,23 +879,20 @@ object Similarity {
     val vecs = emb(spark, dir)
     val art = ivfpqArtifactsShared(spark, dir)
     val centLit = typedlit(art.coarse)
-    val cbLit = typedlit(art.codebooks)
 
     def residual(vq: Column, cell: Column): Column =
       zip_with(vq, element_at(centLit, cell + 1), (x, y) => x - y)
-    def subSlice(r: Column, m: Column): Column = pqSubSlice(r, m)
-    def l2(a: Column, b: Column): Column = pqL2(a, b)
 
     val encoded = art.encoded
+    // query side stays Column-HOF: nQueries rows, never corpus-scale
     val withQ = vecs.withColumn("vq", quantize(col("v")))
     val queryCells = withQ.filter(col("vec_id") < nQueries).limit(nQueries)
       .withColumn("cell", explode(nearestCellsExpr(centLit, col("vq"), ivfProbes)))
       .select(col("vec_id").as("query_id"), col("cell"),
         residual(col("vq"), col("cell")).as("qres"))
-    val adc = aggregate(sequence(lit(0), lit(pqM - 1)), lit(0L), (acc, m) =>
-      acc + l2(subSlice(col("qres"), m),
-        element_at(element_at(cbLit, m + 1),
-          element_at(col("codes"), m + 1) + 1)))
+    // fused codegen'd ADC over the probed cells' candidate rows
+    val adc = graft.functions.PqKernels.pq_adc(
+      col("qres"), col("codes"), art.codebooks)
     val coarse = encoded.join(broadcast(queryCells), Seq("cell"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id").as("neighbor_id"),
