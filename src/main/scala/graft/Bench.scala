@@ -420,20 +420,10 @@ object Bench {
     // kill erase the artifact.
     val deadlineSec = sys.env.getOrElse("SPARK_GRAFT_BENCH_DEADLINE_SEC", "420").toDouble
     def remaining(): Double = deadlineSec - (System.nanoTime() - procT0) / 1e9
-    val builder = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // bypassMergeThreshold: below it Spark's bypass shuffle writer
-      // opens mappers x reducers files per exchange; an iterative loop
-      // with a few hundred explicit partitions lands squarely in the
-      // trap (measured r7: PPR at sf3 width 163 took 40 s vs 4.4 s with
-      // the threshold at core count — the 200-default is tuned for ETL
-      // shuffles, not repartition-heavy iteration)
-      .config("spark.shuffle.sort.bypassMergeThreshold", cpus)
+    // deployment confs (bypass-merge pin, UTC, partitions) come from the
+    // ONE shared builder — see GraftSession's scaladoc
+    val builder = GraftSession.baseBuilder(cpus)
       .config("spark.sql.adaptive.enabled", "true")
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
     // A/B hook for confs that must be set BEFORE the context exists
     // (core/shuffle confs — runtime spark.conf.set rejects them)
     sys.env.get("SPARK_GRAFT_BUILDER_CONF")
@@ -667,10 +657,16 @@ object Bench {
     // a future regression adjudication (like r3's stripes flag) can tell
     // run-to-run noise from a real movement without a re-run. The
     // per-query numbers stay on min.
-    val spread = names.flatMap { n =>
+    // build metrics included (r7 verdict: dedup_family_build moved 25%
+    // with no spread data in the artifact to adjudicate noise vs
+    // regression — builds get the same |t1 − t2| record as queries)
+    val spread = (builds1.flatMap { case (m, b1) =>
+      builds2.get(m).filter(b2 => b1 >= 0 && b2 >= 0)
+        .map(b2 => m -> math.abs(b1 - b2))
+    } ++ names.flatMap { n =>
       run2m.get(n).filter(t2 => run1(n) >= 0 && t2 >= 0)
         .map(t2 => n -> math.abs(run1(n) - t2))
-    }.filter(_._2 >= 0.05)
+    }).filter(_._2 >= 0.05)
     // the canary re-measured AFTER the runs: start vs end shows phase
     // drift across the bench (this box's stall phases shift mid-run —
     // a query pair can read 2x slow while the start canary looked quiet)

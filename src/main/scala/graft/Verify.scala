@@ -12,20 +12,9 @@ object Verify {
       case Array(s, o, f) => (s, o, f)
     }
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.sql.shuffle.partitions", cpus)
-      // bypassMergeThreshold: below it Spark's bypass shuffle writer
-      // opens mappers x reducers files per exchange; an iterative loop
-      // with a few hundred explicit partitions lands squarely in the
-      // trap (measured r7: PPR at sf3 width 163 took 40 s vs 4.4 s with
-      // the threshold at core count — the 200-default is tuned for ETL
-      // shuffles, not repartition-heavy iteration)
-      .config("spark.shuffle.sort.bypassMergeThreshold", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    // deployment confs (bypass-merge pin, UTC, partitions) come from the
+    // ONE shared builder — see GraftSession's scaladoc
+    val spark = GraftSession.baseBuilder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // surface every df.observe metric (e.g. Dedup's stop_shingle_guard
     // drop counts) in the verify log: if a capped plan ever diverges from

@@ -5,16 +5,13 @@ import org.scalatest.funsuite.AnyFunSuite
 
 /** Shared session for all suites — one JVM-wide SparkSession. */
 object TestSession {
-  lazy val spark: SparkSession = SparkSession.builder()
-    .master("local[4]")
+  // deployment confs ride in from the same shared builder Bench and
+  // Verify use (GraftSession), so the bypass-merge pin + UTC discipline
+  // cannot drift apart between the mains and the suites
+  lazy val spark: SparkSession = GraftSession.baseBuilder("4")
     .appName("graft-test")
-    .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-    .config("spark.sql.shuffle.partitions", "4")
-    .config("spark.shuffle.sort.bypassMergeThreshold", "4")
-    .config("spark.sql.session.timeZone", "UTC")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
-    .config("spark.ui.enabled", "false")
     .getOrCreate()
 }
 
