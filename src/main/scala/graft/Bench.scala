@@ -535,6 +535,18 @@ object Bench {
                    spread: Seq[(String, Double)], canary: Double,
                    canaryEnd: Double): Unit =
       try {
+        // BENCH_LOCAL.json is the CANONICAL full-suite record the judge
+        // adjudicates regressions against — a filtered debug run or a
+        // non-default-sf run must never replace it (r8 advice: a 3-query
+        // dedup debug line sat in the committed tree as "the" bench
+        // record). Filtered/off-sf runs keep their stdout line; the
+        // file write is skipped loudly.
+        if (nameFilter != ".*" || sfName != "sf0.1") {
+          System.err.println(s"[bench] BENCH_LOCAL.json NOT written: " +
+            s"filter='$nameFilter' sf='$sfName' is not the canonical " +
+            "full-suite sf0.1 run")
+          return
+        }
         // post-GC used driver heap: the measured leg under the scaling
         // table's "flat driver memory" claim (PLANS.md r7) — every
         // driver-side collect in the registry is bounded by
