@@ -216,24 +216,84 @@ private[graft] class FileSinkWriterFactory(path: String, queryId: String,
 private[graft] object FileSinkManifest {
   val Name = "_manifest"
 
-  /** The committed view of `path`: the data files the manifest lists
-    * (absolute), in manifest order. No manifest → no committed data,
-    * whatever part/data files happen to sit in the directory. */
-  def visibleFiles(path: String): Seq[Path] = {
-    val m = Paths.get(path, Name)
-    if (!Files.exists(m)) Nil
-    else Files.readAllLines(m, StandardCharsets.UTF_8).asScala.toSeq
-      .filter(_.nonEmpty).map(Paths.get(path, _))
+  private val VersionRe = (Name + "-(\\d+)").r
+
+  /** (version, manifest file) of the newest published manifest. The
+    * manifest is VERSIONED (`_manifest-<n>`, zero-padded) so a publish
+    * is a compare-and-swap on the version number, not a blind replace —
+    * two concurrent appends that both read version n race to create
+    * n+1, exactly one wins, and the loser re-reads (now seeing the
+    * winner's files) and retries at n+2. The r8 advice named the
+    * blind-replace form a lost-update: both appenders read the same
+    * prev set and the second publish silently dropped the first's
+    * files. A bare legacy `_manifest` (pre-versioning) reads as
+    * version 0. */
+  private def current(path: String): Option[(Long, Path)] = {
+    val dir = Paths.get(path)
+    if (!Files.exists(dir)) return None
+    val versioned = FileSinkFs.list(dir, Name + "-").flatMap { p =>
+      p.getFileName.toString match {
+        case VersionRe(n) => Some((n.toLong, p))
+        case _            => None
+      }
+    }
+    if (versioned.nonEmpty) Some(versioned.maxBy(_._1))
+    else {
+      val legacy = dir.resolve(Name)
+      if (Files.exists(legacy)) Some((0L, legacy)) else None
+    }
   }
 
-  /** Atomically replace the manifest with `names` (data-file names
-    * relative to `path`). */
-  def publish(path: String, names: Seq[String]): Unit = {
-    val tmp = Paths.get(path, Name + ".tmp")
+  def currentVersion(path: String): Long =
+    current(path).map(_._1).getOrElse(0L)
+
+  /** The committed view of `path`: the data files the newest manifest
+    * lists (absolute), in manifest order. No manifest → no committed
+    * data, whatever part/data files happen to sit in the directory. */
+  def visibleFiles(path: String): Seq[Path] = current(path) match {
+    case None => Nil
+    case Some((_, m)) => Files.readAllLines(m, StandardCharsets.UTF_8)
+      .asScala.toSeq.filter(_.nonEmpty).map(Paths.get(path, _))
+  }
+
+  /** Conditional publish: atomically create manifest version
+    * `newVersion` listing exactly `names` — returns false (publishing
+    * NOTHING) if that version already exists, i.e. another committer
+    * won the race since the caller read [[currentVersion]]. The
+    * create-if-absent is a hard link from a fully-written temp file
+    * (`Files.createLink` fails with EEXIST atomically on POSIX);
+    * readers can never observe a partially-written manifest. On an
+    * object store the same protocol is a conditional PUT
+    * (If-None-Match: *) of the versioned key — the primitive S3
+    * exposes publicly — so the CAS shape survives the deployment this
+    * mode exists for. Old versions are swept best-effort two behind
+    * the head (a reader holding an open handle on POSIX is unaffected;
+    * the newest version is never deleted). */
+  def tryPublish(path: String, names: Seq[String], newVersion: Long): Boolean = {
+    val dir = Paths.get(path)
+    Files.createDirectories(dir)
+    val tmp = Files.createTempFile(dir, Name, ".tmp")
     Files.write(tmp,
       names.mkString("", "\n", "\n").getBytes(StandardCharsets.UTF_8))
-    Files.move(tmp, Paths.get(path, Name), StandardCopyOption.ATOMIC_MOVE,
-      StandardCopyOption.REPLACE_EXISTING)
+    val target = dir.resolve(f"$Name-$newVersion%020d")
+    val won =
+      try { Files.createLink(target, tmp); true }
+      catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    Files.deleteIfExists(tmp)
+    if (won) {
+      // GC behind the head: versions <= n-2 plus the legacy file
+      FileSinkFs.list(dir, Name + "-").foreach { p =>
+        p.getFileName.toString match {
+          case VersionRe(n) if n.toLong <= newVersion - 2 =>
+            try Files.deleteIfExists(p) catch { case _: Throwable => () }
+          case _ => ()
+        }
+      }
+      if (newVersion >= 2)
+        try Files.deleteIfExists(dir.resolve(Name))
+        catch { case _: Throwable => () }
+    }
+    won
   }
 }
 
@@ -246,11 +306,19 @@ private[graft] object FileSinkManifest {
   *      guarantee and no ordering — nothing references the names yet,
   *      so a crash after any prefix of them exposes nothing (pinned in
   *      SourcesSpec by a simulated torn placement).
-  *   2. PUBLISH: ONE atomic manifest write makes exactly this commit's
-  *      file set (plus, for append, the files the previous manifest
-  *      listed) visible. Truncate = publish a manifest listing only the
-  *      new files; the old data files become unreferenced garbage and
-  *      are best-effort swept after the publish.
+  *   2. PUBLISH: ONE conditional manifest create (a CAS on the manifest
+  *      version, [[FileSinkManifest.tryPublish]]) makes exactly this
+  *      commit's file set (plus, for append, the files the head
+  *      manifest listed) visible. A concurrent committer winning the
+  *      version makes our read stale; the commit loop re-reads and
+  *      retries, so concurrent appends to the same path linearize
+  *      instead of losing updates. Truncate = publish a manifest
+  *      listing only the new files; the old data files become
+  *      unreferenced garbage and are best-effort swept after the
+  *      publish. (A truncate RACING an append is an application-level
+  *      conflict — the sweep may collect the append's placed-but-
+  *      unpublished files, the same exposure any overwrite-vs-append
+  *      race has; serialize overwrites against appenders.)
   *
   * A failed job's retry is a NEW write (fresh queryId): its placement
   * names cannot collide with the torn attempt's, and the torn garbage
@@ -278,16 +346,26 @@ private[graft] class FileSinkManifestBatchWrite(path: String, queryId: String,
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
     val dir = Paths.get(path)
     val placed = place(messages)
-    val prev =
-      if (truncate) Nil
-      else FileSinkManifest.visibleFiles(path).map(_.getFileName.toString)
-    FileSinkManifest.publish(path, prev ++ placed) // THE commit point
+    // THE commit point, as a CAS loop: read the head version and its
+    // file set, try to publish head+1; a concurrent committer winning
+    // the version means OUR read was stale — re-read (now including the
+    // winner's files) and retry, so no append ever drops another
+    // append's files (the r8 lost-update advice)
+    var live = Set.empty[String]
+    var published = false
+    while (!published) {
+      val ver = FileSinkManifest.currentVersion(path)
+      val prev =
+        if (truncate) Nil
+        else FileSinkManifest.visibleFiles(path).map(_.getFileName.toString)
+      live = (prev ++ placed).toSet
+      published = FileSinkManifest.tryPublish(path, prev ++ placed, ver + 1)
+    }
     deleteTempDir()
     if (truncate) {
       // GC, after the publish: data files no manifest references —
       // the old generation plus any torn placements — are inert; sweep
       // them best-effort (a failure here cannot affect visibility)
-      val live = (prev ++ placed).toSet
       FileSinkFs.list(dir, "data-")
         .filterNot(p => live.contains(p.getFileName.toString))
         .foreach(p =>
@@ -320,8 +398,12 @@ private[graft] class FileSinkManifestBatchWrite(path: String, queryId: String,
   * dirs are per-(query, epoch), so concurrent epochs of a restarted
   * query can never cross-contaminate.
   *
-  * `truncate` is the complete/update output-mode contract (Spark lowers
-  * those through SupportsTruncate before toStreaming): every epoch's
+  * `truncate` is the COMPLETE output-mode contract (Spark lowers only
+  * Complete through SupportsTruncate before toStreaming; Update would
+  * additionally need SupportsStreamingUpdateAsAppend, which this sink
+  * deliberately does not implement — riding update rows on the append
+  * path would silently turn a snapshot sink into a change feed, so
+  * update-mode queries fail at start instead): every epoch's
   * publish REPLACES the query's previous snapshot, so the epoch commit
   * sweeps ALL of this query's part files — prior epochs' snapshots
   * included — before publishing its own set. Without the sweep a

@@ -546,6 +546,46 @@ class SourcesSpec extends GraftSpec {
       s"truncate GC must sweep torn placements, disk holds $onDisk")
   }
 
+  test("filesink commit=manifest: concurrent appends linearize via the " +
+       "version CAS — the stale publish loses, the retry folds both in") {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.types._
+    import org.apache.spark.unsafe.types.UTF8String
+    val path = sinkDir()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("tag", StringType)))
+    def stage(bw: graft.sources.FileSinkManifestBatchWrite, q: String,
+              pid: Int, taskId: Long, id: Long, tag: String) = {
+      val w = bw.createBatchWriterFactory(null).createWriter(pid, taskId)
+      w.write(InternalRow(id, UTF8String.fromString(tag)))
+      w.commit()
+    }
+    val M = graft.sources.FileSinkManifest
+    val a = new graft.sources.FileSinkManifestBatchWrite(
+      path, "q-a", schema, truncate = false)
+    val b = new graft.sources.FileSinkManifestBatchWrite(
+      path, "q-b", schema, truncate = false)
+    // A places its files and reads the head — then B commits first:
+    // the exact interleaving the r8 advice called a lost-update under
+    // the old blind-replace publish (both read prev=[], second publish
+    // dropped the first's files)
+    val aPlaced = a.place(Array(stage(a, "q-a", 0, 1L, 1L, "from-a")))
+    val staleVer = M.currentVersion(path)
+    val stalePrev = M.visibleFiles(path).map(_.getFileName.toString)
+    b.commit(Array(stage(b, "q-b", 0, 2L, 2L, "from-b")))
+    // A's publish from the stale read must LOSE the CAS and expose nothing
+    assert(!M.tryPublish(path, stalePrev ++ aPlaced, staleVer + 1),
+      "a stale-version publish must be rejected, not replace the head")
+    assert(readManifestSink(path) == Seq("2\tfrom-b"),
+      "the losing CAS must publish nothing")
+    // the commit loop's retry leg: re-read the head (now B's) and CAS
+    // again — both writers' files land
+    val prev2 = M.visibleFiles(path).map(_.getFileName.toString)
+    assert(M.tryPublish(path, prev2 ++ aPlaced, M.currentVersion(path) + 1))
+    assert(readManifestSink(path) == Seq("1\tfrom-a", "2\tfrom-b"),
+      "the retry must fold BOTH appends into the head manifest")
+  }
+
   test("filesink commit=manifest on a STREAMING write fails loudly " +
        "instead of silently downgrading the commit protocol") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream

@@ -132,6 +132,23 @@ def main(out_dir: str) -> None:
         x AS (SELECT s, count(*) f FROM sh GROUP BY s HAVING count(DISTINCT rep) > 1)
         SELECT count(*), coalesce(max(f), 0) FROM x""").fetchone()
     print(f"documents: {coll} cross-replica shingles (max freq {worst})", flush=True)
+    # ENFORCED, not just printed (r8 advice): a QVOCAB token adjacent to
+    # a force-preserved PHRASE run extends the preserved run past 3, so
+    # all-preserved windows beyond the phrase-only set CAN exist — the
+    # fixture is only valid while they stay a handful (the dedup
+    # families' cross-replica-disjointness argument) and far under the
+    # engine's stop-shingle cap (graft.operators.Dedup.maxShingleFreq =
+    # 1000, where the ngram-jaccard self-join would start dropping
+    # them). Measured at K=10: 5 shingles, max freq 100.
+    MAX_COLLISION_SHINGLES = 64
+    STOP_SHINGLE_CAP = 1000  # mirror of Dedup.maxShingleFreq
+    assert coll <= MAX_COLLISION_SHINGLES, (
+        f"{coll} cross-replica shingles > {MAX_COLLISION_SHINGLES}: the "
+        "preserved-run break is leaking beyond phrase windows; fixture invalid")
+    assert worst * 2 <= STOP_SHINGLE_CAP, (
+        f"max collision frequency {worst} is within 2x of the stop-shingle "
+        f"cap {STOP_SHINGLE_CAP}: the retrieval fixture would start "
+        "interacting with the dedup families' frequency guard")
 
     gen("embeddings", """
         SELECT vec_id + k * 1000000 AS vec_id,
