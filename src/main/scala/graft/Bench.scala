@@ -470,6 +470,7 @@ object Bench {
       graft.operators.InvertedIndex.clearMemos()
       graft.operators.PageRank.clearMemos()
       graft.operators.Similarity.clearMemos()
+      graft.sources.AvroQueries.clearMemos()
     }
 
     // exclusion rationale on BenchFormat.benchedNames.

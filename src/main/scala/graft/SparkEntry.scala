@@ -23,7 +23,8 @@ object SparkEntry {
       Dedup.registry ++ Similarity.registry ++ InvertedIndex.registry ++
       EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry ++
       Multimodal.registry ++ DocEmbedding.registry ++ CorpusPipeline.registry ++
-      TaxiEvents.registry ++ Bpe.registry ++ graft.sources.Synthetic.registry
+      TaxiEvents.registry ++ Bpe.registry ++ graft.sources.Synthetic.registry ++
+      graft.sources.AvroQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -33,5 +34,6 @@ object SparkEntry {
       Dedup.oracleSql ++ Similarity.oracleSql ++ InvertedIndex.oracleSql ++
       EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql ++
       Multimodal.oracleSql ++ DocEmbedding.oracleSql ++ CorpusPipeline.oracleSql ++
-      TaxiEvents.oracleSql ++ Bpe.oracleSql ++ graft.sources.Synthetic.oracleSql
+      TaxiEvents.oracleSql ++ Bpe.oracleSql ++ graft.sources.Synthetic.oracleSql ++
+      graft.sources.AvroQueries.oracleSql
 }
