@@ -326,7 +326,31 @@ private[graft] object BenchFormat {
     // r7: mixture_plan is token_stats' map-only tokenize scan + one
     // grouped aggregate + two unpartitioned windows over a <=|langs|
     // row table — no plan structure the timed set lacks
-    "mixture_plan")
+    "mixture_plan",
+    // r9: dedup_semantic_kmeans probes the SAME shared IVFADC artifacts
+    // the ann_family_build metric prices (cell assignment read off the
+    // index, the r8 shared-artifact discipline) and its pair stage is
+    // the equi-keyed join + codegen'd cosine + threshold shape the timed
+    // dedup_embedding_cosine already measures (cell id as the join key
+    // instead of (table, bucket)) plus a grouped max — no plan structure
+    // the timed set lacks; a timed entry would also shed canary_end_sec
+    // from the artifact line (BenchFormatSpec). Filtered timing in
+    // PLANS.md.
+    "dedup_semantic_kmeans",
+    // r9: user_sessions_stream_chunked is the multi-batch leg of the
+    // user_sessions_stream drain: FileStreamSource ingest is priced by
+    // the timed taxi_region_hourly_stream, the session_window state
+    // operator's content is the timed user_sessions aggregate, and the
+    // chunk fixture it writes first is harness scaffolding — the delta
+    // vs the excluded single-batch twin is micro-batch count, not plan
+    // structure (multi-batch wall/state measured at sf1 in PLANS.md)
+    "user_sessions_stream_chunked",
+    // r9: bpe_encode re-runs the timed bpe_merges train loop to reach
+    // the segmentation fixed point; its marginal work is a vocabulary-
+    // sized broadcast dictionary + one exploded equi-join + grouped
+    // aggregation — wordcount's shape with a broadcast dim (filtered
+    // timing in PLANS.md)
+    "bpe_encode")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -52,6 +52,8 @@ object OracleAudit {
       "(the law that caught the delimiter-consumption bug the oracle missed)"
     m += "bpe_merges" -> (ParityWithLaw, bpe)
     m += "bpe_vocab" -> (ParityWithLaw, bpe)
+    m += "bpe_encode" -> (ParityWithLaw, bpe +
+      "; encode leg: per-doc subword counts equal the reference's final segmentation")
 
     val ppr = "PageRankSpec:34 dense-reference equality on a literal " +
       "graph; :51 log/normal cross-domain agreement; :69 mass conservation"
@@ -87,6 +89,10 @@ object OracleAudit {
     m += "dedup_spans_clean" -> (ParityWithLaw, "DedupSpec:159 cleaned text equals a driver-side cut of the spans")
     m += "decontaminate" -> (ParityWithLaw, "DedupSpec:81 benchmark excluded, flags consistent, broadcast pinned")
     m += "decontaminate_semantic" -> (ParityWithLaw, "DedupSpec:81 discipline + the banded-kernel recall gates (SimilaritySpec:120)")
+    m += "dedup_semantic_kmeans" -> (ParityWithLaw,
+      "SimilaritySpec SemDeDup law: driver-side brute recompute of the upper-" +
+      "triangular within-cell rule from raw vectors + the index's cells; " +
+      "PropertiesSpec:287 Lloyd trainer laws pin the clustering itself")
 
     // --- ANN / banded similarity: parity oracle + recall vs an exact
     // baseline (knn_brute / all-pairs kernels are Independent-class)
@@ -125,6 +131,10 @@ object OracleAudit {
     m += "synth_stream_agg" -> (ParityWithLaw, synth + "; SourcesSpec:152 batch parity")
 
     // --- notable Independent entries where the gate deserves a citation
+    m += "user_sessions_stream_chunked" -> (Independent,
+      "batch islands SQL independently states the closed-session set a REAL " +
+      "multi-batch FileStreamSource drain must reproduce; chunking invariance " +
+      "at sf1 measured by StreamScaleProf (PLANS.md round 9)")
     m += "logsumexp_by_group" -> (Independent,
       "oracle is ln(sum(exp)) from scratch; PropertiesSpec:41-95 monoid laws as belt-and-braces")
     m += "heavy_hitters_cms" -> (Independent,
@@ -148,7 +158,8 @@ object OracleAudit {
   val encodedPrefixes: Seq[String] = Seq(
     "bpe_", "ppr_", "spam_", "ann_", "dedup_minhash", "dedup_simhash",
     "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
-    "dedup_spans", "dedup_incremental", "sample_", "synth_", "triangle_")
+    "dedup_spans", "dedup_incremental", "dedup_semantic", "sample_",
+    "synth_", "triangle_")
 
   def of(name: String): (Class, String) =
     classes.getOrElse(name,

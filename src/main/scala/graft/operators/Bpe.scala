@@ -118,9 +118,45 @@ object Bpe {
       .groupBy("subword").agg(sum(col("cnt")).as("n_occurrences"))
       .orderBy("subword")
 
+  /** Tokenizer APPLY — the encode half of the BPE pipeline (Sennrich et
+    * al. 2016 §3): segment every document with the learned merges and
+    * report per-doc token/subword counts plus fertility (subwords per
+    * word — the standard tokenizer-quality metric).
+    *
+    * Scale shape: encoding does NOT re-touch tokens one merge at a time.
+    * [[trainLoop]]'s fixed point already holds the final segmentation of
+    * every DISTINCT token (the vocabulary — corpus-size-independent), so
+    * apply is: recover (token → subword count) from the spaced forms
+    * (deleting delimiters and the terminal `_` restores the original
+    * token, since merges never change content) and broadcast-join the
+    * exploded corpus tokens against that dictionary — one map-side join
+    * + one grouped aggregation over the corpus, no iteration. At 100 TB
+    * the dictionary stays Heaps-law small while the corpus pass is
+    * embarrassingly parallel — the shape a production tokenizer service
+    * uses (segment the vocab once, stream the corpus through it).
+    *
+    * Fertility is one double division rounded 4dp per doc — magnitude-
+    * bounded (subwords/word ≤ max token length), AnyScale-exact. */
+  def bpeEncode(spark: SparkSession, dir: String): DataFrame = {
+    val fixed = trainLoop(spark, dir)._1
+    val flat = translate(col("w"), " ", "")
+    val dict = fixed.select(
+      flat.substr(lit(1), length(flat) - 1).as("tok"),
+      size(split(col("w"), "  ")).cast("long").as("n_subwords"))
+    Tables.documents(spark, dir)
+      .select(col("doc_id"), explode(TextFunctions.tokenize(col("text"))).as("tok"))
+      .join(broadcast(dict), Seq("tok"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("n_subwords").as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_tokens"), 4))
+      .orderBy("doc_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
-    "bpe_vocab" -> (bpeVocab _))
+    "bpe_vocab" -> (bpeVocab _),
+    "bpe_encode" -> (bpeEncode _))
 
   /** The oracle: K merge iterations unrolled as CTE stages. Stage s{k}
     * holds the spaced forms after k merges; p{k} the weighted pair
@@ -165,5 +201,22 @@ object Bpe {
       SELECT sub.subword, sum(s.cnt)::BIGINT AS n_occurrences
       FROM (SELECT w, cnt FROM s$merges) s,
            unnest(string_split(s.w, '  ')) sub(subword)
-      GROUP BY 1 ORDER BY subword""")
+      GROUP BY 1 ORDER BY subword""",
+    // encode: the same unrolled replay, then the fixed point's spaced
+    // forms become the (token -> subword count) dictionary (delete the
+    // delimiters + terminal '_' to recover the token) and every doc's
+    // exploded tokens join it — the apply-side plan restated in SQL
+    "bpe_encode" ->
+      s"""${stagesSql(merges)},
+      seg AS MATERIALIZED (
+        SELECT substr(replace(w, ' ', ''), 1, len(replace(w, ' ', '')) - 1) AS tok,
+               len(string_split(w, '  '))::BIGINT AS n_subwords
+        FROM s$merges),
+      dt AS (SELECT doc_id, unnest(${TextFunctions.tokenizeSql}) AS tok
+             FROM documents)
+      SELECT doc_id, count(*)::BIGINT AS n_tokens,
+             sum(n_subwords)::BIGINT AS n_subwords,
+             round(sum(n_subwords)::DOUBLE / count(*), 4) AS fertility
+      FROM dt JOIN seg USING (tok)
+      GROUP BY doc_id ORDER BY doc_id""")
 }

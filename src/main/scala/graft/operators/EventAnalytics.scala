@@ -966,6 +966,81 @@ object EventAnalytics {
       .orderBy("user_id", "session_start")
   }
 
+  /** Chunk count / per-trigger admission for the MULTI-batch session
+    * drain. 6 chunks at 2 files per trigger = 3 data micro-batches plus
+    * the engine's final watermark-advance batch. */
+  val sessionChunks = 6
+  val sessionChunksPerTrigger = 2
+
+  /** The multi-batch leg of [[userSessionsStream]]: the SAME streaming
+    * session-window aggregate, driven from a directory of TIME-ORDERED
+    * chunk files with `maxFilesPerTrigger` bounding each micro-batch —
+    * so sessions genuinely merge in keyed state across batches, the
+    * watermark advances batch-by-batch (closing and EVICTING sessions as
+    * it passes them), and the registered result is produced by real
+    * incremental execution rather than one single-file batch. This is
+    * the production shape at 100 TB: state tracks the OPEN-session
+    * working set (active users × watermark delay), never the corpus —
+    * measured at sf1 (PLANS.md round 9: ~76 MB state, flat per-batch
+    * wall, chunking-invariant vs the single-batch drain).
+    *
+    * The final closed-session set is chunk-count-invariant (the
+    * watermark rests at max(ts) − delay either way), so the oracle is
+    * the same batch islands SQL as the single-batch twin — the batch
+    * engine independently states the semantics the incremental state
+    * machine must reproduce. The chunk fixture (time-range slices with
+    * increasing mtimes, so FileStreamSource admits oldest-first) is
+    * harness scaffolding, deleted after the drain. */
+  def userSessionsStreamChunked(spark: SparkSession, dir: String): DataFrame = {
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val work = java.nio.file.Files.createTempDirectory("graft-sess-chunks")
+    val chunkDir = work.resolve("chunks")
+    try {
+      val tsLong = col("ts").cast("timestamp").cast("long")
+      val bounds = raw.select(tsLong.as("t")).stat.approxQuantile(
+        "t", (1 until sessionChunks).map(_.toDouble / sessionChunks).toArray, 0.001)
+      val cuts = Array(Long.MinValue.toDouble) ++ bounds :+ Long.MaxValue.toDouble
+      java.nio.file.Files.createDirectories(chunkDir)
+      for (i <- 0 until sessionChunks) {
+        val tmp = work.resolve("tmp_chunk")
+        raw.filter(tsLong >= cuts(i) && tsLong < cuts(i + 1))
+          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+        val part = graft.sources.FileSinkFs.list(tmp, "part-").head
+        val dest = chunkDir.resolve(f"chunk_$i%03d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
+      }
+      val sinkName = "user_sessions_stream_chunked_sink"
+      spark.catalog.dropTempView(sinkName)
+      val q = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", sessionChunksPerTrigger)
+        .parquet(chunkDir.toString)
+        .withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", s"$sessionWmDelayMin minutes")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .writeStream.outputMode("append").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val rows = spark.table(sinkName)
+        .select(col("user_id"), col("w.start").as("session_start"),
+          col("w.end").as("session_end"), col("n_events"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getTimestamp(1),
+          r.getTimestamp(2), r.getLong(3)))
+      spark.catalog.dropTempView(sinkName)
+      val sp = spark
+      import sp.implicits._
+      rows.toDF("user_id", "session_start", "session_end", "n_events")
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
+        .orderBy("user_id", "session_start")
+    } finally graft.sources.FileSinkFs.deleteRecursively(work)
+  }
+
   /** Pre-flight shuffle-skew diagnostic: the log2 histogram of per-key
     * row counts for the join/aggregation keys a pipeline is about to
     * shuffle on. At 100 TB this tiny two-level aggregate (map-side
@@ -1129,6 +1204,7 @@ object EventAnalytics {
     "events_anomaly_stream" -> (eventsAnomalyStream _),
     "key_skew_profile" -> (keySkewProfile _),
     "user_sessions_stream" -> (userSessionsStream _),
+    "user_sessions_stream_chunked" -> (userSessionsStreamChunked _),
     "approx_distinct_users" -> (approxDistinctUsers _),
     "value_percentiles" -> (valuePercentiles _),
     "value_pct_approx" -> (valuePctApprox _),
@@ -1154,6 +1230,37 @@ object EventAnalytics {
     "trending_arrivals" -> (trendingArrivals _),
     "trending_arrivals_late" -> (trendingArrivalsLate _),
     "logsumexp_by_group" -> (logsumexpByGroup _))
+
+  /** The islands CTE of user_sessions, plus session_end = last + gap and
+    * the append-mode emission predicate end < (max(ts) − delay) — shared
+    * by the single-batch and chunked multi-batch streaming drains (the
+    * closed-session set is chunk-count-invariant). */
+  private val closedSessionsOracleSql =
+    s"""WITH e AS (
+         SELECT user_id, ts,
+                lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+         FROM events),
+       f AS (
+         SELECT user_id, ts,
+                CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_session
+         FROM e),
+       g AS (
+         SELECT user_id, ts,
+                sum(new_session) OVER (
+                  PARTITION BY user_id ORDER BY ts
+                  ROWS UNBOUNDED PRECEDING) AS session_id
+         FROM f),
+       s AS (
+         SELECT user_id, min(ts) AS session_start,
+                max(ts) + INTERVAL '30 minutes' AS session_end,
+                count(*) AS n_events
+         FROM g GROUP BY user_id, session_id),
+       wm AS (SELECT max(ts) - INTERVAL '$sessionWmDelayMin minutes' AS wm
+              FROM events)
+       SELECT user_id, session_start, session_end, n_events
+       FROM s, wm WHERE session_end < wm
+       ORDER BY user_id, session_start"""
 
   private val firstTouchOracleSql =
     """WITH r AS (
@@ -1361,32 +1468,12 @@ object EventAnalytics {
          FROM events ORDER BY event_id""",
     // the islands CTE of user_sessions, plus session_end = last + gap
     // and the append-mode emission predicate end < (max(ts) − delay)
-    "user_sessions_stream" ->
-      s"""WITH e AS (
-           SELECT user_id, ts,
-                  lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
-           FROM events),
-         f AS (
-           SELECT user_id, ts,
-                  CASE WHEN prev IS NULL OR ts - prev > INTERVAL '30 minutes'
-                       THEN 1 ELSE 0 END AS new_session
-           FROM e),
-         g AS (
-           SELECT user_id, ts,
-                  sum(new_session) OVER (
-                    PARTITION BY user_id ORDER BY ts
-                    ROWS UNBOUNDED PRECEDING) AS session_id
-           FROM f),
-         s AS (
-           SELECT user_id, min(ts) AS session_start,
-                  max(ts) + INTERVAL '30 minutes' AS session_end,
-                  count(*) AS n_events
-           FROM g GROUP BY user_id, session_id),
-         wm AS (SELECT max(ts) - INTERVAL '$sessionWmDelayMin minutes' AS wm
-                FROM events)
-         SELECT user_id, session_start, session_end, n_events
-         FROM s, wm WHERE session_end < wm
-         ORDER BY user_id, session_start""",
+    "user_sessions_stream" -> closedSessionsOracleSql,
+    // the multi-batch drain emits the SAME closed-session set (chunk-
+    // count invariance: the final watermark is max(ts) − delay either
+    // way) — the batch islands SQL independently states what the
+    // incremental state machine must reproduce across real micro-batches
+    "user_sessions_stream_chunked" -> closedSessionsOracleSql,
     "user_sessions" ->
       """WITH e AS (
            SELECT user_id, ts,

@@ -776,7 +776,8 @@ object Similarity {
   /** Registered queries that probe the shared codes index — Bench gates
     * its `ann_family_build` metric on THIS set (see [[Dedup.familyMembers]]
     * for the naming rationale). */
-  val annFamilyMembers: Set[String] = Set("ann_pq_cosine", "ann_ivfpq_cosine")
+  val annFamilyMembers: Set[String] =
+    Set("ann_pq_cosine", "ann_ivfpq_cosine", "dedup_semantic_kmeans")
 
   /** Force-build the codes index (both the raw-subvector PQ codebooks
     * and the IVF+residual IVFADC artifacts). */
@@ -924,6 +925,56 @@ object Similarity {
     * independently — either way the conjunct is what bounds the work.
     * Scoring and ranking reuse [[knnBruteCosine]]'s codegen'd cosine +
     * bounded-PQ rank shape. */
+  /** SemDeDup — cluster-routed semantic deduplication (Abbas et al.
+    * 2023, "SemDeDup: Data-efficient learning at web-scale through
+    * semantic deduplication"): k-means-cluster the embedding space,
+    * then compare pairs ONLY within a cluster and flag every vector
+    * whose cosine to a lower-id cluster-mate clears the near-dup
+    * threshold — the published upper-triangular max-similarity rule, so
+    * flagging needs no sequential kept-chain and states cleanly in SQL.
+    *
+    * Scale shape: the coarse assignment comes from the SHARED IVFADC
+    * index (one memoized build, priced by the bench's ann_family_build
+    * metric — the r8 shared-artifact discipline), and the pair stage is
+    * an EQUI-join on the cell id, embarrassingly parallel across cells
+    * with per-cell quadratic work bounded by cluster size. That bound is
+    * the operator's deployment knob: at 100 TB the cell count scales
+    * with the corpus (SemDeDup used 50k clusters for LAION) so cluster
+    * size — not corpus size — caps the pairwise term, and a skewed cell
+    * is an AQE skew-join split, not a plan change. The all-pairs
+    * alternative is quadratic in the CORPUS; the banded-LSH near-dup
+    * family trades recall for no training — this is the trained-index
+    * point on that spectrum, the one production semantic-dedup uses.
+    *
+    * Output: every corpus vector with its cell, its max cosine to any
+    * lower-id cluster-mate (null for the cell's first member), and the
+    * dup flag at [[nearDupCosine]] — downstream survivor selection is
+    * `filter(!is_dup)`. Deviation from the paper: it keeps the member
+    * closest-to-centroid per duplicate group; the lower-id rule here is
+    * the same one-survivor-per-group guarantee with a deterministic,
+    * SQL-stateable order (documented, reference-free choice). The
+    * oracle replays the keyed-Lloyd trainer + assignment
+    * ([[coarseAssignCtesSql]], parity) and the semantics are pinned by a
+    * driver-side brute recompute law in SimilaritySpec. */
+  def dedupSemanticKmeans(spark: SparkSession, dir: String): DataFrame = {
+    val art = ivfpqArtifactsShared(spark, dir)
+    val assigned = emb(spark, dir)
+      .join(art.encoded.select(col("vec_id"), col("cell")), Seq("vec_id"))
+    val prior = assigned.select(col("cell"), col("vec_id").as("a_id"), col("v").as("av"))
+      .join(assigned.select(col("cell"), col("vec_id").as("b_id"), col("v").as("bv")),
+        Seq("cell"))
+      .filter(col("a_id") < col("b_id"))
+      .select(col("b_id").as("vec_id"),
+        round(cosine(col("av"), col("bv")), 6).as("cos"))
+      .groupBy("vec_id").agg(max("cos").as("max_prior_cosine"))
+    assigned.select(col("vec_id"), col("cell"))
+      .join(prior, Seq("vec_id"), "left")
+      .withColumn("is_dup",
+        coalesce(col("max_prior_cosine") >= nearDupCosine, lit(false)))
+      .select("vec_id", "cell", "is_dup", "max_prior_cosine")
+      .orderBy("vec_id")
+  }
+
   def knnFilteredCosine(spark: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.embeddings(spark, dir)
       .select(col("vec_id"),
@@ -950,7 +1001,8 @@ object Similarity {
     "ann_ivfpq_cosine" -> (annIvfPqCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
-    "decontaminate_semantic" -> (decontaminateSemantic _))
+    "decontaminate_semantic" -> (decontaminateSemantic _),
+    "dedup_semantic_kmeans" -> (dedupSemanticKmeans _))
 
   /** A plane set as SQL literal rows — data-INDEPENDENT (seeded
     * driver-side), so the oracle can carry them verbatim and replicate
@@ -1231,7 +1283,11 @@ object Similarity {
           ORDER BY query_id, rank"""
   }
 
-  private def ivfOracleSql: String = {
+  /** WITH-body prefix replaying the integer-exact coarse k-means trainer
+    * and assigning EVERY corpus vector to its nearest cell — ends at the
+    * `assigned(vec_id, v, cell)` CTE. Shared by [[ivfOracleSql]] and the
+    * SemDeDup oracle, so the two replays cannot drift apart. */
+  private def coarseAssignCtesSql: String = {
     val iters = (1 to ivfIters).map { i =>
       s"""assign$i AS (
             SELECT vec_id, cell, vq FROM (
@@ -1267,7 +1323,11 @@ object Similarity {
                      row_number() OVER (PARTITION BY w.vec_id
                        ORDER BY ${ivfDistSql("w.vq", "c.c")}, c.cell) AS rn
               FROM w CROSS JOIN cent$ivfIters c)
-            WHERE rn = 1),
+            WHERE rn = 1)"""
+  }
+
+  private def ivfOracleSql: String = {
+    s"""$coarseAssignCtesSql,
           qcells AS (
             SELECT vec_id AS query_id, v AS qv, cell FROM (
               SELECT w.vec_id, w.v, c.cell,
@@ -1302,6 +1362,26 @@ object Similarity {
     * the literal hyperplanes; ivf replays the integer-exact quantizer
     * (see [[ivfOracleSql]]). */
   val oracleSql: Map[String, String] = Map(
+    // SemDeDup: replay the keyed-Lloyd trainer + full-corpus assignment
+    // (the shared coarseAssignCtesSql — parity), then state the upper-
+    // triangular max-similarity rule declaratively: per vector, the max
+    // rounded cosine to any LOWER-id cluster-mate, flagged at the
+    // near-dup threshold
+    "dedup_semantic_kmeans" ->
+      s"""$coarseAssignCtesSql,
+          pr AS (
+            SELECT b.vec_id AS vec_id,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                     AS cos
+            FROM assigned a JOIN assigned b USING (cell)
+            WHERE a.vec_id < b.vec_id),
+          mx AS (SELECT vec_id, max(cos) AS max_prior_cosine FROM pr GROUP BY 1)
+          SELECT a.vec_id, a.cell,
+                 coalesce(m.max_prior_cosine >= $nearDupCosine, FALSE) AS is_dup,
+                 m.max_prior_cosine
+          FROM assigned a LEFT JOIN mx m USING (vec_id)
+          ORDER BY a.vec_id""",
     "ann_ivf_cosine" -> ivfOracleSql,
     "ann_pq_cosine" -> pqOracleSql,
     "ann_ivfpq_cosine" -> ivfpqOracleSql,

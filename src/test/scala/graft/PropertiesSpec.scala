@@ -167,36 +167,39 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
-  test("distributed BPE merge learning equals a driver-side reference " +
-       "on random corpora (ties, repeats, single chars)") {
-    // reference implementation: greedy BPE over a (word, count) map —
-    // max pair by (count desc, pair asc), leftmost non-overlapping merge
-    def refBpe(words: Map[String, Long], k: Int): Seq[(String, Long)] = {
-      var forms: Seq[(Seq[String], Long)] =
-        words.map { case (w, c) => (w.map(_.toString) :+ "_", c) }.toSeq
-      val out = Seq.newBuilder[(String, Long)]
-      for (_ <- 1 to k) {
-        val counts = scala.collection.mutable.Map.empty[(String, String), Long]
-        forms.foreach { case (syms, c) =>
-          syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
-        }
-        if (counts.nonEmpty) {
-          val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x + " " + y) }
-          out += ((a + " " + b, c))
-          forms = forms.map { case (syms, cnt) =>
-            val merged = scala.collection.mutable.ArrayBuffer.empty[String]
-            var i = 0
-            while (i < syms.length) {
-              if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
-                merged += a + b; i += 2
-              } else { merged += syms(i); i += 1 }
-            }
-            (merged.toSeq, cnt)
+  /** Reference BPE: greedy over a (word, count) map — max pair by
+    * (count desc, pair asc), leftmost non-overlapping merge. Returns the
+    * merge log AND each word's final segmentation (the encode side). */
+  private def refBpe(words: Map[String, Long], k: Int)
+      : (Seq[(String, Long)], Map[String, Seq[String]]) = {
+    var forms: Seq[(String, Seq[String], Long)] =
+      words.map { case (w, c) => (w, w.map(_.toString) :+ "_", c) }.toSeq
+    val out = Seq.newBuilder[(String, Long)]
+    for (_ <- 1 to k) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      forms.foreach { case (_, syms, c) =>
+        syms.zip(syms.tail).foreach(p => counts(p) = counts.getOrElse(p, 0L) + c)
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), c) = counts.minBy { case ((x, y), n) => (-n, x + " " + y) }
+        out += ((a + " " + b, c))
+        forms = forms.map { case (w, syms, cnt) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += a + b; i += 2
+            } else { merged += syms(i); i += 1 }
           }
+          (w, merged.toSeq, cnt)
         }
       }
-      out.result()
     }
+    (out.result(), forms.map { case (w, syms, _) => w -> syms }.toMap)
+  }
+
+  test("distributed BPE merge learning equals a driver-side reference " +
+       "on random corpora (ties, repeats, single chars)") {
     import org.apache.spark.sql.SparkSession
     val sp: SparkSession = spark
     import sp.implicits._
@@ -226,8 +229,47 @@ class PropertiesSpec extends AnyFunSuite {
           .collect().map(r => (r.getString(1), r.getLong(3))).toSeq
       val expected = refBpe(
         ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong },
-        graft.operators.Bpe.merges)
+        graft.operators.Bpe.merges)._1
       Prop(got == expected) :| s"corpus=$ws\ngot=$got\nexp=$expected"
+    })
+  }
+
+  test("bpe_encode per-doc subword counts equal the driver reference's " +
+       "final segmentation (the encode leg of the BPE law)") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    // multi-word docs so the dictionary join + grouped aggregation is
+    // load-bearing, not just the per-word segmentation
+    val corpus: Gen[List[String]] = for {
+      n <- Gen.chooseNum(1, 24)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield ws
+    checkN(6)(forAll(corpus) { ws0 =>
+      val ws = ws0.map(_.filter(c => c >= 'a' && c <= 'z')).filter(_.nonEmpty)
+      if (ws.isEmpty) Prop(true)
+      else {
+        val docs = ws.grouped(3).map(_.mkString(" ")).toSeq
+        val dir = java.nio.file.Files.createTempDirectory("graft-bpe-enc").toString
+        docs.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text")
+          .select(col("doc_id"), col("text"), lit("en").as("lang"),
+            lit("gen").as("source"), length(col("text")).cast("long").as("n_chars"))
+          .write.parquet(dir + "/documents.parquet")
+        val got = graft.operators.Bpe.bpeEncode(spark, dir)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+        val segs = refBpe(
+          ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong },
+          graft.operators.Bpe.merges)._2
+        val expected = docs.zipWithIndex.map { case (t, i) =>
+          val toks = t.split(" ").toSeq
+          (i.toLong, toks.size.toLong, toks.map(segs(_).size.toLong).sum)
+        }
+        Prop(got == expected) :| s"docs=$docs\ngot=$got\nexp=$expected"
+      }
     })
   }
 

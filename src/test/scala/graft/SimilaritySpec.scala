@@ -214,4 +214,45 @@ class SimilaritySpec extends GraftSpec {
       assert(!isB(v) && isB(bid) && c >= Similarity.nearDupCosine)
     }
   }
+
+  test("SemDeDup law: dup flags equal a driver-side brute recompute of " +
+       "the upper-triangular within-cell rule") {
+    val rows = Similarity.dedupSemanticKmeans(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("cell"),
+        r.getAs[Boolean]("is_dup")))
+    assert(rows.nonEmpty)
+    // raw vectors straight off the table; cosine + rounding recomputed
+    // in plain Scala, independent of the registered plan's expressions.
+    // The cell assignment is taken from the result itself — it is pinned
+    // separately by the oracle's keyed-Lloyd replay + the Lloyd trainer
+    // laws (PropertiesSpec), so THIS law isolates the dedup rule.
+    val vecs = graft.Tables.embeddings(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cosR(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      BigDecimal(d / (math.sqrt(na) * math.sqrt(nb)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    val cells = rows.map { case (id, c, _) => id -> c }.toMap
+    rows.foreach { case (id, c, flag) =>
+      val expected = cells.exists { case (oid, oc) =>
+        oc == c && oid < id &&
+          cosR(vecs(oid), vecs(id)) >= Similarity.nearDupCosine
+      }
+      assert(flag == expected, s"vec $id cell $c: flag $flag != brute $expected")
+    }
+    // the one-survivor-per-group guarantee, stated directly: no two
+    // surviving cluster-mates are near-dups of each other
+    val survivors = rows.filter(!_._3)
+    for {
+      (a, ca, _) <- survivors
+      (b, cb, _) <- survivors
+      if ca == cb && a < b
+    } assert(cosR(vecs(a), vecs(b)) < Similarity.nearDupCosine,
+      s"surviving near-dup pair ($a, $b) in cell $ca")
+  }
 }

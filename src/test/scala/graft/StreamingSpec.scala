@@ -600,6 +600,22 @@ class StreamingSpec extends GraftSpec {
         s"batch total ${batch.length}")
   }
 
+  test("chunked multi-batch session drain equals the single-batch drain " +
+       "(chunking invariance through real watermark advancement)") {
+    // the registered multi-batch leg: time-ordered chunk files admitted
+    // maxFilesPerTrigger at a time, so sessions merge in keyed state
+    // across micro-batches and the watermark advances batch-by-batch —
+    // the closed-session set must be byte-identical to the single-batch
+    // drain's (the sf1 leg of the same statement is StreamScaleProf)
+    val chunked = graft.operators.EventAnalytics
+      .userSessionsStreamChunked(spark, sfDir).collect().toSeq
+    val single = graft.operators.EventAnalytics
+      .userSessionsStream(spark, sfDir).collect().toSeq
+    assert(chunked.nonEmpty, "no sessions emitted from the chunked drain")
+    assert(chunked.map(_.toString) == single.map(_.toString),
+      s"chunked ${chunked.size} vs single-batch ${single.size} sessions")
+  }
+
   test("streaming first-touch equals batch and holds O(keys) state") {
     val batch = EventAnalytics.firstTouch(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.get(3))).toSet
