@@ -138,7 +138,8 @@ object Dedup {
     * name prefix — the prefix also matches dedup_exact, dedup_simhash and
     * dedup_embedding_cosine, none of which touch the shingle family, so a
     * filtered bench run selecting only those would time a useless build. */
-  val familyMembers: Set[String] = Set("dedup_ngram_jaccard", "dedup_minhash_lsh",
+  val familyMembers: Set[String] = Set("dedup_ngram_jaccard", "dedup_jaccard_prefix",
+    "dedup_minhash_lsh",
     "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
     "split_leakage_safe", "decontaminate", "dedup_incremental",
     "dedup_cluster_profile", "dedup_rate_by_source")
@@ -194,19 +195,25 @@ object Dedup {
     * corpus (testdata can never push a shingle past [[maxShingleFreq]];
     * ScaleDesignSpec rehearses the cap actually firing and asserts the
     * capped plan agrees with a capped driver-side oracle). */
-  private[graft] def jaccardPairsFromShingles(sh: DataFrame): DataFrame = {
-    val filtered = sh.withColumn("f", count(lit(1)).over(Window.partitionBy("sh")))
-      // observed BEFORE the guard filters, so the dropped volume is a
-      // first-class metric of every run that crosses the cap
-      .observe("stop_shingle_guard",
+  /** The stop-shingle cap as a reusable stage (brute self-join and the
+    * prefix-filtered variant share it; each caller names its own observe
+    * metric because CollectMetrics names must be unique per query). The
+    * dropped volume is observed BEFORE the guard filters, so truncation
+    * at scale is a first-class metric of every run that crosses the cap;
+    * observe forbids distinct aggregates, so the unique-hot-shingle count
+    * is an HLL estimate. */
+  private[graft] def cappedShingles(sh: DataFrame, metric: String): DataFrame =
+    sh.withColumn("f", count(lit(1)).over(Window.partitionBy("sh")))
+      .observe(metric,
         sum(when(col("f") > maxShingleFreq, lit(1L)).otherwise(lit(0L)))
           .as("dropped_shingle_rows"),
-        // observe forbids distinct aggregates — HLL estimate is enough
-        // to see how many unique hot shingles the cap removed
         approx_count_distinct(when(col("f") > maxShingleFreq, col("sh")))
           .as("dropped_distinct_shingles"))
       .filter(col("f") <= maxShingleFreq)
       .select("doc_id", "sh")
+
+  private[graft] def jaccardPairsFromShingles(sh: DataFrame): DataFrame = {
+    val filtered = cappedShingles(sh, "stop_shingle_guard")
     // sizes from the SAME filtered set: a capped shingle must leave both
     // the intersection and the union or Jaccard is biased low
     val sizes = filtered.groupBy("doc_id").agg(count(lit(1)).as("n"))
@@ -229,6 +236,90 @@ object Dedup {
   /** The registered query: the shared pair graph in canonical order. */
   def dedupNgramJaccard(spark: SparkSession, dir: String): DataFrame =
     jaccardPairsShared(spark, dir).orderBy("doc_a", "doc_b")
+
+  /** [[jaccardThreshold]] as an exact rational (permille) so the prefix
+    * and length filters use integer arithmetic: `0.8 * n` in doubles is
+    * NOT exact (0.8 rounds up, so 0.8*5 > 4.0 and a ceil would return 5,
+    * wrongly shortening the prefix and dropping boundary pairs). The
+    * companion test pins that this value IS the threshold. */
+  val jaccardThresholdPermille = 800L
+
+  /** Exact set-similarity join by PREFIX FILTERING (the SSJoin/PPJoin
+    * family: Chaudhuri et al. ICDE 2006; Xiao et al. WWW 2008; same
+    * semantics as [[dedupNgramJaccard]], different candidate generation).
+    * The brute kernel joins EVERY shingle occurrence against every other
+    * — a hot-but-under-cap shingle shared by f docs contributes f²
+    * candidate rows whether or not any pair can pass the threshold. The
+    * prefix principle removes that waste WITHOUT losing a single pair:
+    * order each doc's shingles by a global canonical key (ascending
+    * document frequency, then the shingle string — rarest first) and
+    * emit only the first `n - ⌈t·n⌉ + 1` as join keys. If J(a,b) ≥ t
+    * then |a∩b| ≥ ⌈t·max(na,nb)⌉ ≥ ⌈t·n_d⌉ for both docs, and two sets
+    * whose overlap is ≥ α must collide inside their (n−α+1)-prefixes
+    * under ANY shared total order — so the candidate set provably
+    * contains every qualifying pair, while hot shingles (high df) land
+    * at the END of the order and never become join keys at all. A
+    * length filter (1000·min ≥ 800·max, exact in integers) prunes pairs
+    * no overlap could qualify, then ONE exact intersection pass over the
+    * candidates' full shingle sets scores real Jaccard — false
+    * candidates die there, so output == brute output, row for row
+    * (DedupSpec pins the equality; the oracle below IS the brute SQL).
+    *
+    * Scale shape: df is one grouped count over the shingle table; the
+    * ordering is a per-doc window (one hash partitioning by doc_id
+    * shared by both window functions); the candidate join's key set is
+    * the ~(1−t) rarest fraction of each doc's shingles, so join fan-out
+    * is governed by RARE-shingle frequencies — the quadratic term the
+    * brute kernel pays on every frequency band up to the cap is gone.
+    * At t=0.8 the prefix is ~20% of each doc, and candidate volume
+    * drops by the square of that on the hot bands. The verify join
+    * streams candidate pairs against the doc-keyed shingle table
+    * (left-semi on (doc_b, sh)) — work proportional to candidates ×
+    * doc size, not corpus². */
+  def dedupJaccardPrefix(spark: SparkSession, dir: String): DataFrame =
+    prefixJaccardPairs(
+      cappedShingles(docShinglesShared(spark, dir), "stop_shingle_guard_pfx"))
+      .orderBy("doc_a", "doc_b")
+
+  /** The prefix-filter kernel over any capped (doc_id, sh) table —
+    * factored out so DedupSpec can drive it on adversarial boundary
+    * geometries (pairs at exactly J = t, where a floating-point prefix
+    * length would silently lose completeness) next to the brute kernel. */
+  private[graft] def prefixJaccardPairs(shc: DataFrame): DataFrame = {
+    val dfCounts = shc.groupBy("sh").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy("doc_id")
+    val ordered = shc.join(dfCounts, "sh")
+      .withColumn("n", count(lit(1)).over(w))
+      .withColumn("pos", row_number().over(w.orderBy(col("df"), col("sh"))))
+    // ⌈t·n⌉ = (800n+999) div 1000, computed exactly: 800n+999 is an
+    // integer exact in double (n ≤ 2^40), its true quotient is never an
+    // integer (800n mod 1000 ∈ {0,200,..,800}, never 1), so floor cannot
+    // land on the wrong side of a boundary
+    val ceilTn = floor((col("n") * jaccardThresholdPermille + lit(999L)) /
+      lit(1000.0)).cast("long")
+    val prefix = ordered
+      .filter(col("pos") <= col("n") - ceilTn + lit(1L))
+      .select(col("doc_id"), col("sh"), col("n"))
+    val cand = prefix.toDF("doc_a", "sh", "na")
+      .join(prefix.toDF("doc_b", "sh", "nb"), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      // length filter: J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb), exact in permille
+      .filter(least(col("na"), col("nb")) * lit(1000L) >=
+        greatest(col("na"), col("nb")) * lit(jaccardThresholdPermille))
+      .select("doc_a", "doc_b", "na", "nb")
+      .dropDuplicates("doc_a", "doc_b")
+    // exact verify: one pass of doc_a's shingles, kept when doc_b has them
+    val inter = cand
+      .join(shc.toDF("doc_a", "sh"), "doc_a")
+      .join(shc.toDF("doc_b", "sh"), Seq("doc_b", "sh"), "left_semi")
+      .groupBy("doc_a", "doc_b", "na", "nb")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= jaccardThreshold)
+      .select("doc_a", "doc_b", "jaccard")
+  }
 
   /** MinHash signatures: for each of K hash functions, the minimum over
     * the doc's shingles of xxhash64(shingle, seed=i). */
@@ -694,6 +785,7 @@ object Dedup {
     "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
+    "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _))
 
@@ -896,6 +988,24 @@ object Dedup {
                 min(doc_id) AS rep_doc_id, count(*) AS n_copies
          FROM toks GROUP BY sig ORDER BY rep_doc_id""",
     "dedup_ngram_jaccard" ->
+      s"""WITH $shingleSql,
+          $cappedShingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2)
+          SELECT doc_a, doc_b, i::DOUBLE / (x.n + y.n - i) AS jaccard
+          FROM inter
+          JOIN sz x ON doc_a = x.doc_id
+          JOIN sz y ON doc_b = y.doc_id
+          WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
+          ORDER BY doc_a, doc_b""",
+    // deliberately the brute-force SQL VERBATIM: prefix filtering is an
+    // exact algorithm, so the oracle states the SEMANTICS (all-pairs
+    // Jaccard) while the implementation earns its keep on candidate
+    // volume — a fully independent gate, no prefix logic restated
+    "dedup_jaccard_prefix" ->
       s"""WITH $shingleSql,
           $cappedShingleSql,
           sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),

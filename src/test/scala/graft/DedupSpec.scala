@@ -24,6 +24,30 @@ class DedupSpec extends GraftSpec {
       s"LSH recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("prefix-filtered Jaccard join equals the brute kernel row for row") {
+    val brute = Dedup.dedupNgramJaccard(spark, sfDir).collect().map(_.toSeq).toSet
+    val pfx = Dedup.dedupJaccardPrefix(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(brute.nonEmpty, "testdata should contain planted near-dups")
+    assert(pfx == brute)
+  }
+
+  test("prefix filter keeps pairs at the exact J = t boundary (fp prefix length would lose them)") {
+    // |a|=4 ⊂ |b|=5 gives J = 4/5 = 0.8 = t exactly. The fp trap: 0.8 in
+    // double rounds UP, so ceil(0.8*5.0) = 5 and b's prefix would shrink
+    // to just its rarest shingle {s5}, while a's 1-prefix is {s1} — no
+    // collision, pair silently lost. Integer permille arithmetic gives
+    // ceil = 4, b's 2-prefix = {s5, s1}, and the collision on s1 survives.
+    val sp = spark
+    import sp.implicits._
+    val sh = ((1 to 4).map(i => (1L, s"s$i")) ++ (1 to 5).map(i => (2L, s"s$i")))
+      .toDF("doc_id", "sh")
+    val got = Dedup.prefixJaccardPairs(Dedup.cappedShingles(sh, "m_pfx_boundary"))
+      .collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Long]("doc_a") == 1L && got(0).getAs[Long]("doc_b") == 2L)
+    assert(got(0).getAs[Double]("jaccard") == 0.8)
+  }
+
   test("cluster dedup: components agree with driver-side union-find over the pairs") {
     val pairs = Dedup.dedupNgramJaccard(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))

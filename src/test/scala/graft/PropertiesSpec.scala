@@ -167,6 +167,45 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  /** Random shingle-set corpora engineered toward the J = 0.8 threshold:
+    * docs draw from a small shared pool so overlaps (including exact
+    * boundary ratios like 4/5) actually occur. */
+  private val shingleCorpus: Gen[List[(Long, String)]] = for {
+    nDocs <- Gen.chooseNum(3, 25)
+    pool <- Gen.chooseNum(6, 20)
+    rows <- Gen.sequence[List[List[(Long, String)]], List[(Long, String)]](
+      (0 until nDocs).toList.map { d =>
+        for {
+          base <- Gen.chooseNum(1, pool - 1)
+          // near-dup pressure: half the docs copy a sliding window of the
+          // pool, so set containments and high overlaps are common
+          start <- Gen.chooseNum(0, pool - base)
+        } yield (start until (start + base)).toList.map(i => (d.toLong, s"g$i"))
+      })
+  } yield rows.flatten
+
+  test("prefix-filtered Jaccard join equals a driver-side all-pairs reference " +
+      "on random corpora (completeness law for the prefix principle)") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    checkN(10)(forAll(shingleCorpus) { rows =>
+      val byDoc = rows.distinct.groupBy(_._1).map { case (d, rs) => d -> rs.map(_._2).toSet }
+      val expected = (for {
+        (a, sa) <- byDoc; (b, sb) <- byDoc if a < b
+        inter = (sa & sb).size
+        j = inter.toDouble / (sa.size + sb.size - inter)
+        if j >= graft.operators.Dedup.jaccardThreshold
+      } yield (a, b, j)).toSet
+      val got = graft.operators.Dedup.prefixJaccardPairs(
+        graft.operators.Dedup.cappedShingles(
+          rows.toDF("doc_id", "sh"), "m_pfx_law"))
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      Prop(got == expected) :| s"docs=${byDoc.size} expected=${expected.size} got=${got.size}"
+    })
+  }
+
   /** Reference BPE: greedy over a (word, count) map — max pair by
     * (count desc, pair asc), leftmost non-overlapping merge. Returns the
     * merge log AND each word's final segmentation (the encode side). */
