@@ -97,6 +97,15 @@ private[graft] object BenchFormat {
     // PLANS.md (one in, one out keeps the artifact under the
     // canary_end_sec rung)
     "ann_ivf_cosine" -> "ann_ivfpq_cosine",
+    // r9: dedup_ngram_jaccard's output IS the memoized pair-graph
+    // artifact the dedup_family_build metric prices (the brute shingle
+    // self-join runs INSIDE the build; the query's marginal plan is an
+    // artifact read + orderBy) — the inverted_index_flat -> index_build
+    // precedent exactly. Its timed slot moves to dedup_jaccard_prefix,
+    // the prefix-filtered candidate pipeline, which is a genuinely new
+    // physical shape (df-ordered per-doc windows, prefix-key join,
+    // candidate-verify semi-join) computing the same semantics
+    "dedup_ngram_jaccard" -> "dedup_family_build",
     // r8: multimodal_resize is a map-only blob scan whose per-record
     // work (strided substr/ascii HOF aggregate over the media bytes) is
     // a strict SUBSET of multimodal_frame_sample's plan — the same HOF
@@ -350,7 +359,14 @@ private[graft] object BenchFormat {
     // sized broadcast dictionary + one exploded equi-join + grouped
     // aggregation — wordcount's shape with a broadcast dim (filtered
     // timing in PLANS.md)
-    "bpe_encode")
+    "bpe_encode",
+    // r9: retrieval_hybrid_rrf composes two shared-probe legs — the
+    // bm25 index probe (itself excluded as a shared probe of the timed
+    // index artifact) and a dense leg whose vector build is wordcount's
+    // explode+groupBy shape lowered to TakeOrderedAndProject — and the
+    // RRF fusion itself is a ≤2k-row join, corpus-size-independent by
+    // construction (filtered timing in PLANS.md)
+    "retrieval_hybrid_rrf")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -85,6 +85,28 @@ object DocEmbedding {
       .select(col("doc_id"), array((0 until embDim).map(d => col(s"d$d")): _*).as("v"))
   }
 
+  /** Driver-side mirror of the hashing-trick featurization for a FIXED
+    * term list — the dense QUERY vector of the hybrid retrieval query
+    * (a constant: |terms| md5 hashes + sign lookups, shipped as a
+    * literal; identical values to what [[docVectors]] would compute for
+    * a document containing exactly these tokens once each, which is
+    * what the SQL oracle recomputes symbolically). */
+  def queryVector(terms: Seq[String]): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val acc = Array.fill(embDim)(0.0)
+    terms.foreach { t =>
+      val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val feature = (java.lang.Long.parseLong(hex.take(8), 16) % featureBuckets).toInt
+      val bits = signMatrix(feature)
+      var d = 0
+      while (d < embDim) {
+        acc(d) += (if (((bits >> d) & 1L) == 1L) 1.0 else -1.0)
+        d += 1
+      }
+    }
+    acc.toSeq
+  }
+
   /** Near-dup banding for the hashing-trick vectors. The tiny shared
     * vocabulary keeps ALL doc vectors correlated (raw background p99 ≈
     * 0.896 vs the weakest true pair at 0.940 — measured at sf0.01), so

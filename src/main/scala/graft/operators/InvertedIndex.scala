@@ -141,7 +141,8 @@ object InvertedIndex {
     * gates its `index_build` metric on THIS set. */
   val familyMembers: Set[String] = Set(
     "inverted_index_flat", "inverted_index_packed", "index_term_lookup",
-    "bm25_retrieval", "phrase_retrieval", "index_incremental") ++
+    "bm25_retrieval", "phrase_retrieval", "index_incremental",
+    "retrieval_hybrid_rrf") ++
     retrievalQueries.keySet
 
   /** Force-materialize the index artifacts — Bench's `index_build`
@@ -272,6 +273,57 @@ object InvertedIndex {
       .limit(bm25K)
   }
 
+  /** Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
+    * (Cormack/Clarke/Büttcher SIGIR 2009 — the standard score-free
+    * fusion rule, and the default hybrid-search combiner in production
+    * RAG/search stacks). ONE text query, scored two ways:
+    *  - sparse leg: the [[bm25Retrieval]] top-[[bm25K]] (term-pruned
+    *    probe of the persisted index — nothing rescans the corpus);
+    *  - dense leg: the SAME query terms featurized through
+    *    [[DocEmbedding]]'s hashing-trick projection into a CONSTANT
+    *    query vector (driver-side, shipped as a literal), scored by
+    *    codegen'd cosine against the per-doc vectors — a map-only scan
+    *    lowered to TakeOrderedAndProject, no shuffle beyond the
+    *    vector build's one aggregation.
+    * Fusion never looks at raw scores (BM25 micro-units and cosine are
+    * incommensurable): each leg contributes 1/(k + rank), k=[[rrfK]],
+    * summed over the legs that retrieved the doc. Ranks are
+    * deterministic (score desc, doc_id), the reciprocal sums are two
+    * IEEE divisions + one add on both engines, rounded to 6dp.
+    *
+    * Scale shape: both legs are top-k bounded, so the fusion join is
+    * |2k| rows regardless of corpus size; at 100 TB the dense leg's
+    * exhaustive scan would route through the IVFADC index
+    * ([[Similarity]]) — the fusion layer is unchanged by that swap. */
+  val rrfK = 60
+  val hybridTopK = 20
+  def hybridRetrievalRrf(spark: SparkSession, dir: String): DataFrame = {
+    val wAll = Window.orderBy(desc("score_micro"), col("doc_id"))
+    val sparse = bm25Retrieval(spark, dir)
+      .withColumn("bm25_rank", row_number().over(wAll))
+      .select("doc_id", "bm25_rank")
+    val qv = typedlit(DocEmbedding.queryVector(bm25Terms))
+    val dense = DocEmbedding.docVectors(spark, dir)
+      .select(col("doc_id"),
+        round(graft.functions.CosineSimilarity.cosine_similarity(col("v"), qv), 6)
+          .as("cos6"))
+      .orderBy(desc("cos6"), col("doc_id")).limit(bm25K)
+      .withColumn("dense_rank",
+        row_number().over(Window.orderBy(desc("cos6"), col("doc_id"))))
+      .select("doc_id", "dense_rank")
+    sparse.join(dense, Seq("doc_id"), "full_outer")
+      .withColumn("rrf6", round(
+        coalesce(lit(1.0) / (lit(rrfK) + col("bm25_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(rrfK) + col("dense_rank")), lit(0.0)), 6))
+      .orderBy(desc("rrf6"), col("doc_id"))
+      .limit(hybridTopK)
+      // rank 0 = "not in this leg's top-k" (typed, null-free output)
+      .select(col("doc_id"),
+        coalesce(col("bm25_rank"), lit(0)).as("bm25_rank"),
+        coalesce(col("dense_rank"), lit(0)).as("dense_rank"),
+        col("rrf6"))
+  }
+
   /** Phrase retrieval over the POSITIONAL postings (artifact 3) — the
     * classic extension the reference's boolean-only retrieval cannot
     * express (a positional index is what "phrase query" costs; Manning
@@ -343,7 +395,8 @@ object InvertedIndex {
     "inverted_index_flat" -> (invertedIndexFlat _),
     "inverted_index_packed" -> (invertedIndexPacked _),
     "index_term_lookup" -> (indexTermLookup _),
-    "bm25_retrieval" -> (bm25Retrieval _)) ++
+    "bm25_retrieval" -> (bm25Retrieval _),
+    "retrieval_hybrid_rrf" -> (hybridRetrievalRrf _)) ++
     retrievalQueries.map { case (name, q) => name -> booleanRetrieval(q) _ }
 
   private[operators] val tfSql =
@@ -374,6 +427,7 @@ object InvertedIndex {
           FROM tf WHERE term IN ('spark', 'data', 'dup')
           ORDER BY term, docno""",
     "bm25_retrieval" -> bm25Sql,
+    "retrieval_hybrid_rrf" -> hybridRrfSql,
     "phrase_retrieval" -> phraseSql,
     // merged == the full-corpus index restricted to batch-touched terms
     // (standing probe + fresh batch tf is definitionally that set)
@@ -418,10 +472,12 @@ object InvertedIndex {
     * SAME operator grouping as [[bm25Retrieval]]'s Column expression —
     * string-interpolating k1/b/(k1+1) guarantees both engines parse the
     * identical decimal literals (Scala's shortest-round-trip toString). */
-  private def bm25Sql: String = {
+  /** The BM25 pipeline as CTEs (shared by the bm25_retrieval oracle and
+    * the hybrid-RRF oracle's sparse leg). */
+  private def bm25CtesSql: String = {
     val terms = bm25Terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
     val k1p1 = (bm25K1 + 1).toString
-    s"""WITH $tfSql,
+    s"""$tfSql,
         stats AS (SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id),
         tot AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM stats),
         qdf AS (SELECT term, count(*) AS df FROM tf
@@ -434,9 +490,72 @@ object InvertedIndex {
                  round(round(i.idf6 * (t.tf * $k1p1) /
                    (t.tf + $bm25K1 * (1 - $bm25B + $bm25B * s.dl / (total_dl / n_docs))),
                    6) * 1000000)::BIGINT AS c_micro
-          FROM tf t JOIN idf i USING (term) JOIN stats s USING (doc_id), tot)
+          FROM tf t JOIN idf i USING (term) JOIN stats s USING (doc_id), tot)"""
+  }
+
+  private def bm25Sql: String =
+    s"""WITH $bm25CtesSql
         SELECT doc_id, count(*) AS n_hit, sum(c_micro)::BIGINT AS score_micro
         FROM scored GROUP BY doc_id
         ORDER BY score_micro DESC, doc_id LIMIT $bm25K"""
+
+  /** Hybrid RRF oracle: the sparse leg is the bm25 CTE chain above; the
+    * dense leg recomputes the hashing-trick doc vectors AND the query
+    * vector symbolically from the term list (DocEmbedding's oracle
+    * formulation, renamed CTEs to avoid colliding with tfSql's), then
+    * fuses by 1/(k+rank) exactly as the plan does. Components are
+    * integer-valued doubles, so dot/norms are exact in any order and the
+    * cosine is the same dot/(sqrt·sqrt) IEEE sequence the codegen'd
+    * expression evaluates. */
+  private def hybridRrfSql: String = {
+    val terms = bm25Terms.map(t => s"'${t.replace("'", "''")}'").mkString(", ")
+    val B = DocEmbedding.featureBuckets
+    val D = DocEmbedding.embDim
+    val sign = s"""CASE WHEN ${md5IntSql("feature::VARCHAR || '_' || d::VARCHAR", 1)} % 2 = 1
+                   THEN 1.0 ELSE -1.0 END"""
+    s"""WITH $bm25CtesSql,
+        bm25 AS (
+          SELECT doc_id, sum(c_micro)::BIGINT AS score_micro
+          FROM scored GROUP BY doc_id
+          ORDER BY score_micro DESC, doc_id LIMIT $bm25K),
+        branked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY score_micro DESC, doc_id) AS bm25_rank
+          FROM bm25),
+        vtf AS (
+          SELECT doc_id, ${md5IntSql("w", 8)} % $B AS feature, count(*) AS cnt
+          FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+          GROUP BY doc_id, feature),
+        vcomp AS (
+          SELECT doc_id, d, sum(cnt * $sign) AS s
+          FROM vtf CROSS JOIN unnest(range(0, $D)) AS u(d)
+          GROUP BY doc_id, d),
+        qtoks AS (SELECT unnest([$terms]) AS w),
+        qtf AS (SELECT ${md5IntSql("w", 8)} % $B AS feature, count(*) AS cnt
+                FROM qtoks GROUP BY feature),
+        qcomp AS (
+          SELECT d, sum(cnt * $sign) AS s
+          FROM qtf CROSS JOIN unnest(range(0, $D)) AS u(d)
+          GROUP BY d),
+        qnorm AS (SELECT sum(s * s) AS nb FROM qcomp),
+        dsc AS (
+          SELECT c.doc_id, sum(c.s * q.s) AS dot, sum(c.s * c.s) AS na
+          FROM vcomp c JOIN qcomp q USING (d) GROUP BY c.doc_id),
+        dcos AS (
+          SELECT doc_id, CASE WHEN na = 0 OR nb = 0 THEN 0.0
+                              ELSE round(dot / (sqrt(na) * sqrt(nb)), 6) END AS cos6
+          FROM dsc, qnorm),
+        dtop AS (SELECT doc_id, cos6 FROM dcos ORDER BY cos6 DESC, doc_id LIMIT $bm25K),
+        dranked AS (
+          SELECT doc_id,
+                 row_number() OVER (ORDER BY cos6 DESC, doc_id) AS dense_rank
+          FROM dtop)
+        SELECT coalesce(b.doc_id, d.doc_id) AS doc_id,
+               coalesce(b.bm25_rank, 0) AS bm25_rank,
+               coalesce(d.dense_rank, 0) AS dense_rank,
+               round(coalesce(1.0 / ($rrfK + b.bm25_rank), 0.0) +
+                     coalesce(1.0 / ($rrfK + d.dense_rank), 0.0), 6) AS rrf6
+        FROM branked b FULL OUTER JOIN dranked d ON b.doc_id = d.doc_id
+        ORDER BY rrf6 DESC, doc_id LIMIT $hybridTopK"""
   }
 }

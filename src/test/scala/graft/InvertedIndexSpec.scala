@@ -171,6 +171,35 @@ class InvertedIndexSpec extends GraftSpec {
     }
   }
 
+  test("hybrid RRF fusion: ranks come from real legs, the score is exactly the " +
+      "reciprocal-rank sum, and leg-winners dominate") {
+    val rows = InvertedIndex.hybridRetrievalRrf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val bm25 = InvertedIndex.bm25Retrieval(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSeq
+    rows.foreach { r =>
+      val (bRank, dRank) = (r.getAs[Int]("bm25_rank"), r.getAs[Int]("dense_rank"))
+      // every output doc was retrieved by at least one leg
+      assert(bRank > 0 || dRank > 0)
+      // bm25 ranks are exactly the bm25 query's own ordering
+      if (bRank > 0) assert(bm25(bRank - 1) == r.getAs[Long]("doc_id"))
+      // fusion math: rrf6 is the 6dp reciprocal-rank sum of the two legs
+      val want = BigDecimal(
+        (if (bRank > 0) 1.0 / (InvertedIndex.rrfK + bRank) else 0.0) +
+          (if (dRank > 0) 1.0 / (InvertedIndex.rrfK + dRank) else 0.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(r.getAs[Double]("rrf6") - want) < 1e-9,
+        s"doc ${r.getAs[Long]("doc_id")}: ${r.getAs[Double]("rrf6")} vs $want")
+    }
+    // output is sorted by fused score
+    val scores = rows.map(_.getAs[Double]("rrf6")).toSeq
+    assert(scores == scores.sortBy(-_))
+    // the fused winner scores at least what a single-leg rank-1 doc earns
+    // (the bm25 top doc is always in the fusion set, so the max can never
+    // fall below 1/(k+1))
+    assert(scores.head >= 1.0 / (InvertedIndex.rrfK + 1) - 1e-9)
+  }
+
   test("packed index df equals postings length (A13 invariant) on testdata") {
     val rows = InvertedIndex.invertedIndexPacked(spark, sfDir).collect()
     rows.foreach { r =>
