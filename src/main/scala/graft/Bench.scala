@@ -366,7 +366,21 @@ private[graft] object BenchFormat {
     // explode+groupBy shape lowered to TakeOrderedAndProject — and the
     // RRF fusion itself is a ≤2k-row join, corpus-size-independent by
     // construction (filtered timing in PLANS.md)
-    "retrieval_hybrid_rrf")
+    "retrieval_hybrid_rrf",
+    // r9: decontaminate's marginal plan over the shared shingle artifact
+    // (priced by dedup_family_build) is a broadcast equi-join + two
+    // grouped counts — the shape many timed entries already measure; its
+    // timed slot moves to decontaminate_bloom, whose bitset-OR UDAF
+    // build and bitwise might-contain probe scan are genuinely new
+    // physical work (filtered timing in PLANS.md)
+    "decontaminate",
+    // r9: bigram_relfreq_stripes' physical shape (the stripes map-monoid
+    // aggregate over the bigram explode) runs VERBATIM inside the timed
+    // pmi_stripes, which adds only the marginal join + log tail — the
+    // same one-subsumes-its-base rationale as dedup_spans_clean; the
+    // pairs-vs-stripes contrast stays timed via the pmi twins and
+    // bigram_relfreq_pairs (filtered timing in PLANS.md)
+    "bigram_relfreq_stripes")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -141,8 +141,8 @@ object Dedup {
   val familyMembers: Set[String] = Set("dedup_ngram_jaccard", "dedup_jaccard_prefix",
     "dedup_minhash_lsh",
     "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
-    "split_leakage_safe", "decontaminate", "dedup_incremental",
-    "dedup_cluster_profile", "dedup_rate_by_source")
+    "split_leakage_safe", "decontaminate", "decontaminate_bloom",
+    "dedup_incremental", "dedup_cluster_profile", "dedup_rate_by_source")
 
   /** Force-materialize the family's shared artifacts (shingle table,
     * verified pair graph, minhash band index). Bench times this as its
@@ -648,6 +648,64 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** Bloom-filter sizing for [[decontaminateBloom]]: 2^22 bits (512 KiB
+    * broadcast) and k=5 probes. Production rule: m ≈ 10–15 bits per
+    * expected benchmark shingle (FP ≈ 0.5–1%); at a 10^9-shingle eval
+    * suite that is a ~1.5 GB bitset versus a ≥30 GB broadcast of the
+    * exact shingle strings — the 20× that makes the broadcast fit at
+    * all. FP rate degrades only verify VOLUME, never output. */
+  val bloomBits = 1 << 22
+  val bloomK = 5
+
+  /** Benchmark decontamination with a BLOOM-PRUNED probe — the same
+    * output as [[decontaminate]], row for row (the oracle is the exact
+    * SQL verbatim), restructured for the regime where the benchmark
+    * suite's shingle set is too large to broadcast as strings:
+    *  1. BUILD: the benchmark shingles' k probe positions (codegen'd
+    *     xxhash64 column expressions) aggregate into one fixed-size
+    *     bitset via the OR-monoid [[graft.functions.BloomFilter]] —
+    *     map-side partial bitsets, one ~m/8-byte row out.
+    *  2. PRUNE: the corpus shingle stream crossJoins the single bitset
+    *     row (broadcast by construction) and keeps only might-contain
+    *     hits — map-only, no shuffle, no false negatives (builder and
+    *     prober evaluate the SAME position expressions).
+    *  3. VERIFY: only the surviving rows (true overlaps + the ~0.5% FP
+    *     band) equi-join the exact benchmark shingle set — now a
+    *     SHUFFLE join on a tiny fraction of the corpus, so the exact
+    *     set never needs to be broadcast — and the per-doc overlap
+    *     count/ratio/flag proceed exactly as [[decontaminate]].
+    * False positives die in step 3 (they match no exact row), so the
+    * result is bit-identical to the exact pipeline at every scale. */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFilter
+    val sh = docShinglesShared(spark, dir)
+    val isBench = col("doc_id") % benchMod === benchRem
+    val benchSh = sh.filter(isBench).select("sh").distinct()
+    val corpus = sh.filter(!isBench)
+    // 1. build: explode each benchmark shingle into its k positions, OR
+    // them into one bitset row
+    val bloomAgg = udaf(new BloomFilter.BitsetAgg(bloomBits))
+    val positions = benchSh.select(explode(array(
+      (0 until bloomK).map(i =>
+        BloomFilter.position(col("sh"), i, bloomBits.toLong)): _*)).as("pos"))
+    val bloom = positions.agg(bloomAgg(col("pos")).as("bloom"))
+    // 2. prune: map-only might-contain over the corpus shingle stream
+    val hits = corpus.crossJoin(broadcast(bloom))
+      .filter(BloomFilter.mightContain(col("bloom"), col("sh"), bloomK, bloomBits.toLong))
+      .select("doc_id", "sh")
+    // 3. verify + count: the decontaminate tail, with the exact set on
+    // the SHUFFLE side (deliberately no broadcast hint — the point)
+    val sizes = corpus.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
+    val overlap = hits.join(benchSh, "sh")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_overlap"))
+    overlap.join(sizes, "doc_id")
+      .withColumn("contam_ratio",
+        col("n_overlap").cast("double") / col("n_shingles"))
+      .withColumn("flagged", col("contam_ratio") >= contamThreshold)
+      .select("doc_id", "n_overlap", "n_shingles", "contam_ratio", "flagged")
+      .orderBy("doc_id")
+  }
+
   /** Incremental dedup — the daily-ingest shape: near-dups of a NEW
     * batch against the EXISTING corpus only (new×old; new×new intra-batch
     * dups are the self-dedup's job). The batch here is the deterministic
@@ -776,6 +834,7 @@ object Dedup {
     "dedup_spans" -> (dedupSpans _),
     "dedup_spans_clean" -> (dedupSpansClean _),
     "decontaminate" -> (decontaminate _),
+    "decontaminate_bloom" -> (decontaminateBloom _),
     "dedup_incremental" -> (dedupIncremental _),
     "dedup_clusters" -> (dedupClusters _),
     "dedup_cluster_profile" -> (dedupClusterProfile _),
@@ -895,6 +954,22 @@ object Dedup {
           GROUP BY n.doc_id, n.n_removed
           ORDER BY n.doc_id""",
     "decontaminate" ->
+      s"""WITH $shingleSql,
+          bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $benchMod = $benchRem),
+          corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % $benchMod <> $benchRem),
+          sz AS (SELECT doc_id, count(*) AS n_shingles FROM corpus GROUP BY doc_id),
+          ov AS (SELECT doc_id, count(*) AS n_overlap
+                 FROM corpus JOIN bsh USING (sh) GROUP BY doc_id)
+          SELECT o.doc_id, n_overlap, n_shingles,
+                 n_overlap::DOUBLE / n_shingles AS contam_ratio,
+                 n_overlap::DOUBLE / n_shingles >= $contamThreshold AS flagged
+          FROM ov o JOIN sz USING (doc_id)
+          ORDER BY doc_id""",
+    // deliberately the EXACT pipeline's SQL verbatim: the bloom prune is
+    // lossless by construction (no false negatives; false positives die
+    // in the exact verify join), so the oracle states the semantics with
+    // zero bloom logic restated — a fully independent gate
+    "decontaminate_bloom" ->
       s"""WITH $shingleSql,
           bsh AS (SELECT DISTINCT sh FROM sh WHERE doc_id % $benchMod = $benchRem),
           corpus AS (SELECT doc_id, sh FROM sh WHERE doc_id % $benchMod <> $benchRem),

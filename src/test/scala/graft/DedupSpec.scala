@@ -48,6 +48,13 @@ class DedupSpec extends GraftSpec {
     assert(got(0).getAs[Double]("jaccard") == 0.8)
   }
 
+  test("bloom-pruned decontamination equals the exact pipeline row for row") {
+    val exact = Dedup.decontaminate(spark, sfDir).collect().map(_.toSeq).toSet
+    val bloom = Dedup.decontaminateBloom(spark, sfDir).collect().map(_.toSeq).toSet
+    assert(exact.nonEmpty, "testdata should contain contaminated docs")
+    assert(bloom == exact)
+  }
+
   test("cluster dedup: components agree with driver-side union-find over the pairs") {
     val pairs = Dedup.dedupNgramJaccard(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))

@@ -206,6 +206,35 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("bloom bitset build+probe never false-negatives on random strings " +
+      "(tiny filter: boundary bits and dense-fill included)") {
+    import org.apache.spark.sql.SparkSession
+    import org.apache.spark.sql.functions.{col, explode, array, broadcast, udaf}
+    import graft.functions.BloomFilter
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val nBits = 256L // tiny on purpose: dense fill, word boundaries hit
+    val k = 5
+    val gen = Gen.listOfN(30, Gen.identifier.map(_.take(10)))
+    checkN(8)(forAll(gen) { raw =>
+      val inserted = raw.filter(_.nonEmpty).distinct
+      (inserted.nonEmpty: Prop) ==> {
+        val ins = inserted.toDF("sh")
+        val agg = udaf(new BloomFilter.BitsetAgg(nBits.toInt))
+        val bloom = ins
+          .select(explode(array((0 until k).map(i =>
+            BloomFilter.position(col("sh"), i, nBits)): _*)).as("pos"))
+          .agg(agg(col("pos")).as("bloom"))
+        val probes = (inserted ++ inserted.map(_ + "_absent")).distinct.toDF("sh")
+        val hits = probes.crossJoin(broadcast(bloom))
+          .filter(BloomFilter.mightContain(col("bloom"), col("sh"), k, nBits))
+          .collect().map(_.getString(0)).toSet
+        Prop(inserted.forall(hits)) :|
+          s"missing=${inserted.filterNot(hits)} (false negative!)"
+      }
+    })
+  }
+
   /** Reference BPE: greedy over a (word, count) map — max pair by
     * (count desc, pair asc), leftmost non-overlapping merge. Returns the
     * merge log AND each word's final segmentation (the encode side). */
