@@ -380,7 +380,12 @@ private[graft] object BenchFormat {
     // same one-subsumes-its-base rationale as dedup_spans_clean; the
     // pairs-vs-stripes contrast stays timed via the pmi twins and
     // bigram_relfreq_pairs (filtered timing in PLANS.md)
-    "bigram_relfreq_stripes")
+    "bigram_relfreq_stripes",
+    // r9: quality_gopher_rules is a zero-exchange map-only corpus scan
+    // with per-row string/regex kernels — the physical shape doc_quality,
+    // lang_id and text_normalize already time (filtered timing in
+    // PLANS.md)
+    "quality_gopher_rules")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -103,6 +103,68 @@ object TextQuality {
           .as("quality"))
       .orderBy("doc_id")
 
+  /** The published Gopher document-quality rule thresholds (Rae et al.
+    * 2021, arXiv:2112.11446, Table A1 — the rule battery most
+    * production pretraining pipelines descend from). Word-level rules
+    * run over RAW whitespace words (not the lowercasing tokenizer —
+    * symbol and alphabetic-character rules need the original forms);
+    * line rules split on newline. */
+  val gopherMinWords = 50L
+  val gopherMaxWords = 100000L
+  val gopherMinMeanWordLen = 3.0
+  val gopherMaxMeanWordLen = 10.0
+  val gopherMaxSymbolRatio = 0.1
+  val gopherMaxBulletFrac = 0.9
+  val gopherMaxEllipsisFrac = 0.3
+  val gopherMinAlphaFrac = 0.8
+  val gopherMinStopHits = 2L
+  /** Gopher's 8-word stop list (ibid.): presence of ≥2 is the
+    * "is this natural language at all" rule. */
+  val gopherStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher-rule quality filter: one map-only scan emitting every rule
+    * signal plus the conjunction (`keep`). Ratios ship as raw single
+    * int/int divisions (bit-identical cross-engine, the decontaminate
+    * discipline), so the threshold comparisons agree exactly on both
+    * sides. Regex/HOF lambdas keep this off the codegen fast path —
+    * acceptable for a map-only, embarrassingly parallel scan whose cost
+    * is per-byte string work either way. */
+  def qualityGopherRules(spark: SparkSession, dir: String): DataFrame = {
+    val words = filter(split(col("text"), "\\s+"), w => length(w) > lit(0))
+    val lines = split(col("text"), "\n")
+    val nSym = (regexp_count(col("text"), lit("#")) +
+      regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+    val base = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text"), words.as("w"), lines.as("ls"), nSym.as("n_sym"))
+      .filter(size(col("w")) > 0)
+    val r = base.select(
+      col("doc_id"),
+      size(col("w")).cast("long").as("n_words"),
+      (graft.functions.SumCharLengths.sum_char_lengths(col("w")).cast("double") /
+        size(col("w"))).as("mean_word_len"),
+      (col("n_sym").cast("double") / size(col("w"))).as("symbol_ratio"),
+      (size(filter(col("ls"), l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") /
+        size(col("ls"))).as("bullet_frac"),
+      (size(filter(col("ls"), l => rtrim(l).endsWith("..."))).cast("double") /
+        size(col("ls"))).as("ellipsis_frac"),
+      (size(filter(col("w"), w =>
+        regexp_count(lower(w), lit("[a-z]")) > 0)).cast("double") /
+        size(col("w"))).as("alpha_frac"),
+      graft.functions.CountIn.count_in(transform(col("w"), w => lower(w)), gopherStops)
+        .cast("long").as("stop_hits"))
+    r.withColumn("keep",
+        col("n_words").between(gopherMinWords, gopherMaxWords) &&
+          col("mean_word_len").between(gopherMinMeanWordLen, gopherMaxMeanWordLen) &&
+          col("symbol_ratio") <= gopherMaxSymbolRatio &&
+          col("bullet_frac") <= gopherMaxBulletFrac &&
+          col("ellipsis_frac") <= gopherMaxEllipsisFrac &&
+          col("alpha_frac") >= gopherMinAlphaFrac &&
+          col("stop_hits") >= gopherMinStopHits)
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: order-sensitive rolling hash over token codes
     * (code = ascii(first char)·256 + len). Runs as a sequential fold
     * inside `aggregate(...)` — still per-row, still codegen'd. */
@@ -258,6 +320,7 @@ object TextQuality {
     "token_stats" -> (tokenStats _),
     "lang_id" -> (langId _),
     "doc_quality" -> (docQuality _),
+    "quality_gopher_rules" -> (qualityGopherRules _),
     "doc_logprob" -> (docLogprob _),
     "doc_fingerprint" -> (docFingerprint _))
 
@@ -373,6 +436,43 @@ object TextQuality {
             FROM toks)
           SELECT doc_id, n_tokens, stop_ratio, diversity, punct_ratio, len_score,
                  round(len_score * 0.4 + diversity * 0.4 + stop_ratio * 0.2, 6) AS quality
+          FROM r ORDER BY doc_id""",
+    "quality_gopher_rules" ->
+      s"""WITH w AS (
+            SELECT doc_id,
+                   [x for x in regexp_split_to_array(text, '\\s+') if len(x) > 0] AS words,
+                   string_split(text, chr(10)) AS lines,
+                   (len(regexp_extract_all(text, '#')) +
+                    len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS n_sym
+            FROM documents),
+          r AS (
+            SELECT doc_id,
+                   len(words)::BIGINT AS n_words,
+                   list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                     / len(words) AS mean_word_len,
+                   n_sym::DOUBLE / len(words) AS symbol_ratio,
+                   len(list_filter(lines, l ->
+                     substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE
+                     / len(lines) AS bullet_frac,
+                   len(list_filter(lines, l ->
+                     ends_with(rtrim(l), '...')))::DOUBLE
+                     / len(lines) AS ellipsis_frac,
+                   len(list_filter(words, x ->
+                     regexp_matches(lower(x), '[a-z]')))::DOUBLE
+                     / len(words) AS alpha_frac,
+                   len(list_filter(words, x ->
+                     lower(x) IN (${gopherStops.map(s => s"'$s'").mkString(", ")})))::BIGINT
+                     AS stop_hits
+            FROM w WHERE len(words) > 0)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+                 ellipsis_frac, alpha_frac, stop_hits,
+                 (n_words BETWEEN $gopherMinWords AND $gopherMaxWords
+                  AND mean_word_len BETWEEN $gopherMinMeanWordLen AND $gopherMaxMeanWordLen
+                  AND symbol_ratio <= $gopherMaxSymbolRatio
+                  AND bullet_frac <= $gopherMaxBulletFrac
+                  AND ellipsis_frac <= $gopherMaxEllipsisFrac
+                  AND alpha_frac >= $gopherMinAlphaFrac
+                  AND stop_hits >= $gopherMinStopHits) AS keep
           FROM r ORDER BY doc_id""",
     "doc_fingerprint" ->
       s"""WITH $toksSql

@@ -88,4 +88,44 @@ class TextQualitySpec extends GraftSpec {
         wantSum.toDouble / (bgs.size.toLong * 1000000L))
     }
   }
+
+  test("gopher rules match a driver-side recompute from the raw text, every doc") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+    val rows = TextQuality.qualityGopherRules(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    val kept = rows.count(_.getAs[Boolean]("keep"))
+    assert(kept > 0 && kept < rows.length, "rule battery should discriminate")
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val words = t.split("\\s+").filter(_.nonEmpty)
+      val lines = t.split("\n", -1) // keep trailing empties: string_split does
+      val nSym = "#".r.findAllIn(t).size + "\\.\\.\\.".r.findAllIn(t).size
+      assert(r.getAs[Long]("n_words") == words.length.toLong)
+      assert(r.getAs[Double]("mean_word_len") ==
+        words.map(_.length).sum.toDouble / words.length)
+      assert(r.getAs[Double]("symbol_ratio") == nSym.toDouble / words.length)
+      assert(r.getAs[Double]("bullet_frac") ==
+        lines.count(l => Set("-", "*", "•")(l.replaceAll("^ +", "").take(1)))
+          .toDouble / lines.length)
+      assert(r.getAs[Double]("ellipsis_frac") ==
+        lines.count(_.replaceAll(" +$", "").endsWith("...")).toDouble / lines.length)
+      assert(r.getAs[Double]("alpha_frac") ==
+        words.count(_.toLowerCase.exists(c => c >= 'a' && c <= 'z')).toDouble
+          / words.length)
+      assert(r.getAs[Long]("stop_hits") ==
+        words.count(w => TextQuality.gopherStops.contains(w.toLowerCase)).toLong)
+      val keepWant =
+        r.getAs[Long]("n_words") >= TextQuality.gopherMinWords &&
+          r.getAs[Long]("n_words") <= TextQuality.gopherMaxWords &&
+          r.getAs[Double]("mean_word_len") >= TextQuality.gopherMinMeanWordLen &&
+          r.getAs[Double]("mean_word_len") <= TextQuality.gopherMaxMeanWordLen &&
+          r.getAs[Double]("symbol_ratio") <= TextQuality.gopherMaxSymbolRatio &&
+          r.getAs[Double]("bullet_frac") <= TextQuality.gopherMaxBulletFrac &&
+          r.getAs[Double]("ellipsis_frac") <= TextQuality.gopherMaxEllipsisFrac &&
+          r.getAs[Double]("alpha_frac") >= TextQuality.gopherMinAlphaFrac &&
+          r.getAs[Long]("stop_hits") >= TextQuality.gopherMinStopHits
+      assert(r.getAs[Boolean]("keep") == keepWant)
+    }
+  }
 }
