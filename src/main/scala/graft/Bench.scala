@@ -385,7 +385,13 @@ private[graft] object BenchFormat {
     // with per-row string/regex kernels — the physical shape doc_quality,
     // lang_id and text_normalize already time (filtered timing in
     // PLANS.md)
-    "quality_gopher_rules")
+    "quality_gopher_rules",
+    // r9: scd2_history is one user-keyed exchange carrying three window
+    // passes + one grouped aggregate — the gaps-and-islands WindowExec
+    // shape user_sessions (islands) and q13_running_revenue (running
+    // sum) already time over the same events scan (filtered timing in
+    // PLANS.md)
+    "scd2_history")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

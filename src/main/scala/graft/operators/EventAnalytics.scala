@@ -570,6 +570,53 @@ object EventAnalytics {
       .orderBy("user_id", "event_type")
   }
 
+  /** SCD Type-2 history build (Kimball's slowly-changing-dimension
+    * pattern — the standard lakehouse dimension-maintenance op): treat
+    * each user's event_type sequence as attribute-change records and
+    * reconstruct the versioned dimension — one row per CONSECUTIVE RUN
+    * of the same value, with [valid_from, valid_to) intervals chained so
+    * each version's end is the next version's start, and the open
+    * current version flagged. Gaps-and-islands via two windows over ONE
+    * user-keyed partitioning (lag → change flag → running sum = run id),
+    * then a grouped aggregate and a lead for the interval chain — three
+    * window passes and one aggregate, all sharing the same hash
+    * partitioning on user_id, so the whole build is a single exchange.
+    * At 100 TB the dimension build shuffles once by entity key and
+    * every window/aggregate rides that partitioning — the plan shape a
+    * MERGE-based SCD2 engine (Delta/Iceberg) lowers to internally.
+    * The open version's valid_to is the +inf sentinel rather than null
+    * (typed, null-free output; both engines compare it identically). */
+  val scd2OpenEnd = "9999-12-31 00:00:00"
+  def scd2History(spark: SparkSession, dir: String): DataFrame = {
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+    val runs = Tables.events(spark, dir)
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("chg",
+        when(lag(col("event_type"), 1).over(byUser).isNull ||
+          lag(col("event_type"), 1).over(byUser) =!= col("event_type"), lit(1L))
+          .otherwise(lit(0L)))
+      .withColumn("run_id", sum(col("chg")).over(
+        byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+    val versions = runs.groupBy("user_id", "run_id")
+      .agg(min(col("event_type")).as("attr"), // constant within a run
+        min(col("ts")).as("valid_from"),
+        count(lit(1)).as("n_events"))
+    val byRun = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("run_id")
+    versions
+      .withColumn("valid_to",
+        // the sentinel must match ts's TIMESTAMP_NTZ type or coalesce
+        // coerces the whole column to LTZ (a silent type change)
+        coalesce(lead(col("valid_from"), 1).over(byRun),
+          lit(scd2OpenEnd).cast("timestamp_ntz")))
+      .withColumn("is_current", col("run_id") === max(col("run_id")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")))
+      .select(col("user_id"), col("run_id").as("version"), col("attr"),
+        col("valid_from"), col("valid_to"), col("n_events"), col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
   /** Last drain's final progress — lets StreamingSpec pin the streaming
     * dedup's state-size contract (rows retained == distinct keys, not
     * rows fed). */
@@ -1212,6 +1259,7 @@ object EventAnalytics {
     "user_sessions" -> (userSessions _),
     "asof_last_error" -> (asofLastError _),
     "first_touch" -> (firstTouch _),
+    "scd2_history" -> (scd2History _),
     "conversion_funnel" -> (conversionFunnel _),
     "events_pivot" -> (eventsPivot _),
     "retention_cohorts" -> (retentionCohorts _),
@@ -1453,6 +1501,32 @@ object EventAnalytics {
                  (SELECT coalesce(sum(epoch_us(t3) - epoch_us(t2)), 0)::BIGINT FROM p)
           ORDER BY step""",
     "first_touch" -> firstTouchOracleSql,
+    // islands SQL is the standard declarative statement of SCD2
+    // semantics (same status as the sessionization oracle)
+    "scd2_history" ->
+      s"""WITH r AS (
+            SELECT user_id, event_type, ts, event_id,
+                   CASE WHEN lag(event_type) OVER w IS NULL
+                          OR lag(event_type) OVER w <> event_type
+                        THEN 1 ELSE 0 END AS chg
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+          runs AS (
+            SELECT user_id, event_type, ts,
+                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS run_id
+            FROM r),
+          v AS (
+            SELECT user_id, run_id, min(event_type) AS attr,
+                   min(ts) AS valid_from, count(*) AS n_events
+            FROM runs GROUP BY user_id, run_id)
+          SELECT user_id, run_id AS version, attr, valid_from,
+                 coalesce(lead(valid_from) OVER
+                     (PARTITION BY user_id ORDER BY run_id),
+                   TIMESTAMP '$scd2OpenEnd') AS valid_to,
+                 n_events,
+                 run_id = max(run_id) OVER (PARTITION BY user_id) AS is_current
+          FROM v ORDER BY user_id, version""",
     // the streaming dedup emits each key's FIRST arrival of the ordered
     // replay == the batch (ts, event_id) minimum: the StreamingDeduplicate
     // state machine is hash-checked against the batch oracle (the

@@ -137,6 +137,36 @@ class RelationalSpec extends GraftSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("scd2_history: intervals chain gaplessly, versions are dense, " +
+      "exactly one current row per user, events conserved") {
+    val rows = graft.operators.EventAnalytics.scd2History(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val nEvents = Tables.events(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_events")).sum == nEvents,
+      "every event belongs to exactly one version")
+    rows.groupBy(_.getAs[Long]("user_id")).foreach { case (u, vs) =>
+      val sorted = vs.sortBy(_.getAs[Long]("version"))
+      // versions are 1..n dense
+      assert(sorted.map(_.getAs[Long]("version")).toSeq == (1L to vs.length).toSeq,
+        s"user $u: versions not dense")
+      // exactly one current, and it is the last version
+      val current = vs.filter(_.getAs[Boolean]("is_current"))
+      assert(current.length == 1 && (current.head eq sorted.last), s"user $u")
+      // interval chain: each valid_to == next valid_from; open end sentinel last
+      sorted.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(a.getAs[Any]("valid_to") ==
+            b.getAs[Any]("valid_from"), s"user $u: gap in chain")
+          // consecutive versions always change the attribute (true SCD2 runs)
+          assert(a.getAs[String]("attr") != b.getAs[String]("attr"),
+            s"user $u: adjacent versions share a value")
+        case _ =>
+      }
+      assert(sorted.last.getAs[Any]("valid_to").toString
+        .startsWith("9999-12-31"), s"user $u: open version not sentinel-ended")
+    }
+  }
+
   test("q18 cube: margins are consistent sums of the leaf cells") {
     val rows = Relational.q18CubeRevenue(spark, sfDir).collect()
       .map(r => (r.getString(0), r.getString(1)) ->
