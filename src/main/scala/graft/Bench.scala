@@ -536,6 +536,7 @@ object Bench {
       graft.operators.PageRank.clearMemos()
       graft.operators.Similarity.clearMemos()
       graft.sources.AvroQueries.clearMemos()
+      graft.sources.OrcQueries.clearMemos()
     }
 
     // exclusion rationale on BenchFormat.benchedNames.

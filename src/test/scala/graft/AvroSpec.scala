@@ -144,4 +144,27 @@ class AvroSpec extends AnyFunSuite {
       .orderBy("lang", "source")
     assert(viaAvro.collect().toSeq == viaParquet.collect().toSeq)
   }
+
+  test("registered orc_roundtrip agrees with the parquet-side filtered aggregate, " +
+       "and the predicate is pushed into the ORC scan") {
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.OrcQueries.clearMemos()
+    val viaOrc = graft.sources.OrcQueries.orcRoundtrip(spark, dir)
+    val viaParquet = graft.Tables.documents(spark, dir)
+      .filter(col("n_chars") >= graft.sources.OrcQueries.orcMinChars &&
+        col("lang") === "en")
+      .groupBy("source")
+      .agg(count(lit(1)).as("cnt"), sum("n_chars").as("sum_chars"),
+        sum(length(col("text"))).as("sum_len"),
+        min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+      .orderBy("source")
+    val got = viaOrc.collect().toSeq
+    assert(got.nonEmpty && got == viaParquet.collect().toSeq)
+    // the filter must reach the ORC scan as a pushed predicate (stripe
+    // statistics skipping is what makes the selective read cheap at scale)
+    val plan = viaOrc.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(n_chars") &&
+      plan.contains("EqualTo(lang,en)"), plan.take(3000))
+  }
 }
