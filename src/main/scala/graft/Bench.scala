@@ -391,7 +391,14 @@ private[graft] object BenchFormat {
     // shape user_sessions (islands) and q13_running_revenue (running
     // sum) already time over the same events scan (filtered timing in
     // PLANS.md)
-    "scd2_history")
+    "scd2_history",
+    // r9: events_anomaly_stream_chunked is the multi-batch leg of the
+    // anomaly drain — FileStreamSource ingest priced by the timed
+    // taxi_region_hourly_stream, per-batch content is the
+    // flatMapGroupsWithState machine whose semantics events_anomaly
+    // (timed) states in batch form; the chunk fixture is harness
+    // scaffolding (the user_sessions_stream_chunked rationale exactly)
+    "events_anomaly_stream_chunked")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -135,6 +135,10 @@ object OracleAudit {
       "batch islands SQL independently states the closed-session set a REAL " +
       "multi-batch FileStreamSource drain must reproduce; chunking invariance " +
       "at sf1 measured by StreamScaleProf (PLANS.md round 9)")
+    m += "events_anomaly_stream_chunked" -> (Independent,
+      "batch rolling-baseline SQL independently states the flags a REAL " +
+      "multi-batch drain of the flatMapGroupsWithState ring must reproduce; " +
+      "the sentinel flush rides the last chunk file, not a driver addData")
     m += "logsumexp_by_group" -> (Independent,
       "oracle is ln(sum(exp)) from scratch; PropertiesSpec:41-95 monoid laws as belt-and-braces")
     m += "heavy_hitters_cms" -> (Independent,

@@ -1038,26 +1038,43 @@ object EventAnalytics {
     * machine must reproduce. The chunk fixture (time-range slices with
     * increasing mtimes, so FileStreamSource admits oldest-first) is
     * harness scaffolding, deleted after the drain. */
+  /** Write `df` as `nChunks` TIME-ORDERED single-file parquet chunks
+    * under `work/chunks` (quantile time cuts; ascending modified times
+    * so FileStreamSource admits oldest-first) — the shared fixture
+    * builder behind every multi-batch chunked drain. Returns the chunk
+    * directory; callers may append extra chunks (e.g. a sentinel file)
+    * with [[appendChunk]]. */
+  private def writeTimeOrderedChunks(work: java.nio.file.Path, df: DataFrame,
+      tCol: Column, nChunks: Int): java.nio.file.Path = {
+    val chunkDir = work.resolve("chunks")
+    val t = tCol.cast("double")
+    val bounds = df.select(t.as("t")).stat.approxQuantile(
+      "t", (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
+    val cuts = Array(Double.NegativeInfinity) ++ bounds :+ Double.PositiveInfinity
+    java.nio.file.Files.createDirectories(chunkDir)
+    for (i <- 0 until nChunks)
+      appendChunk(work, df.filter(t >= cuts(i) && t < cuts(i + 1)), i)
+    chunkDir
+  }
+
+  /** Append one single-file chunk with a modified time that sorts after
+    * every lower index (FileStreamSource's admission order). */
+  private def appendChunk(work: java.nio.file.Path, df: DataFrame, idx: Int): Unit = {
+    val tmp = work.resolve("tmp_chunk")
+    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val part = graft.sources.FileSinkFs.list(tmp, "part-").head
+    val dest = work.resolve("chunks").resolve(f"chunk_$idx%03d.parquet")
+    java.nio.file.Files.move(part, dest)
+    java.nio.file.Files.setLastModifiedTime(dest,
+      java.nio.file.attribute.FileTime.fromMillis(1000000000000L + idx * 10000L))
+  }
+
   def userSessionsStreamChunked(spark: SparkSession, dir: String): DataFrame = {
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val work = java.nio.file.Files.createTempDirectory("graft-sess-chunks")
-    val chunkDir = work.resolve("chunks")
     try {
-      val tsLong = col("ts").cast("timestamp").cast("long")
-      val bounds = raw.select(tsLong.as("t")).stat.approxQuantile(
-        "t", (1 until sessionChunks).map(_.toDouble / sessionChunks).toArray, 0.001)
-      val cuts = Array(Long.MinValue.toDouble) ++ bounds :+ Long.MaxValue.toDouble
-      java.nio.file.Files.createDirectories(chunkDir)
-      for (i <- 0 until sessionChunks) {
-        val tmp = work.resolve("tmp_chunk")
-        raw.filter(tsLong >= cuts(i) && tsLong < cuts(i + 1))
-          .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-        val part = graft.sources.FileSinkFs.list(tmp, "part-").head
-        val dest = chunkDir.resolve(f"chunk_$i%03d.parquet")
-        java.nio.file.Files.move(part, dest)
-        java.nio.file.Files.setLastModifiedTime(dest,
-          java.nio.file.attribute.FileTime.fromMillis(1000000000000L + i * 10000L))
-      }
+      val chunkDir = writeTimeOrderedChunks(work, raw,
+        col("ts").cast("timestamp").cast("long"), sessionChunks)
       val sinkName = "user_sessions_stream_chunked_sink"
       spark.catalog.dropTempView(sinkName)
       val q = spark.readStream.schema(raw.schema)
@@ -1085,6 +1102,69 @@ object EventAnalytics {
           col("session_end").cast("timestamp_ntz").as("session_end"),
           col("n_events"))
         .orderBy("user_id", "session_start")
+    } finally graft.sources.FileSinkFs.deleteRecursively(work)
+  }
+
+  /** Chunk count / per-trigger admission for the multi-batch ANOMALY
+    * drain (same cadence as the session drain: 3 data micro-batches). */
+  val anomalyChunks = 6
+  val anomalyChunksPerTrigger = 2
+
+  /** The multi-batch leg of [[eventsAnomalyStream]]: the SAME
+    * `flatMapGroupsWithState` anomaly ring (open hourly window + ≤24
+    * closed-window baseline per key), driven from TIME-ORDERED chunk
+    * files through a real FileStreamSource with `maxFilesPerTrigger`
+    * bounding each micro-batch — so the ring state genuinely carries
+    * across micro-batch boundaries and every batch's per-key iterator
+    * continues where the previous batch's state left off. This
+    * completes the chunked-drain discipline for ARBITRARY custom state
+    * (the session drain covers the built-in session_window operator;
+    * this covers the hand-rolled GroupState machine), closing the
+    * "MemoryStream replays are driver-fed" caveat for the anomaly
+    * family too.
+    *
+    * The drain-flush sentinel (one per-key event one full window past
+    * max(ts), whose own window never closes and never emits) rides the
+    * LAST chunk file instead of a driver `addData` call — the fixture
+    * carries the drain discipline, the engine does all the feeding.
+    * In-order delivery across batches holds because the chunks are
+    * time-range slices admitted oldest-first; the oracle is the batch
+    * rolling-baseline SQL, chunk-count-invariant by the same argument
+    * as the session drain. */
+  def eventsAnomalyStreamChunked(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    val windowMicros = 3600L * 1000000L
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+    val work = java.nio.file.Files.createTempDirectory("graft-anom-chunks")
+    try {
+      val chunkDir = writeTimeOrderedChunks(work, raw, col("tsMicros"), anomalyChunks)
+      val maxTs = raw.agg(max("tsMicros")).head.getLong(0)
+      appendChunk(work,
+        raw.select("key").distinct()
+          .withColumn("tsMicros", lit(maxTs + 1000L * windowMicros)),
+        anomalyChunks) // sorts after every data chunk
+      val sinkName = "events_anomaly_stream_chunked_sink"
+      spark.catalog.dropTempView(sinkName)
+      val q = graft.streaming.StreamingJobs.detectAnomalies(
+        spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", anomalyChunksPerTrigger)
+          .parquet(chunkDir.toString)
+          .as[graft.streaming.KeyedEvent],
+        windowMicros)
+        .writeStream.outputMode("append").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val rows = spark.table(sinkName)
+        .as[(String, Long, Long, Int, Boolean)].collect().toSeq
+      spark.catalog.dropTempView(sinkName)
+      rows.toDF("event_type", "winStart", "cnt", "n", "is_anomaly")
+        .select(col("event_type"), timestamp_micros(col("winStart")).as("hour"),
+          col("cnt"), col("is_anomaly"))
+        .orderBy("event_type", "hour")
     } finally graft.sources.FileSinkFs.deleteRecursively(work)
   }
 
@@ -1249,6 +1329,7 @@ object EventAnalytics {
     "value_moments" -> (valueMoments _),
     "events_anomaly" -> (eventsAnomaly _),
     "events_anomaly_stream" -> (eventsAnomalyStream _),
+    "events_anomaly_stream_chunked" -> (eventsAnomalyStreamChunked _),
     "key_skew_profile" -> (keySkewProfile _),
     "user_sessions_stream" -> (userSessionsStream _),
     "user_sessions_stream_chunked" -> (userSessionsStreamChunked _),
@@ -1363,6 +1444,7 @@ object EventAnalytics {
     // the streaming replay must be indistinguishable from the batch
     // frame — same oracle for both
     "events_anomaly_stream" -> eventsAnomalyOracle,
+    "events_anomaly_stream_chunked" -> eventsAnomalyOracle,
     "events_anomaly" -> eventsAnomalyOracle,
     "key_skew_profile" ->
       """WITH ev AS (

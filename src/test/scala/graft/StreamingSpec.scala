@@ -616,6 +616,21 @@ class StreamingSpec extends GraftSpec {
       s"chunked ${chunked.size} vs single-batch ${single.size} sessions")
   }
 
+  test("chunked multi-batch anomaly drain equals the driver-fed replay " +
+       "(ring state carries across real micro-batch boundaries)") {
+    // the registered multi-batch leg of the flatMapGroupsWithState
+    // anomaly ring: the sentinel flush rides the last chunk file and the
+    // engine feeds every batch — output must be byte-identical to the
+    // MemoryStream replay (same machine, driver-fed)
+    val chunked = graft.operators.EventAnalytics
+      .eventsAnomalyStreamChunked(spark, sfDir).collect().toSeq
+    val replay = graft.operators.EventAnalytics
+      .eventsAnomalyStream(spark, sfDir).collect().toSeq
+    assert(chunked.nonEmpty, "no windows emitted from the chunked drain")
+    assert(chunked.map(_.toString) == replay.map(_.toString),
+      s"chunked ${chunked.size} vs replay ${replay.size} windows")
+  }
+
   test("streaming first-touch equals batch and holds O(keys) state") {
     val batch = EventAnalytics.firstTouch(spark, sfDir).collect()
       .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.get(3))).toSet
