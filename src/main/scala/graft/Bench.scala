@@ -398,7 +398,13 @@ private[graft] object BenchFormat {
     // flatMapGroupsWithState machine whose semantics events_anomaly
     // (timed) states in batch form; the chunk fixture is harness
     // scaffolding (the user_sessions_stream_chunked rationale exactly)
-    "events_anomaly_stream_chunked")
+    "events_anomaly_stream_chunked",
+    // r9: tfidf_top_terms probes the persisted index artifact (priced by
+    // index_build + the existing probe entries), adds one doc-keyed
+    // equi-join + a grouped sum, and its per-source top-k lowers to the
+    // same bounded-PQ exec topk_by_group times (filtered timing in
+    // PLANS.md)
+    "tfidf_top_terms")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -142,7 +142,7 @@ object InvertedIndex {
   val familyMembers: Set[String] = Set(
     "inverted_index_flat", "inverted_index_packed", "index_term_lookup",
     "bm25_retrieval", "phrase_retrieval", "index_incremental",
-    "retrieval_hybrid_rrf") ++
+    "retrieval_hybrid_rrf", "tfidf_top_terms") ++
     retrievalQueries.keySet
 
   /** Force-materialize the index artifacts — Bench's `index_build`
@@ -273,6 +273,39 @@ object InvertedIndex {
       .limit(bm25K)
   }
 
+  /** TF-IDF top terms per source (Salton's weighting — the canonical
+    * corpus-keyword extraction; Manning et al. IIR §6.2): tf aggregated
+    * from the PERSISTED index artifact (never re-tokenizes the corpus —
+    * the r6d retrieval discipline), df/N from the same artifact's df
+    * column, source arriving through one doc-keyed equi-join. Scoring
+    * follows the bm25 micro-unit discipline exactly (idf rounded 6dp,
+    * tf·idf6 is one double multiply, micro-quantized to a long), so the
+    * ranking is integer-exact cross-engine at any scale. The per-source
+    * top-k lowers through the TopKRewrite rule to the bounded-PQ exec —
+    * the custom operator carries a second production workload beyond
+    * topk_by_group. */
+  val tfidfK = 10
+  def tfidfTopTerms(spark: SparkSession, dir: String): DataFrame = {
+    val idx = persistedIndex(spark, dir) // term, df, docno, tf
+    val nDocs = Tables.documents(spark, dir)
+      .agg(count(lit(1)).as("n_docs"))
+    val src = Tables.documents(spark, dir).select(col("doc_id").as("docno"), col("source"))
+    val byTerm = idx.join(src, "docno")
+      .groupBy("source", "term")
+      .agg(sum(col("tf")).as("tf"), min(col("df")).as("df")) // df constant per term
+    byTerm
+      .crossJoin(broadcast(nDocs))
+      .withColumn("idf6",
+        round(log10(col("n_docs").cast("double") / col("df")), 6))
+      .withColumn("score_micro",
+        round(col("idf6") * col("tf") * 1e6, 0).cast("long"))
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy("source").orderBy(desc("score_micro"), col("term"))))
+      .filter(col("rnk") <= tfidfK)
+      .select(col("source"), col("term"), col("tf"), col("score_micro"), col("rnk"))
+      .orderBy("source", "rnk")
+  }
+
   /** Hybrid sparse+dense retrieval fused by Reciprocal Rank Fusion
     * (Cormack/Clarke/Büttcher SIGIR 2009 — the standard score-free
     * fusion rule, and the default hybrid-search combiner in production
@@ -396,7 +429,8 @@ object InvertedIndex {
     "inverted_index_packed" -> (invertedIndexPacked _),
     "index_term_lookup" -> (indexTermLookup _),
     "bm25_retrieval" -> (bm25Retrieval _),
-    "retrieval_hybrid_rrf" -> (hybridRetrievalRrf _)) ++
+    "retrieval_hybrid_rrf" -> (hybridRetrievalRrf _),
+    "tfidf_top_terms" -> (tfidfTopTerms _)) ++
     retrievalQueries.map { case (name, q) => name -> booleanRetrieval(q) _ }
 
   private[operators] val tfSql =
@@ -428,6 +462,26 @@ object InvertedIndex {
           ORDER BY term, docno""",
     "bm25_retrieval" -> bm25Sql,
     "retrieval_hybrid_rrf" -> hybridRrfSql,
+    "tfidf_top_terms" ->
+      s"""WITH $tfSql,
+          nd AS (SELECT count(*) AS n_docs FROM documents),
+          wd AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+          g AS (
+            SELECT d.source, t.term, sum(t.tf)::BIGINT AS tf
+            FROM tf t JOIN documents d USING (doc_id)
+            GROUP BY d.source, t.term),
+          scored AS (
+            SELECT g.source, g.term, g.tf,
+                   round(round(log10(n_docs::DOUBLE / w.df), 6) * g.tf
+                     * 1000000)::BIGINT AS score_micro
+            FROM g JOIN wd w USING (term), nd),
+          r AS (
+            SELECT source, term, tf, score_micro,
+                   row_number() OVER (PARTITION BY source
+                     ORDER BY score_micro DESC, term) AS rnk
+            FROM scored)
+          SELECT source, term, tf, score_micro, rnk
+          FROM r WHERE rnk <= $tfidfK ORDER BY source, rnk""",
     "phrase_retrieval" -> phraseSql,
     // merged == the full-corpus index restricted to batch-touched terms
     // (standing probe + fresh batch tf is definitionally that set)

@@ -34,8 +34,15 @@ object OrcQueries {
       memo.getOrElseUpdate((spark, dir), {
         val out = "target/graft-orc-docs/" +
           dir.replaceAll("[^A-Za-z0-9.]", "_")
+        // the artifact is WIDER than any one query needs (text_len is
+        // conversion-time materialized metadata, the lake-table norm) —
+        // so the round-trip query also proves ORC column pruning: it
+        // decodes every ORIGINAL column and skips text_len, which the
+        // registry-wide wide-scan audit (ScaleDesignSpec) checks
         graft.Tables.documents(spark, dir)
           .select("doc_id", "text", "lang", "source", "n_chars")
+          .withColumn("text_len", org.apache.spark.sql.functions.length(
+            org.apache.spark.sql.functions.col("text")))
           .write.mode("overwrite").option("compression", "zlib").orc(out)
         out
       })

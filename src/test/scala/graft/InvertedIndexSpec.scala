@@ -200,6 +200,44 @@ class InvertedIndexSpec extends GraftSpec {
     assert(scores.head >= 1.0 / (InvertedIndex.rrfK + 1) - 1e-9)
   }
 
+  test("tfidf top terms: ranks are per-source dense, scores match a driver " +
+      "recompute, and the per-source top-k lowers to the bounded-PQ exec") {
+    val df = InvertedIndex.tfidfTopTerms(spark, sfDir)
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // dense ranks 1..k per source, scores non-increasing within a source
+    rows.groupBy(_.getAs[String]("source")).foreach { case (s, rs) =>
+      val sorted = rs.sortBy(_.getAs[Int]("rnk"))
+      assert(sorted.map(_.getAs[Int]("rnk")).toSeq == (1 to rs.length).toSeq, s)
+      val scores = sorted.map(_.getAs[Long]("score_micro")).toSeq
+      assert(scores == scores.sortBy(-(_: Long)), s)
+      assert(rs.length <= InvertedIndex.tfidfK)
+    }
+    // driver recompute of one source's scores from raw text
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "source", "text").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[String]("source"),
+        r.getAs[String]("text").toLowerCase.split("[^a-z0-9]+").filter(_.nonEmpty)))
+    val n = docs.length.toDouble
+    val dfMap = docs.flatMap(d => d._3.distinct.map(_ -> d._1)).groupBy(_._1)
+      .map { case (t, xs) => t -> xs.length }
+    val src0 = docs.head._2
+    val tf0 = docs.filter(_._2 == src0).flatMap(_._3)
+      .groupBy(identity).map { case (t, xs) => t -> xs.length.toLong }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = tf0.map { case (t, tf) =>
+      t -> BigDecimal(r6(math.log10(n / dfMap(t))) * tf * 1e6)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    }
+    rows.filter(_.getAs[String]("source") == src0).foreach { r =>
+      assert(r.getAs[Long]("score_micro") == want(r.getAs[String]("term")),
+        s"term ${r.getAs[String]("term")}")
+    }
+    // the row_number+filter pattern must lower through TopKRewrite
+    val nodes = physicalNodes(df).map(_.getClass.getSimpleName)
+    assert(nodes.contains("GraftTopKExec"), nodes.mkString(","))
+  }
+
   test("packed index df equals postings length (A13 invariant) on testdata") {
     val rows = InvertedIndex.invertedIndexPacked(spark, sfDir).collect()
     rows.foreach { r =>
