@@ -285,7 +285,10 @@ object Dedup {
     * factored out so DedupSpec can drive it on adversarial boundary
     * geometries (pairs at exactly J = t, where a floating-point prefix
     * length would silently lose completeness) next to the brute kernel. */
-  private[graft] def prefixJaccardPairs(shc: DataFrame): DataFrame = {
+  /** The candidate stage alone (prefix-key join + length filter,
+    * deduplicated) — exposed so the scale profiler can count candidate
+    * volume next to the brute kernel's. */
+  private[graft] def prefixCandidates(shc: DataFrame): DataFrame = {
     val dfCounts = shc.groupBy("sh").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy("doc_id")
     val ordered = shc.join(dfCounts, "sh")
@@ -300,7 +303,7 @@ object Dedup {
     val prefix = ordered
       .filter(col("pos") <= col("n") - ceilTn + lit(1L))
       .select(col("doc_id"), col("sh"), col("n"))
-    val cand = prefix.toDF("doc_a", "sh", "na")
+    prefix.toDF("doc_a", "sh", "na")
       .join(prefix.toDF("doc_b", "sh", "nb"), "sh")
       .filter(col("doc_a") < col("doc_b"))
       // length filter: J ≥ t ⇒ min(na,nb) ≥ t·max(na,nb), exact in permille
@@ -308,6 +311,10 @@ object Dedup {
         greatest(col("na"), col("nb")) * lit(jaccardThresholdPermille))
       .select("doc_a", "doc_b", "na", "nb")
       .dropDuplicates("doc_a", "doc_b")
+  }
+
+  private[graft] def prefixJaccardPairs(shc: DataFrame): DataFrame = {
+    val cand = prefixCandidates(shc)
     // exact verify: one pass of doc_a's shingles, kept when doc_b has them
     val inter = cand
       .join(shc.toDF("doc_a", "sh"), "doc_a")
