@@ -127,33 +127,39 @@ object TextQuality {
     * signal plus the conjunction (`keep`). Ratios ship as raw single
     * int/int divisions (bit-identical cross-engine, the decontaminate
     * discipline), so the threshold comparisons agree exactly on both
-    * sides. Regex/HOF lambdas keep this off the codegen fast path —
-    * acceptable for a map-only, embarrassingly parallel scan whose cost
-    * is per-byte string work either way. */
+    * sides. Per-word/per-line work runs through the codegen'd
+    * [[graft.functions.GopherKernels]] fused loops — the first cut of
+    * this query used HOF lambdas + a regex per word and measured ~28×
+    * wall for 30× data (sf3 scaling run): per-byte interpreted constants
+    * fully dominated a map-only scan, the exact anti-pattern the r6g
+    * kernel sweep exists for. The kernels reproduce the HOF forms'
+    * values exactly (scaladoc there), so the oracle is unchanged.
+    * The split arrays stay RAW (unfiltered): empty words contribute 0
+    * to every sum/count, so filtering them was pure wasted work. */
   def qualityGopherRules(spark: SparkSession, dir: String): DataFrame = {
-    val words = filter(split(col("text"), "\\s+"), w => length(w) > lit(0))
-    val lines = split(col("text"), "\n")
+    import graft.functions.GopherKernels
     val nSym = (regexp_count(col("text"), lit("#")) +
       regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
     val base = Tables.documents(spark, dir)
-      .select(col("doc_id"), col("text"), words.as("w"), lines.as("ls"), nSym.as("n_sym"))
-      .filter(size(col("w")) > 0)
+      .select(col("doc_id"),
+        split(col("text"), "\\s+").as("w"),
+        split(col("text"), "\n").as("ls"),
+        nSym.as("n_sym"))
+      .withColumn("n_words", GopherKernels.count_nonempty(col("w")))
+      .filter(col("n_words") > 0)
     val r = base.select(
       col("doc_id"),
-      size(col("w")).cast("long").as("n_words"),
+      col("n_words"),
       (graft.functions.SumCharLengths.sum_char_lengths(col("w")).cast("double") /
-        size(col("w"))).as("mean_word_len"),
-      (col("n_sym").cast("double") / size(col("w"))).as("symbol_ratio"),
-      (size(filter(col("ls"), l =>
-        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("double") /
+        col("n_words")).as("mean_word_len"),
+      (col("n_sym").cast("double") / col("n_words")).as("symbol_ratio"),
+      (GopherKernels.count_bullet_lines(col("ls")).cast("double") /
         size(col("ls"))).as("bullet_frac"),
-      (size(filter(col("ls"), l => rtrim(l).endsWith("..."))).cast("double") /
+      (GopherKernels.count_ellipsis_lines(col("ls")).cast("double") /
         size(col("ls"))).as("ellipsis_frac"),
-      (size(filter(col("w"), w =>
-        regexp_count(lower(w), lit("[a-z]")) > 0)).cast("double") /
-        size(col("w"))).as("alpha_frac"),
-      graft.functions.CountIn.count_in(transform(col("w"), w => lower(w)), gopherStops)
-        .cast("long").as("stop_hits"))
+      (GopherKernels.count_alpha(col("w")).cast("double") /
+        col("n_words")).as("alpha_frac"),
+      GopherKernels.count_in_lower(col("w"), gopherStops).as("stop_hits"))
     r.withColumn("keep",
         col("n_words").between(gopherMinWords, gopherMaxWords) &&
           col("mean_word_len").between(gopherMinMeanWordLen, gopherMaxMeanWordLen) &&
