@@ -404,7 +404,18 @@ private[graft] object BenchFormat {
     // equi-join + a grouped sum, and its per-source top-k lowers to the
     // same bounded-PQ exec topk_by_group times (filtered timing in
     // PLANS.md)
-    "tfidf_top_terms")
+    "tfidf_top_terms",
+    // r9: shard_manifest is wordcount's tokenize scan + one grouped
+    // aggregate into an 8-row table + a single-row broadcast share —
+    // no plan structure the timed set lacks (filtered timing in
+    // PLANS.md)
+    "shard_manifest",
+    // r9: jsonl_roundtrip's parse kernel (Jackson over text rows) is
+    // priced by the timed events_json_extract; its delta is source
+    // plumbing (schema'd read, pruned parsing) pinned by spec, and the
+    // write half is the same distributed text write graft-filesink's
+    // timed paths exercise (filtered timing in PLANS.md)
+    "jsonl_roundtrip")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would
@@ -550,6 +561,7 @@ object Bench {
       graft.operators.Similarity.clearMemos()
       graft.sources.AvroQueries.clearMemos()
       graft.sources.OrcQueries.clearMemos()
+      graft.sources.JsonlQueries.clearMemos()
     }
 
     // exclusion rationale on BenchFormat.benchedNames.

@@ -24,7 +24,8 @@ object SparkEntry {
       EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry ++
       Multimodal.registry ++ DocEmbedding.registry ++ CorpusPipeline.registry ++
       TaxiEvents.registry ++ Bpe.registry ++ graft.sources.Synthetic.registry ++
-      graft.sources.AvroQueries.registry ++ graft.sources.OrcQueries.registry
+      graft.sources.AvroQueries.registry ++ graft.sources.OrcQueries.registry ++
+      graft.sources.JsonlQueries.registry
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -35,5 +36,6 @@ object SparkEntry {
       EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql ++
       Multimodal.oracleSql ++ DocEmbedding.oracleSql ++ CorpusPipeline.oracleSql ++
       TaxiEvents.oracleSql ++ Bpe.oracleSql ++ graft.sources.Synthetic.oracleSql ++
-      graft.sources.AvroQueries.oracleSql ++ graft.sources.OrcQueries.oracleSql
+      graft.sources.AvroQueries.oracleSql ++ graft.sources.OrcQueries.oracleSql ++
+      graft.sources.JsonlQueries.oracleSql
 }

@@ -427,7 +427,41 @@ object CorpusPipeline {
       .orderBy("lang")
   }
 
+  /** Shard count for the data-loader manifest — in production, the
+    * data-parallel world size (or a multiple of it). */
+  val nShards = 8
+
+  /** Training data-loader shard manifest: the deterministic doc → shard
+    * assignment a distributed training job reads by (each rank opens
+    * its own shard; no coordinator, no shared iterator), plus the
+    * per-shard balance statistics that decide whether the assignment is
+    * servable. Assignment is the seed-stable hash discipline every
+    * sampler here uses (md5 over the decimal doc_id — a doc's shard
+    * never changes when the corpus grows, so incremental ingest only
+    * APPENDS to shards), and the manifest is one grouped aggregate:
+    * docs, tokens, chars, and the token share per shard. With hash
+    * assignment the expected imbalance shrinks as shards fill
+    * (multinomial concentration) — the spec pins the observed token
+    * imbalance under ±10% at fixture scale, and the skew column makes
+    * the check a one-glance read at any scale. */
+  def shardManifest(spark: SparkSession, dir: String): DataFrame = {
+    val d = docs(spark, dir)
+      .withColumn("shard_id", pmod(md5Int(col("doc_id").cast("string"), 15), lit(nShards.toLong)))
+      .withColumn("n_tokens", size(col("ws")).cast("long"))
+    val per = d.groupBy("shard_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("n_chars")).as("n_chars"))
+    val tot = per.agg(sum(col("n_tokens")).as("total_tokens"))
+    per.crossJoin(broadcast(tot))
+      .withColumn("token_share",
+        round(col("n_tokens").cast("double") / col("total_tokens"), 6))
+      .select("shard_id", "n_docs", "n_tokens", "n_chars", "token_share")
+      .orderBy("shard_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "shard_manifest" -> (shardManifest _),
     "mixture_plan" -> (mixturePlan _),
     "doc_chunks" -> (docChunks _),
     "sample_stratified" -> (sampleStratified _),
@@ -453,6 +487,20 @@ object CorpusPipeline {
     mixtureTargets.map { case (l, w) => s"('$l', $w)" }.mkString(", ")
 
   val oracleSql: Map[String, String] = Map(
+    "shard_manifest" ->
+      s"""WITH d AS (
+            SELECT ${md5IntSql("(doc_id)::VARCHAR", 15)} % $nShards AS shard_id,
+                   len($tokenizeSql)::BIGINT AS n_tokens, n_chars
+            FROM documents),
+          per AS (
+            SELECT shard_id, count(*) AS n_docs,
+                   sum(n_tokens)::BIGINT AS n_tokens,
+                   sum(n_chars)::BIGINT AS n_chars
+            FROM d GROUP BY shard_id),
+          tot AS (SELECT sum(n_tokens) AS total_tokens FROM per)
+          SELECT shard_id, n_docs, n_tokens, n_chars,
+                 round(n_tokens::DOUBLE / total_tokens, 6) AS token_share
+          FROM per, tot ORDER BY shard_id""",
     "mixture_plan" ->
       s"""WITH stats AS (
             SELECT lang, count(*)::BIGINT AS n_docs,

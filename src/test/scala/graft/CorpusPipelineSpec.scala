@@ -232,4 +232,38 @@ class CorpusPipelineSpec extends GraftSpec {
     assert(meanSel > meanAll,
       s"selected mean $meanSel not above corpus mean $meanAll")
   }
+
+  test("shard manifest: shards partition the corpus, assignment is append-stable, " +
+      "token balance is servable") {
+    val rows = CorpusPipeline.shardManifest(spark, sfDir).collect()
+    assert(rows.length == CorpusPipeline.nShards)
+    val nDocs = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == nDocs, "not a partition")
+    // every doc's shard is a pure function of its id: adding documents
+    // can only APPEND to shards — pinned by recomputing one shard's
+    // membership on the doc-id set alone (no corpus state involved)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def shardOf(id: Long): Long = {
+      val hex = md.digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Math.floorMod(java.lang.Long.parseLong(hex, 16), CorpusPipeline.nShards.toLong)
+    }
+    val ids = Tables.documents(spark, sfDir).select("doc_id").collect()
+      .map(_.getLong(0))
+    val wantPerShard = ids.groupBy(shardOf).view.mapValues(_.length.toLong).toMap
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_docs") ==
+        wantPerShard(r.getAs[Long]("shard_id")), s"shard ${r.get(0)}")
+    }
+    // balance: each shard's token share within ±50% of uniform at this
+    // tiny fixture (multinomial spread shrinks as shards fill; the
+    // manifest's token_share column is the production check)
+    val uniform = 1.0 / CorpusPipeline.nShards
+    rows.foreach { r =>
+      val share = r.getAs[Double]("token_share")
+      assert(share > uniform * 0.5 && share < uniform * 1.5,
+        s"shard ${r.get(0)} share $share")
+    }
+    assert(math.abs(rows.map(_.getAs[Double]("token_share")).sum - 1.0) < 1e-4)
+  }
 }
