@@ -415,7 +415,12 @@ private[graft] object BenchFormat {
     // plumbing (schema'd read, pruned parsing) pinned by spec, and the
     // write half is the same distributed text write graft-filesink's
     // timed paths exercise (filtered timing in PLANS.md)
-    "jsonl_roundtrip")
+    "jsonl_roundtrip",
+    // r9: taxi_compaction_plan's cost IS the 1,440-file text scan the
+    // timed taxi_region_hourly already prices; its marginal work is a
+    // grouped count plus windows over a file-count-sized (metadata
+    // scale) table (filtered timing in PLANS.md)
+    "taxi_compaction_plan")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

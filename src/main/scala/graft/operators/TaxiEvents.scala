@@ -111,11 +111,45 @@ object TaxiEvents {
     * via its glob) — a stray non-data file in the dataset dir (_SUCCESS,
     * checksums) can never silently diverge the parity surface between
     * the two engines. */
+  /** Row budget per compaction output group. */
+  val compactionTargetRows = 100000L
+
+  /** Small-file compaction PLAN over the dataset's real 1,440-file
+    * layout — the lakehouse maintenance op that decides rewrite batches
+    * before any byte moves (Delta OPTIMIZE / Iceberg rewriteDataFiles
+    * plan their bin packing exactly this way). Per-file row counts come
+    * from ONE distributed scan keyed by `input_file_name()`; the plan
+    * itself is next-fit bin packing in file-name order — a running-sum
+    * window over a FILE-COUNT-sized table (metadata scale: the window
+    * input is one row per file, never per record), with
+    * `bin = floor(preceding_rows / target)`. Output is one row per
+    * planned output group: files in, rows in, and the file range —
+    * what a rewrite job would execute per task. The DuckDB oracle reads
+    * the same files with `filename=true` and replays the identical
+    * window arithmetic, so the plan is hash-gated end to end. */
+  def compactionPlan(spark: SparkSession, taxiDir: String): DataFrame = {
+    val perFile = spark.read.option("pathGlobFilter", "part-*.csv").text(taxiDir)
+      .select(regexp_extract(input_file_name(), "([^/]+)$", 1).as("fname"))
+      .groupBy("fname").agg(count(lit(1)).as("n_rows"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("fname")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    perFile
+      .withColumn("prev_rows", coalesce(sum(col("n_rows")).over(w), lit(0L)))
+      .withColumn("bin_id",
+        floor(col("prev_rows").cast("double") / compactionTargetRows).cast("long"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_files"), sum(col("n_rows")).as("n_rows"),
+        min(col("fname")).as("first_file"), max(col("fname")).as("last_file"))
+      .orderBy("bin_id")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_region_hourly" ->
       ((s: SparkSession, _: String) => regionHourly(s, taxiDataDir)),
     "taxi_region_hourly_stream" ->
-      ((s: SparkSession, _: String) => regionHourlyStream(s, taxiDataDir)))
+      ((s: SparkSession, _: String) => regionHourlyStream(s, taxiDataDir)),
+    "taxi_compaction_plan" ->
+      ((s: SparkSession, _: String) => compactionPlan(s, taxiDataDir)))
 
   /** Oracle over the SAME raw files: DuckDB reads whole lines (a 0x01
     * delimiter that never occurs in the data), splits positionally, and
@@ -128,7 +162,31 @@ object TaxiEvents {
     // the streaming form must reproduce the batch result exactly — same
     // oracle text (the driver runs it independently per query name)
     "taxi_region_hourly_stream" -> regionHourlyOracle,
-    "taxi_region_hourly" -> regionHourlyOracle)
+    "taxi_region_hourly" -> regionHourlyOracle,
+    // same files via filename=true; identical next-fit window arithmetic
+    "taxi_compaction_plan" ->
+      s"""WITH raw AS (
+            SELECT filename
+            FROM read_csv('$taxiDataDir/part-*.csv',
+                          delim=e'\\x01', header=false, quote='', escape='',
+                          columns={'column0': 'VARCHAR'}, filename=true)),
+          f AS (
+            SELECT regexp_extract(filename, '([^/]+)$$', 1) AS fname,
+                   count(*) AS n_rows
+            FROM raw GROUP BY 1),
+          c AS (
+            SELECT fname, n_rows,
+                   coalesce(sum(n_rows) OVER (ORDER BY fname
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                     AS prev_rows
+            FROM f),
+          b AS (
+            SELECT floor(prev_rows::DOUBLE / $compactionTargetRows)::BIGINT
+                     AS bin_id, fname, n_rows
+            FROM c)
+          SELECT bin_id, count(*) AS n_files, sum(n_rows)::BIGINT AS n_rows,
+                 min(fname) AS first_file, max(fname) AS last_file
+          FROM b GROUP BY 1 ORDER BY 1""")
 
   private lazy val regionHourlyOracle: String = {
       val g = goldman
