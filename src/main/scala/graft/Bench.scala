@@ -420,7 +420,14 @@ private[graft] object BenchFormat {
     // timed taxi_region_hourly already prices; its marginal work is a
     // grouped count plus windows over a file-count-sized (metadata
     // scale) table (filtered timing in PLANS.md)
-    "taxi_compaction_plan")
+    "taxi_compaction_plan",
+    // r9: dedup_containment re-runs the capped shingle self-join +
+    // grouped count that dedup_family_build's pair-graph stage prices,
+    // with an orientation union + threshold filter as the delta;
+    // dup_ngram_coverage is two stacked aggregates over the shared
+    // shingle artifact — key_skew_profile's shape (filtered timings in
+    // PLANS.md)
+    "dedup_containment", "dup_ngram_coverage")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -142,7 +142,8 @@ object Dedup {
     "dedup_minhash_lsh",
     "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
     "split_leakage_safe", "decontaminate", "decontaminate_bloom",
-    "dedup_incremental", "dedup_cluster_profile", "dedup_rate_by_source")
+    "dedup_incremental", "dedup_cluster_profile", "dedup_rate_by_source",
+    "dedup_containment", "dup_ngram_coverage")
 
   /** Force-materialize the family's shared artifacts (shingle table,
     * verified pair graph, minhash band index). Bench times this as its
@@ -326,6 +327,69 @@ object Dedup {
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
       .select("doc_a", "doc_b", "jaccard")
+  }
+
+  /** Containment threshold: inner doc ≥ 90% covered by the outer. */
+  val containmentThresholdPermille = 900L
+
+  /** Asymmetric containment near-dup — the case symmetric Jaccard
+    * misses: a short document wholly quoted inside a long one scores
+    * J = |A|/|B| (tiny when |B| ≫ |A|) but containment
+    * C(a→b) = |A∩B|/|A| = 1. Quote-wrapping and boilerplate-framing
+    * duplication in web corpora is exactly this shape (the
+    * deduplication literature treats containment as the companion
+    * measure to resemblance — Broder 1997's two estimands). Emits
+    * ORIENTED pairs (inner, outer) with C ≥ 0.9: the unordered
+    * intersection kernel over the capped shingle artifact computes i,
+    * na, nb once per pair, then both orientations are scored as
+    * i/na and i/nb (integer-permille filter, raw single-division
+    * double shipped — the registry's exactness discipline). Shares the
+    * memoized shingle artifact; the stop-shingle cap bounds the
+    * self-join exactly as in the Jaccard kernel, and the prefix-filter
+    * play (dedup_jaccard_prefix) extends to containment by prefixing
+    * the INNER side only — noted, not needed at fixture scale. */
+  def dedupContainment(spark: SparkSession, dir: String): DataFrame = {
+    val shc = cappedShingles(docShinglesShared(spark, dir), "stop_shingle_guard_cnt")
+    val sizes = shc.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val inter = shc.toDF("doc_a", "sh")
+      .join(shc.toDF("doc_b", "sh"), "sh")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.toDF("doc_a", "na"), "doc_a")
+      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+    val ab = inter.select(col("doc_a").as("doc_inner"), col("doc_b").as("doc_outer"),
+      col("i"), col("na").as("n_inner"))
+    val ba = inter.select(col("doc_b").as("doc_inner"), col("doc_a").as("doc_outer"),
+      col("i"), col("nb").as("n_inner"))
+    ab.unionByName(ba)
+      .filter(col("i") * lit(1000L) >= col("n_inner") * lit(containmentThresholdPermille))
+      .withColumn("containment", col("i").cast("double") / col("n_inner"))
+      .select("doc_inner", "doc_outer", "n_inner", "containment")
+      .orderBy("doc_inner", "doc_outer")
+  }
+
+  /** Corpus duplication profile — the one-glance answer to "how much
+    * of this corpus is duplicated text?" before any pair-level work:
+    * the shingle table grouped by document frequency into log2 bands,
+    * reporting distinct shingles, occurrence volume, and each band's
+    * share of total occurrence volume (df ≥ 2 bands ARE the duplicated
+    * mass; the df = 1 band is unique text). Two stacked aggregates —
+    * shingle → df, then df-band histogram — the key_skew_profile shape
+    * over the shared shingle artifact. Share is a single division by a
+    * broadcast scalar, 6dp-rounded. */
+  def dupNgramCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val sh = docShinglesShared(spark, dir)
+    val df_ = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val tot = df_.agg(sum(col("df")).as("total_occ"))
+    df_.groupBy((length(bin(col("df"))) - 1).cast("long").as("log2_df"))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("df")).as("n_occurrences"),
+        max(col("df")).as("max_df"))
+      .crossJoin(broadcast(tot))
+      .withColumn("occ_share",
+        round(col("n_occurrences").cast("double") / col("total_occ"), 6))
+      .select("log2_df", "n_shingles", "n_occurrences", "max_df", "occ_share")
+      .orderBy("log2_df")
   }
 
   /** MinHash signatures: for each of K hash functions, the minimum over
@@ -852,6 +916,8 @@ object Dedup {
     "dedup_exact" -> (dedupExact _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
+    "dedup_containment" -> (dedupContainment _),
+    "dup_ngram_coverage" -> (dupNgramCoverage _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
     "dedup_simhash" -> (dedupSimhash _))
 
@@ -1101,6 +1167,36 @@ object Dedup {
           JOIN sz y ON doc_b = y.doc_id
           WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
           ORDER BY doc_a, doc_b""",
+    "dedup_containment" ->
+      s"""WITH $shingleSql,
+          $cappedShingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          j AS (
+            SELECT doc_a, doc_b, i, x.n AS na, y.n AS nb
+            FROM inter JOIN sz x ON doc_a = x.doc_id
+                       JOIN sz y ON doc_b = y.doc_id),
+          oriented AS (
+            SELECT doc_a AS doc_inner, doc_b AS doc_outer, i, na AS n_inner FROM j
+            UNION ALL
+            SELECT doc_b, doc_a, i, nb FROM j)
+          SELECT doc_inner, doc_outer, n_inner,
+                 i::DOUBLE / n_inner AS containment
+          FROM oriented
+          WHERE i * 1000 >= n_inner * $containmentThresholdPermille
+          ORDER BY doc_inner, doc_outer""",
+    "dup_ngram_coverage" ->
+      s"""WITH $shingleSql,
+          d AS (SELECT sh AS s, count(*) AS df FROM sh GROUP BY sh),
+          tot AS (SELECT sum(df) AS total_occ FROM d)
+          SELECT cast(length(bin(df)) - 1 AS BIGINT) AS log2_df,
+                 count(*) AS n_shingles, sum(df)::BIGINT AS n_occurrences,
+                 max(df) AS max_df,
+                 round(sum(df)::DOUBLE / total_occ, 6) AS occ_share
+          FROM d, tot GROUP BY 1, total_occ ORDER BY 1""",
     "dedup_clusters" ->
       s"""WITH RECURSIVE $clusterCteSql
           SELECT doc_id, cluster_rep,

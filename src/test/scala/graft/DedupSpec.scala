@@ -55,6 +55,27 @@ class DedupSpec extends GraftSpec {
     assert(bloom == exact)
   }
 
+  test("containment near-dup matches a driver-side recompute on raw shingle sets") {
+    val sets = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map { r =>
+        val ws = r.getAs[String]("text").toLowerCase
+          .split("[^a-z0-9]+").filter(_.nonEmpty)
+        r.getAs[Long]("doc_id") -> ws.sliding(3).filter(_.length == 3)
+          .map(_.mkString(" ")).toSet
+      }.toMap.filter(_._2.nonEmpty)
+    val want = (for {
+      (a, sa) <- sets; (b, sb) <- sets if a != b
+      i = (sa & sb).size
+      if i * 1000L >= sa.size * Dedup.containmentThresholdPermille
+    } yield (a, b, sa.size.toLong, i.toDouble / sa.size)).toSet
+    val got = Dedup.dedupContainment(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getAs[Long]("n_inner"),
+        r.getAs[Double]("containment"))).toSet
+    assert(got.nonEmpty, "testdata should contain contained docs")
+    assert(got == want)
+  }
+
   test("cluster dedup: components agree with driver-side union-find over the pairs") {
     val pairs = Dedup.dedupNgramJaccard(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
