@@ -427,7 +427,12 @@ private[graft] object BenchFormat {
     // dup_ngram_coverage is two stacked aggregates over the shared
     // shingle artifact — key_skew_profile's shape (filtered timings in
     // PLANS.md)
-    "dedup_containment", "dup_ngram_coverage")
+    "dedup_containment", "dup_ngram_coverage",
+    // r9: wordpiece_merges runs the timed bpe_merges loop verbatim with
+    // a different argmax key (one extra vocabulary-sized unigram agg +
+    // two joins per iteration) — the physical workload is the timed
+    // sibling's (filtered timing in PLANS.md)
+    "wordpiece_merges")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -54,6 +54,9 @@ object OracleAudit {
     m += "bpe_vocab" -> (ParityWithLaw, bpe)
     m += "bpe_encode" -> (ParityWithLaw, bpe +
       "; encode leg: per-doc subword counts equal the reference's final segmentation")
+    m += "wordpiece_merges" -> (ParityWithLaw,
+      "PropertiesSpec:342 WordPiece law — driver-side reference with the same " +
+      "quantized association key on random tie-heavy corpora")
 
     val ppr = "PageRankSpec:34 dense-reference equality on a literal " +
       "graph; :51 log/normal cross-domain agreement; :69 mass conservation"
@@ -160,7 +163,7 @@ object OracleAudit {
     * classified above — falling through to the Independent default would
     * be exactly the parity-only hole the audit exists to close. */
   val encodedPrefixes: Seq[String] = Seq(
-    "bpe_", "ppr_", "spam_", "ann_", "dedup_minhash", "dedup_simhash",
+    "bpe_", "wordpiece_", "ppr_", "spam_", "ann_", "dedup_minhash", "dedup_simhash",
     "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
     "dedup_spans", "dedup_incremental", "dedup_semantic", "sample_",
     "synth_", "triangle_")

@@ -54,8 +54,63 @@ object Bpe {
 
   /** (spaced symbol string, token count) fixed point after `upTo` merges,
     * plus the merge log. One corpus pass, then vocabulary-sized work. */
+  /** The per-iteration argmax under BPE's criterion: raw pair count
+    * (the selection key IS the count). Returns (pair, count, key). */
+  private def pickByCount(cur: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val toks = split(col("w"), "  ")
+    cur
+      .select(explode(TextFunctions.bigrams(toks)).as("p"), col("cnt"))
+      .groupBy(concat_ws(" ", col("p.w1"), col("p.w2")).as("pair"))
+      .agg(sum(col("cnt")).as("c"))
+      .select(col("pair"), col("c"), col("c").as("k"))
+      .orderBy(desc("k"), asc("pair"))
+      .limit(1)
+      .collect() // 1 row — the per-iteration argmax, bounded by construction
+  }
+
+  /** WordPiece's criterion (Schuster & Nakajima 2012; the wordpiece /
+    * SentencePiece-BPE "likelihood gain" rule as publicly described):
+    * merge the pair maximizing count(ab) / (count(a) · count(b)) — the
+    * pointwise association, not the raw frequency, so rare-but-
+    * exclusive pairs merge before frequent-but-independent ones. The
+    * key is quantized to an exact integer — floor(c·10¹² / (uₐ·u_b)) —
+    * because a raw double ratio's total ORDER is what the argmax
+    * consumes and quantization makes ties well-defined on both engines
+    * (same floor on the same IEEE division; all inputs exact in
+    * doubles: c ≤ 2^53/10¹², uₐ·u_b ≤ 2^53). Ties break by pair
+    * string ascending, the BPE discipline. */
+  private def pickByRatio(cur: DataFrame): Array[org.apache.spark.sql.Row] = {
+    val toks = split(col("w"), "  ")
+    val uni = cur.select(explode(toks).as("sym"), col("cnt"))
+      .groupBy("sym").agg(sum(col("cnt")).as("uc"))
+    cur
+      .select(explode(TextFunctions.bigrams(toks)).as("p"), col("cnt"))
+      .groupBy(col("p.w1").as("a"), col("p.w2").as("b"))
+      .agg(sum(col("cnt")).as("c"))
+      .join(uni.toDF("a", "ua"), "a")
+      .join(uni.toDF("b", "ub"), "b")
+      .select(concat_ws(" ", col("a"), col("b")).as("pair"), col("c"),
+        floor(col("c").cast("double") * lit(1000000000000L) /
+          (col("ua") * col("ub"))).cast("long").as("k"))
+      .orderBy(desc("k"), asc("pair"))
+      .limit(1)
+      .collect()
+  }
+
   private def trainLoop(spark: SparkSession, dir: String)
       : (DataFrame, Seq[(Int, String, String, Long)]) = {
+    val (fixed, log) = mergeLoop(spark, dir, pickByCount)
+    (fixed, log.map { case (k, pair, merged, c, _) => (k, pair, merged, c) })
+  }
+
+  /** The shared merge loop: only the argmax criterion differs between
+    * BPE and WordPiece — the spaced-form rewrite, the double-space
+    * delimiter invariant, early exhaustion, and the checkpoint
+    * discipline are identical. Log rows: (step, pair, merged, count,
+    * selection key). */
+  private def mergeLoop(spark: SparkSession, dir: String,
+      pick: DataFrame => Array[org.apache.spark.sql.Row])
+      : (DataFrame, Seq[(Int, String, String, Long, Long)]) = {
     val words = Tables.documents(spark, dir)
       .select(explode(TextFunctions.tokenize(col("text"))).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cnt"))
@@ -64,18 +119,11 @@ object Bpe {
         col("cnt"))
     var cur = words.localCheckpoint(true) // cut the lineage once; each
     // iteration below re-checkpoints so the plan stays K-independent
-    val log = Seq.newBuilder[(Int, String, String, Long)]
+    val log = Seq.newBuilder[(Int, String, String, Long, Long)]
     var k = 1
     var exhausted = false
     while (k <= merges && !exhausted) {
-      val toks = split(col("w"), "  ")
-      val best = cur
-        .select(explode(TextFunctions.bigrams(toks)).as("p"), col("cnt"))
-        .groupBy(concat_ws(" ", col("p.w1"), col("p.w2")).as("pair"))
-        .agg(sum(col("cnt")).as("c"))
-        .orderBy(desc("c"), asc("pair"))
-        .limit(1)
-        .collect() // 1 row — the per-iteration argmax, bounded by construction
+      val best = pick(cur)
       if (best.isEmpty) {
         // a tiny vocabulary can fully merge before K steps: every word
         // is a single symbol, no pairs remain — stop, don't throw. (The
@@ -84,9 +132,10 @@ object Bpe {
         // early-exhaustion corpora against the driver-side reference.)
         exhausted = true
       } else {
-        val (pair, c) = (best(0).getString(0), best(0).getLong(1))
+        val (pair, c, key) =
+          (best(0).getString(0), best(0).getLong(1), best(0).getLong(2))
         val merged = pair.replace(" ", "")
-        log += ((k, pair, merged, c))
+        log += ((k, pair, merged, c, key))
         cur = cur.select(
           trim(regexp_replace(
             concat(lit(" "), col("w"), lit(" ")),
@@ -97,6 +146,16 @@ object Bpe {
       }
     }
     (cur, log.result())
+  }
+
+  /** WordPiece merge learning — same loop, association-ratio argmax.
+    * Emits the selection key so the ranking itself is hash-gated. */
+  def wordpieceMerges(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    mergeLoop(spark, dir, pickByRatio)._2
+      .toDF("step", "pair", "merged", "pair_count", "score_key")
+      .orderBy("step")
   }
 
   /** The learned merge table — deterministic, hash-checkable against the
@@ -156,26 +215,44 @@ object Bpe {
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bpe_merges" -> (bpeMerges _),
     "bpe_vocab" -> (bpeVocab _),
-    "bpe_encode" -> (bpeEncode _))
+    "bpe_encode" -> (bpeEncode _),
+    "wordpiece_merges" -> (wordpieceMerges _))
 
   /** The oracle: K merge iterations unrolled as CTE stages. Stage s{k}
     * holds the spaced forms after k merges; p{k} the weighted pair
     * counts; b{k} the argmax. Identical `replace` semantics on both
     * engines make the replay exact. */
-  private def stagesSql(k: Int): String = {
+  private def stagesSql(k: Int, ratio: Boolean = false): String = {
     val sb = new StringBuilder
     sb.append(s"""WITH toks AS (
         SELECT unnest(${TextFunctions.tokenizeSql}) AS tok FROM documents),
       w0 AS (SELECT tok, count(*)::BIGINT AS cnt FROM toks GROUP BY tok),
       s0 AS MATERIALIZED (SELECT regexp_replace(tok, '(.)', '\\1  ', 'g') || '_' AS w, cnt FROM w0)""")
     for (i <- 1 to k) {
+      // under the ratio criterion the argmax key is the quantized
+      // association floor(c*1e12/(u_a*u_b)) over the same pair counts —
+      // the mirror of pickByRatio's IEEE sequence
+      val bStage =
+        if (ratio)
+          s"""u$i AS MATERIALIZED (
+        SELECT s AS sym, sum(cnt)::BIGINT AS uc
+        FROM (SELECT unnest(string_split(w, '  ')) AS s, cnt FROM s${i - 1})
+        GROUP BY 1),
+      b$i AS MATERIALIZED (
+        SELECT pair, c,
+               floor((c::DOUBLE * 1000000000000) / (ua.uc * ub.uc))::BIGINT AS k
+        FROM p$i JOIN u$i ua ON string_split(pair, ' ')[1] = ua.sym
+                 JOIN u$i ub ON string_split(pair, ' ')[2] = ub.sym
+        ORDER BY k DESC, pair ASC LIMIT 1),"""
+        else
+          s"b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),"
       sb.append(s""",
       p$i AS MATERIALIZED (
         SELECT l[x] || ' ' || l[x + 1] AS pair, sum(cnt)::BIGINT AS c
         FROM (SELECT string_split(w, '  ') AS l, cnt FROM s${i - 1}),
              unnest(range(1, len(l))) t(x)
         GROUP BY 1),
-      b$i AS MATERIALIZED (SELECT pair, c FROM p$i ORDER BY c DESC, pair ASC LIMIT 1),
+      $bStage
       s$i AS MATERIALIZED (
         SELECT trim(replace(' ' || w || ' ',
                             ' ' || replace((SELECT pair FROM b$i), ' ', '  ') || ' ',
@@ -193,6 +270,16 @@ object Bpe {
         .mkString("\n        UNION ALL ")
       s"""${stagesSql(merges)}
       SELECT step, pair, merged, pair_count FROM (
+        $rows)
+      ORDER BY step"""
+    },
+    "wordpiece_merges" -> {
+      val rows = (1 to merges).map(i =>
+        s"SELECT $i AS step, pair, replace(pair, ' ', '') AS merged, " +
+          s"c AS pair_count, k AS score_key FROM b$i")
+        .mkString("\n        UNION ALL ")
+      s"""${stagesSql(merges, ratio = true)}
+      SELECT step, pair, merged, pair_count, score_key FROM (
         $rows)
       ORDER BY step"""
     },

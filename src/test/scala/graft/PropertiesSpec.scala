@@ -302,6 +302,74 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  /** Reference WordPiece: the same greedy loop with the quantized
+    * association key floor(c·10¹²/(uₐ·u_b)) — the independent mirror of
+    * pickByRatio's arithmetic (same IEEE multiply/divide/floor). */
+  private def refWordpiece(words: Map[String, Long], k: Int)
+      : Seq[(String, Long, Long)] = {
+    var forms: Seq[(Seq[String], Long)] =
+      words.map { case (w, c) => (w.map(_.toString) :+ "_", c) }.toSeq
+    val out = Seq.newBuilder[(String, Long, Long)]
+    var exhausted = false
+    for (_ <- 1 to k if !exhausted) {
+      val pc = scala.collection.mutable.Map.empty[(String, String), Long]
+      val uc = scala.collection.mutable.Map.empty[String, Long]
+      forms.foreach { case (syms, c) =>
+        syms.foreach(s => uc(s) = uc.getOrElse(s, 0L) + c)
+        syms.zip(syms.tail).foreach(p => pc(p) = pc.getOrElse(p, 0L) + c)
+      }
+      if (pc.isEmpty) exhausted = true
+      else {
+        def key(p: (String, String), c: Long): Long =
+          math.floor(c.toDouble * 1000000000000L / (uc(p._1) * uc(p._2))).toLong
+        val ((a, b), c) = pc.minBy { case (p, n) => (-key(p, n), p._1 + " " + p._2) }
+        out += ((a + " " + b, c, key((a, b), c)))
+        forms = forms.map { case (syms, cnt) =>
+          val merged = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < syms.length) {
+            if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+              merged += a + b; i += 2
+            } else { merged += syms(i); i += 1 }
+          }
+          (merged.toSeq, cnt)
+        }
+      }
+    }
+    out.result()
+  }
+
+  test("distributed WordPiece merge learning equals a driver-side reference " +
+       "on random corpora (the association-ratio argmax, quantized key included)") {
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val corpus: Gen[List[String]] = for {
+      n <- Gen.chooseNum(1, 30)
+      ws <- Gen.listOfN(n, for {
+        len <- Gen.chooseNum(1, 6)
+        cs <- Gen.listOfN(len, Gen.oneOf('a', 'b', 'c'))
+      } yield cs.mkString)
+    } yield ws
+    checkN(8)(forAll(corpus) { ws0 =>
+      val ws = ws0.map(_.filter(c => c >= 'a' && c <= 'z')).filter(_.nonEmpty)
+      val dir = java.nio.file.Files.createTempDirectory("graft-wp").toString
+      ws.zipWithIndex.map { case (w, i) => (i.toLong, w) }
+        .toDF("doc_id", "text")
+        .select(col("doc_id"), col("text"), lit("en").as("lang"),
+          lit("gen").as("source"), length(col("text")).cast("long").as("n_chars"))
+        .write.parquet(dir + "/documents.parquet")
+      val got =
+        if (ws.isEmpty) Seq.empty
+        else graft.operators.Bpe.wordpieceMerges(spark, dir)
+          .collect().map(r => (r.getString(1), r.getLong(3), r.getLong(4))).toSeq
+      val expected = refWordpiece(
+        ws.groupBy(identity).map { case (w, g) => w -> g.size.toLong },
+        graft.operators.Bpe.merges)
+      Prop(got == expected) :| s"corpus=$ws\ngot=$got\nexp=$expected"
+    })
+  }
+
   test("bpe_encode per-doc subword counts equal the driver reference's " +
        "final segmentation (the encode leg of the BPE law)") {
     import org.apache.spark.sql.SparkSession
