@@ -1070,7 +1070,20 @@ object EventAnalytics {
   }
 
   def userSessionsStreamChunked(spark: SparkSession, dir: String): DataFrame = {
+    val sp0 = spark
+    import sp0.implicits._
     val raw = spark.read.parquet(s"$dir/events.parquet")
+    // empty feed: no quantile cuts to chunk on and nothing to drain —
+    // return the empty result frame (the batch oracle's empty result)
+    // instead of crashing in the fixture writer (empty-input pin,
+    // ScaleDesignSpec)
+    if (raw.isEmpty)
+      return Seq.empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        .toDF("user_id", "session_start", "session_end", "n_events")
+        .select(col("user_id"),
+          col("session_start").cast("timestamp_ntz").as("session_start"),
+          col("session_end").cast("timestamp_ntz").as("session_end"),
+          col("n_events"))
     val work = java.nio.file.Files.createTempDirectory("graft-sess-chunks")
     try {
       val chunkDir = writeTimeOrderedChunks(work, raw,
@@ -1138,6 +1151,13 @@ object EventAnalytics {
     val raw = Tables.events(spark, dir)
       .select(col("event_type").as("key"),
         unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+    // empty feed: nothing to chunk, no sentinel to anchor — the same
+    // empty-result contract as the MemoryStream twin's evs.nonEmpty guard
+    if (raw.isEmpty)
+      return Seq.empty[(String, Long, Long, Boolean)]
+        .toDF("event_type", "winStart", "cnt", "is_anomaly")
+        .select(col("event_type"), timestamp_micros(col("winStart")).as("hour"),
+          col("cnt"), col("is_anomaly"))
     val work = java.nio.file.Files.createTempDirectory("graft-anom-chunks")
     try {
       val chunkDir = writeTimeOrderedChunks(work, raw, col("tsMicros"), anomalyChunks)

@@ -48,9 +48,19 @@ object OrcQueries {
       })
     }
 
+  /** Read-side schema, explicit (no inference pass — and an EMPTY
+    * artifact, a legal lake state, has no footer to infer from). */
+  private val schema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("source", org.apache.spark.sql.types.StringType),
+    org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text_len", org.apache.spark.sql.types.IntegerType)))
+
   def orcRoundtrip(spark: SparkSession, dir: String): DataFrame = {
     val path = orcDirFor(spark, dir)
-    spark.read.orc(path)
+    spark.read.schema(schema).orc(path)
       .filter(col("n_chars") >= orcMinChars && col("lang") === "en")
       .groupBy("source")
       .agg(

@@ -936,7 +936,18 @@ class ScaleDesignSpec extends GraftSpec {
       // the codec, cents, and mixture queries are map/agg shapes that
       // must materialize empty
       "bpe_merges", "bpe_vocab", "image_features", "image_resize",
-      "q9_region_rollup_cents", "q10_rollup_cents", "mixture_plan")
+      "q9_region_rollup_cents", "q10_rollup_cents", "mixture_plan",
+      // r9 additions: the chunked drains must take their empty-feed
+      // early return (an empty corpus has no quantile cuts to chunk on
+      // and empty writes emit no part files — both crashed before the
+      // guard); wordpiece shares BPE's exhaustion path; the bloom build
+      // must aggregate an empty position stream to a zero bitset; the
+      // format round trips must write-and-read empty artifacts
+      "dedup_jaccard_prefix", "decontaminate_bloom", "quality_gopher_rules",
+      "scd2_history", "retrieval_hybrid_rrf", "tfidf_top_terms",
+      "orc_roundtrip", "jsonl_roundtrip", "shard_manifest",
+      "dedup_containment", "dup_ngram_coverage", "wordpiece_merges",
+      "user_sessions_stream_chunked", "events_anomaly_stream_chunked")
     sample.foreach { name =>
       val rows = SparkEntry.queries(name)(spark, tmp).collect()
       name match {
