@@ -167,4 +167,40 @@ class AvroSpec extends AnyFunSuite {
       plan.contains("GreaterThanOrEqual(n_chars") &&
       plan.contains("EqualTo(lang,en)"), plan.take(3000))
   }
+
+  test("ORC footer-statistics aggregate pushdown: COUNT/MIN/MAX answered " +
+       "from metadata through the DSv2 scan") {
+    // at 100 TB a bare COUNT/MIN/MAX over a lake table should cost a
+    // footer read per file, not a row scan — Spark lowers it when the
+    // table rides the V2 read path with aggregatePushdown on. Pin that
+    // the lowering actually fires on our ORC artifact and agrees with
+    // the row-scan answer.
+    val dir = "/root/testdata/sf0.001"
+    graft.sources.OrcQueries.clearMemos()
+    val path = graft.sources.OrcQueries.orcDirFor(spark, dir)
+    val prevAgg = spark.conf.getOption("spark.sql.orc.aggregatePushdown")
+    val prevV1 = spark.conf.get("spark.sql.sources.useV1SourceList")
+    try {
+      spark.conf.set("spark.sql.orc.aggregatePushdown", "true")
+      spark.conf.set("spark.sql.sources.useV1SourceList",
+        prevV1.split(",").filterNot(_.trim == "orc").mkString(","))
+      val agg = spark.read.orc(path)
+        .agg(count(lit(1)).as("cnt"), min("doc_id").as("lo"), max("doc_id").as("hi"))
+      val plan = agg.queryExecution.executedPlan.toString
+      assert(plan.contains("PushedAggregation: [COUNT(*)") &&
+        plan.contains("MIN(doc_id)") && plan.contains("MAX(doc_id)"),
+        plan.take(3000))
+      val r = agg.collect()(0)
+      val want = graft.Tables.documents(spark, dir)
+        .agg(count(lit(1)), min("doc_id"), max("doc_id")).collect()(0)
+      assert(r.getLong(0) == want.getLong(0) && r.getLong(1) == want.getLong(1) &&
+        r.getLong(2) == want.getLong(2))
+    } finally {
+      prevAgg match {
+        case Some(v) => spark.conf.set("spark.sql.orc.aggregatePushdown", v)
+        case None => spark.conf.unset("spark.sql.orc.aggregatePushdown")
+      }
+      spark.conf.set("spark.sql.sources.useV1SourceList", prevV1)
+    }
+  }
 }
