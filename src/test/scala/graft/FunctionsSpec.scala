@@ -111,6 +111,43 @@ class FunctionsSpec extends GraftSpec {
     assert(rows(3) == 0.0)
   }
 
+  test("gopher kernels equal the HOF forms on Unicode and boundary edges") {
+    import graft.functions.GopherKernels
+    // the exact value-compatibility contract the kernels' scaladoc claims:
+    // each kernel vs the higher-order-function expression it replaced,
+    // on inputs chosen to hit the seams — Kelvin sign K (U+212A) lowers
+    // to ASCII k under Unicode rules, the bullet is a 3-byte UTF-8
+    // sequence, trims are space-only (tabs must NOT trim), and empty
+    // strings/arrays sit at every boundary
+    val words = Seq(
+      Seq("THE", "123", "K", "...", "", "café", "-x"),
+      Seq(), Seq(""), Seq("***"), Seq("ABC", "abc", "A1", "1A"))
+    val lines = Seq(
+      Seq("  - bullet", "	- tab-led", "* star", "• dot", "plain", ""),
+      Seq("ends...", "ends...  ", "ends...	", "...", "  "),
+      Seq())
+    val wdf = words.toDF("w")
+    val ldf = lines.toDF("ls")
+    def col1[T](df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.collect().toSeq.map(_.get(0))
+    assert(col1(wdf.select(GopherKernels.count_nonempty(col("w")))) ==
+      col1(wdf.select(size(filter(col("w"), x => length(x) > lit(0))).cast("long"))))
+    assert(col1(wdf.select(GopherKernels.count_alpha(col("w")))) ==
+      col1(wdf.select(size(filter(col("w"), x =>
+        regexp_count(lower(x), lit("[a-z]")) > 0)).cast("long"))))
+    assert(col1(wdf.select(GopherKernels.count_in_lower(col("w"),
+        graft.operators.TextQuality.gopherStops))) ==
+      col1(wdf.select(graft.functions.CountIn.count_in(
+        transform(col("w"), x => lower(x)),
+        graft.operators.TextQuality.gopherStops).cast("long"))))
+    assert(col1(ldf.select(GopherKernels.count_bullet_lines(col("ls")))) ==
+      col1(ldf.select(size(filter(col("ls"), l =>
+        substring(ltrim(l), 1, 1).isin("-", "*", "•"))).cast("long"))))
+    assert(col1(ldf.select(GopherKernels.count_ellipsis_lines(col("ls")))) ==
+      col1(ldf.select(size(filter(col("ls"), l =>
+        rtrim(l).endsWith("..."))).cast("long"))))
+  }
+
   test("multimodal features agree with direct computation on the blob") {
     val rows = Multimodal.mediaFeatures(spark, sfDir).collect()
     val texts = Tables.documents(spark, sfDir)
