@@ -467,7 +467,8 @@ private[graft] object BenchFormat {
     * negative timings are the explicit -1 failure sentinel. */
   def render(results: Seq[(String, Double)], spread: Seq[(String, Double)],
              canary: Double, canaryEnd: Double, dp: Int, spTake: Int,
-             spreadN: Int, phase: Option[String], sfName: String): String = {
+             spreadN: Int, phase: Option[String], sfName: String,
+             canaryIo: Double = -1.0, canaryIoEnd: Double = -1.0): String = {
     def fmt(v: Double): String =
       if (v < 0) "-1"
       else {
@@ -483,12 +484,18 @@ private[graft] object BenchFormat {
     // canary_end < 0 (not yet measured) is omitted, not printed as -1
     val endPart =
       if (canaryEnd >= 0) s""""canary_end_sec":${fmt(canaryEnd)},""" else ""
+    // I/O canary (r9 verdict): O_DIRECT sweep of the 1,440-file taxi
+    // dataset — the CPU canary is blind to I/O-phase degradation, which
+    // inflated the r9 artifact 4.3x while reading "quiet". < 0 omitted.
+    val ioPart =
+      (if (canaryIo >= 0) s""""canary_io_sec":${fmt(canaryIo)},""" else "") +
+      (if (canaryIoEnd >= 0) s""""canary_io_end_sec":${fmt(canaryIoEnd)},""" else "")
     // an all-dropped spread omits the empty object too (spread_n still
     // reports the count) — ~12 chars that belong to the per-query 2dp
     // budget on the spread-less rungs
     val spPart = if (sp.nonEmpty) s""""spread":${obj(sp)},""" else ""
     s"""{"metric":"total","value":${fmt(total)},"unit":"sec",$phasePart""" +
-      s""""canary_sec":${fmt(canary)},$endPart"queries":${obj(results)},""" +
+      s""""canary_sec":${fmt(canary)},$endPart$ioPart"queries":${obj(results)},""" +
       s"""$spPart"spread_n":$spreadN,"sf":"$sfName"}"""
   }
 
@@ -500,16 +507,19 @@ private[graft] object BenchFormat {
     * before a third dp rung does. */
   def fitLine(results: Seq[(String, Double)], spread: Seq[(String, Double)],
               canary: Double, canaryEnd: Double, phase: Option[String],
-              sfName: String): String = {
+              sfName: String, canaryIo: Double = -1.0,
+              canaryIoEnd: Double = -1.0): String = {
     val candidates = Iterator(
       (3, 8, phase, true), (3, 8, None, true), (3, 0, None, true),
       (2, 8, None, true), (2, 4, None, true), (2, 0, None, true),
       (2, 0, None, false), (1, 0, None, false))
       .map { case (dp, spTake, ph, keepEnd) =>
         render(results, spread, canary, if (keepEnd) canaryEnd else -1.0,
-          dp, spTake, spread.size, ph, sfName) }
+          dp, spTake, spread.size, ph, sfName, canaryIo,
+          if (keepEnd) canaryIoEnd else -1.0) }
     candidates.find(_.length <= maxLineChars)
-      .getOrElse(render(results, spread, canary, -1.0, 0, 0, spread.size, None, sfName))
+      .getOrElse(render(results, spread, canary, -1.0, 0, 0, spread.size,
+        None, sfName, canaryIo))
   }
 }
 
@@ -636,10 +646,15 @@ object Bench {
     // honors the JVM default locale and a comma-decimal locale (de_DE,
     // fr_FR) would emit invalid JSON.
     val sfName = new java.io.File(sfDir).getName
+    // io canary values live in closure vars so every emit/writeLocal call
+    // site carries them without signature churn; set before the first emit
+    var ioCanarySec = -1.0
+    var ioCanaryEndSec = -1.0
     def emit(phase: Option[String], results: Seq[(String, Double)],
              spread: Seq[(String, Double)], canary: Double,
              canaryEnd: Double = -1.0): Unit =
-      println(BenchFormat.fitLine(results, spread, canary, canaryEnd, phase, sfName))
+      println(BenchFormat.fitLine(results, spread, canary, canaryEnd, phase,
+        sfName, ioCanarySec, ioCanaryEndSec))
     def writeLocal(results: Seq[(String, Double)],
                    spread: Seq[(String, Double)], canary: Double,
                    canaryEnd: Double): Unit =
@@ -664,7 +679,8 @@ object Bench {
         val rt = Runtime.getRuntime
         val heapMb = (rt.totalMemory() - rt.freeMemory()) / (1024 * 1024)
         val line = BenchFormat.render(results, spread, canary, canaryEnd, 3,
-          spread.size, spread.size, Some("final"), sfName)
+          spread.size, spread.size, Some("final"), sfName, ioCanarySec,
+          ioCanaryEndSec)
         val withHeap =
           line.stripSuffix("}") + s""","driver_heap_mb":$heapMb}"""
         java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
@@ -683,6 +699,57 @@ object Bench {
       exec("q1_shipdate_count", warmDir)
       exec("q1_shipdate_count", sfDir)
     }
+    // ---- I/O canary (r9 verdict item 2) -------------------------------
+    // The r9 official artifact was inflated 4.3x by environment I/O
+    // degradation the CPU canary could not see: taxi scans read 18-26x
+    // slow while the warm 1-file canary said 0.32 "quiet". This probe is
+    // built to see exactly that failure mode: an O_DIRECT sweep of the
+    // taxi dataset's 1,440 small files hits the DEVICE and the open-path
+    // on every measurement (the page cache is bypassed, so repeats stay
+    // honest), i.e. the same legs the degraded queries paid. Quiet reads
+    // ~0.2-0.7 s on this box; a 20x I/O phase reads 4-14 s. Falls back
+    // to buffered reads if the FS rejects O_DIRECT (still open-path
+    // sensitive). Failure → -1, and the gate ignores it rather than
+    // spinning on a probe that cannot succeed.
+    def measureIoCanary(): Double = {
+      import java.nio.file.{Files, Paths, StandardOpenOption}
+      import java.nio.channels.FileChannel
+      import scala.jdk.CollectionConverters._
+      val t0 = System.nanoTime()
+      try {
+        val dir = Paths.get(graft.operators.TaxiEvents.taxiDataDir)
+        val buf = java.nio.ByteBuffer
+          .allocateDirect((1 << 20) + 4096).alignedSlice(4096)
+        val stream = Files.list(dir)
+        val files =
+          try stream.iterator().asScala
+            .filter(_.getFileName.toString.matches("part-.*\\.csv"))
+            .toIndexedSeq
+          finally stream.close()
+        files.foreach { p =>
+          val ch =
+            try FileChannel.open(p, StandardOpenOption.READ,
+              com.sun.nio.file.ExtendedOpenOption.DIRECT)
+            catch { case _: Exception =>
+              FileChannel.open(p, StandardOpenOption.READ) }
+          // a short read means EOF under O_DIRECT (reads return whole
+          // blocks until the final partial one); reading again from the
+          // now-unaligned position would throw, so stop there
+          try {
+            var done = false
+            while (!done) {
+              buf.clear()
+              done = ch.read(buf) < buf.capacity()
+            }
+          } finally ch.close()
+        }
+        (System.nanoTime() - t0) / 1e9
+      } catch {
+        case e: Throwable =>
+          System.err.println(s"[bench] io canary failed: ${e.getMessage}")
+          -1.0
+      }
+    }
     // Quiet-box gate (r6 verdict): a hot canary means every per-query
     // number is inflated by neighbor load, so rather than burn the one
     // official artifact on a degraded phase, WAIT for a quiet window —
@@ -693,15 +760,24 @@ object Bench {
     // attempt clears the bar the run proceeds anyway, honestly labeled.
     val canaryQuietBar =
       sys.env.getOrElse("SPARK_GRAFT_CANARY_BAR", "0.35").toDouble
+    // quiet O_DIRECT sweep measures 0.2-0.7 s; the bar sits above the
+    // cold-metadata first read but far below any degraded I/O phase
+    val ioQuietBar =
+      sys.env.getOrElse("SPARK_GRAFT_IO_CANARY_BAR", "1.2").toDouble
     var canarySec = measureCanary()
+    ioCanarySec = measureIoCanary()
+    def quiet(): Boolean =
+      canarySec <= canaryQuietBar &&
+        (ioCanarySec < 0 || ioCanarySec <= ioQuietBar)
     var canaryTries = 1
-    while (canarySec > canaryQuietBar && canaryTries < 6 &&
-           remaining() > 320) {
+    while (!quiet() && canaryTries < 6 && remaining() > 320) {
       System.err.println(
-        f"[bench] canary $canarySec%.2f > $canaryQuietBar%.2f " +
+        f"[bench] canary cpu=$canarySec%.2f (bar $canaryQuietBar%.2f) " +
+          f"io=$ioCanarySec%.2f (bar $ioQuietBar%.2f) " +
           f"(try $canaryTries) — pausing for a quiet window")
       Thread.sleep(20000)
       canarySec = measureCanary()
+      ioCanarySec = measureIoCanary()
       canaryTries += 1
     }
     emit(Some("canary"), Nil, Nil, canarySec)
@@ -792,6 +868,7 @@ object Bench {
     // drift across the bench (this box's stall phases shift mid-run —
     // a query pair can read 2x slow while the start canary looked quiet)
     val canaryEndSec = exec("q1_shipdate_count", sfDir)
+    ioCanaryEndSec = measureIoCanary()
     writeLocal(buildsFinal ++ results0, spread, canarySec, canaryEndSec)
     emit(None, buildsFinal ++ results0, spread, canarySec, canaryEndSec)
     spark.stop()

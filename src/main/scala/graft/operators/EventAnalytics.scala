@@ -1615,8 +1615,8 @@ object EventAnalytics {
             WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
           runs AS (
             SELECT user_id, event_type, ts,
-                   sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS UNBOUNDED PRECEDING) AS run_id
+                   CAST(sum(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
             FROM r),
           v AS (
             SELECT user_id, run_id, min(event_type) AS attr,

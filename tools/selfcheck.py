@@ -50,7 +50,18 @@ def main():
             print(f"{'PASS' if ok else 'FAIL'} {name:32s} ({status}, {len(spark_df)} rows)")
             continue
         try:
-            oracle_df = con.sql(oracle[name]).df()
+            rel = con.sql(oracle[name])
+            # Precise lint for the HUGEINT landmine: DuckDB integer sum()
+            # widens to HUGEINT, which pandas coerces to float64/object and
+            # the driver's dtype-sensitive hash then diverges from Spark's
+            # int64. Any HUGEINT output column means a missing ::BIGINT cast.
+            huge = [c for c, t in zip(rel.columns, rel.types) if str(t) == "HUGEINT"]
+            if huge:
+                n_fail += 1
+                print(f"FAIL {name:32s} oracle emits HUGEINT column(s) "
+                      f"{huge} — add ::BIGINT cast to the sum()")
+                continue
+            oracle_df = rel.df()
         except Exception as e:
             n_fail += 1
             print(f"FAIL {name:32s} oracle SQL error: {e}")
@@ -63,6 +74,23 @@ def main():
         if len(a) != len(b):
             n_fail += 1
             print(f"FAIL {name:32s} rowcount differs: spark={len(a)} oracle={len(b)}")
+            continue
+        # The driver's hash is dtype-sensitive: int64 1 != float64 1.0.
+        # DuckDB HUGEINT (e.g. an uncast windowed sum) lands in pandas as
+        # float64 or object, so any int-vs-float kind divergence between the
+        # Spark dump and the oracle is a guaranteed driver hash mismatch —
+        # fail it here even though the values compare equal.
+        kind_clash = [
+            c for c in a.columns
+            if {a[c].dtype.kind, b[c].dtype.kind} == {"i", "f"}
+            or {a[c].dtype.kind, b[c].dtype.kind} == {"i", "O"}
+        ]
+        if kind_clash:
+            n_fail += 1
+            for c in kind_clash:
+                print(f"FAIL {name:32s} dtype kind clash on '{c}': "
+                      f"spark={a[c].dtype} oracle={b[c].dtype} "
+                      f"(cast the oracle expression, e.g. ::BIGINT)")
             continue
         try:
             pd.testing.assert_frame_equal(a, b, check_dtype=False, check_exact=True)
