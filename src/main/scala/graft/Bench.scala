@@ -121,7 +121,13 @@ private[graft] object BenchFormat {
     // to pin SGD's order-sensitivity SEMANTICALLY (oracle + SpamSpec
     // keep gating it), not to time a second identical fold. Filtered
     // timing in PLANS.md.
-    "spam_train_shuffled" -> "spam_train")
+    "spam_train_shuffled" -> "spam_train",
+    // r10: spam_roca re-runs the timed spam_apply plan (train fold +
+    // explode⋈broadcast⋈sum scoring) to get its scores; the metric tail
+    // is one grouped count collapsed to the distinct-score table plus a
+    // window over that bounded table — no new corpus-scale structure
+    // (filtered timing in PLANS.md)
+    "spam_roca" -> "spam_apply")
 
   /** Queries whose PHYSICAL SHAPE is already timed by family siblings —
     * correctness stays oracle-gated in Verify like every query; the
@@ -399,6 +405,14 @@ private[graft] object BenchFormat {
     // (timed) states in batch form; the chunk fixture is harness
     // scaffolding (the user_sessions_stream_chunked rationale exactly)
     "events_anomaly_stream_chunked",
+    // r10: taxi_region_hourly_stream_chunked is the reference-cadence
+    // multi-batch leg of the timed taxi_region_hourly_stream — the SAME
+    // source, parse, window aggregate, and oracle; the delta is
+    // maxFilesPerTrigger 60 vs 2000, i.e. 24 sequential state-store
+    // rounds + complete re-emits whose cost is the replay SEMANTIC
+    // (~32 s vs ~6 s, recorded in PLANS.md), not a plan structure the
+    // timed set lacks,
+    "taxi_region_hourly_stream_chunked",
     // r9: tfidf_top_terms probes the persisted index artifact (priced by
     // index_build + the existing probe entries), adds one doc-keyed
     // equi-join + a grouped sum, and its per-source top-k lowers to the

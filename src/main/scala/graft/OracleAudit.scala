@@ -72,6 +72,11 @@ object OracleAudit {
       "determinism + order-sensitivity pins"
     Seq("spam_train", "spam_train_shuffled", "spam_apply", "spam_ensemble")
       .foreach(q => m += q -> (ParityWithLaw, sgd))
+    m += "spam_roca" -> (ParityWithLaw, sgd +
+      "; SpamSpec 'spam_roca equals the driver-side tie-averaged AUC' — " +
+      "independent rank-sum recompute over the scored corpus, plus the " +
+      "beats-chance bar (the metric tail's own law; the score leg " +
+      "inherits the SGD laws)")
 
     // --- connected-components family: md5/minhash/simhash encodings are
     // implementation devices; the laws are driver-side brute recomputes

@@ -166,10 +166,50 @@ object SpamClassifier {
       .orderBy("doc_id")
   }
 
+  /** G9 as a registered query (r9 verdict item 6): 1-ROCA% — the area
+    * ABOVE the ROC curve, in percent — over [[spamApply]]'s published
+    * (rounded) scores, via rank-sum inversion counting: AUC equals the
+    * normalized Mann-Whitney U of the spam-score ranks, which is the
+    * reference's `inversions/(hams*spams)` (`compute_spam_metrics.c:
+    * 68-146`) with ties averaged instead of jitter-broken (the reference
+    * adds `random()*1e-20` per score; a deterministic metric needs the
+    * tie-averaged form). Every rank term is a multiple of 0.5 and far
+    * below 2^53, so the rank sum is EXACT in double regardless of
+    * partial-aggregation order — both engines reach bit-identical AUC.
+    *
+    * Scale: the global order-by window runs over the DISTINCT-score
+    * table (a grouped count of the corpus scan), not per document — the
+    * corpus-sized leg is one groupBy; only the collapsed score
+    * distribution pays a single-partition window, the same bounded-side
+    * discipline as the mixture/funnel queries. */
+  def spamRoca(spark: SparkSession, dir: String): DataFrame = {
+    val byScore = spamApply(spark, dir)
+      .groupBy("score")
+      .agg(count(lit(1)).as("n_all"),
+        sum(when(col("label") === 1, 1L).otherwise(0L)).as("n_spam_at"))
+    val w = org.apache.spark.sql.expressions.Window.orderBy("score")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    val agg = byScore
+      .withColumn("cum_less", coalesce(sum(col("n_all")).over(w), lit(0L)))
+      .agg(
+        sum(col("n_spam_at") *
+          (col("cum_less") + (col("n_all") + lit(1)) / lit(2.0))).as("r_spam"),
+        sum(col("n_spam_at")).cast("long").as("n_spam"),
+        sum(col("n_all")).cast("long").as("n_all"))
+    val auc = (col("r_spam") - col("n_spam") * (col("n_spam") + lit(1L)) / lit(2.0)) /
+      (col("n_spam") * (col("n_all") - col("n_spam")))
+    agg.select(
+      (col("n_all") - col("n_spam")).as("n_ham"),
+      col("n_spam"),
+      round(auc, 6).as("auc"),
+      round((lit(1.0) - auc) * 100, 6).as("roca_pct"))
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "spam_train" -> (spamTrain _),
     "spam_train_shuffled" -> (spamTrainShuffled _),
     "spam_apply" -> (spamApply _),
+    "spam_roca" -> (spamRoca _),
     "spam_ensemble" -> (spamEnsemble _))
 
   /** Featurized instances CTE — the exact mirror of [[instances]]. */
@@ -241,6 +281,34 @@ object SpamClassifier {
           SELECT doc_id, label, round(score, 6) AS score,
                  round(score, 6) > 0 AS pred_spam
           FROM scored ORDER BY doc_id""",
+    // tie-averaged Mann-Whitney rank sum over the ROUNDED scores — the
+    // identical arithmetic as [[spamRoca]]; every term is a multiple of
+    // 0.5 so the double sums are order-independent and exact
+    "spam_roca" ->
+      s"""WITH RECURSIVE $instSql, ${sgdSql("", "")}, ${scoredSql("")},
+          r AS (SELECT round(score, 6) AS score, label FROM scored),
+          by_score AS (
+            SELECT score, count(*)::BIGINT AS n_all,
+                   sum(CASE WHEN label = 1 THEN 1 ELSE 0 END)::BIGINT
+                     AS n_spam_at
+            FROM r GROUP BY score),
+          ranked AS (
+            SELECT n_all, n_spam_at,
+                   coalesce(sum(n_all) OVER (ORDER BY score
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0)::BIGINT AS cum_less
+            FROM by_score),
+          agg AS (
+            SELECT sum(n_spam_at * (cum_less + (n_all + 1) / 2.0)) AS r_spam,
+                   sum(n_spam_at)::BIGINT AS n_spam,
+                   sum(n_all)::BIGINT AS n_all
+            FROM ranked)
+          SELECT (n_all - n_spam) AS n_ham, n_spam,
+                 round((r_spam - n_spam * (n_spam + 1) / 2.0)
+                       / (n_spam * (n_all - n_spam)), 6) AS auc,
+                 round((1.0 - (r_spam - n_spam * (n_spam + 1) / 2.0)
+                       / (n_spam * (n_all - n_spam))) * 100, 6) AS roca_pct
+          FROM agg""",
     "spam_ensemble" ->
       s"""WITH RECURSIVE $instSql,
           ${sgdSql("0", "WHERE doc_id % 3 = 0")},

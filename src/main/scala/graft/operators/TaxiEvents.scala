@@ -75,19 +75,39 @@ object TaxiEvents {
     * shares its oracle. The bounded result set (regions × hours) is
     * collected off the memory sink and re-created as a local frame so
     * the temp view can be dropped immediately. */
-  def regionHourlyStream(spark: SparkSession, taxiDir: String): DataFrame = {
+  def regionHourlyStream(spark: SparkSession, taxiDir: String): DataFrame =
+    // backfill shape: drain in ONE micro-batch — under AvailableNow the
+    // file source caps batches at 1,000 files by default, so the
+    // 1,440-file directory paid a second state-store round + complete-
+    // mode re-emit for the 440-file tail. A backfill drain wants few,
+    // large batches; the reference's per-arrival replay cadence is the
+    // _chunked twin below (Verify-gated, PLANS.md-timed — 24 sequential
+    // state-store rounds are the semantic there, not a cost to optimize).
+    drainRegionHourly(spark, taxiDir, maxFilesPerTrigger = 2000,
+      minDataBatches = 1)
+
+  /** The reference's ACTUAL replay semantic (r9 verdict item 5): its job
+    * consumes the taxi directory minute-batch by minute-batch with the
+    * window-count state evolving across batches (`EventCount.scala:
+    * 59-87`). 60 per-minute files per trigger = one hour of arrivals per
+    * micro-batch, so the day drains as 24 sequential micro-batches and
+    * the hourly-window counts genuinely accumulate in the state store
+    * across every batch boundary (compressed 60:1 so the replay stays
+    * runnable); the multi-batch discipline is asserted on the progress
+    * metrics, and the FINAL complete-mode emission must equal the batch
+    * query row-for-row — the drain shares [[regionHourlyOracle]]. */
+  def regionHourlyStreamChunked(spark: SparkSession, taxiDir: String): DataFrame =
+    drainRegionHourly(spark, taxiDir, maxFilesPerTrigger = 60,
+      minDataBatches = 2)
+
+  private def drainRegionHourly(spark: SparkSession, taxiDir: String,
+      maxFilesPerTrigger: Int, minDataBatches: Int): DataFrame = {
     import spark.implicits._
     val sinkName = "taxi_region_hourly_stream_sink"
     spark.catalog.dropTempView(sinkName)
-    // drain in ONE micro-batch: under AvailableNow the file source caps
-    // batches at 1,000 files by default, so the 1,440-file directory
-    // paid a second state-store round + complete-mode re-emit for the
-    // 440-file tail. A backfill drain wants few, large batches; the
-    // per-arrival production pacing (maxFilesPerTrigger ~ arrival rate)
-    // is a deployment knob, not part of the drained result.
     val agg = parse(spark.readStream
       .option("pathGlobFilter", "part-*.csv")
-      .option("maxFilesPerTrigger", 2000)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(taxiDir))
       .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
       .agg(count(lit(1)).as("cnt"))
@@ -96,6 +116,12 @@ object TaxiEvents {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally q.stop()
+    // fail loudly if the drain's batch structure is not the declared one
+    // (e.g. a future option change collapsing the chunked replay)
+    val dataBatches = q.recentProgress.count(_.numInputRows > 0)
+    require(dataBatches >= minDataBatches,
+      s"taxi stream drained in $dataBatches data micro-batch(es); " +
+        s"expected >= $minDataBatches")
     val rows = spark.table(sinkName)
       .select(col("region"), col("w.start").as("hour_start"), col("cnt"))
       .as[(String, java.sql.Timestamp, Long)].collect().toSeq
@@ -143,11 +169,39 @@ object TaxiEvents {
       .orderBy("bin_id")
   }
 
+  /** EXECUTE the [[compactionPlan]] (r9 verdict item 8): rewrite the
+    * 1,440-file per-minute layout into one file per planned bin — the
+    * rewrite leg of Delta OPTIMIZE / Iceberg rewriteDataFiles. The plan
+    * is file-count-sized metadata, so it broadcasts; every line routes to
+    * its bin via the plan's [first_file, last_file] range, and
+    * `repartition(nBins, bin_id)` + `partitionBy` lands exactly one task
+    * (hence one file) per output group — the distributed rewrite a
+    * 100 TB table would run, no driver funnel. Returns the plan row
+    * count; TaxiSpec gates per-bin row-count parity plan-vs-rewrite. */
+  def compactionRewrite(spark: SparkSession, taxiDir: String,
+      outDir: String): Long = {
+    val plan = compactionPlan(spark, taxiDir)
+      .select("bin_id", "first_file", "last_file")
+    val nBins = plan.count()
+    val lines = spark.read.option("pathGlobFilter", "part-*.csv").text(taxiDir)
+      .select(col("value"),
+        regexp_extract(input_file_name(), "([^/]+)$", 1).as("fname"))
+    lines
+      .join(broadcast(plan),
+        col("fname") >= col("first_file") && col("fname") <= col("last_file"))
+      .repartition(nBins.toInt, col("bin_id"))
+      .select(col("value"), col("bin_id"))
+      .write.partitionBy("bin_id").mode("overwrite").text(outDir)
+    nBins
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "taxi_region_hourly" ->
       ((s: SparkSession, _: String) => regionHourly(s, taxiDataDir)),
     "taxi_region_hourly_stream" ->
       ((s: SparkSession, _: String) => regionHourlyStream(s, taxiDataDir)),
+    "taxi_region_hourly_stream_chunked" ->
+      ((s: SparkSession, _: String) => regionHourlyStreamChunked(s, taxiDataDir)),
     "taxi_compaction_plan" ->
       ((s: SparkSession, _: String) => compactionPlan(s, taxiDataDir)))
 
@@ -162,6 +216,7 @@ object TaxiEvents {
     // the streaming form must reproduce the batch result exactly — same
     // oracle text (the driver runs it independently per query name)
     "taxi_region_hourly_stream" -> regionHourlyOracle,
+    "taxi_region_hourly_stream_chunked" -> regionHourlyOracle,
     "taxi_region_hourly" -> regionHourlyOracle,
     // same files via filename=true; identical next-fit window arithmetic
     "taxi_compaction_plan" ->

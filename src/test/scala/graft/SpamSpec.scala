@@ -74,4 +74,28 @@ class SpamSpec extends GraftSpec {
     val ens = SpamClassifier.spamEnsemble(spark, sfDir).collect()
     assert(ens.length == applied.length)
   }
+
+  test("spam_roca (registered G9) equals the driver-side tie-averaged AUC") {
+    val scored = SpamClassifier.spamApply(spark, sfDir).collect()
+      .map(r => (r.getAs[Int]("label"), r.getAs[Double]("score")))
+    // independent computation: average ranks over score-ascending order
+    val n = scored.length
+    val byScore = scored.groupBy(_._2).toSeq.sortBy(_._1)
+    var cum = 0L; var rSpam = 0.0
+    byScore.foreach { case (_, rows) =>
+      val avgRank = cum + (rows.length + 1) / 2.0
+      rSpam += rows.count(_._1 == 1) * avgRank
+      cum += rows.length
+    }
+    val nSpam = scored.count(_._1 == 1).toLong
+    val nHam = n - nSpam
+    val wantAuc = (rSpam - nSpam * (nSpam + 1) / 2.0) / (nSpam.toDouble * nHam)
+    val row = SpamClassifier.spamRoca(spark, sfDir).collect().head
+    assert(row.getAs[Long]("n_ham") == nHam)
+    assert(row.getAs[Long]("n_spam") == nSpam)
+    assert(math.abs(row.getAs[Double]("auc") - wantAuc) < 1e-6)
+    assert(math.abs(row.getAs[Double]("roca_pct") - (1 - wantAuc) * 100) < 1e-4)
+    // the trained model must beat chance on its own training corpus
+    assert(row.getAs[Double]("auc") > 0.5, s"AUC ${row.getAs[Double]("auc")}")
+  }
 }

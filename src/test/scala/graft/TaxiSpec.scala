@@ -64,6 +64,51 @@ class TaxiSpec extends GraftSpec {
       s"drained stream diverged: stream=${stream.take(3)} batch=${batch.take(3)}")
   }
 
+  test("chunked replay (24 hourly micro-batches) equals the batch query") {
+    // the multi-batch structure itself is asserted inside the operator
+    // (require on progress metrics); here the final emission must equal
+    // the batch result row-for-row — state carried across 24 sequential
+    // micro-batch boundaries must lose nothing
+    val got = TaxiEvents.regionHourlyStreamChunked(spark, taxiDir).collect()
+      .map(r => (r.getString(0), r.get(1)) -> r.getLong(2)).toMap
+    val want = TaxiEvents.regionHourly(spark, taxiDir).collect()
+      .map(r => (r.getString(0), r.get(1)) -> r.getLong(2)).toMap
+    assert(got == want, s"chunked drain diverged: ${got.size} vs ${want.size} rows")
+  }
+
+  test("compaction rewrite: per-bin file layout and row counts match the plan") {
+    val out = java.nio.file.Files.createTempDirectory("graft-taxi-compact")
+    try {
+      val nBins = TaxiEvents.compactionRewrite(spark, taxiDir, out.toString)
+      val plan = TaxiEvents.compactionPlan(spark, taxiDir).collect()
+        .map(r => r.getAs[Long]("bin_id") -> r.getAs[Long]("n_rows")).toMap
+      assert(plan.size.toLong == nBins)
+      // one data file per planned bin (the rewrite's whole point), and
+      // each bin directory holds exactly the planned row count
+      plan.foreach { case (bin, nRows) =>
+        val binDir = out.resolve(s"bin_id=$bin")
+        val dataFiles = java.nio.file.Files.list(binDir).iterator()
+        val names = new scala.collection.mutable.ArrayBuffer[String]
+        while (dataFiles.hasNext) {
+          val n = dataFiles.next().getFileName.toString
+          if (!n.startsWith("_") && !n.startsWith(".")) names += n
+        }
+        assert(names.size == 1, s"bin $bin has files $names, expected 1")
+        val gotRows = spark.read.text(binDir.toString).count()
+        assert(gotRows == nRows, s"bin $bin: $gotRows rows vs plan $nRows")
+      }
+      // and the compacted layout answers the query identically
+      val before = TaxiEvents.regionHourly(spark, taxiDir).collect().toSeq
+      val after = TaxiEvents.parse(spark.read.text(out.toString))
+        .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("region"),
+          col("w.start").cast("timestamp_ntz").as("hour_start"), col("cnt"))
+        .orderBy("region", "hour_start").collect().toSeq
+      assert(before == after)
+    } finally graft.sources.FileSinkFs.deleteRecursively(out)
+  }
+
   test("trend detector runs on the real stream (10-minute windows, ordered replay)") {
     implicit val sc = spark.sqlContext
     val windowMicros = 10L * 60 * 1000 * 1000
