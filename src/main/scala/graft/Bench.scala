@@ -127,7 +127,11 @@ private[graft] object BenchFormat {
     // is one grouped count collapsed to the distinct-score table plus a
     // window over that bounded table — no new corpus-scale structure
     // (filtered timing in PLANS.md)
-    "spam_roca" -> "spam_apply")
+    "spam_roca" -> "spam_apply",
+    // r10: ppr_topk_text re-runs the timed ppr_topk loop verbatim; its
+    // marginal work is a format_string projection over the (sources×k)-
+    // row result — reference-literal output fidelity, not a workload
+    "ppr_topk_text" -> "ppr_topk")
 
   /** Queries whose PHYSICAL SHAPE is already timed by family siblings —
     * correctness stays oracle-gated in Verify like every query; the

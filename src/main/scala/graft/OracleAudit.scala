@@ -62,6 +62,10 @@ object OracleAudit {
       "graph; :51 log/normal cross-domain agreement; :69 mass conservation"
     m += "ppr_topk" -> (ParityWithLaw, ppr)
     m += "ppr_topk_log" -> (ParityWithLaw, ppr)
+    m += "ppr_topk_text" -> (ParityWithLaw, ppr +
+      "; TextGoldenSpec pins the %.5f line against an independent " +
+      "String.format golden (the text twin inherits the PPR laws for " +
+      "the values)")
 
     m += "triangle_count" -> (ParityWithLaw,
       "PageRankSpec:88 brute set recompute; :114 adversarial degree-tie " +

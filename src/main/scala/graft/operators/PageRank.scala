@@ -469,10 +469,26 @@ object PageRank {
     } finally edgesP.unpersist(false)
   }
 
+  /** The reference's LITERAL output shape for the PPR top-k
+    * (`ExtractTopPersonalizedPageRankNodes.java:256` prints
+    * `String.format("%.5f %d", pageRank, nodeid)` under a per-source
+    * header): one formatted line per (source, rnk) row. Float-format
+    * discipline: the value is pre-`round(...,5)`ed so both engines
+    * format the decimal-nearest double of an exact 5-decimal value —
+    * Java's HALF_UP-on-decimal-expansion and C printf's
+    * round-to-nearest-binary then agree on every digit (the same
+    * absorb-the-formatter-skew trick as the 6dp hash discipline). */
+  def pprTopKText(spark: SparkSession, dir: String): DataFrame =
+    pprTopK(spark, dir)
+      .select(col("source"), col("rnk"),
+        format_string("%.5f %d", round(col("rank"), 5), col("node")).as("line"))
+      .orderBy("source", "rnk")
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "triangle_count" -> (triangleCount _),
     "topk_by_group" -> (topkByGroup _),
     "ppr_topk" -> (pprTopK _),
+    "ppr_topk_text" -> (pprTopKText _),
     "ppr_topk_log" -> (pprTopKLog _))
 
   /** The PPR oracle: the driver loop is a FIXED 10 iterations, so it
@@ -631,6 +647,14 @@ object PageRank {
                  (SELECT count(*) FROM wedges w
                   JOIN oriented o ON o.src = w.x AND o.dst = w.y) AS n_triangles""",
     "ppr_topk" -> pprOracleSql,
+    // the same unrolled-loop oracle, final SELECT lowered to the
+    // reference's literal "%.5f %d" line via printf over the
+    // pre-rounded value (see [[pprTopKText]] for why the formatters
+    // agree digit-for-digit)
+    "ppr_topk_text" ->
+      s"""WITH fmt_base AS ($pprOracleSql)
+          SELECT source, rnk, printf('%.5f %d', round(rank, 5), node) AS line
+          FROM fmt_base ORDER BY source, rnk""",
     "ppr_topk_log" -> pprLogOracleSql,
     "topk_by_group" ->
       """WITH ranked AS (

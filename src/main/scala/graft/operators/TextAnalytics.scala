@@ -87,6 +87,22 @@ object TextAnalytics {
       .orderBy("w1", "w2")
   }
 
+  /** The reference's LITERAL saved-text shape for the pairs job —
+    * `ComputeBigramRelativeFrequencyPairs.scala:83` emits
+    * `"((" + w1 + ", " + w2 + ") " + " " + p + ")"` (note the two
+    * spaces) with `p` as raw Scala `Double.toString`. Spark's
+    * double→string cast IS Java's `Double.toString`, so the line is
+    * byte-identical to what the reference's `saveAsTextFile` writes;
+    * TextGoldenSpec pins it against an independently-formatted
+    * driver-side golden. Not oracle-registered: DuckDB's VARCHAR cast
+    * uses shortest-round-trip notation, which differs from Java's in
+    * exponent-threshold cases — the VALUES are already hash-gated via
+    * `bigram_relfreq_pairs`; this twin carries only the text shape. */
+  def bigramRelFreqPairsText(spark: SparkSession, dir: String): DataFrame =
+    bigramRelFreqPairs(spark, dir)
+      .select(concat(lit("(("), col("w1"), lit(", "), col("w2"), lit(")  "),
+        col("relfreq").cast("string"), lit(")")).as("line"))
+
   /** A9: bigram relative frequency, stripes form — per w1, the stripe map
     * serialized as sorted `w2:⌊relfreq·1e6⌋` entries (exact across engines).
     * Reference: `ComputeBigramRelativeFrequencyStripes.scala:70-84`. */
