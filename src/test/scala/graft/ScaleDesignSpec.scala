@@ -435,6 +435,24 @@ class ScaleDesignSpec extends GraftSpec {
     assert(plan.contains("PushedFilters") && plan.contains("EqualTo(l_shipdate"), plan)
   }
 
+  test("spam_roca: the single-partition window runs AFTER the score collapse") {
+    val plan = graft.operators.SpamClassifier.spamRoca(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    // the corpus-sized leg must reach a hash aggregate on score BEFORE
+    // any SinglePartition exchange: the global rank window is allowed
+    // only over the collapsed distinct-score table (bounded side), never
+    // over per-document rows
+    val singleIdx = plan.indexOf("Exchange SinglePartition")
+    assert(singleIdx >= 0, plan)
+    val aggIdx = plan.lastIndexOf("HashAggregate", plan.length)
+    // reading the physical plan bottom-up (later string index = deeper),
+    // the score-collapse aggregate must sit BELOW the single-partition
+    // exchange in the tree — i.e. appear after it in the rendered string
+    assert(plan.indexOf("HashAggregate", singleIdx) >= 0,
+      s"no aggregate below the SinglePartition exchange:\n$plan")
+    assert(aggIdx > singleIdx, plan)
+  }
+
   test("stratified sampling is a shuffle-free map-only scan") {
     val plan = graft.operators.CorpusPipeline.sampleStratified(spark, sfDir)
       .queryExecution.executedPlan.toString
