@@ -114,6 +114,13 @@ private[graft] object BenchFormat {
     // same reason (the timed sibling already prices the dominant
     // per-byte kernel). Filtered timing recorded in PLANS.md.
     "multimodal_resize" -> "multimodal_frame_sample",
+    // r10: multimodal_features is the same map-only blob scan — its
+    // per-record metadata+HOF aggregate is a subset of the strided-
+    // substr HOF kernel multimodal_frame_sample (timed) runs per frame;
+    // the multimodal_resize rationale verbatim. Its ~26 line chars fund
+    // keeping canary_end_sec + canary_io_sec on the official line at 79
+    // entries (filtered timing in PLANS.md)
+    "multimodal_features" -> "multimodal_frame_sample",
     // r8: spam_train_shuffled is spam_train's exact physical plan (the
     // G6 repartition(1).mapPartitions sequential fold) re-run over an
     // md5-permuted document order; the delta is one bounded sort key on
@@ -527,14 +534,19 @@ private[graft] object BenchFormat {
               canary: Double, canaryEnd: Double, phase: Option[String],
               sfName: String, canaryIo: Double = -1.0,
               canaryIoEnd: Double = -1.0): String = {
+    // canary_io_end_sec degrades BEFORE canary_end_sec: the r6 pin keeps
+    // the CPU end-canary (completed-vs-killed marker) on the line as long
+    // as possible; the io drift signal lives on in BENCH_LOCAL.json
     val candidates = Iterator(
-      (3, 8, phase, true), (3, 8, None, true), (3, 0, None, true),
-      (2, 8, None, true), (2, 4, None, true), (2, 0, None, true),
-      (2, 0, None, false), (1, 0, None, false))
-      .map { case (dp, spTake, ph, keepEnd) =>
+      (3, 8, phase, true, true), (3, 8, None, true, true),
+      (3, 0, None, true, true), (2, 8, None, true, true),
+      (2, 4, None, true, true), (2, 0, None, true, true),
+      (2, 0, None, true, false),
+      (2, 0, None, false, false), (1, 0, None, false, false))
+      .map { case (dp, spTake, ph, keepEnd, keepIoEnd) =>
         render(results, spread, canary, if (keepEnd) canaryEnd else -1.0,
           dp, spTake, spread.size, ph, sfName, canaryIo,
-          if (keepEnd) canaryIoEnd else -1.0) }
+          if (keepIoEnd) canaryIoEnd else -1.0) }
     candidates.find(_.length <= maxLineChars)
       .getOrElse(render(results, spread, canary, -1.0, 0, 0, spread.size,
         None, sfName, canaryIo))

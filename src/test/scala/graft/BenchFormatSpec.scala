@@ -29,7 +29,13 @@ class BenchFormatSpec extends AnyFunSuite {
   }
 
   test("the real registry's fitted line is under the tail window and parses") {
-    val line = BenchFormat.fitLine(results, spread, 0.41, 0.52, Some("final"), "sf0.1")
+    // the r10 shape: BOTH canaries measured (cpu + io, start + end) —
+    // the fit must shed canary_io_end_sec before it ever sheds
+    // canary_end_sec (the completed-run marker)
+    val line = BenchFormat.fitLine(results, spread, 0.41, 0.52, Some("final"),
+      "sf0.1", 0.23, 0.31)
+    assert(parse(line).get("canary_io_sec") != null,
+      "fitting shed canary_io_sec — the I/O-degradation marker (r9)")
     assert(line.length <= BenchFormat.maxLineChars, s"line is ${line.length} chars")
     val node = parse(line)
     assert(node.get("metric").asText() == "total")
