@@ -171,6 +171,72 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** C4 page-level thresholds (Raffel et al. 2020, arXiv:1910.10683
+    * §2.2): a page survives with at least 5 sentences, no "lorem ipsum"
+    * and no curly brace (the code-artifact tell). The published battery
+    * also drops pages containing blocklisted words — that list is
+    * deployment-specific (the LDNOOBW list in the paper), so it is not
+    * baked into the fixed battery; `count_in_lower` /
+    * [[graft.functions.CountIn]] is the ready-made membership kernel a
+    * deployment would plug its list into. */
+  val c4MinSentences = 5L
+
+  /** Deterministic multi-line rows UNIONed under negative doc_ids — the
+    * [[piiSamples]] discipline: the synthetic corpus is single-line and
+    * punctuation-free, so without them every C4 rule would be
+    * oracle-checked only as a no-op. One row per rule: a clean keeper,
+    * a sentence-floor reject, a javascript line drop, a lorem-ipsum
+    * page reject, a curly-brace page reject, and an end-quote terminal.
+    * Both engines construct the same rows (inline VALUES with chr(10)
+    * joins on the SQL side), so the hash compare genuinely exercises
+    * every branch of the battery. */
+  val c4Samples: Seq[(Long, String)] = Seq(
+    -1L -> ("This page has five good sentences in one line. It keeps " +
+      "going. More text here. Even more now. And a fifth one."),
+    -2L -> "Line one ends well.\nshort.\nno terminal punct line\nAnother good sentence here!",
+    -3L -> ("Enable javascript to view this page.\nReal content sentence " +
+      "one. Two more here. Three now. Four follows. Five ends."),
+    -4L -> "Lorem ipsum dolor sit amet. Filler text goes on. More filler. Again more. Final bit.",
+    -5L -> "function f() { return 1; }\nCode pages get dropped. One. Two. Three. Four. Five.",
+    -6L -> ("He said \"hello there friend\"\nA quoted ending counts fine. " +
+      "Indeed it does. Yes. Sure. Done."))
+
+  /** C4 cleaning-rule battery — the OTHER published pretraining filter
+    * battery next to [[qualityGopherRules]] (C4 is line-level where
+    * Gopher is word-level, so the two compose: C4 shapes the text,
+    * Gopher judges what remains). One map-only scan, zero exchanges;
+    * the per-line predicate (terminal punctuation + ≥3 words + no
+    * "javascript") runs through the codegen'd
+    * [[graft.functions.C4Kernels]] fused loops — straight to kernels,
+    * skipping the HOF-lambda cut the Gopher battery had to be rescued
+    * from (28× wall at 30× data; the differential spec pins kernel ≡
+    * HOF equivalence instead). Page-level signals (sentence floor,
+    * lorem-ipsum, curly brace) are plain codegen'd expressions.
+    * Sentence proxy: terminal-punctuation occurrences in KEPT lines —
+    * counting on the kept text is what makes the two rule levels
+    * compose the way the paper applies them (line filter first, page
+    * judgment on the survivors). */
+  def qualityC4Rules(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.C4Kernels
+    import spark.implicits._
+    Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+      .unionAll(c4Samples.toDF("doc_id", "text"))
+      .select(col("doc_id"),
+        split(col("text"), "\n").as("ls"),
+        contains(lower(col("text")), lit("lorem ipsum")).as("has_lorem"),
+        contains(col("text"), lit("{")).as("has_brace"))
+      .select(
+        col("doc_id"),
+        size(col("ls")).cast("long").as("n_lines"),
+        C4Kernels.count_c4_kept_lines(col("ls")).as("n_kept_lines"),
+        C4Kernels.sum_c4_sentences(col("ls")).as("n_sentences"),
+        col("has_lorem"), col("has_brace"))
+      .withColumn("keep",
+        col("n_sentences") >= c4MinSentences &&
+          !col("has_lorem") && !col("has_brace"))
+      .orderBy("doc_id")
+  }
+
   /** Document fingerprint: order-sensitive rolling hash over token codes
     * (code = ascii(first char)·256 + len). Runs as a sequential fold
     * inside `aggregate(...)` — still per-row, still codegen'd. */
@@ -327,6 +393,7 @@ object TextQuality {
     "lang_id" -> (langId _),
     "doc_quality" -> (docQuality _),
     "quality_gopher_rules" -> (qualityGopherRules _),
+    "quality_c4_rules" -> (qualityC4Rules _),
     "doc_logprob" -> (docLogprob _),
     "doc_fingerprint" -> (docFingerprint _))
 
@@ -345,6 +412,15 @@ object TextQuality {
     * [[piiSamples]] so the two engines can never drift. */
   private val piiValuesSql = piiSamples
     .map { case (id, t) => s"($id, '$t')" }.mkString(",\n            ")
+
+  /** The engineered C4 rows as literal VALUES — newlines join as
+    * `|| chr(10) ||` so the SQL literal carries the exact bytes the
+    * Scala string does. */
+  private val c4ValuesSql = c4Samples
+    .map { case (id, t) =>
+      val lit = t.split("\n", -1).map(s => s"'$s'").mkString(" || chr(10) || ")
+      s"($id, $lit)"
+    }.mkString(",\n            ")
 
   val oracleSql: Map[String, String] = Map(
     // same fixed redaction order, each count on the PREVIOUS stage's
@@ -480,6 +556,39 @@ object TextQuality {
                   AND alpha_frac >= $gopherMinAlphaFrac
                   AND stop_hits >= $gopherMinStopHits) AS keep
           FROM r ORDER BY doc_id""",
+    // same fixed line predicate (terminal punct + >=3 words + no
+    // "javascript"), sentence proxy counted over the KEPT lines only
+    "quality_c4_rules" ->
+      s"""WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+            $c4ValuesSql) t(doc_id, text)),
+          l AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{') AS has_brace
+            FROM base),
+          k AS (
+            SELECT doc_id, len(lines)::BIGINT AS n_lines,
+                   list_filter(lines, l ->
+                     (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR
+                      ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+                     AND len([x for x in regexp_split_to_array(l, '\\s+')
+                              if len(x) > 0]) >= ${graft.functions.C4Kernels.minWordsPerLine}
+                     AND NOT contains(lower(l), 'javascript')) AS kept,
+                   has_lorem, has_brace
+            FROM l),
+          s AS (
+            SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+                   coalesce(list_sum(list_transform(kept, l ->
+                     len(regexp_extract_all(l, '[.!?]')))), 0)::BIGINT AS n_sentences,
+                   has_lorem, has_brace
+            FROM k)
+          SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+                 (n_sentences >= $c4MinSentences
+                  AND NOT has_lorem AND NOT has_brace) AS keep
+          FROM s ORDER BY doc_id""",
     "doc_fingerprint" ->
       s"""WITH $toksSql
           SELECT doc_id,

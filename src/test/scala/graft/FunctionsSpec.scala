@@ -148,6 +148,35 @@ class FunctionsSpec extends GraftSpec {
         rtrim(l).endsWith("..."))).cast("long"))))
   }
 
+  test("C4 kernels equal the HOF forms on boundary edges") {
+    import graft.functions.C4Kernels
+    // kernel-vs-HOF value compatibility on the seams: space-only rtrim
+    // (a tab after the period must NOT trim), the end-quote terminal,
+    // the 3-word floor (2 words rejected, 3 accepted), mixed-case
+    // "JavaScript" containment, multi-byte UTF-8 words, empty
+    // lines/arrays, and multiple terminals per kept line
+    val lines = Seq(
+      Seq("one two three.", "one two.", "a b c?", "x y z!", "q w \"e\""),
+      Seq("ends here.  ", "ends here.\t", "Uses JavaScript today.", ""),
+      Seq("café süß weiß.", "Dr. A. B. said yes! Go? Now.", "no terminal x y"),
+      Seq("   ", "w1 w2 \"quoted end\""),
+      Seq())
+    val ldf = lines.toDF("ls")
+    def col1(df: org.apache.spark.sql.DataFrame): Seq[Any] =
+      df.collect().toSeq.map(_.get(0))
+    def keptHof(l: org.apache.spark.sql.Column) =
+      (rtrim(l).endsWith(".") || rtrim(l).endsWith("!") ||
+        rtrim(l).endsWith("?") || rtrim(l).endsWith("\"")) &&
+        (size(filter(split(l, "\\s+"), x => length(x) > lit(0)))
+          >= lit(C4Kernels.minWordsPerLine)) &&
+        !contains(lower(l), lit("javascript"))
+    assert(col1(ldf.select(C4Kernels.count_c4_kept_lines(col("ls")))) ==
+      col1(ldf.select(size(filter(col("ls"), keptHof _)).cast("long"))))
+    assert(col1(ldf.select(C4Kernels.sum_c4_sentences(col("ls")))) ==
+      col1(ldf.select(aggregate(filter(col("ls"), keptHof _), lit(0L),
+        (acc, l) => acc + regexp_count(l, lit("[.!?]")).cast("long")))))
+  }
+
   test("multimodal features agree with direct computation on the blob") {
     val rows = Multimodal.mediaFeatures(spark, sfDir).collect()
     val texts = Tables.documents(spark, sfDir)

@@ -89,6 +89,43 @@ class TextQualitySpec extends GraftSpec {
     }
   }
 
+  test("C4 rules match a driver-side recompute, and the engineered rows hit every rule") {
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap ++
+      TextQuality.c4Samples
+    val rows = TextQuality.qualityC4Rules(spark, sfDir).collect()
+    assert(rows.length == texts.size)
+    def keptLine(l: String): Boolean = {
+      val rt = l.replaceAll(" +$", "")
+      rt.nonEmpty && Set('.', '!', '?', '"')(rt.last) &&
+        l.split("\\s+").count(_.nonEmpty) >= 3 &&
+        !l.toLowerCase.contains("javascript")
+    }
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val lines = t.split("\n", -1)
+      val kept = lines.filter(keptLine)
+      val sentences = kept.map(_.count(c => c == '.' || c == '!' || c == '?')).sum.toLong
+      val lorem = t.toLowerCase.contains("lorem ipsum")
+      val brace = t.contains("{")
+      assert(r.getAs[Long]("n_lines") == lines.length.toLong)
+      assert(r.getAs[Long]("n_kept_lines") == kept.length.toLong)
+      assert(r.getAs[Long]("n_sentences") == sentences)
+      assert(r.getAs[Boolean]("has_lorem") == lorem)
+      assert(r.getAs[Boolean]("has_brace") == brace)
+      assert(r.getAs[Boolean]("keep") ==
+        (sentences >= TextQuality.c4MinSentences && !lorem && !brace))
+    }
+    // the engineered rows discriminate exactly as designed: keeper,
+    // sentence-floor reject, javascript-line drop (page still kept),
+    // lorem reject, brace reject, end-quote terminal keeper
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(byId(-1L) && !byId(-2L) && byId(-3L) && !byId(-4L) && !byId(-5L) && byId(-6L))
+    val minus3 = rows.find(_.getAs[Long]("doc_id") == -3L).get
+    assert(minus3.getAs[Long]("n_kept_lines") == 1L,
+      "the javascript line must be dropped at line level")
+  }
+
   test("gopher rules match a driver-side recompute from the raw text, every doc") {
     val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
