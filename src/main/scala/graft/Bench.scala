@@ -246,6 +246,19 @@ private[graft] object BenchFormat {
     * are pinned by SourcesSpec and values by the range() oracle. */
   val fixedSizeSources = Set("synth_bucket_agg", "synth_stream_agg")
 
+  /** Layout demonstrations whose evidence is the PLAN, not throughput:
+    * bucketed_join's point is the absent join-side exchange and
+    * partitioned_prune's the one-in-thirty partitionFilters scan — both
+    * pinned by LakehouseSpec, with the layout-build cost and read-side
+    * filtered timings + sf-scaling rows recorded in PLANS.md (r10). The
+    * timed reads are sub-second rollups; adding them (plus a
+    * lake_family_build metric) costs ~90 chars of line budget, which is
+    * exactly what pushes the 82-entry line past maxLineChars and forces
+    * the WHOLE artifact below the 2dp adjudication floor — the r10
+    * fit-math is in BenchFormatSpec's registry test. Better: spend the
+    * budget on workloads where wall-clock is the signal. */
+  val planPinnedLayouts = Set("bucketed_join", "partitioned_prune")
+
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     // r6h: the four boolean retrievals probe the SAME persisted index
     // with the same term-pruned-scan + docno-intersection plan; their
@@ -403,6 +416,10 @@ private[graft] object BenchFormat {
     // lang_id and text_normalize already time (filtered timing in
     // PLANS.md)
     "quality_gopher_rules",
+    // r10: quality_c4_rules is the same zero-exchange map-only corpus
+    // scan with codegen'd per-line kernels — the quality_gopher_rules
+    // rationale verbatim (filtered timing in PLANS.md)
+    "quality_c4_rules",
     // r9: scd2_history is one user-keyed exchange carrying three window
     // passes + one grouped aggregate — the gaps-and-islands WindowExec
     // shape user_sessions (islands) and q13_running_revenue (running
@@ -473,13 +490,13 @@ private[graft] object BenchFormat {
     // stale entry would otherwise silently exclude nothing (and hide the
     // documented intent behind a no-op)
     (allPairsBaselines ++ parityHarnesses ++ subsumedTwins.keySet ++
-      sharedProbeTwins ++ fixedSizeSources).foreach { n =>
+      sharedProbeTwins ++ fixedSizeSources ++ planPinnedLayouts).foreach { n =>
       require(names(n), s"bench exclusion '$n' names no registered query")
     }
     all.toSeq
       .filterNot(n => n.endsWith("_csv") || allPairsBaselines(n) ||
         parityHarnesses(n) || subsumedTwins.contains(n) || sharedProbeTwins(n) ||
-        fixedSizeSources(n))
+        fixedSizeSources(n) || planPinnedLayouts(n))
       .sorted
   }
 

@@ -23,7 +23,8 @@ object SparkEntry {
       Dedup.registry ++ Similarity.registry ++ InvertedIndex.registry ++
       EventAnalytics.registry ++ PageRank.registry ++ SpamClassifier.registry ++
       Multimodal.registry ++ DocEmbedding.registry ++ CorpusPipeline.registry ++
-      TaxiEvents.registry ++ Bpe.registry ++ graft.sources.Synthetic.registry ++
+      TaxiEvents.registry ++ Bpe.registry ++ Lakehouse.registry ++
+      graft.sources.Synthetic.registry ++
       graft.sources.AvroQueries.registry ++ graft.sources.OrcQueries.registry ++
       graft.sources.JsonlQueries.registry
 
@@ -35,7 +36,8 @@ object SparkEntry {
       Dedup.oracleSql ++ Similarity.oracleSql ++ InvertedIndex.oracleSql ++
       EventAnalytics.oracleSql ++ PageRank.oracleSql ++ SpamClassifier.oracleSql ++
       Multimodal.oracleSql ++ DocEmbedding.oracleSql ++ CorpusPipeline.oracleSql ++
-      TaxiEvents.oracleSql ++ Bpe.oracleSql ++ graft.sources.Synthetic.oracleSql ++
+      TaxiEvents.oracleSql ++ Bpe.oracleSql ++ Lakehouse.oracleSql ++
+      graft.sources.Synthetic.oracleSql ++
       graft.sources.AvroQueries.oracleSql ++ graft.sources.OrcQueries.oracleSql ++
       graft.sources.JsonlQueries.oracleSql
 }

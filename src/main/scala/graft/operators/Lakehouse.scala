@@ -1,0 +1,169 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Physical-layout operators — the two storage-side plays that decide
+  * whether a 100 TB job shuffles/scans at all, demonstrated as
+  * registered, oracle-checked queries rather than doc prose:
+  *
+  *  - '''Bucketed co-located join''': both join sides are written
+  *    `bucketBy(N, key)` once; every subsequent equi-join on the key
+  *    reads bucket-aligned splits and the SortMergeJoin plans with NO
+  *    ShuffleExchange on either side (LakehouseSpec pins the plan). At
+  *    100 TB this converts the fact⋈fact shuffle — the single most
+  *    expensive exchange in the engine — into a write-time cost paid
+  *    once and amortized over every consumer. This is the DataFrame
+  *    restatement of the reference's repartition-and-cache idiom
+  *    (SURVEY §2 O8/J1 family).
+  *
+  *  - '''Static partition pruning''': the events table written
+  *    `partitionBy(day)` (the universal time-partitioned lake layout),
+  *    then a one-day query whose day predicate is a LITERAL — pruning
+  *    happens at planning time and the scan lists exactly one
+  *    partition directory out of 30 (spec pins `partitionFilters` and
+  *    the file count). At 100 TB this is the difference between
+  *    reading ~3 TB and reading everything. The literal matters: a
+  *    subquery-shaped predicate only prunes at runtime via DPP, which
+  *    the graft-synth source demonstrates separately
+  *    (SynthSource runtime filtering).
+  *
+  * Artifacts are memoized per (session, sfDir) like
+  * [[graft.sources.OrcQueries]]. Bench: both queries sit in
+  * `planPinnedLayouts` (excluded from the timed set — the evidence here
+  * is the plan shape, which LakehouseSpec pins; filtered timings and
+  * the build costs are recorded in PLANS.md).
+  */
+object Lakehouse {
+
+  /** Bucket count — small for the local fixtures; at cluster scale pick
+    * buckets ≈ executors × a small factor and it stays a one-line
+    * change because consumers never name the count. */
+  val numBuckets = 8
+
+  val familyMembers: Set[String] = Set("bucketed_join", "partitioned_prune")
+
+  private val memo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
+  private val pmemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  private def tag(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Write lineitem + orders bucketed by the join key (once per
+    * session/sf). `repartition(N, key)` before the write aligns write
+    * tasks with buckets — one file per bucket, no tiny-file fan-out
+    * (writer tasks × buckets files otherwise: the small-file problem
+    * at 100 TB). Projection to the consumed columns at write time is
+    * deliberate: a bucketed artifact is a materialized layout decision
+    * and carrying dead columns re-pays their scan forever. */
+  def bucketedTablesFor(spark: SparkSession, dir: String): (String, String) =
+    memo.synchronized {
+      memo.getOrElseUpdate((spark, dir), {
+        val t = tag(dir)
+        val liT = s"graft_li_bucketed_$t"
+        val ordT = s"graft_ord_bucketed_$t"
+        if (!spark.catalog.tableExists(liT)) {
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_quantity").cast("long").as("l_qty"))
+            .repartition(numBuckets, col("l_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"target/graft-bucketed/li_$t")
+            .saveAsTable(liT)
+        }
+        if (!spark.catalog.tableExists(ordT)) {
+          Tables.orders(spark, dir)
+            .select(col("o_orderkey"), col("o_orderpriority"))
+            .repartition(numBuckets, col("o_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"target/graft-bucketed/ord_$t")
+            .saveAsTable(ordT)
+        }
+        (liT, ordT)
+      })
+    }
+
+  /** Fact⋈fact join on the bucket key with zero join-side exchanges;
+    * the only shuffles left are the (tiny) grouped rollup and the
+    * final order. The merge hint keeps the demonstration honest — at
+    * sf0.01 AQE would otherwise elect broadcast and the co-location
+    * would be untested (at real scale neither side broadcasts and SMJ
+    * is what the planner picks unhinted). l_quantity is integral by
+    * generation, so the long cast at write time makes the sum exact
+    * cross-engine (the integer-cents discipline). */
+  def bucketedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (liT, ordT) = bucketedTablesFor(spark, dir)
+    val li = spark.table(liT)
+    val ord = spark.table(ordT)
+    li.hint("merge").join(ord, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_items"),
+        sum(col("l_qty")).as("sum_qty"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Write events day-partitioned (once per session/sf). Partition
+    * values come from the data (`to_date(ts)`); 30 distinct days at
+    * every sf. */
+  def partitionedDirFor(spark: SparkSession, dir: String): String =
+    pmemo.synchronized {
+      pmemo.getOrElseUpdate((spark, dir), {
+        val out = s"target/graft-part-events/${tag(dir)}"
+        Tables.events(spark, dir)
+          .withColumn("day", to_date(col("ts")))
+          .write.mode("overwrite").partitionBy("day").parquet(out)
+        out
+      })
+    }
+
+  /** One-day rollup over the day-partitioned layout with a LITERAL day
+    * predicate — static pruning: the scan's partitionFilters carry the
+    * predicate and only that day's directory is listed/read. The day
+    * literal is the corpus min day, fetched as a bounded single-row
+    * scalar from the original table (the documented scalar-collect
+    * class; a deployment passes the day as a job parameter). Values
+    * sum as exact micro-unit longs (events.value is 6dp by
+    * generation). */
+  def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    val out = partitionedDirFor(spark, dir)
+    val minDay = Tables.events(spark, dir)
+      .agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    spark.read.parquet(out)
+      .filter(col("day") === lit(minDay.toString).cast("date"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_micro"))
+      .orderBy("event_type")
+  }
+
+  /** Bench family-build hook: pays both artifact writes so the timed
+    * queries report marginal (read-side) cost. */
+  def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
+    bucketedTablesFor(spark, dir)
+    partitionedDirFor(spark, dir)
+  }
+
+  val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "bucketed_join" -> (bucketedJoin _),
+    "partitioned_prune" -> (partitionedPrune _))
+
+  val oracleSql: Map[String, String] = Map(
+    // quantities are integral doubles; both engines aggregate them as
+    // longs so the sum is exact (and ::BIGINT keeps DuckDB off HUGEINT)
+    "bucketed_join" ->
+      """SELECT o_orderpriority,
+                count(*)::BIGINT AS n_items,
+                sum(CAST(l_quantity AS BIGINT))::BIGINT AS sum_qty
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+         GROUP BY o_orderpriority ORDER BY o_orderpriority""",
+    "partitioned_prune" ->
+      """SELECT event_type,
+                count(*)::BIGINT AS n_events,
+                sum(round(value * 1000000)::BIGINT)::BIGINT AS value_micro
+         FROM events
+         WHERE CAST(ts AS DATE) = (SELECT min(CAST(ts AS DATE)) FROM events)
+         GROUP BY event_type ORDER BY event_type""")
+}

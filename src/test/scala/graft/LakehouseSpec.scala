@@ -1,0 +1,66 @@
+package graft
+
+import graft.operators.Lakehouse
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+import org.apache.spark.sql.functions._
+
+class LakehouseSpec extends GraftSpec {
+
+  test("bucketed_join: SMJ with zero join-side exchanges, values match direct join") {
+    val df = Lakehouse.bucketedJoin(spark, sfDir)
+    val got = df.collect()
+
+    // values: same rollup straight off the parquet (no bucketing)
+    val want = Tables.lineitem(spark, sfDir)
+      .select(col("l_orderkey"), col("l_quantity").cast("long").as("q"))
+      .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_items"), sum(col("q")).as("sum_qty"))
+      .orderBy("o_orderpriority").collect()
+    assert(got.toSeq == want.toSeq)
+
+    // plan: the join is a SortMergeJoin and NOTHING under it shuffles —
+    // the bucketed layout satisfies the join's required distribution
+    val smjs = physicalNodes(df).collect { case j: SortMergeJoinExec => j }
+    assert(smjs.nonEmpty, "bucketed join must plan as SortMergeJoin (merge hint)")
+    val under = smjs.flatMap(_.collect { case e: ShuffleExchangeExec => e })
+    assert(under.isEmpty,
+      s"join-side shuffle found — bucketing failed to co-locate: $under")
+    val scans = smjs.flatMap(_.collect { case f: FileSourceScanExec => f })
+    assert(scans.size == 2 && scans.forall(_.bucketedScan),
+      "both join inputs must be bucketed scans")
+  }
+
+  test("partitioned_prune: literal day prunes to one partition of thirty") {
+    val df = Lakehouse.partitionedPrune(spark, sfDir)
+    val got = df.collect()
+
+    // values: same one-day rollup off the unpartitioned original
+    val minDay = Tables.events(spark, sfDir)
+      .agg(min(to_date(col("ts")))).collect()(0).getDate(0)
+    val want = Tables.events(spark, sfDir)
+      .filter(to_date(col("ts")) === lit(minDay.toString).cast("date"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        sum(round(col("value") * 1e6).cast("long")).as("value_micro"))
+      .orderBy("event_type").collect()
+    assert(got.toSeq == want.toSeq)
+
+    // plan: the scan carries partitionFilters (planning-time pruning,
+    // not a post-scan Filter) and reads only the one day's files
+    val scan = physicalNodes(df)
+      .collectFirst { case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft-part-events")) => f }
+      .getOrElse(fail("partitioned scan not found"))
+    assert(scan.partitionFilters.nonEmpty, "day predicate must prune at the scan")
+    val root = new java.io.File(Lakehouse.partitionedDirFor(spark, sfDir))
+    val dayDirs = root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("day="))
+    assert(dayDirs.length == 30, s"expected 30 day partitions, got ${dayDirs.length}")
+    val oneDayFiles = dayDirs.find(_.getName == s"day=$minDay").get
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(scan.metrics("numFiles").value == oneDayFiles.toLong,
+      "scan must read exactly the pruned day's files")
+  }
+}
