@@ -416,6 +416,11 @@ private[graft] object BenchFormat {
     // lang_id and text_normalize already time (filtered timing in
     // PLANS.md)
     "quality_gopher_rules",
+    // r10: ann_recall_ivf re-runs the timed knn_brute_cosine and
+    // ann_ivf_cosine search plans verbatim; its delta is a left join of
+    // two k×nQueries result tables — metadata scale (filtered timing in
+    // PLANS.md)
+    "ann_recall_ivf",
     // r10: quality_c4_rules is the same zero-exchange map-only corpus
     // scan with codegen'd per-line kernels — the quality_gopher_rules
     // rationale verbatim (filtered timing in PLANS.md)

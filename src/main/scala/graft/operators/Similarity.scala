@@ -641,6 +641,31 @@ object Similarity {
       .orderBy("query_id", "rank")
   }
 
+  /** Recall@k of the IVF index against the brute-force ground truth —
+    * ANN quality measured as a first-class, oracle-checked query
+    * instead of a test-side note. Per query: how many of the true
+    * top-[[knnK]] neighbors the probed-cell search returned. This is
+    * the evaluation every production ANN deployment runs when tuning
+    * probes/cells; expressing it IN the engine means the tuning loop is
+    * one more DataFrame, not an external script.
+    *
+    * Scale shape: both legs are the already-bounded query-set searches
+    * (brute is the oracle-anchor shape over [[nQueries]] broadcast
+    * queries — never the corpus×corpus product); the evaluation itself
+    * joins two k×nQueries tables — metadata scale. Exactness: hit
+    * counting is integer; recall is one int/int division. */
+  def annRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+    val truth = knnBruteCosine(spark, dir).select(col("query_id"), col("neighbor_id"))
+    val approx = annIvfCosine(spark, dir)
+      .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
+    truth.join(approx, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("k"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hits"))
+      .withColumn("recall", col("n_hits").cast("double") / col("k"))
+      .orderBy("query_id")
+  }
+
   /** PQ (product quantization) ANN — the codes half of Jégou/Douze/
     * Schmid TPAMI 2011 that [[annIvfCosine]] deliberately left out: the
     * 64-dim space splits into [[pqM]] subspaces of [[pqSub]] dims, each
@@ -997,6 +1022,7 @@ object Similarity {
     "ann_sq_cosine" -> (annSqCosine _),
     "ann_lsh_cosine" -> (annLshCosine _),
     "ann_ivf_cosine" -> (annIvfCosine _),
+    "ann_recall_ivf" -> (annRecallIvf _),
     "ann_pq_cosine" -> (annPqCosine _),
     "ann_ivfpq_cosine" -> (annIvfPqCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -1361,6 +1387,25 @@ object Similarity {
     * tie-break; lsh additionally replays the sign-bit bucketing against
     * the literal hyperplanes; ivf replays the integer-exact quantizer
     * (see [[ivfOracleSql]]). */
+  /** The brute-force oracle — shared: it is knn_brute_cosine's oracle
+    * AND the ground-truth leg inside ann_recall_ivf's. */
+  private def bruteOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+          q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < $nQueries),
+          scored AS (
+            SELECT query_id, vec_id AS neighbor_id,
+                   round(list_dot_product(qv, v) /
+                         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
+                     AS cosine
+            FROM v CROSS JOIN q WHERE vec_id <> query_id),
+          ranked AS (
+            SELECT *, row_number() OVER (
+              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
+            FROM scored)
+          SELECT query_id, neighbor_id, cosine, rank
+          FROM ranked WHERE rank <= $knnK
+          ORDER BY query_id, rank"""
+
   val oracleSql: Map[String, String] = Map(
     // SemDeDup: replay the keyed-Lloyd trainer + full-corpus assignment
     // (the shared coarseAssignCtesSql — parity), then state the upper-
@@ -1457,22 +1502,21 @@ object Similarity {
           SELECT query_id, neighbor_id, cosine, rank
           FROM ranked WHERE rank <= $knnK
           ORDER BY query_id, rank""",
-    "knn_brute_cosine" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-          q AS (SELECT vec_id AS query_id, v AS qv FROM v WHERE vec_id < $nQueries),
-          scored AS (
-            SELECT query_id, vec_id AS neighbor_id,
-                   round(list_dot_product(qv, v) /
-                         (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6)
-                     AS cosine
-            FROM v CROSS JOIN q WHERE vec_id <> query_id),
-          ranked AS (
-            SELECT *, row_number() OVER (
-              PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rank
-            FROM scored)
-          SELECT query_id, neighbor_id, cosine, rank
-          FROM ranked WHERE rank <= $knnK
-          ORDER BY query_id, rank""",
+    "knn_brute_cosine" -> bruteOracleSql,
+    // recall@k composes the two legs' ORACLES verbatim (subquery-with-
+    // WITH on each side), so the evaluation can never drift from what
+    // it evaluates
+    "ann_recall_ivf" ->
+      s"""SELECT b.query_id,
+                 count(*)::BIGINT AS k,
+                 sum(CASE WHEN i.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+                 (sum(CASE WHEN i.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS recall
+          FROM ($bruteOracleSql) b
+          LEFT JOIN ($ivfOracleSql) i
+            ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          GROUP BY b.query_id ORDER BY b.query_id""",
     // same scoring arithmetic as knn_brute_cosine; the label predicate
     // appears as the USING join key exactly like the Spark plan
     "knn_filtered_cosine" ->

@@ -32,6 +32,21 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
+  test("ann_recall_ivf: the registered evaluation equals the test-side recompute") {
+    val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
+    val approx = neighborSets(Similarity.annIvfCosine(spark, sfDir))
+    val rows = Similarity.annRecallIvf(spark, sfDir).collect()
+    assert(rows.length == exact.size, "one recall row per query")
+    rows.foreach { r =>
+      val q = r.getAs[Long]("query_id")
+      val wantHits = approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toLong
+      assert(r.getAs[Long]("k") == Similarity.knnK.toLong)
+      assert(r.getAs[Long]("n_hits") == wantHits, s"query $q hit count")
+      assert(r.getAs[Double]("recall") ==
+        wantHits.toDouble / Similarity.knnK)
+    }
+  }
+
   test("PQ ANN achieves reasonable recall vs brute force") {
     val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
     val approx = neighborSets(Similarity.annPqCosine(spark, sfDir))
