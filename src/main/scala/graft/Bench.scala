@@ -421,6 +421,11 @@ private[graft] object BenchFormat {
     // two k×nQueries result tables — metadata scale (filtered timing in
     // PLANS.md)
     "ann_recall_ivf",
+    // r10: snapshot_diff is one key-equi full-outer join + a CASE
+    // projection over orders — the outer-join exchange shape
+    // q12_outer_anti (timed) already prices on the same tables
+    // (filtered timing in PLANS.md)
+    "snapshot_diff",
     // r10: quality_c4_rules is the same zero-exchange map-only corpus
     // scan with codegen'd per-line kernels — the quality_gopher_rules
     // rationale verbatim (filtered timing in PLANS.md)

@@ -510,6 +510,52 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** CDC change feed — the read half of the lakehouse CDC story
+    * ([[snapshotMerge]] is the write half): row-level inserts / updates
+    * / deletes between two snapshot versions, the "change data feed" a
+    * downstream incremental consumer reads instead of re-diffing
+    * snapshots itself. v2 evolves deterministically from the base
+    * snapshot (updates on keys ≡3 mod 10, deletes on ≡11 mod 25,
+    * inserts under negated keys ≡7 mod 100), both engines constructing
+    * the same evolution.
+    *
+    * Scale shape: ONE key-equi full-outer join (both sides shuffle on
+    * the snapshot key once) + a map-only CASE projection; at 100 TB
+    * both snapshots would live bucketed on the key ([[Lakehouse]]'s
+    * layout), making the diff exchange-free — the same amortization
+    * as bucketed_join. Unchanged rows are filtered AFTER the CASE so
+    * the join itself streams; no collect anywhere. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.orders(spark, dir)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    val k = col("o_orderkey")
+    val v2 = base.filter(pmod(k, lit(25)) =!= 11)
+      .select(k,
+        when(pmod(k, lit(10)) === 3, col("o_totalprice") + 1000.0)
+          .otherwise(col("o_totalprice")).as("o_totalprice"),
+        when(pmod(k, lit(10)) === 3, lit("U"))
+          .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+      .unionByName(base.filter(pmod(k, lit(100)) === 7)
+        .select((-k).as("o_orderkey"), col("o_totalprice"),
+          lit("N").as("o_orderstatus")))
+    val a = base.select(k.as("ka"), col("o_totalprice").as("old_price"),
+      col("o_orderstatus").as("old_status"))
+    val b = v2.select(k.as("kb"), col("o_totalprice").as("new_price"),
+      col("o_orderstatus").as("new_status"))
+    a.join(b, col("ka") === col("kb"), "full_outer")
+      .select(
+        coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        when(col("ka").isNull, lit("insert"))
+          .when(col("kb").isNull, lit("delete"))
+          .when(col("old_price") =!= col("new_price") ||
+            col("old_status") =!= col("new_status"), lit("update"))
+          .otherwise(lit("none")).as("change"),
+        col("old_status"), col("new_status"),
+        col("old_price"), col("new_price"))
+      .filter(col("change") =!= "none")
+      .orderBy("o_orderkey")
+  }
+
   /** CUBE — the full grouping-sets lattice (q10 covers ROLLUP's prefix
     * chain; CUBE adds the cross-margins: per-linestatus totals across
     * all returnflags, which ROLLUP cannot express). Same NULL→'ALL'
@@ -641,6 +687,7 @@ object Relational {
     "q16_disjunctive_parts" -> (q16DisjunctiveParts _),
     "q17_wealthy_dormant" -> (q17WealthyDormant _),
     "snapshot_merge" -> (snapshotMerge _),
+    "snapshot_diff" -> (snapshotDiff _),
     "dq_audit" -> (dqAudit _),
     "q18_cube_revenue" -> (q18CubeRevenue _),
     "q10_rollup_cents" -> (q10RollupCents _),
@@ -850,6 +897,33 @@ object Relational {
                 AND o_orderdate >= TIMESTAMP '$q17DormantDate 00:00:00')
           GROUP BY c_mktsegment
           ORDER BY c_mktsegment""",
+    // the same deterministic v1→v2 evolution on both sides; USING is
+    // avoided so each side's key stays referenceable for the CASE arms
+    "snapshot_diff" ->
+      """WITH v1 AS (
+            SELECT o_orderkey, o_totalprice, o_orderstatus FROM orders),
+          v2 AS (
+            SELECT o_orderkey,
+                   CASE WHEN o_orderkey % 10 = 3
+                        THEN o_totalprice + 1000.0 ELSE o_totalprice END AS o_totalprice,
+                   CASE WHEN o_orderkey % 10 = 3
+                        THEN 'U' ELSE o_orderstatus END AS o_orderstatus
+            FROM orders WHERE o_orderkey % 25 <> 11
+            UNION ALL
+            SELECT -o_orderkey, o_totalprice, 'N'
+            FROM orders WHERE o_orderkey % 100 = 7),
+          d AS (
+            SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+                   CASE WHEN a.o_orderkey IS NULL THEN 'insert'
+                        WHEN b.o_orderkey IS NULL THEN 'delete'
+                        WHEN a.o_totalprice <> b.o_totalprice
+                          OR a.o_orderstatus <> b.o_orderstatus THEN 'update'
+                        ELSE 'none' END AS change,
+                   a.o_orderstatus AS old_status, b.o_orderstatus AS new_status,
+                   a.o_totalprice AS old_price, b.o_totalprice AS new_price
+            FROM v1 a FULL OUTER JOIN v2 b ON a.o_orderkey = b.o_orderkey)
+          SELECT o_orderkey, change, old_status, new_status, old_price, new_price
+          FROM d WHERE change <> 'none' ORDER BY o_orderkey""",
     "snapshot_merge" ->
       """WITH batch_all AS (
             SELECT o_orderkey, o_custkey, 'U' AS o_orderstatus,

@@ -137,6 +137,33 @@ class RelationalSpec extends GraftSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("snapshot_diff: change feed carries exactly the evolved rows, typed correctly") {
+    val keys = Tables.load(spark, sfDir, "orders")
+      .select("o_orderkey").collect().map(_.getLong(0))
+    val nDel = keys.count(_ % 25 == 11)
+    val nUpd = keys.count(k => k % 10 == 3 && k % 25 != 11)
+    val nIns = keys.count(_ % 100 == 7)
+    assert(nDel > 0 && nUpd > 0 && nIns > 0, "every change type must be exercised")
+    val rows = Relational.snapshotDiff(spark, sfDir).collect()
+    val byChange = rows.groupBy(_.getAs[String]("change")).view.mapValues(_.length)
+    assert(byChange("delete") == nDel)
+    assert(byChange("update") == nUpd)
+    assert(byChange("insert") == nIns)
+    assert(rows.length == nDel + nUpd + nIns, "unchanged rows must not leak")
+    rows.foreach { r =>
+      r.getAs[String]("change") match {
+        case "insert" =>
+          assert(r.isNullAt(r.fieldIndex("old_price")) &&
+            r.getAs[String]("new_status") == "N" && r.getAs[Long]("o_orderkey") < 0)
+        case "delete" =>
+          assert(r.isNullAt(r.fieldIndex("new_price")))
+        case "update" =>
+          assert(r.getAs[Double]("new_price") == r.getAs[Double]("old_price") + 1000.0 &&
+            r.getAs[String]("new_status") == "U")
+      }
+    }
+  }
+
   test("scd2_history: intervals chain gaplessly, versions are dense, " +
       "exactly one current row per user, events conserved") {
     val rows = graft.operators.EventAnalytics.scd2History(spark, sfDir).collect()
