@@ -33,6 +33,46 @@ class LakehouseSpec extends GraftSpec {
       "both join inputs must be bucketed scans")
   }
 
+  test("zorder_box_agg: values match the original table; z layout skips most " +
+      "row groups where the scattered control reads everything") {
+    val got = Lakehouse.zorderBoxAgg(spark, sfDir).collect()
+
+    // values: the same box rollup straight off the original events
+    val (tlo, thi, vlo, vhi) = Lakehouse.boxBounds(spark, sfDir)
+    val want = Tables.events(spark, sfDir)
+      .select(col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("ts_micros"),
+        round(col("value") * 1e6).cast("long").as("value_micro"))
+      .filter(col("ts_micros").between(tlo, thi) &&
+        col("value_micro").between(vlo, vhi))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"), sum("value_micro").as("value_micro_sum"))
+      .orderBy("event_type").collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.map(_.getAs[Long]("n_events")).sum > 0, "the box must not be empty")
+
+    // the layout A/B: identical box query over the z-ordered layout and
+    // the hash-scattered control; parquet row-group stats skipping shows
+    // up as the scan's output-row count
+    val (zOut, flatOut) = Lakehouse.zorderDirsFor(spark, sfDir)
+    def scannedRows(path: String): Long = {
+      val q = spark.read.parquet(path)
+        .filter(col("ts_micros").between(tlo, thi) &&
+          col("value_micro").between(vlo, vhi))
+        .groupBy("event_type").count()
+      q.collect()
+      physicalNodes(q).collectFirst { case f: FileSourceScanExec => f }
+        .get.metrics("numOutputRows").value
+    }
+    val total = Tables.events(spark, sfDir).count()
+    val zRows = scannedRows(zOut)
+    val flatRows = scannedRows(flatOut)
+    assert(flatRows >= (total * 8) / 10,
+      s"scattered control should survive stats pruning (read $flatRows of $total)")
+    assert(zRows * 2 <= flatRows && zRows * 2 <= total,
+      s"z layout must skip most row groups: scanned $zRows vs control $flatRows of $total")
+  }
+
   test("partitioned_prune: literal day prunes to one partition of thirty") {
     val df = Lakehouse.partitionedPrune(spark, sfDir)
     val got = df.collect()
