@@ -425,6 +425,11 @@ private[graft] object BenchFormat {
     // two k×nQueries result tables — metadata scale (filtered timing in
     // PLANS.md)
     "ann_recall_ivf",
+    // r10: minhash_jaccard_err re-runs the signature aggregate shape the
+    // timed dedup_minhash_lsh prices (64 mins per doc over the shared
+    // shingle artifact) plus a join against the bounded pair graph
+    // (priced by dedup_family_build); filtered timing in PLANS.md
+    "minhash_jaccard_err",
     // r10: snapshot_diff is one key-equi full-outer join + a CASE
     // projection over orders — the outer-join exchange shape
     // q12_outer_anti (timed) already prices on the same tables

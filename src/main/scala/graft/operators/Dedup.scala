@@ -414,6 +414,63 @@ object Dedup {
 
   /** MinHash+LSH near-dup pairs: band the K-wide signature, bucket-join on
     * (band, slice), verify candidates with exact Jaccard. */
+  /** Mersenne-prime modulus for the estimator's universal-hash
+    * permutation family; coefficients are seeded driver-side (the
+    * [[graft.operators.Similarity]] hyperplane precedent) and
+    * interpolate into the oracle as the SAME literals. */
+  val mhMod = 2147483647L
+  private[graft] val (mhA, mhB) = {
+    val rng = new scala.util.Random(4242)
+    ((0 until minhashK).map(_ => rng.nextInt(Int.MaxValue - 2).toLong + 1),
+      (0 until minhashK).map(_ => rng.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** Sketch-accuracy evaluation — MinHash ESTIMATED Jaccard vs the
+    * exact value, per near-dup pair: the [[graft.operators.Similarity]]
+    * `ann_recall_ivf` pattern applied to the dedup family. The
+    * estimator rebuilt here uses one md5 base hash (the cross-engine
+    * hash) fed through a seeded universal-hash permutation family
+    * instead of the production path's xxhash64 — deliberately, because
+    * that makes the WHOLE estimate replayable in DuckDB, turning
+    * "minhash agreement estimates Jaccard" from a cited property into
+    * a hash-gated measurement. k = [[minhashK]] (64), so
+    * the expected |err| at the planted-dup J≈0.98 is ~0.017 — the
+    * numbers a deployment reads when sizing bands×rows.
+    *
+    * Pair set = the family's exact pair graph (capped shingles);
+    * signatures come from the UNCAPPED set — identical on any corpus
+    * where the stop-shingle cap never fires (this one; the cap exists
+    * for hot-key skew, not semantics). Scale shape: one corpus-pass
+    * signature aggregate + a join against the bounded pair graph. */
+  def minhashJaccardErr(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions.md5Int
+    val sh = docShinglesShared(spark, dir)
+    // ONE md5 per shingle, then 64 integer permutations — the first cut
+    // hashed md5(i || sh) per permutation and measured 13.2 s at sf0.1
+    // (64 digests per shingle row); the universal-hash family costs a
+    // multiply-add-mod each and reads 0.9 s, with the same cross-engine
+    // exactness (all arithmetic below 2^62, replayed verbatim in SQL)
+    val hashed = sh.withColumn("h", md5Int(col("sh"), 15) % mhMod)
+    val sigCols = (0 until minhashK).map(i =>
+      min((lit(mhA(i)) * col("h") + lit(mhB(i))) % mhMod).as(s"h$i"))
+    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val sa = sig.select(col("doc_id").as("doc_a") +:
+      (0 until minhashK).map(i => col(s"h$i").as(s"a$i")): _*)
+    val sb = sig.select(col("doc_id").as("doc_b") +:
+      (0 until minhashK).map(i => col(s"h$i").as(s"b$i")): _*)
+    val agree = (0 until minhashK).map(i =>
+      when(col(s"a$i") === col(s"b$i"), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    jaccardPairsShared(spark, dir)
+      .join(sa, "doc_a").join(sb, "doc_b")
+      .withColumn("agree", agree)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("agree"),
+        (col("agree").cast("double") / minhashK).as("jaccard_est"),
+        abs(col("jaccard") - col("agree").cast("double") / minhashK)
+          .as("abs_err"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   def dedupMinhashLsh(spark: SparkSession, dir: String): DataFrame = {
     // one materialized shingle table feeds BOTH the signature build and
     // the exact-Jaccard verification below — previously two full
@@ -919,6 +976,7 @@ object Dedup {
     "dedup_containment" -> (dedupContainment _),
     "dup_ngram_coverage" -> (dupNgramCoverage _),
     "dedup_minhash_lsh" -> (dedupMinhashLsh _),
+    "minhash_jaccard_err" -> (minhashJaccardErr _),
     "dedup_simhash" -> (dedupSimhash _))
 
   private val shingleSql =
@@ -1094,6 +1152,47 @@ object Dedup {
           JOIN sz y ON doc_b = y.doc_id
           WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold
           ORDER BY doc_a, doc_b""",
+    // the estimator replayed end-to-end: md5-permutation signatures
+    // (min per permutation over the UNCAPPED shingle set), agreement
+    // counted against the exact capped pair graph — every value
+    // hash-gated, including the abs error itself
+    "minhash_jaccard_err" ->
+      s"""WITH $shingleSql,
+          $cappedShingleSql,
+          sz AS (SELECT doc_id, count(*) AS n FROM shc GROUP BY doc_id),
+          inter AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS i
+            FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+            GROUP BY 1, 2),
+          pairs AS (
+            SELECT doc_a, doc_b, i::DOUBLE / (x.n + y.n - i) AS jaccard
+            FROM inter
+            JOIN sz x ON doc_a = x.doc_id
+            JOIN sz y ON doc_b = y.doc_id
+            WHERE i::DOUBLE / (x.n + y.n - i) >= $jaccardThreshold),
+          perms(i, a, b) AS (VALUES
+            ${(0 until minhashK).map(i => s"($i, ${mhA(i)}, ${mhB(i)})")
+              .mkString(",\n            ")}),
+          hh AS (
+            SELECT doc_id,
+                   ${graft.functions.TextFunctions.md5IntSql("sh", 15)}
+                     % $mhMod AS h
+            FROM sh),
+          sig AS (
+            SELECT doc_id, i, min((a * h + b) % $mhMod) AS h
+            FROM hh, perms
+            GROUP BY doc_id, i),
+          ag AS (
+            SELECT p.doc_a, p.doc_b, p.jaccard,
+                   sum(CASE WHEN x.h = y.h THEN 1 ELSE 0 END)::BIGINT AS agree
+            FROM pairs p
+            JOIN sig x ON x.doc_id = p.doc_a
+            JOIN sig y ON y.doc_id = p.doc_b AND y.i = x.i
+            GROUP BY 1, 2, 3)
+          SELECT doc_a, doc_b, jaccard, agree,
+                 agree::DOUBLE / $minhashK AS jaccard_est,
+                 abs(jaccard - agree::DOUBLE / $minhashK) AS abs_err
+          FROM ag ORDER BY doc_a, doc_b""",
     // Full simhash pipeline in SQL: md5-60 token hashes → tf-weighted
     // per-bit sign sums → fingerprint → exhaustive Hamming ≤ 3 pairs.
     // The Spark side bands instead of brute-forcing, but 15-bit×4 banding

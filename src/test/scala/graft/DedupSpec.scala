@@ -24,6 +24,24 @@ class DedupSpec extends GraftSpec {
       s"LSH recall too low: ${lsh.size}/${brute.size}")
   }
 
+  test("minhash_jaccard_err: estimator errors are small and internally consistent") {
+    val rows = Dedup.minhashJaccardErr(spark, sfDir).collect()
+    assert(rows.nonEmpty, "the near-dup pair graph must not be empty")
+    rows.foreach { r =>
+      val agree = r.getAs[Long]("agree")
+      val est = r.getAs[Double]("jaccard_est")
+      val j = r.getAs[Double]("jaccard")
+      assert(agree >= 0 && agree <= Dedup.minhashK)
+      assert(est == agree.toDouble / Dedup.minhashK)
+      assert(r.getAs[Double]("abs_err") == math.abs(j - est))
+      assert(j >= Dedup.jaccardThreshold)
+    }
+    // k = 64 at the planted-dup J: the estimator should track closely on
+    // average (sigma ~ sqrt(J(1-J)/64) ~ 0.02 at J ~ 0.98)
+    val meanErr = rows.map(_.getAs[Double]("abs_err")).sum / rows.length
+    assert(meanErr < 0.1, s"mean |err| $meanErr implausibly high for k=64")
+  }
+
   test("prefix-filtered Jaccard join equals the brute kernel row for row") {
     val brute = Dedup.dedupNgramJaccard(spark, sfDir).collect().map(_.toSeq).toSet
     val pfx = Dedup.dedupJaccardPrefix(spark, sfDir).collect().map(_.toSeq).toSet
