@@ -119,6 +119,17 @@ object OracleAudit {
       "SimilaritySpec:120 exact precision, near-total recall vs the all-pairs kernel (dedup_embedding_exact)")
     m += "doc_embedding_neardup" -> (ParityWithRecall,
       "DocEmbeddingSpec:17 subset of the exact kernel with near-total recall (doc_embedding_exact)")
+    // the evaluation queries THEMSELVES: their oracles compose a replay
+    // leg, so they carry the same law-not-default discipline
+    m += "ann_recall_ivf" -> (ParityWithLaw,
+      "SimilaritySpec:35 registered evaluation equals an independent " +
+      "test-side recompute of hits/recall from both searches' result " +
+      "sets; the legs carry their own gates (knn_brute Independent, " +
+      "ann_ivf_cosine's recall law at SimilaritySpec:51)")
+    m += "minhash_jaccard_err" -> (ParityWithLaw,
+      "DedupSpec:27 per-row internal consistency (est = agree/k, " +
+      "abs_err = |J - est|) plus the mean-error concentration bar for " +
+      "k=64; the exact-Jaccard leg is the Independent all-pairs kernel")
 
     // --- corpus pipeline: md5-threshold / greedy encodings + driver laws
     m += "sample_stratified" -> (ParityWithLaw, "CorpusPipelineSpec:8 deterministic, respects the rate table")
@@ -172,7 +183,8 @@ object OracleAudit {
     * classified above — falling through to the Independent default would
     * be exactly the parity-only hole the audit exists to close. */
   val encodedPrefixes: Seq[String] = Seq(
-    "bpe_", "wordpiece_", "ppr_", "spam_", "ann_", "dedup_minhash", "dedup_simhash",
+    "bpe_", "wordpiece_", "ppr_", "spam_", "ann_", "minhash_",
+    "dedup_minhash", "dedup_simhash",
     "dedup_clusters", "dedup_survivors", "dedup_best_survivor",
     "dedup_spans", "dedup_incremental", "dedup_semantic", "sample_",
     "synth_", "triangle_")
