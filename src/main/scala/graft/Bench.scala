@@ -439,6 +439,10 @@ private[graft] object BenchFormat {
     // scan with codegen'd per-line kernels — the quality_gopher_rules
     // rationale verbatim (filtered timing in PLANS.md)
     "quality_c4_rules",
+    // r10: quality_agreement re-runs three excluded/subsumed map-only
+    // battery scans and adds two doc-keyed joins into a 4-row aggregate
+    // (filtered timing in PLANS.md)
+    "quality_agreement",
     // r9: scd2_history is one user-keyed exchange carrying three window
     // passes + one grouped aggregate — the gaps-and-islands WindowExec
     // shape user_sessions (islands) and q13_running_revenue (running

@@ -237,6 +237,35 @@ object TextQuality {
       .orderBy("doc_id")
   }
 
+  /** Filter-ensemble agreement analysis — the table a pipeline owner
+    * reads before choosing which cleaning batteries to run: the corpus
+    * cross-tabulated by (gopher keep, C4 keep) with each cell's count
+    * and mean heuristic quality score. Cells where the two batteries
+    * DISAGREE are exactly the documents worth inspecting (word-level vs
+    * line-level signals pulling apart). Composes the three registered
+    * filters — the evaluation-as-query discipline (ann_recall_ivf,
+    * minhash_jaccard_err): the oracle composes the same three ORACLES,
+    * so the analysis can never drift from the filters it analyzes.
+    * Scale shape: three map-only scans + two doc-keyed equi-joins + a
+    * 4-row aggregate; quality averages via exact micro-unit longs. The
+    * engineered C4 rows drop out on the inner join (negative doc_ids
+    * have no gopher row). */
+  def qualityAgreement(spark: SparkSession, dir: String): DataFrame = {
+    val g = qualityGopherRules(spark, dir)
+      .select(col("doc_id"), col("keep").as("keep_gopher"))
+    val c = qualityC4Rules(spark, dir)
+      .select(col("doc_id"), col("keep").as("keep_c4"))
+    val q = docQuality(spark, dir)
+      .select(col("doc_id"), round(col("quality") * 1e6).cast("long").as("qm"))
+    g.join(c, "doc_id").join(q, "doc_id")
+      .groupBy("keep_gopher", "keep_c4")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("qm")).as("quality_micro_sum"))
+      .withColumn("avg_quality",
+        col("quality_micro_sum").cast("double") / (col("n_docs") * 1000000L))
+      .orderBy("keep_gopher", "keep_c4")
+  }
+
   /** Document fingerprint: order-sensitive rolling hash over token codes
     * (code = ascii(first char)·256 + len). Runs as a sequential fold
     * inside `aggregate(...)` — still per-row, still codegen'd. */
@@ -394,6 +423,7 @@ object TextQuality {
     "doc_quality" -> (docQuality _),
     "quality_gopher_rules" -> (qualityGopherRules _),
     "quality_c4_rules" -> (qualityC4Rules _),
+    "quality_agreement" -> (qualityAgreement _),
     "doc_logprob" -> (docLogprob _),
     "doc_fingerprint" -> (docFingerprint _))
 
@@ -421,6 +451,94 @@ object TextQuality {
       val lit = t.split("\n", -1).map(s => s"'$s'").mkString(" || chr(10) || ")
       s"($id, $lit)"
     }.mkString(",\n            ")
+
+  /** The three battery oracles as shared defs: each is its own query's
+    * oracle AND a composed leg inside quality_agreement's. */
+  private def docQualityOracleSql: String =
+    s"""WITH $toksSql,
+          r AS (
+            SELECT doc_id, n_chars, len(ws) AS n_tokens,
+                   $stopSql::DOUBLE / len(ws) AS stop_ratio,
+                   len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
+                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
+                     / length(text) AS punct_ratio,
+                   least(n_chars::DOUBLE / 400.0, 1.0) AS len_score
+            FROM toks)
+          SELECT doc_id, n_tokens, stop_ratio, diversity, punct_ratio, len_score,
+                 round(len_score * 0.4 + diversity * 0.4 + stop_ratio * 0.2, 6) AS quality
+          FROM r ORDER BY doc_id"""
+
+  private def gopherOracleSql: String =
+    s"""WITH w AS (
+            SELECT doc_id,
+                   [x for x in regexp_split_to_array(text, '\\s+') if len(x) > 0] AS words,
+                   string_split(text, chr(10)) AS lines,
+                   (len(regexp_extract_all(text, '#')) +
+                    len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS n_sym
+            FROM documents),
+          r AS (
+            SELECT doc_id,
+                   len(words)::BIGINT AS n_words,
+                   list_sum(list_transform(words, x -> length(x)))::DOUBLE
+                     / len(words) AS mean_word_len,
+                   n_sym::DOUBLE / len(words) AS symbol_ratio,
+                   len(list_filter(lines, l ->
+                     substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE
+                     / len(lines) AS bullet_frac,
+                   len(list_filter(lines, l ->
+                     ends_with(rtrim(l), '...')))::DOUBLE
+                     / len(lines) AS ellipsis_frac,
+                   len(list_filter(words, x ->
+                     regexp_matches(lower(x), '[a-z]')))::DOUBLE
+                     / len(words) AS alpha_frac,
+                   len(list_filter(words, x ->
+                     lower(x) IN (${gopherStops.map(s => s"'$s'").mkString(", ")})))::BIGINT
+                     AS stop_hits
+            FROM w WHERE len(words) > 0)
+          SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
+                 ellipsis_frac, alpha_frac, stop_hits,
+                 (n_words BETWEEN $gopherMinWords AND $gopherMaxWords
+                  AND mean_word_len BETWEEN $gopherMinMeanWordLen AND $gopherMaxMeanWordLen
+                  AND symbol_ratio <= $gopherMaxSymbolRatio
+                  AND bullet_frac <= $gopherMaxBulletFrac
+                  AND ellipsis_frac <= $gopherMaxEllipsisFrac
+                  AND alpha_frac >= $gopherMinAlphaFrac
+                  AND stop_hits >= $gopherMinStopHits) AS keep
+          FROM r ORDER BY doc_id"""
+
+  // same fixed line predicate (terminal punct + >=3 words + no
+  // "javascript"), sentence proxy counted over the KEPT lines only
+  private def c4OracleSql: String =
+    s"""WITH base AS (
+            SELECT doc_id, text FROM documents
+            UNION ALL
+            SELECT * FROM (VALUES
+            $c4ValuesSql) t(doc_id, text)),
+          l AS (
+            SELECT doc_id, string_split(text, chr(10)) AS lines,
+                   contains(lower(text), 'lorem ipsum') AS has_lorem,
+                   contains(text, '{') AS has_brace
+            FROM base),
+          k AS (
+            SELECT doc_id, len(lines)::BIGINT AS n_lines,
+                   list_filter(lines, l ->
+                     (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR
+                      ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
+                     AND len([x for x in regexp_split_to_array(l, '\\s+')
+                              if len(x) > 0]) >= ${graft.functions.C4Kernels.minWordsPerLine}
+                     AND NOT contains(lower(l), 'javascript')) AS kept,
+                   has_lorem, has_brace
+            FROM l),
+          s AS (
+            SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
+                   coalesce(list_sum(list_transform(kept, l ->
+                     len(regexp_extract_all(l, '[.!?]')))), 0)::BIGINT AS n_sentences,
+                   has_lorem, has_brace
+            FROM k)
+          SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
+                 (n_sentences >= $c4MinSentences
+                  AND NOT has_lorem AND NOT has_brace) AS keep
+          FROM s ORDER BY doc_id"""
 
   val oracleSql: Map[String, String] = Map(
     // same fixed redaction order, each count on the PREVIOUS stage's
@@ -506,89 +624,23 @@ object TextQuality {
                       THEN 'en' ELSE 'unknown' END AS pred_lang,
                  lang AS true_lang
           FROM r ORDER BY doc_id""",
-    "doc_quality" ->
-      s"""WITH $toksSql,
-          r AS (
-            SELECT doc_id, n_chars, len(ws) AS n_tokens,
-                   $stopSql::DOUBLE / len(ws) AS stop_ratio,
-                   len(list_distinct(ws))::DOUBLE / len(ws) AS diversity,
-                   length(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))::DOUBLE
-                     / length(text) AS punct_ratio,
-                   least(n_chars::DOUBLE / 400.0, 1.0) AS len_score
-            FROM toks)
-          SELECT doc_id, n_tokens, stop_ratio, diversity, punct_ratio, len_score,
-                 round(len_score * 0.4 + diversity * 0.4 + stop_ratio * 0.2, 6) AS quality
-          FROM r ORDER BY doc_id""",
-    "quality_gopher_rules" ->
-      s"""WITH w AS (
-            SELECT doc_id,
-                   [x for x in regexp_split_to_array(text, '\\s+') if len(x) > 0] AS words,
-                   string_split(text, chr(10)) AS lines,
-                   (len(regexp_extract_all(text, '#')) +
-                    len(regexp_extract_all(text, '\\.\\.\\.')))::BIGINT AS n_sym
-            FROM documents),
-          r AS (
-            SELECT doc_id,
-                   len(words)::BIGINT AS n_words,
-                   list_sum(list_transform(words, x -> length(x)))::DOUBLE
-                     / len(words) AS mean_word_len,
-                   n_sym::DOUBLE / len(words) AS symbol_ratio,
-                   len(list_filter(lines, l ->
-                     substr(ltrim(l), 1, 1) IN ('-', '*', '•')))::DOUBLE
-                     / len(lines) AS bullet_frac,
-                   len(list_filter(lines, l ->
-                     ends_with(rtrim(l), '...')))::DOUBLE
-                     / len(lines) AS ellipsis_frac,
-                   len(list_filter(words, x ->
-                     regexp_matches(lower(x), '[a-z]')))::DOUBLE
-                     / len(words) AS alpha_frac,
-                   len(list_filter(words, x ->
-                     lower(x) IN (${gopherStops.map(s => s"'$s'").mkString(", ")})))::BIGINT
-                     AS stop_hits
-            FROM w WHERE len(words) > 0)
-          SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac,
-                 ellipsis_frac, alpha_frac, stop_hits,
-                 (n_words BETWEEN $gopherMinWords AND $gopherMaxWords
-                  AND mean_word_len BETWEEN $gopherMinMeanWordLen AND $gopherMaxMeanWordLen
-                  AND symbol_ratio <= $gopherMaxSymbolRatio
-                  AND bullet_frac <= $gopherMaxBulletFrac
-                  AND ellipsis_frac <= $gopherMaxEllipsisFrac
-                  AND alpha_frac >= $gopherMinAlphaFrac
-                  AND stop_hits >= $gopherMinStopHits) AS keep
-          FROM r ORDER BY doc_id""",
-    // same fixed line predicate (terminal punct + >=3 words + no
-    // "javascript"), sentence proxy counted over the KEPT lines only
-    "quality_c4_rules" ->
-      s"""WITH base AS (
-            SELECT doc_id, text FROM documents
-            UNION ALL
-            SELECT * FROM (VALUES
-            $c4ValuesSql) t(doc_id, text)),
-          l AS (
-            SELECT doc_id, string_split(text, chr(10)) AS lines,
-                   contains(lower(text), 'lorem ipsum') AS has_lorem,
-                   contains(text, '{') AS has_brace
-            FROM base),
-          k AS (
-            SELECT doc_id, len(lines)::BIGINT AS n_lines,
-                   list_filter(lines, l ->
-                     (ends_with(rtrim(l), '.') OR ends_with(rtrim(l), '!') OR
-                      ends_with(rtrim(l), '?') OR ends_with(rtrim(l), '"'))
-                     AND len([x for x in regexp_split_to_array(l, '\\s+')
-                              if len(x) > 0]) >= ${graft.functions.C4Kernels.minWordsPerLine}
-                     AND NOT contains(lower(l), 'javascript')) AS kept,
-                   has_lorem, has_brace
-            FROM l),
-          s AS (
-            SELECT doc_id, n_lines, len(kept)::BIGINT AS n_kept_lines,
-                   coalesce(list_sum(list_transform(kept, l ->
-                     len(regexp_extract_all(l, '[.!?]')))), 0)::BIGINT AS n_sentences,
-                   has_lorem, has_brace
-            FROM k)
-          SELECT doc_id, n_lines, n_kept_lines, n_sentences, has_lorem, has_brace,
-                 (n_sentences >= $c4MinSentences
-                  AND NOT has_lorem AND NOT has_brace) AS keep
-          FROM s ORDER BY doc_id""",
+    "doc_quality" -> docQualityOracleSql,
+    "quality_gopher_rules" -> gopherOracleSql,
+    "quality_c4_rules" -> c4OracleSql,
+    // the ensemble analysis composes the three batteries' ORACLES
+    // verbatim (the ann_recall_ivf discipline), so the agreement table
+    // can never drift from the filters it analyzes; the engineered C4
+    // rows drop out on the inner join (negative ids have no gopher row)
+    "quality_agreement" ->
+      s"""SELECT g.keep AS keep_gopher, c.keep AS keep_c4,
+                 count(*)::BIGINT AS n_docs,
+                 sum(q.qm)::BIGINT AS quality_micro_sum,
+                 (sum(q.qm)::DOUBLE / (count(*) * 1000000)) AS avg_quality
+          FROM ($gopherOracleSql) g
+          JOIN ($c4OracleSql) c ON g.doc_id = c.doc_id
+          JOIN (SELECT doc_id, round(quality * 1000000)::BIGINT AS qm
+                FROM ($docQualityOracleSql)) q ON g.doc_id = q.doc_id
+          GROUP BY 1, 2 ORDER BY 1, 2""",
     "doc_fingerprint" ->
       s"""WITH $toksSql
           SELECT doc_id,

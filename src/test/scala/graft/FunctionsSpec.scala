@@ -148,6 +148,32 @@ class FunctionsSpec extends GraftSpec {
         rtrim(l).endsWith("..."))).cast("long"))))
   }
 
+  test("z_value Morton interleave: bijective on the grid, bit-exact vs a naive loop") {
+    import graft.functions.ZOrder
+    def naive(a: Long, b: Long): Long = {
+      var r = 0L
+      for (i <- 0 until 16)
+        r |= (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+      r
+    }
+    val rng = new scala.util.Random(11)
+    val pts = Seq((0L, 0L), (65535L, 65535L), (0L, 65535L), (65535L, 0L),
+      (1L, 2L), (32768L, 32767L)) ++
+      Seq.fill(500)((rng.nextInt(65536).toLong, rng.nextInt(65536).toLong))
+    pts.foreach { case (a, b) =>
+      assert(ZOrder.morton(a, b) == naive(a, b), s"($a,$b)")
+    }
+    // bijectivity on a subgrid: distinct inputs -> distinct codes
+    val grid = for (a <- 0L until 64L; b <- 0L until 64L) yield ZOrder.morton(a, b)
+    assert(grid.distinct.size == grid.size)
+    // out-of-grid inputs clamp rather than corrupt neighboring bits
+    assert(ZOrder.morton(-5L, 70000L) == ZOrder.morton(0L, 65535L))
+    // the codegen'd Column path agrees with the direct call
+    val df = pts.toDF("a", "b")
+      .select(ZOrder.z_value(col("a"), col("b")).as("z")).collect().map(_.getLong(0))
+    assert(df.toSeq == pts.map { case (a, b) => ZOrder.morton(a, b) })
+  }
+
   test("C4 kernels equal the HOF forms on boundary edges") {
     import graft.functions.C4Kernels
     // kernel-vs-HOF value compatibility on the seams: space-only rtrim

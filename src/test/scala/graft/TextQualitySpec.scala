@@ -126,6 +126,30 @@ class TextQualitySpec extends GraftSpec {
       "the javascript line must be dropped at line level")
   }
 
+  test("quality_agreement equals a driver-side cross-tab of the two batteries") {
+    val g = TextQuality.qualityGopherRules(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val c = TextQuality.qualityC4Rules(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("keep")).toMap
+    val qm = TextQuality.docQuality(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        math.round(r.getAs[Double]("quality") * 1e6)).toMap
+    val ids = g.keySet.intersect(c.keySet).intersect(qm.keySet)
+    assert(ids.nonEmpty && !ids.exists(_ < 0), "engineered rows must drop out")
+    val want = ids.groupBy(id => (g(id), c(id))).map { case (k, ds) =>
+      k -> (ds.size.toLong, ds.toSeq.map(qm).sum)
+    }
+    val rows = TextQuality.qualityAgreement(spark, sfDir).collect()
+    assert(rows.length == want.size)
+    rows.foreach { r =>
+      val k = (r.getAs[Boolean]("keep_gopher"), r.getAs[Boolean]("keep_c4"))
+      val (n, qsum) = want(k)
+      assert(r.getAs[Long]("n_docs") == n)
+      assert(r.getAs[Long]("quality_micro_sum") == qsum)
+      assert(r.getAs[Double]("avg_quality") == qsum.toDouble / (n * 1000000L))
+    }
+  }
+
   test("gopher rules match a driver-side recompute from the raw text, every doc") {
     val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
