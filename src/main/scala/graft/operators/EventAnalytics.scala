@@ -810,13 +810,25 @@ object EventAnalytics {
     * appeared at sf0.1 cardinalities. Sketch size is still KB-scale. */
   val hllRsd = 0.01
 
-  def approxDistinctUsersRaw(spark: SparkSession, dir: String): DataFrame =
-    Tables.events(spark, dir)
-      .groupBy("event_type")
-      .agg(
-        approx_count_distinct(col("user_id"), hllRsd).as("approx_users"),
-        countDistinct(col("user_id")).as("exact_users"))
+  /** Two separate aggregation passes joined on the (tiny) group key —
+    * deliberately NOT one `agg(approx, countDistinct)`: a distinct
+    * aggregate makes Catalyst plan the WHOLE aggregation through
+    * Expand + the four-phase distinct pipeline, which drags the
+    * rsd-0.01 HLL buffer (~16 KB per group) through the extra
+    * partial-merge phases. Measured at sf0.1 (ApproxProf, min-of-3):
+    * combined 2.12 s vs 0.87 s for the two passes + broadcast join —
+    * and at real scale the combined plan's Expand also doubles the
+    * shuffled row count. Values are identical either way. */
+  def approxDistinctUsersRaw(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(spark, dir)
+    val approx = ev.groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), hllRsd).as("approx_users"))
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("exact_users"))
+    approx.join(exact, "event_type")
+      .select(col("event_type"), col("approx_users"), col("exact_users"))
       .orderBy("event_type")
+  }
 
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     approxDistinctUsersRaw(spark, dir)
