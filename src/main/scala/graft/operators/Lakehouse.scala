@@ -128,9 +128,17 @@ object Lakehouse {
     * sum as exact micro-unit longs (events.value is 6dp by
     * generation). */
   def partitionedPrune(spark: SparkSession, dir: String): DataFrame = {
+    // empty-feed guard (the registry-wide empty-tables pin): an empty
+    // events table has no min day to prune to, and its partitioned
+    // write would leave a footer-less directory no reader can open —
+    // return the empty result instead of building artifacts
+    val minRow = Tables.events(spark, dir)
+      .agg(min(to_date(col("ts")))).collect()(0)
+    if (minRow.isNullAt(0))
+      return emptyResult(spark,
+        Seq("event_type" -> "string", "n_events" -> "long", "value_micro" -> "long"))
+    val minDay = minRow.getDate(0)
     val out = partitionedDirFor(spark, dir)
-    val minDay = Tables.events(spark, dir)
-      .agg(min(to_date(col("ts")))).collect()(0).getDate(0)
     spark.read.parquet(out)
       .filter(col("day") === lit(minDay.toString).cast("date"))
       .groupBy(col("event_type"))
@@ -173,7 +181,8 @@ object Lakehouse {
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_micros(col("ts").cast("timestamp")).as("ts_micros"),
             round(col("value") * 1e6).cast("long").as("value_micro"))
-        val Array(tmin, tmax, vmin, vmax) = boundsOf(spark, dir)
+        // precondition: non-empty feed (callers guard via boundsOf)
+        val Array(tmin, tmax, vmin, vmax) = boundsOf(spark, dir).get
         def grid(c: Column, lo: Long, hi: Long): Column =
           ((c - lo) * 65535L / math.max(hi - lo, 1L)).cast("long")
         base
@@ -192,14 +201,27 @@ object Lakehouse {
     }
 
   /** Corpus min/max of the two box dimensions (integer micros so every
-    * bound below is integer arithmetic — exact cross-engine). */
-  private def boundsOf(spark: SparkSession, dir: String): Array[Long] = {
+    * bound below is integer arithmetic — exact cross-engine). None on
+    * an empty feed (no bounds to grid or box on). */
+  private def boundsOf(spark: SparkSession, dir: String): Option[Array[Long]] = {
     val r = Tables.events(spark, dir)
       .agg(min(unix_micros(col("ts").cast("timestamp"))),
         max(unix_micros(col("ts").cast("timestamp"))),
         min(round(col("value") * 1e6).cast("long")),
         max(round(col("value") * 1e6).cast("long"))).collect()(0)
-    Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    if (r.isNullAt(0)) None
+    else Some(Array(r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+  }
+
+  /** Empty DataFrame with the query's exact output schema — the shape
+    * every empty-feed early return materializes. */
+  private def emptyResult(spark: SparkSession,
+      cols: Seq[(String, String)]): DataFrame = {
+    val schema = org.apache.spark.sql.types.StructType(cols.map { case (n, t) =>
+      org.apache.spark.sql.types.StructField(n,
+        org.apache.spark.sql.types.DataType.fromDDL(t))
+    })
+    spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](), schema)
   }
 
   /** The middle-decile 2-D box: [45%, 55%] of each dimension's span,
@@ -207,7 +229,7 @@ object Lakehouse {
     * — identical in Spark and DuckDB). */
   private[graft] def boxBounds(spark: SparkSession, dir: String)
       : (Long, Long, Long, Long) = {
-    val Array(tmin, tmax, vmin, vmax) = boundsOf(spark, dir)
+    val Array(tmin, tmax, vmin, vmax) = boundsOf(spark, dir).get
     (tmin + (tmax - tmin) * 45L / 100L, tmin + (tmax - tmin) * 55L / 100L,
       vmin + (vmax - vmin) * 45L / 100L, vmin + (vmax - vmin) * 55L / 100L)
   }
@@ -222,6 +244,11 @@ object Lakehouse {
     * when TWO dimensions matter at once — at 100 TB the difference
     * between reading ~1% and reading everything. */
   def zorderBoxAgg(spark: SparkSession, dir: String): DataFrame = {
+    // empty-feed guard: no bounds to box on, and the empty layout write
+    // would leave footer-less artifacts
+    if (boundsOf(spark, dir).isEmpty)
+      return emptyResult(spark, Seq("event_type" -> "string",
+        "n_events" -> "long", "value_micro_sum" -> "long"))
     val (zOut, _) = zorderDirsFor(spark, dir)
     val (tlo, thi, vlo, vhi) = boxBounds(spark, dir)
     spark.read.parquet(zOut)
@@ -237,8 +264,10 @@ object Lakehouse {
     * queries report marginal (read-side) cost. */
   def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
     bucketedTablesFor(spark, dir)
-    partitionedDirFor(spark, dir)
-    zorderDirsFor(spark, dir)
+    if (boundsOf(spark, dir).isDefined) {
+      partitionedDirFor(spark, dir)
+      zorderDirsFor(spark, dir)
+    }
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(

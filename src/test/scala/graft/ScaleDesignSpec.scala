@@ -965,7 +965,18 @@ class ScaleDesignSpec extends GraftSpec {
       "scd2_history", "retrieval_hybrid_rrf", "tfidf_top_terms",
       "orc_roundtrip", "jsonl_roundtrip", "shard_manifest",
       "dedup_containment", "dup_ngram_coverage", "wordpiece_merges",
-      "user_sessions_stream_chunked", "events_anomaly_stream_chunked")
+      "user_sessions_stream_chunked", "events_anomaly_stream_chunked",
+      // r10 additions: the layout ops must take their empty-feed early
+      // returns (no scalar bounds to collect, and an empty partitioned/
+      // z-ordered write leaves footer-less directories no reader can
+      // open — both NPE'd before the guards); the battery/eval/CDC
+      // queries are map/agg/join shapes that must materialize. C4 keeps
+      // its 6 engineered rows on an empty corpus (they ride a UNION).
+      // ann_recall_ivf is deliberately absent: it inherits the IVF
+      // sampled-quantizer precondition the header documents.
+      "bucketed_join", "partitioned_prune", "zorder_box_agg",
+      "quality_c4_rules", "quality_agreement", "snapshot_diff",
+      "minhash_jaccard_err")
     sample.foreach { name =>
       val rows = SparkEntry.queries(name)(spark, tmp).collect()
       name match {
