@@ -46,5 +46,34 @@ object ZorderProf extends App {
     println(f"$name%5s: scannedRows=$scanned%d (${100.0 * scanned / total}%.1f%%) " +
       f"bestWall=${best}%.3f s")
   }
+
+  // the honest 1-D tradeoff: a time-band-only query over each layout,
+  // plus the pure ts-sorted layout (the 1-D optimum z-order gives up
+  // locality against in exchange for the second dimension)
+  val tsOut = s"target/graft-zorder/ts_${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+  graft.Tables.events(spark, dir)
+    .select(col("event_id"), col("user_id"), col("event_type"),
+      unix_micros(col("ts").cast("timestamp")).as("ts_micros"),
+      round(col("value") * 1e6).cast("long").as("value_micro"))
+    .repartitionByRange(Lakehouse.zFiles, col("ts_micros"))
+    .sortWithinPartitions("ts_micros")
+    .write.mode("overwrite").parquet(tsOut)
+  def onceTs(path: String): (Long, Double) = {
+    val t0 = System.nanoTime()
+    val q = spark.read.parquet(path)
+      .filter(col("ts_micros").between(tlo, thi))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    q.collect()
+    val wall = (System.nanoTime() - t0) / 1e9
+    val scan = new GraftSpec {}.physicalNodes(q)
+      .collectFirst { case f: FileSourceScanExec => f }.get
+    (scan.metrics("numOutputRows").value, wall)
+  }
+  println("-- 1-D ts band only --")
+  Seq("ts-sorted" -> tsOut, "z" -> zOut, "flat" -> flatOut).foreach { case (name, path) =>
+    val obs = (1 to runs).map(_ => onceTs(path))
+    println(f"$name%10s: scannedRows=${obs.head._1}%d " +
+      f"(${100.0 * obs.head._1 / total}%.1f%%) bestWall=${obs.map(_._2).min}%.3f s")
+  }
   spark.stop()
 }
