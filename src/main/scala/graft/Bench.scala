@@ -430,6 +430,13 @@ private[graft] object BenchFormat {
     // shingle artifact) plus a join against the bounded pair graph
     // (priced by dedup_family_build); filtered timing in PLANS.md
     "minhash_jaccard_err",
+    // r10: q19_sole_delayer's semi and anti exchange shapes are priced
+    // by the timed q8_semi_join and q12_outer_anti; its delta — both
+    // probes being the fact table itself — is one extra exchange of the
+    // deduplicated (order, supplier) pairs. 79 entries also breaks the
+    // 2dp-with-both-canaries line fit (BenchFormatSpec); filtered
+    // timing in PLANS.md
+    "q19_sole_delayer",
     // r10: snapshot_diff is one key-equi full-outer join + a CASE
     // projection over orders — the outer-join exchange shape
     // q12_outer_anti (timed) already prices on the same tables

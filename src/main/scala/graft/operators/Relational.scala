@@ -510,6 +510,39 @@ object Relational {
       .orderBy("o_orderstatus")
   }
 
+  /** The TPC-H Q21 optimizer shape (the classically hard one): a SEMI
+    * and an ANTI self-join on the SAME fact table in one query —
+    * suppliers who are the SOLE late shipper inside multi-supplier
+    * orders. Neither q8 (semi vs a dimension) nor q12 (anti vs a
+    * dimension) exercises this: here both probes are lineitem itself,
+    * so the optimizer must plan two fact⋈fact joins sharing a scan.
+    *
+    * Scale shape: both self-joins key on l_orderkey — ONE exchange of
+    * the deduplicated (order, supplier) pairs serves the semi and the
+    * anti probe, and on a bucketed-by-orderkey layout ([[Lakehouse]])
+    * both would be exchange-free. Supplier pairs per order are bounded
+    * (orders have ≤7 lines), so no skew amplification. */
+  def q19SoleDelayer(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+    val allSup = pairs.select("l_orderkey", "l_suppkey").distinct()
+    val late = pairs
+      .filter(col("l_shipdate") > lit(q6CutoffDate).cast("timestamp"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = allSup.toDF("o_key", "other_supp")
+    val lateOthers = late.toDF("o_key", "other_supp")
+    late
+      .join(others,
+        col("l_orderkey") === col("o_key") &&
+          col("l_suppkey") =!= col("other_supp"), "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o_key") &&
+          col("l_suppkey") =!= col("other_supp"), "left_anti")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_waiting"))
+      .orderBy(desc("n_waiting"), col("suppkey"))
+  }
+
   /** CDC change feed — the read half of the lakehouse CDC story
     * ([[snapshotMerge]] is the write half): row-level inserts / updates
     * / deletes between two snapshot versions, the "change data feed" a
@@ -688,6 +721,7 @@ object Relational {
     "q17_wealthy_dormant" -> (q17WealthyDormant _),
     "snapshot_merge" -> (snapshotMerge _),
     "snapshot_diff" -> (snapshotDiff _),
+    "q19_sole_delayer" -> (q19SoleDelayer _),
     "dq_audit" -> (dqAudit _),
     "q18_cube_revenue" -> (q18CubeRevenue _),
     "q10_rollup_cents" -> (q10RollupCents _),
@@ -897,6 +931,23 @@ object Relational {
                 AND o_orderdate >= TIMESTAMP '$q17DormantDate 00:00:00')
           GROUP BY c_mktsegment
           ORDER BY c_mktsegment""",
+    // the Q21 shape restated as EXISTS / NOT EXISTS — the declarative
+    // form of the semi + anti self-join pair
+    "q19_sole_delayer" ->
+      s"""WITH late AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '$q6CutoffDate 00:00:00'),
+          allsup AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+          SELECT l.l_suppkey AS suppkey, count(*)::BIGINT AS n_waiting
+          FROM late l
+          WHERE EXISTS (SELECT 1 FROM allsup a
+                        WHERE a.l_orderkey = l.l_orderkey
+                          AND a.l_suppkey <> l.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late o
+                            WHERE o.l_orderkey = l.l_orderkey
+                              AND o.l_suppkey <> l.l_suppkey)
+          GROUP BY 1 ORDER BY n_waiting DESC, suppkey""",
     // the same deterministic v1→v2 evolution on both sides; USING is
     // avoided so each side's key stays referenceable for the CASE arms
     "snapshot_diff" ->

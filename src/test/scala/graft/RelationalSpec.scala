@@ -137,6 +137,29 @@ class RelationalSpec extends GraftSpec {
     assert(plan.contains("LeftAnti"), plan.take(2000))
   }
 
+  test("q19_sole_delayer: matches a driver recompute; plans semi+anti, no cartesian") {
+    val lines = Tables.load(spark, sfDir, "lineitem")
+      .select("l_orderkey", "l_suppkey", "l_shipdate").collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        r.getAs[java.time.LocalDateTime](2).toLocalDate.toString))
+    val all = lines.map(t => (t._1, t._2)).toSet
+    val late = lines.filter(_._3 > Relational.q6CutoffDate)
+      .map(t => (t._1, t._2)).toSet
+    val want = late
+      .filter { case (o, s) => all.exists(p => p._1 == o && p._2 != s) }
+      .filter { case (o, s) => !late.exists(p => p._1 == o && p._2 != s) }
+      .groupBy(_._2).view.mapValues(_.size.toLong).toMap
+    val df = Relational.q19SoleDelayer(spark, sfDir)
+    val got = df.collect().map(r =>
+      r.getAs[Long]("suppkey") -> r.getAs[Long]("n_waiting")).toMap
+    assert(got == want)
+    assert(want.nonEmpty, "the sole-delayer set must be exercised")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi") && plan.contains("LeftAnti"),
+      "both self-probes must plan as semi/anti joins")
+    assert(!plan.contains("Cartesian"), "the inequality must ride the equi-join")
+  }
+
   test("snapshot_diff: change feed carries exactly the evolved rows, typed correctly") {
     val keys = Tables.load(spark, sfDir, "orders")
       .select("o_orderkey").collect().map(_.getLong(0))
