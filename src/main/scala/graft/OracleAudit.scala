@@ -127,6 +127,8 @@ object OracleAudit {
       "sets; the legs carry their own gates (knn_brute Independent, " +
       "ann_ivf_cosine's recall law at SimilaritySpec:51)")
     m += "minhash_jaccard_err" -> (ParityWithLaw,
+      "PropertiesSpec:145 signature pipeline equals an independent " +
+      "MessageDigest+BigInteger recompute on random corpora; " +
       "DedupSpec:27 per-row internal consistency (est = agree/k, " +
       "abs_err = |J - est|) plus the mean-error concentration bar for " +
       "k=64; the exact-Jaccard leg is the Independent all-pairs kernel")

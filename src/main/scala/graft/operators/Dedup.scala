@@ -442,18 +442,24 @@ object Dedup {
     * where the stop-shingle cap never fires (this one; the cap exists
     * for hot-key skew, not semantics). Scale shape: one corpus-pass
     * signature aggregate + a join against the bounded pair graph. */
-  def minhashJaccardErr(spark: SparkSession, dir: String): DataFrame = {
+  /** The estimator's signature build over any (doc_id, sh) set — ONE
+    * md5 per shingle, then [[minhashK]] integer permutations. The first
+    * cut hashed md5(i || sh) per permutation and measured 13.2 s at
+    * sf0.1 (64 digests per shingle row); the universal-hash family
+    * costs a multiply-add-mod each and reads 0.9 s, with the same
+    * cross-engine exactness (all arithmetic below 2^62, replayed
+    * verbatim in SQL). Exposed for the PropertiesSpec law: signatures
+    * equal a driver-side MessageDigest recompute on random corpora. */
+  private[graft] def minhashEstSignatures(sh: DataFrame): DataFrame = {
     import graft.functions.TextFunctions.md5Int
-    val sh = docShinglesShared(spark, dir)
-    // ONE md5 per shingle, then 64 integer permutations — the first cut
-    // hashed md5(i || sh) per permutation and measured 13.2 s at sf0.1
-    // (64 digests per shingle row); the universal-hash family costs a
-    // multiply-add-mod each and reads 0.9 s, with the same cross-engine
-    // exactness (all arithmetic below 2^62, replayed verbatim in SQL)
     val hashed = sh.withColumn("h", md5Int(col("sh"), 15) % mhMod)
     val sigCols = (0 until minhashK).map(i =>
       min((lit(mhA(i)) * col("h") + lit(mhB(i))) % mhMod).as(s"h$i"))
-    val sig = hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+    hashed.groupBy("doc_id").agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  def minhashJaccardErr(spark: SparkSession, dir: String): DataFrame = {
+    val sig = minhashEstSignatures(docShinglesShared(spark, dir))
     val sa = sig.select(col("doc_id").as("doc_a") +:
       (0 until minhashK).map(i => col(s"h$i").as(s"a$i")): _*)
     val sb = sig.select(col("doc_id").as("doc_b") +:

@@ -142,6 +142,43 @@ class PropertiesSpec extends AnyFunSuite {
     } yield (a, b))
   } yield es
 
+  test("minhash estimator signatures equal a driver-side MessageDigest recompute " +
+      "on random corpora") {
+    // the semantic gate behind minhash_jaccard_err's ParityWithLaw
+    // classification: the whole signature pipeline (md5-60 base hash,
+    // Mersenne-mod reduction, the seeded universal-hash permutation
+    // family, per-permutation min) recomputed independently with
+    // java.security.MessageDigest + BigInteger — no Spark expressions,
+    // no shared code path
+    import org.apache.spark.sql.SparkSession
+    val sp: SparkSession = spark
+    import sp.implicits._
+    val D = graft.operators.Dedup
+    def md5h(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      val hex = d.map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % D.mhMod
+    }
+    val shingleGen = Gen.listOfN(30, for {
+      doc <- Gen.choose(0L, 5L)
+      sh <- Gen.oneOf("alpha beta", "beta gamma", "γ δ ε", "x y z",
+        "", "single", "alpha beta") // duplicates + unicode + empty
+    } yield (doc, sh))
+    checkN(10)(forAll(shingleGen) { rows =>
+      val distinctRows = rows.distinct // set semantics like the shingle table
+      val got = D.minhashEstSignatures(distinctRows.toDF("doc_id", "sh"))
+        .collect().map(r => r.getLong(0) ->
+          (0 until D.minhashK).map(i => r.getLong(1 + i))).toMap
+      val want = distinctRows.groupBy(_._1).map { case (doc, shs) =>
+        val hs = shs.map(t => md5h(t._2))
+        doc -> (0 until D.minhashK).map(i =>
+          hs.map(h => (D.mhA(i) * h + D.mhB(i)) % D.mhMod).min)
+      }
+      got == want
+    })
+  }
+
   test("connectedComponents equals a driver-side union-find on random graphs") {
     import org.apache.spark.sql.SparkSession
     val sp: SparkSession = spark
