@@ -420,11 +420,11 @@ private[graft] object BenchFormat {
     // lang_id and text_normalize already time (filtered timing in
     // PLANS.md)
     "quality_gopher_rules",
-    // r10: ann_recall_ivf re-runs the timed knn_brute_cosine and
-    // ann_ivf_cosine search plans verbatim; its delta is a left join of
-    // two k×nQueries result tables — metadata scale (filtered timing in
+    // r10: the recall matrix re-runs already-timed (or deliberately
+    // subsumed) search plans verbatim; each delta is a left join of two
+    // k×nQueries result tables — metadata scale (filtered timings in
     // PLANS.md)
-    "ann_recall_ivf",
+    "ann_recall_ivf", "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivfpq",
     // r10: minhash_jaccard_err re-runs the signature aggregate shape the
     // timed dedup_minhash_lsh prices (64 mins per doc over the shared
     // shingle artifact) plus a join against the bounded pair graph

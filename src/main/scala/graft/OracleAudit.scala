@@ -121,11 +121,13 @@ object OracleAudit {
       "DocEmbeddingSpec:17 subset of the exact kernel with near-total recall (doc_embedding_exact)")
     // the evaluation queries THEMSELVES: their oracles compose a replay
     // leg, so they carry the same law-not-default discipline
-    m += "ann_recall_ivf" -> (ParityWithLaw,
+    val recallGate =
       "SimilaritySpec:35 registered evaluation equals an independent " +
       "test-side recompute of hits/recall from both searches' result " +
       "sets; the legs carry their own gates (knn_brute Independent, " +
-      "ann_ivf_cosine's recall law at SimilaritySpec:51)")
+      "each ANN leg's recall law)"
+    Seq("ann_recall_ivf", "ann_recall_lsh", "ann_recall_pq", "ann_recall_ivfpq")
+      .foreach(q => m += q -> (ParityWithLaw, recallGate))
     m += "minhash_jaccard_err" -> (ParityWithLaw,
       "PropertiesSpec:145 signature pipeline equals an independent " +
       "MessageDigest+BigInteger recompute on random corpora; " +

@@ -654,9 +654,10 @@ object Similarity {
     * queries — never the corpus×corpus product); the evaluation itself
     * joins two k×nQueries tables — metadata scale. Exactness: hit
     * counting is integer; recall is one int/int division. */
-  def annRecallIvf(spark: SparkSession, dir: String): DataFrame = {
+  private def annRecallOf(spark: SparkSession, dir: String,
+      approxDf: DataFrame): DataFrame = {
     val truth = knnBruteCosine(spark, dir).select(col("query_id"), col("neighbor_id"))
-    val approx = annIvfCosine(spark, dir)
+    val approx = approxDf
       .select(col("query_id"), col("neighbor_id"), lit(1L).as("hit"))
     truth.join(approx, Seq("query_id", "neighbor_id"), "left")
       .groupBy("query_id")
@@ -665,6 +666,20 @@ object Similarity {
       .withColumn("recall", col("n_hits").cast("double") / col("k"))
       .orderBy("query_id")
   }
+
+  def annRecallIvf(spark: SparkSession, dir: String): DataFrame =
+    annRecallOf(spark, dir, annIvfCosine(spark, dir))
+
+  /** The rest of the recall MATRIX: the same evaluation over every ANN
+    * variant, so probes/tables/codebook tradeoffs read off one table of
+    * per-query recalls instead of anecdotes. Each composes its leg's
+    * own replay oracle, like [[annRecallIvf]]. */
+  def annRecallLsh(spark: SparkSession, dir: String): DataFrame =
+    annRecallOf(spark, dir, annLshCosine(spark, dir))
+  def annRecallPq(spark: SparkSession, dir: String): DataFrame =
+    annRecallOf(spark, dir, annPqCosine(spark, dir))
+  def annRecallIvfPq(spark: SparkSession, dir: String): DataFrame =
+    annRecallOf(spark, dir, annIvfPqCosine(spark, dir))
 
   /** PQ (product quantization) ANN — the codes half of Jégou/Douze/
     * Schmid TPAMI 2011 that [[annIvfCosine]] deliberately left out: the
@@ -1023,6 +1038,9 @@ object Similarity {
     "ann_lsh_cosine" -> (annLshCosine _),
     "ann_ivf_cosine" -> (annIvfCosine _),
     "ann_recall_ivf" -> (annRecallIvf _),
+    "ann_recall_lsh" -> (annRecallLsh _),
+    "ann_recall_pq" -> (annRecallPq _),
+    "ann_recall_ivfpq" -> (annRecallIvfPq _),
     "ann_pq_cosine" -> (annPqCosine _),
     "ann_ivfpq_cosine" -> (annIvfPqCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
@@ -1406,32 +1424,9 @@ object Similarity {
           FROM ranked WHERE rank <= $knnK
           ORDER BY query_id, rank"""
 
-  val oracleSql: Map[String, String] = Map(
-    // SemDeDup: replay the keyed-Lloyd trainer + full-corpus assignment
-    // (the shared coarseAssignCtesSql — parity), then state the upper-
-    // triangular max-similarity rule declaratively: per vector, the max
-    // rounded cosine to any LOWER-id cluster-mate, flagged at the
-    // near-dup threshold
-    "dedup_semantic_kmeans" ->
-      s"""$coarseAssignCtesSql,
-          pr AS (
-            SELECT b.vec_id AS vec_id,
-                   round(list_dot_product(a.v, b.v) /
-                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
-                     AS cos
-            FROM assigned a JOIN assigned b USING (cell)
-            WHERE a.vec_id < b.vec_id),
-          mx AS (SELECT vec_id, max(cos) AS max_prior_cosine FROM pr GROUP BY 1)
-          SELECT a.vec_id, a.cell,
-                 coalesce(m.max_prior_cosine >= $nearDupCosine, FALSE) AS is_dup,
-                 m.max_prior_cosine
-          FROM assigned a LEFT JOIN mx m USING (vec_id)
-          ORDER BY a.vec_id""",
-    "ann_ivf_cosine" -> ivfOracleSql,
-    "ann_pq_cosine" -> pqOracleSql,
-    "ann_ivfpq_cosine" -> ivfpqOracleSql,
-    "ann_lsh_cosine" ->
-      s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  /** LSH leg shared by its own oracle entry and the recall matrix. */
+  private def lshOracleSql: String =
+    s"""WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
           planes(t, p, pl) AS (VALUES
             $planeValuesSql),
           b AS (
@@ -1460,7 +1455,49 @@ object Similarity {
             FROM scored)
           SELECT query_id, neighbor_id, cosine, rank
           FROM ranked WHERE rank <= $knnK
-          ORDER BY query_id, rank""",
+          ORDER BY query_id, rank"""
+
+  /** Recall@k against the brute ground truth with the given ANN leg's
+    * FULL oracle composed as a subquery — the evaluation can never
+    * drift from what it evaluates. */
+  private def recallOracleSql(legSql: String): String =
+    s"""SELECT b.query_id,
+                 count(*)::BIGINT AS k,
+                 sum(CASE WHEN i.neighbor_id IS NOT NULL
+                     THEN 1 ELSE 0 END)::BIGINT AS n_hits,
+                 (sum(CASE WHEN i.neighbor_id IS NOT NULL
+                      THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS recall
+          FROM ($bruteOracleSql) b
+          LEFT JOIN ($legSql) i
+            ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
+          GROUP BY b.query_id ORDER BY b.query_id"""
+
+  val oracleSql: Map[String, String] = Map(
+    // SemDeDup: replay the keyed-Lloyd trainer + full-corpus assignment
+    // (the shared coarseAssignCtesSql — parity), then state the upper-
+    // triangular max-similarity rule declaratively: per vector, the max
+    // rounded cosine to any LOWER-id cluster-mate, flagged at the
+    // near-dup threshold
+    "dedup_semantic_kmeans" ->
+      s"""$coarseAssignCtesSql,
+          pr AS (
+            SELECT b.vec_id AS vec_id,
+                   round(list_dot_product(a.v, b.v) /
+                         (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+                     AS cos
+            FROM assigned a JOIN assigned b USING (cell)
+            WHERE a.vec_id < b.vec_id),
+          mx AS (SELECT vec_id, max(cos) AS max_prior_cosine FROM pr GROUP BY 1)
+          SELECT a.vec_id, a.cell,
+                 coalesce(m.max_prior_cosine >= $nearDupCosine, FALSE) AS is_dup,
+                 m.max_prior_cosine
+          FROM assigned a LEFT JOIN mx m USING (vec_id)
+          ORDER BY a.vec_id""",
+    "ann_ivf_cosine" -> ivfOracleSql,
+    "ann_pq_cosine" -> pqOracleSql,
+    "ann_ivfpq_cosine" -> ivfpqOracleSql,
+    "ann_lsh_cosine" -> lshOracleSql,
+
     // replays the two-stage pipeline verbatim: quantize (same IEEE
     // floor(x·sc + 0.5)), coarse rank on EXACT integer dot products
     // (unrounded — int sums are bit-identical across engines), exact
@@ -1503,20 +1540,12 @@ object Similarity {
           FROM ranked WHERE rank <= $knnK
           ORDER BY query_id, rank""",
     "knn_brute_cosine" -> bruteOracleSql,
-    // recall@k composes the two legs' ORACLES verbatim (subquery-with-
-    // WITH on each side), so the evaluation can never drift from what
-    // it evaluates
-    "ann_recall_ivf" ->
-      s"""SELECT b.query_id,
-                 count(*)::BIGINT AS k,
-                 sum(CASE WHEN i.neighbor_id IS NOT NULL
-                     THEN 1 ELSE 0 END)::BIGINT AS n_hits,
-                 (sum(CASE WHEN i.neighbor_id IS NOT NULL
-                      THEN 1 ELSE 0 END)::DOUBLE / count(*)) AS recall
-          FROM ($bruteOracleSql) b
-          LEFT JOIN ($ivfOracleSql) i
-            ON b.query_id = i.query_id AND b.neighbor_id = i.neighbor_id
-          GROUP BY b.query_id ORDER BY b.query_id""",
+    // the recall MATRIX: one evaluation shape over every ANN variant,
+    // each composing its leg's full replay oracle
+    "ann_recall_ivf" -> recallOracleSql(ivfOracleSql),
+    "ann_recall_lsh" -> recallOracleSql(lshOracleSql),
+    "ann_recall_pq" -> recallOracleSql(pqOracleSql),
+    "ann_recall_ivfpq" -> recallOracleSql(ivfpqOracleSql),
     // same scoring arithmetic as knn_brute_cosine; the label predicate
     // appears as the USING join key exactly like the Spark plan
     "knn_filtered_cosine" ->

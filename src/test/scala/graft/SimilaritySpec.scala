@@ -32,18 +32,27 @@ class SimilaritySpec extends GraftSpec {
     assert(recall >= 0.2, s"IVF recall $recall too low")
   }
 
-  test("ann_recall_ivf: the registered evaluation equals the test-side recompute") {
+  test("the recall matrix: every registered evaluation equals the test-side recompute") {
     val exact = neighborSets(Similarity.knnBruteCosine(spark, sfDir))
-    val approx = neighborSets(Similarity.annIvfCosine(spark, sfDir))
-    val rows = Similarity.annRecallIvf(spark, sfDir).collect()
-    assert(rows.length == exact.size, "one recall row per query")
-    rows.foreach { r =>
-      val q = r.getAs[Long]("query_id")
-      val wantHits = approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toLong
-      assert(r.getAs[Long]("k") == Similarity.knnK.toLong)
-      assert(r.getAs[Long]("n_hits") == wantHits, s"query $q hit count")
-      assert(r.getAs[Double]("recall") ==
-        wantHits.toDouble / Similarity.knnK)
+    val matrix = Seq[(String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame)](
+      ("ivf", Similarity.annRecallIvf _, Similarity.annIvfCosine _),
+      ("lsh", Similarity.annRecallLsh _, Similarity.annLshCosine _),
+      ("pq", Similarity.annRecallPq _, Similarity.annPqCosine _),
+      ("ivfpq", Similarity.annRecallIvfPq _, Similarity.annIvfPqCosine _))
+    matrix.foreach { case (name, recallQ, legQ) =>
+      val approx = neighborSets(legQ(spark, sfDir))
+      val rows = recallQ(spark, sfDir).collect()
+      assert(rows.length == exact.size, s"$name: one recall row per query")
+      rows.foreach { r =>
+        val q = r.getAs[Long]("query_id")
+        val wantHits = approx.getOrElse(q, Set.empty).intersect(exact(q)).size.toLong
+        assert(r.getAs[Long]("k") == Similarity.knnK.toLong)
+        assert(r.getAs[Long]("n_hits") == wantHits, s"$name query $q hit count")
+        assert(r.getAs[Double]("recall") ==
+          wantHits.toDouble / Similarity.knnK)
+      }
     }
   }
 
