@@ -9,6 +9,7 @@ Usage:  python3 tools/selfcheck.py <verify_out_dir> <sf_dir>
 """
 import json
 import sys
+import tempfile
 from pathlib import Path
 
 import duckdb
@@ -34,6 +35,11 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
 def main():
     out_dir, sf_dir = Path(sys.argv[1]), sys.argv[2]
     con = duckdb.connect()
+    # Spill outside the repo: an earlier audit run left 25 GB of
+    # duckdb_temp_* scratch under ./.tmp and it got committed.
+    tmp = Path(tempfile.gettempdir()) / "graft_duckdb_tmp"
+    tmp.mkdir(parents=True, exist_ok=True)
+    con.execute(f"SET temp_directory='{tmp}'")
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     oracle = json.loads((out_dir / "oracle_sql.json").read_text())
