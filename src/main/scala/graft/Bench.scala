@@ -261,7 +261,12 @@ private[graft] object BenchFormat {
     // r10: zorder_box_agg's evidence is the scanned-rows A/B vs the
     // scattered control (LakehouseSpec) — the read itself is a pruned
     // sub-second rollup
-    "zorder_box_agg")
+    "zorder_box_agg",
+    // r11: the Q21 shape on the bucketed layout — the evidence is the
+    // zero-exchange plan under both self-joins (LakehouseSpec pin);
+    // the unbucketed q19_sole_delayer stays timed as the throughput
+    // signal, and the layout twin's filtered timing lives in PLANS.md
+    "q19_sole_delayer_bucketed")
 
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     // r6h: the four boolean retrievals probe the SAME persisted index

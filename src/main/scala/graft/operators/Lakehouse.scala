@@ -42,8 +42,6 @@ object Lakehouse {
     * change because consumers never name the count. */
   val numBuckets = 8
 
-  val familyMembers: Set[String] = Set("bucketed_join", "partitioned_prune")
-
   private val memo =
     scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
   private val pmemo =
@@ -260,20 +258,79 @@ object Lakehouse {
       .orderBy("event_type")
   }
 
-  /** Bench family-build hook: pays the artifact writes so the timed
-    * queries report marginal (read-side) cost. */
-  def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
-    bucketedTablesFor(spark, dir)
-    if (boundsOf(spark, dir).isDefined) {
-      partitionedDirFor(spark, dir)
-      zorderDirsFor(spark, dir)
+  private val q19memo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** Lineitem (orderkey, suppkey, shipdate) bucketed+sorted by
+    * l_orderkey — the layout [[q19SoleDelayerBucketed]] self-probes.
+    * Separate from [[bucketedTablesFor]]'s artifact on purpose: a
+    * bucketed table is a materialized projection decision, and q19's
+    * probe columns (suppkey, shipdate) are dead weight for the
+    * join-rollup consumer (and vice versa). Same bucket-aligned
+    * `repartition(N, key)` write discipline. */
+  def q19BucketedTableFor(spark: SparkSession, dir: String): String =
+    q19memo.synchronized {
+      q19memo.getOrElseUpdate((spark, dir), {
+        val t = tag(dir)
+        val liT = s"graft_li19_bucketed_$t"
+        if (!spark.catalog.tableExists(liT)) {
+          Tables.lineitem(spark, dir)
+            .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+            .repartition(numBuckets, col("l_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
+            .option("path", s"target/graft-bucketed/li19_$t")
+            .saveAsTable(liT)
+        }
+        liT
+      })
     }
+
+  /** [[graft.operators.Relational.q19SoleDelayer]] — the TPC-H Q21
+    * semi + anti SELF-join pair — replayed on the bucketed-by-orderkey
+    * layout, where BOTH fact⋈fact probes run with zero join-side
+    * exchanges (LakehouseSpec pins the plan):
+    *
+    *  - the scan reports `HashPartitioning(l_orderkey, N)`, which
+    *    already satisfies the two DISTINCTs' clustered distribution on
+    *    (l_orderkey, l_suppkey) — a superset-key aggregate over a
+    *    bucketed scan needs no exchange;
+    *  - both SortMergeJoins key on l_orderkey, so each side arrives
+    *    co-partitioned straight off the layout. The suppkey inequality
+    *    rides along as the SMJ's residual condition.
+    *
+    * This is the engine's strongest 100 TB artifact: the classically
+    * hard Q21 shape planning with NO shuffle at all until the final
+    * (tiny) per-supplier rollup. Merge hints keep the demonstration
+    * honest at small sf, where AQE would otherwise elect broadcast and
+    * leave the co-location untested (at real scale neither distinct
+    * side broadcasts and SMJ is the unhinted plan). Oracle: identical
+    * to q19_sole_delayer's EXISTS / NOT EXISTS form. */
+  def q19SoleDelayerBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = spark.table(q19BucketedTableFor(spark, dir))
+    val allSup = pairs.select("l_orderkey", "l_suppkey").distinct()
+    val late = pairs
+      .filter(col("l_shipdate") > lit(Relational.q6CutoffDate).cast("timestamp"))
+      .select("l_orderkey", "l_suppkey").distinct()
+    val others = allSup.toDF("o_key", "other_supp").hint("merge")
+    val lateOthers = late.toDF("o_key", "other_supp").hint("merge")
+    late
+      .join(others,
+        col("l_orderkey") === col("o_key") &&
+          col("l_suppkey") =!= col("other_supp"), "left_semi")
+      .join(lateOthers,
+        col("l_orderkey") === col("o_key") &&
+          col("l_suppkey") =!= col("other_supp"), "left_anti")
+      .groupBy(col("l_suppkey").as("suppkey"))
+      .agg(count(lit(1)).as("n_waiting"))
+      .orderBy(desc("n_waiting"), col("suppkey"))
   }
 
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),
     "partitioned_prune" -> (partitionedPrune _),
-    "zorder_box_agg" -> (zorderBoxAgg _))
+    "zorder_box_agg" -> (zorderBoxAgg _),
+    "q19_sole_delayer_bucketed" -> (q19SoleDelayerBucketed _))
 
   val oracleSql: Map[String, String] = Map(
     // quantities are integral doubles; both engines aggregate them as
@@ -313,5 +370,22 @@ object Lakehouse {
                               AND tmin + (tmax - tmin) * 55 // 100
             AND value_micro BETWEEN vmin + (vmax - vmin) * 45 // 100
                                 AND vmin + (vmax - vmin) * 55 // 100
-          GROUP BY event_type ORDER BY event_type""")
+          GROUP BY event_type ORDER BY event_type""",
+    // same EXISTS / NOT EXISTS form as q19_sole_delayer — the layout
+    // changes the PLAN (zero join-side exchanges), never the answer
+    "q19_sole_delayer_bucketed" ->
+      s"""WITH late AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem
+            WHERE l_shipdate > TIMESTAMP '${Relational.q6CutoffDate} 00:00:00'),
+          allsup AS (
+            SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+          SELECT l.l_suppkey AS suppkey, count(*)::BIGINT AS n_waiting
+          FROM late l
+          WHERE EXISTS (SELECT 1 FROM allsup a
+                        WHERE a.l_orderkey = l.l_orderkey
+                          AND a.l_suppkey <> l.l_suppkey)
+            AND NOT EXISTS (SELECT 1 FROM late o
+                            WHERE o.l_orderkey = l.l_orderkey
+                              AND o.l_suppkey <> l.l_suppkey)
+          GROUP BY 1 ORDER BY n_waiting DESC, suppkey""")
 }

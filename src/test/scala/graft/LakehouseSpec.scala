@@ -33,6 +33,37 @@ class LakehouseSpec extends GraftSpec {
       "both join inputs must be bucketed scans")
   }
 
+  test("q19_sole_delayer_bucketed: the Q21 semi+anti self-joins plan with " +
+      "zero exchanges under BOTH probes; values match the unbucketed q19") {
+    val df = Lakehouse.q19SoleDelayerBucketed(spark, sfDir)
+    val got = df.collect()
+
+    // values: identical to the unbucketed q19 (layout never changes the
+    // answer), and non-trivial at this sf
+    val want = graft.operators.Relational.q19SoleDelayer(spark, sfDir).collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty, "sf0.001 must yield sole-delayer suppliers")
+
+    // plan: both self-probes are SortMergeJoins (LeftSemi + LeftAnti)
+    // and NOTHING under either shuffles — the bucketed scan's
+    // HashPartitioning(l_orderkey, N) satisfies the DISTINCTs'
+    // clustered distribution AND both joins' required distribution
+    val smjs = physicalNodes(df).collect { case j: SortMergeJoinExec => j }
+    val types = smjs.map(_.joinType.toString).toSet
+    assert(types == Set("LeftSemi", "LeftAnti"),
+      s"expected a LeftSemi and a LeftAnti SortMergeJoin, got $types")
+    smjs.foreach { j =>
+      val under = physicalNodes(j).collect { case e: ShuffleExchangeExec => e }
+      assert(under.isEmpty,
+        s"${j.joinType} self-probe shuffles — bucketing failed to co-locate: $under")
+    }
+    // and every leaf feeding the joins is the bucketed layout
+    val scans = smjs.flatMap(j =>
+      physicalNodes(j).collect { case f: FileSourceScanExec => f })
+    assert(scans.nonEmpty && scans.forall(_.bucketedScan),
+      "all join inputs must be bucketed scans")
+  }
+
   test("zorder_box_agg: values match the original table; z layout skips most " +
       "row groups where the scattered control reads everything") {
     val got = Lakehouse.zorderBoxAgg(spark, sfDir).collect()

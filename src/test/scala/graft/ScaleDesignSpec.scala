@@ -976,7 +976,10 @@ class ScaleDesignSpec extends GraftSpec {
       // sampled-quantizer precondition the header documents.
       "bucketed_join", "partitioned_prune", "zorder_box_agg",
       "quality_c4_rules", "quality_agreement", "snapshot_diff",
-      "minhash_jaccard_err")
+      "minhash_jaccard_err",
+      // r11: the bucketed Q21 twin shares bucketed_join's empty-write
+      // path (an empty bucketed saveAsTable materializes fine)
+      "q19_sole_delayer_bucketed")
     sample.foreach { name =>
       val rows = SparkEntry.queries(name)(spark, tmp).collect()
       name match {
