@@ -931,6 +931,74 @@ class ScaleDesignSpec extends GraftSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("AQE skew-join splits the hot partition at runtime — the native " +
+      "alternative to the manual salting twins") {
+    // the engine documents manual salting (wordcount_salted,
+    // q4_nation_count_salted) and measures skew (key_skew_profile);
+    // this pins Spark's built-in answer for JOINS: OptimizeSkewedJoin
+    // carving the oversized shuffle partition into parallel splits at
+    // runtime, with ZERO query rewrite. Engineered skew: fold 3 of
+    // every 4 user_ids onto one hot key and amplify 50×, so one of the
+    // 4 shuffle partitions dwarfs the rest.
+    val prev = Seq(
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.forceOptimizeSkewedJoin")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    // thresholds scaled down to the fixture (defaults are 256 MB-class);
+    // forceOptimize keeps the pin independent of the downstream shape
+    // (unforced, the rule declines when the split would add a shuffle —
+    // the global count here adds none, but the pin shouldn't depend on
+    // that subtlety)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "16KB")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "8KB")
+    spark.conf.set("spark.sql.adaptive.forceOptimizeSkewedJoin", "true")
+    try {
+      import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+      val ev = Tables.events(spark, sfDir)
+        .select(when(pmod(col("user_id"), lit(16)) =!= 0, lit(0L))
+          .otherwise(col("user_id")).as("k"), col("event_id"))
+      // per-row sha2 payload: shuffle partition sizes are COMPRESSED
+      // bytes, so the skew must survive lz4 — distinct hashes do
+      val left = ev.repartition(8)
+        .withColumn("rep", explode(array((0 until 50).map(lit(_)): _*)))
+        .withColumn("payload",
+          sha2(concat_ws("-", col("event_id"), col("rep")), 256))
+      // a plain projected dimension, NOT ev.select("k").distinct():
+      // OptimizeSkewedJoin pattern-matches SMJ(Sort(ShuffleStage),
+      // Sort(ShuffleStage)) — distinct's FINAL HashAggregate sits
+      // between the stage and the sort and silently disables the rule
+      // (found the hard way; recorded in PLANS.md as one of the cases
+      // where manual salting still applies)
+      val maxU = ev.agg(max("k")).collect()(0).getLong(0)
+      val right = spark.range(0, maxU + 1).select(col("id").as("k"),
+        concat(lit("u"), col("id")).as("tag"))
+      val joined = left.join(right, "k")
+      // execute joined ITSELF (collect on a derived agg would finalize a
+      // different QueryExecution and leave joined's AQE plan unrun)
+      val got = joined.collect().length.toLong
+      assert(got == left.count(), "inner join on a complete keyset keeps every row")
+
+      val smjs = physicalNodes(joined).collect { case j: SortMergeJoinExec => j }
+      assert(smjs.nonEmpty, "the A/B needs a SortMergeJoin (broadcast off)")
+      assert(smjs.exists(_.isSkewJoin),
+        "OptimizeSkewedJoin must mark the join as skew-optimized")
+      // and the skew reader actually multiplied the hot partition: the
+      // join side reads MORE partitions than the shuffle wrote
+      import org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec
+      val reads = physicalNodes(joined).collect {
+        case r: AQEShuffleReadExec if r.hasSkewedPartition => r }
+      assert(reads.nonEmpty && reads.exists(
+        _.partitionSpecs.size > spark.conf.get("spark.sql.shuffle.partitions").toInt),
+        "the skew reader must split the hot partition into extra splits")
+    } finally prev.foreach { case (k, v) =>
+      v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+  }
+
   test("representative operators degrade gracefully on EMPTY tables") {
     // at 100 TB empty inputs are routine (an empty hour, a fresh feed, a
     // filtered-to-nothing partition); a library that throws on them
