@@ -20,8 +20,9 @@ import org.apache.spark.sql.GraftColumnBridge
   *  - it ends (after space-rtrim) in a terminal punctuation mark:
   *    `.` `!` `?` or the end-quote `"`;
   *  - it contains at least [[C4Kernels.minWordsPerLine]] whitespace
-  *    words (Java `\s` within a line: space, tab, 0x0B, form feed, CR —
-  *    maximal non-whitespace runs, so exactly
+  *    words (RE2 `\s` within a line: space, tab, newline, form feed,
+  *    CR — NOT 0x0B, which Java's `\s` would add — maximal
+  *    non-whitespace runs, so exactly the oracle's
   *    `len([x for x in regexp_split_to_array(l,'\s+') if len(x)>0])`);
   *  - its lowercase form does not contain "javascript".
   *
@@ -66,8 +67,13 @@ object C4Kernels {
 
   private val javascript = UTF8String.fromString("javascript")
 
+  /** RE2's `\s` — [\t\n\f\r ] WITHOUT 0x0B (vertical tab) — because the
+    * DuckDB oracle splits words with RE2 `regexp_split_to_array(l,'\s+')`.
+    * Java's `\s` includes 0x0B; matching it here was a latent
+    * cross-engine divergence (r10 advice), now exercised by the
+    * engineered c4Samples row whose word count a \x0B decides. */
   private def isWs(b: Byte): Boolean =
-    b == ' ' || b == '\t' || b == '\n' || b == 0x0B || b == '\f' || b == '\r'
+    b == ' ' || b == '\t' || b == '\n' || b == '\f' || b == '\r'
 
   /** The C4 line predicate — shared by both kernels so kept-count and
     * sentence-sum can never disagree on which lines are kept. */

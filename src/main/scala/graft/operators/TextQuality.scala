@@ -199,7 +199,13 @@ object TextQuality {
     -4L -> "Lorem ipsum dolor sit amet. Filler text goes on. More filler. Again more. Final bit.",
     -5L -> "function f() { return 1; }\nCode pages get dropped. One. Two. Three. Four. Five.",
     -6L -> ("He said \"hello there friend\"\nA quoted ending counts fine. " +
-      "Indeed it does. Yes. Sure. Done."))
+      "Indeed it does. Yes. Sure. Done."),
+    // the RE2-vs-Java \s seam (r10 advice): the vertical tab does NOT
+    // split words under RE2 (the oracle's regex engine), so this line
+    // has TWO words and is rejected by the 3-word floor — a Java-\s
+    // kernel would count three and keep it, failing the hash
+    -7L -> ("ab\u000Bcd ef.\nA vertical tab never splits words under " +
+      "RE2 semantics. It stays one word. Yes good. Sure fine. Done now."))
 
   /** C4 cleaning-rule battery — the OTHER published pretraining filter
     * battery next to [[qualityGopherRules]] (C4 is line-level where
@@ -444,11 +450,14 @@ object TextQuality {
     .map { case (id, t) => s"($id, '$t')" }.mkString(",\n            ")
 
   /** The engineered C4 rows as literal VALUES — newlines join as
-    * `|| chr(10) ||` so the SQL literal carries the exact bytes the
-    * Scala string does. */
+    * `|| chr(10) ||` and vertical tabs as `|| chr(11) ||` so the SQL
+    * literal carries the exact bytes the Scala string does (and the
+    * oracle text stays printable). */
   private val c4ValuesSql = c4Samples
     .map { case (id, t) =>
-      val lit = t.split("\n", -1).map(s => s"'$s'").mkString(" || chr(10) || ")
+      val lit = t.split("\n", -1).map { seg =>
+        seg.split("\u000B", -1).map(s => s"'$s'").mkString(" || chr(11) || ")
+      }.mkString(" || chr(10) || ")
       s"($id, $lit)"
     }.mkString(",\n            ")
 

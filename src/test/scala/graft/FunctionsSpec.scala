@@ -201,6 +201,16 @@ class FunctionsSpec extends GraftSpec {
     assert(col1(ldf.select(C4Kernels.sum_c4_sentences(col("ls")))) ==
       col1(ldf.select(aggregate(filter(col("ls"), keptHof _), lit(0L),
         (acc, l) => acc + regexp_count(l, lit("[.!?]")).cast("long")))))
+
+    // the RE2-vs-Java \s seam (r10 advice): the kernel follows the
+    // ORACLE's regex engine, where \x0B does not split words — so it is
+    // pinned directly, not via the Java-regex HOF law above (Spark's
+    // split("\\s+") would count "ab\u000Bcd" as two words and disagree).
+    // Line 1: 2 RE2-words -> rejected by the 3-word floor; line 2: 3 ->
+    // kept. The registered quality_c4_rules row -7 hash-checks the same
+    // seam against DuckDB.
+    val vt = Seq(Seq("ab\u000Bcd ef.", "ab\u000Bcd ef gh.")).toDF("ls")
+    assert(col1(vt.select(C4Kernels.count_c4_kept_lines(col("ls")))) == Seq(1L))
   }
 
   test("multimodal features agree with direct computation on the blob") {

@@ -97,8 +97,11 @@ class TextQualitySpec extends GraftSpec {
     assert(rows.length == texts.size)
     def keptLine(l: String): Boolean = {
       val rt = l.replaceAll(" +$", "")
+      // the explicit class is RE2's \s — [\t\n\f\r ] without \x0B —
+      // because the oracle's word split runs on RE2 (r10 advice; Java's
+      // \s would disagree on the engineered -7 row)
       rt.nonEmpty && Set('.', '!', '?', '"')(rt.last) &&
-        l.split("\\s+").count(_.nonEmpty) >= 3 &&
+        l.split("[\\t\\n\\f\\r ]+").count(_.nonEmpty) >= 3 &&
         !l.toLowerCase.contains("javascript")
     }
     rows.foreach { r =>
