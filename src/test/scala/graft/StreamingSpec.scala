@@ -740,4 +740,107 @@ class StreamingSpec extends GraftSpec {
     assert(atZero.map(_._4).sum == users,
       "cohort sizes must sum to the distinct user count")
   }
+
+  test("stateful matrix under the RocksDB state store: exact parity with " +
+      "the default provider across all five stateful shapes") {
+    // at 100 TB of keys the in-memory HDFS-backed store is the streaming
+    // scale-killer: every executor holds its partitions' ENTIRE keyed
+    // state on-heap. RocksDBStateStoreProvider spills state to local
+    // disk with bounded memory — the production answer — and swapping it
+    // in must change NOTHING about results. One run of each stateful
+    // shape per provider: windowed agg, session windows, fMGWS trend
+    // machine, symmetric-hash stream-stream join, streaming dedup.
+    implicit val sc = spark.sqlContext
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val rocks = "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider"
+    val prev = spark.conf.getOption(provKey)
+
+    val raw = spark.read.parquet(s"$sfDir/events.parquet")
+    val joinTmp = java.nio.file.Files.createTempDirectory("graft-rkj").toString
+    raw.filter(col("event_type") === "purchase").write.parquet(s"$joinTmp/p")
+    raw.filter(col("event_type") === "error").write.parquet(s"$joinTmp/e")
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect().sortBy(_.getLong(0))
+      .map(r => TimedDoc(r.getLong(0), r.getString(1),
+        new java.sql.Timestamp(1700000000000L + r.getLong(0) * 1000)))
+    val trendEvents = Tables.events(spark, sfDir)
+      .select(col("event_type").as("key"),
+        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+      .as[KeyedEvent].collect().sortBy(_.tsMicros)
+
+    var rocksMetricsSeen = false
+    def runMatrix(tag: String): Map[String, Set[String]] = {
+      def drain(df: org.apache.spark.sql.DataFrame, name: String,
+          mode: String): Set[String] = {
+        val q = df.writeStream.format("memory").queryName(name)
+          .outputMode(mode).option("checkpointLocation",
+            java.nio.file.Files.createTempDirectory(s"graft-$name").toString)
+          .trigger(Trigger.AvailableNow()).start()
+        q.awaitTermination(120000)
+        spark.table(name).collect().map(_.toString).toSet
+      }
+      def evStream = spark.readStream.schema(raw.schema)
+        .option("pathGlobFilter", "events.parquet").parquet(sfDir)
+      val out = Map.newBuilder[String, Set[String]]
+      out += "windowed_agg" ->
+        drain(StreamingJobs.hourlyCounts(evStream), s"rk_hourly_$tag", "complete")
+      out += "sessions" -> drain(
+        evStream.withColumn("ts", col("ts").cast("timestamp"))
+          .withWatermark("ts", "2 minutes")
+          .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+          .agg(count(lit(1)).as("n_events"))
+          .select(col("user_id"), col("w.start"), col("w.end"), col("n_events")),
+        s"rk_sess_$tag", "append")
+      out += "join" -> drain(
+        StreamingJobs.streamIntervalJoin(
+          spark.readStream.schema(raw.schema).parquet(s"$joinTmp/p"),
+          spark.readStream.schema(raw.schema).parquet(s"$joinTmp/e")),
+        s"rk_join_$tag", "append")
+      // fMGWS + dedup replay through MemoryStream (two batches so state
+      // genuinely persists across a micro-batch boundary)
+      val trendIn = MemoryStream[KeyedEvent]
+      val trendQ = StreamingJobs.detectTrends(trendIn.toDS(), 10L * 60 * 1000 * 1000)
+        .writeStream.outputMode("append").option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-rk-tr-$tag").toString)
+        .format("memory").queryName(s"rk_trend_$tag").start()
+      trendEvents.grouped(trendEvents.length / 2 + 1).foreach { b =>
+        trendIn.addData(b.toSeq); trendQ.processAllAvailable()
+      }
+      // provider evidence: the rocks pass must actually run on RocksDB —
+      // its state operator reports rocksdb-prefixed custom metrics
+      val metrics = Option(trendQ.lastProgress).toSeq
+        .flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+      if (metrics.exists(_.toLowerCase.contains("rocksdb"))) rocksMetricsSeen = true
+      trendQ.stop()
+      val trendOut = spark.table(s"rk_trend_$tag").collect().map(_.toString).toSet
+      out += "fmgws_trends" -> trendOut
+      val dedupIn = MemoryStream[TimedDoc]
+      val dedupQ = StreamingJobs.dedupStream(dedupIn.toDF())
+        .writeStream.outputMode("append").option("checkpointLocation",
+          java.nio.file.Files.createTempDirectory(s"graft-rk-dd-$tag").toString)
+        .format("memory").queryName(s"rk_dedup_$tag").start()
+      val (b1, b2) = docs.splitAt(docs.length / 2)
+      dedupIn.addData(b1.toSeq); dedupQ.processAllAvailable()
+      dedupIn.addData(b2.toSeq); dedupQ.processAllAvailable()
+      dedupQ.stop()
+      out += "dedup" -> spark.table(s"rk_dedup_$tag").collect().map(_.toString).toSet
+      out.result()
+    }
+
+    val base = runMatrix("dflt")
+    assert(!rocksMetricsSeen, "default pass must not run on RocksDB")
+    spark.conf.set(provKey, rocks)
+    try {
+      val rk = runMatrix("rocks")
+      assert(rocksMetricsSeen,
+        "RocksDB pass shows no rocksdb state-store metrics — provider swap did not take")
+      base.foreach { case (leg, want) =>
+        assert(want.nonEmpty, s"$leg produced no rows — the parity check is vacuous")
+        assert(rk(leg) == want,
+          s"$leg diverged under RocksDB: ${(rk(leg) diff want) ++ (want diff rk(leg))}")
+      }
+    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+  }
 }
