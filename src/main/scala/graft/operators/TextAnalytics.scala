@@ -126,6 +126,37 @@ object TextAnalytics {
       .orderBy("w1")
   }
 
+  /** The reference's LITERAL saved-text shape for the stripes job —
+    * `ComputeBigramRelativeFrequencyStripes.scala:70-84` emits
+    * `"(" + A + ", {" + entries.mkString(", ") + "})"` with each entry
+    * `B + "=" + relfreq` as raw Scala `Double.toString` (Spark's
+    * double→string cast). One deliberate canonicalization: the
+    * reference's entry order is its in-memory HashMap's iteration order
+    * — incidental, nondeterministic across JVMs — so this twin sorts
+    * entries by B (a stable order a user diffing outputs would impose
+    * anyway). Not oracle-registered for the same reason as
+    * [[bigramRelFreqPairsText]]: the VALUES are hash-gated by
+    * `bigram_relfreq_stripes`; TextGoldenSpec pins the shape. */
+  def bigramRelFreqStripesText(spark: SparkSession, dir: String): DataFrame = {
+    val counts = toks(spark, dir)
+      .select(explode(bigrams(col("ws"))).as("bg"))
+      .groupBy(col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+      .agg(count(lit(1)).as("cnt"))
+    counts
+      .withColumn("relfreq",
+        col("cnt").cast("double") / sum(col("cnt")).over(Window.partitionBy("w1")))
+      .groupBy("w1")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("w2"), col("relfreq")))),
+          e => concat(e.getField("w2"), lit("="),
+            e.getField("relfreq").cast("string"))),
+        ", ").as("entries"))
+      .orderBy("w1")
+      .select(concat(lit("("), col("w1"), lit(", {"), col("entries"), lit("})"))
+        .as("line"))
+  }
+
   /** Pair counts for PMI: per doc, first-40-distinct tokens, all ordered
     * co-occurring pairs (`PairsPMI.scala:85`), plus per-word doc frequency
     * and the doc count — all as one DataFrame DAG (the reference runs two
@@ -169,6 +200,31 @@ object TextAnalytics {
             e => concat_ws(":", e.getField("w2"), e.getField("micros"))),
           ",").as("stripe"))
       .orderBy("w1")
+
+  /** The reference's LITERAL printed tuple shape for stripes PMI —
+    * `StripesPMI.scala:97-101` emits
+    * `"(" + A + ", {" + entries.mkString(",") + "})"` (comma-joined, no
+    * space) with each entry `B + "=(" + pmi + "," + count + ")"`.
+    * Values are OUR doubles (6dp-rounded, the pmi_stripes discipline;
+    * the reference computes through a `.toFloat` cast, so its digits
+    * differ — the VALUES here are hash-gated by `pmi_pairs`/
+    * `pmi_stripes`, this twin carries the shape). Entry order sorted by
+    * B, canonicalizing the reference's incidental groupByKey order the
+    * same way as [[bigramRelFreqStripesText]]. */
+  def pmiStripesText(spark: SparkSession, dir: String): DataFrame =
+    pmi(spark, dir)
+      .withColumn("pmi6", round(col("pmi"), 6))
+      .groupBy("w1")
+      .agg(array_join(
+        transform(
+          array_sort(collect_list(struct(col("w2"), col("pmi6"), col("cnt")))),
+          e => concat(e.getField("w2"), lit("=("),
+            e.getField("pmi6").cast("string"), lit(","),
+            e.getField("cnt").cast("string"), lit(")"))),
+        ",").as("entries"))
+      .orderBy("w1")
+      .select(concat(lit("("), col("w1"), lit(", {"), col("entries"), lit("})"))
+        .as("line"))
 
   /** Heavy-hitter support threshold φ: a bigram is a heavy hitter when
     * its occurrence count is ≥ ceil(φ·N) (N = total bigram occurrences).

@@ -1,0 +1,61 @@
+package graft
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.functions._
+
+/** Point-lookup latency profiler (PLANS.md round 11): per-term probes of
+  * the persisted inverted index, p50/p95 over the GRADED term set — the
+  * one instrumentation surface of the reference without a direct
+  * artifact (it times each boolean lookup,
+  * `BooleanRetrievalCompressed.java:220-222`). The index is built once
+  * (memoized, like every retrieval query); each probe is a term-pruned
+  * scan + bounded collect, i.e. the engine's interactive-lookup path.
+  * CPU canary (the bench's warm trivial query) brackets the record so a
+  * degraded box cannot masquerade as a slow lookup path.
+  *
+  *   sbt -batch "Test/runMain graft.LookupProf <dir> [reps]"
+  */
+object LookupProf extends App {
+  val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+  val reps = if (args.length > 1) args(1).toInt else 20
+  val spark = GraftSession.baseBuilder("32").getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  // the graded vocabulary: every term the reference-analog postfix
+  // queries evaluate, plus the bm25 terms (the full interactive surface)
+  val terms = (InvertedIndex.retrievalQueries.values.flatten.toSeq
+    .filterNot(t => t == "AND" || t == "OR") ++ InvertedIndex.bm25Terms)
+    .distinct.sorted
+
+  def canary(): Double = {
+    val t0 = System.nanoTime()
+    graft.operators.Relational.q1ShipdateCount(spark, dir).collect()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  val idx = InvertedIndex.persistedIndex(spark, dir)
+  idx.filter(col("term") === "warmup").collect() // build + JIT warm
+  val c0 = canary()
+
+  val lat = for (_ <- 1 to reps; t <- terms) yield {
+    val t0 = System.nanoTime()
+    val n = idx.filter(col("term") === t).collect().length
+    (t, (System.nanoTime() - t0) / 1e6, n)
+  }
+  val c1 = canary()
+
+  def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, (p * s.length).toInt))
+  }
+  terms.foreach { t =>
+    val xs = lat.filter(_._1 == t).map(_._2)
+    val n = lat.find(_._1 == t).get._3
+    println(f"$t%-8s p50=${pct(xs, 0.5)}%6.1fms p95=${pct(xs, 0.95)}%6.1fms " +
+      f"postings=$n%5d reps=${xs.length}")
+  }
+  val all = lat.map(_._2)
+  println(f"ALL      p50=${pct(all, 0.5)}%6.1fms p95=${pct(all, 0.95)}%6.1fms " +
+    f"probes=${all.length} canary_start=$c0%.2fs canary_end=$c1%.2fs")
+  spark.stop()
+}

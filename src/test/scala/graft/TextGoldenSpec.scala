@@ -26,6 +26,50 @@ class TextGoldenSpec extends GraftSpec {
     assert(got.nonEmpty)
   }
 
+  test("stripes relfreq text lines match the reference's map rendering " +
+      "(ComputeBigramRelativeFrequencyStripes.scala:70-84)") {
+    // independent golden: recompute the stripes from the PAIRS query's
+    // rows (a different physical plan) and format with the reference's
+    // exact concat — "(A, {B=relfreq, C=relfreq})", raw Double.toString
+    // — entries sorted by B (the documented canonicalization of the
+    // reference's incidental HashMap order)
+    val pairs = TextAnalytics.bigramRelFreqPairs(spark, sfDir).collect()
+    val want = pairs.groupBy(_.getAs[String]("w1")).map { case (w1, rs) =>
+      val entries = rs.sortBy(_.getAs[String]("w2"))
+        .map(r => r.getAs[String]("w2") + "=" + r.getAs[Double]("relfreq"))
+      "(" + w1 + ", {" + entries.mkString(", ") + "})"
+    }.toSet
+    val got = TextAnalytics.bigramRelFreqStripesText(spark, sfDir).collect()
+      .map(_.getString(0)).toSet
+    assert(got == want,
+      s"diff sample: ${(got -- want).take(2)} vs ${(want -- got).take(2)}")
+    assert(got.nonEmpty)
+    got.foreach { l =>
+      assert(l.matches("""\(\S+, \{.*=.*\}\)"""), s"bad stripe shape: $l")
+    }
+  }
+
+  test("PMI stripes text lines match the reference's tuple print " +
+      "(StripesPMI.scala:97-101)") {
+    // independent golden from the PAIRS query (different plan): entries
+    // "B=(pmi,count)" comma-joined with NO space, wrapped "(A, {...})"
+    val pairs = TextAnalytics.pmiPairs(spark, sfDir).collect()
+    val want = pairs.groupBy(_.getAs[String]("w1")).map { case (w1, rs) =>
+      val entries = rs.sortBy(_.getAs[String]("w2")).map(r =>
+        r.getAs[String]("w2") + "=(" + r.getAs[Double]("pmi") + "," +
+          r.getAs[Long]("cnt") + ")")
+      "(" + w1 + ", {" + entries.mkString(",") + "})"
+    }.toSet
+    val got = TextAnalytics.pmiStripesText(spark, sfDir).collect()
+      .map(_.getString(0)).toSet
+    assert(got == want,
+      s"diff sample: ${(got -- want).take(2)} vs ${(want -- got).take(2)}")
+    assert(got.nonEmpty)
+    got.foreach { l =>
+      assert(l.matches("""\(\S+, \{.*=\(.*,\d+\).*\}\)"""), s"bad tuple shape: $l")
+    }
+  }
+
   test("ppr_topk_text lines match String.format(\"%.5f %d\") " +
       "(ExtractTopPersonalizedPageRankNodes.java:256)") {
     val base = PageRank.pprTopK(spark, sfDir)
