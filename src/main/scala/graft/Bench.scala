@@ -758,13 +758,19 @@ object Bench {
         // non-default-sf run must never replace it (r8 advice: a 3-query
         // dedup debug line sat in the committed tree as "the" bench
         // record). Filtered/off-sf runs keep their stdout line; the
-        // file write is skipped loudly.
-        if (nameFilter != ".*" || sfName != "sf0.1") {
-          System.err.println(s"[bench] BENCH_LOCAL.json NOT written: " +
-            s"filter='$nameFilter' sf='$sfName' is not the canonical " +
-            "full-suite sf0.1 run")
-          return
-        }
+        // file write is skipped loudly. r11: a full-suite sf1 run gets
+        // its OWN canonical file — the round-over-round record past the
+        // page-cache cliff that the sf0.1 line cannot see (r10 verdict
+        // item 5) — never touching the sf0.1 artifact.
+        val localFile =
+          if (nameFilter == ".*" && sfName == "sf0.1") "BENCH_LOCAL.json"
+          else if (nameFilter == ".*" && sfName == "sf1") "BENCH_SF1_LOCAL.json"
+          else {
+            System.err.println(s"[bench] BENCH_LOCAL.json NOT written: " +
+              s"filter='$nameFilter' sf='$sfName' is not a canonical " +
+              "full-suite sf0.1 or sf1 run")
+            return
+          }
         // post-GC used driver heap: the measured leg under the scaling
         // table's "flat driver memory" claim (PLANS.md r7) — every
         // driver-side collect in the registry is bounded by
@@ -777,7 +783,7 @@ object Bench {
           ioCanaryEndSec)
         val withHeap =
           line.stripSuffix("}") + s""","driver_heap_mb":$heapMb}"""
-        java.nio.file.Files.write(java.nio.file.Paths.get("BENCH_LOCAL.json"),
+        java.nio.file.Files.write(java.nio.file.Paths.get(localFile),
           (withHeap + "\n").getBytes("UTF-8"))
       }
       catch { case e: Throwable => System.err.println(s"[bench] local dump failed: $e") }
