@@ -38,9 +38,15 @@ import org.apache.spark.sql.functions._
 object Lakehouse {
 
   /** Bucket count — small for the local fixtures; at cluster scale pick
-    * buckets ≈ executors × a small factor and it stays a one-line
-    * change because consumers never name the count. */
-  val numBuckets = 8
+    * buckets ≈ executors × a small factor (consumers never name the
+    * count, and artifact names carry it so different widths coexist).
+    * The rule is MEASURED, not folklore: at sf1 on local[32] the
+    * 8-bucket q19 replay sat at parity with the unbucketed plan (2.09
+    * vs 1.92 s) because the bucketed scan caps join parallelism at 8
+    * tasks; at 32 buckets the exchange-free plan wins again (PLANS.md
+    * r11). Env-overridable for exactly that A/B. */
+  val numBuckets: Int =
+    sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "8").toInt
 
   private val memo =
     scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
@@ -59,7 +65,7 @@ object Lakehouse {
   def bucketedTablesFor(spark: SparkSession, dir: String): (String, String) =
     memo.synchronized {
       memo.getOrElseUpdate((spark, dir), {
-        val t = tag(dir)
+        val t = s"${tag(dir)}_b$numBuckets"
         val liT = s"graft_li_bucketed_$t"
         val ordT = s"graft_ord_bucketed_$t"
         if (!spark.catalog.tableExists(liT)) {
@@ -271,7 +277,7 @@ object Lakehouse {
   def q19BucketedTableFor(spark: SparkSession, dir: String): String =
     q19memo.synchronized {
       q19memo.getOrElseUpdate((spark, dir), {
-        val t = tag(dir)
+        val t = s"${tag(dir)}_b$numBuckets"
         val liT = s"graft_li19_bucketed_$t"
         if (!spark.catalog.tableExists(liT)) {
           Tables.lineitem(spark, dir)
