@@ -266,7 +266,11 @@ private[graft] object BenchFormat {
     // zero-exchange plan under both self-joins (LakehouseSpec pin);
     // the unbucketed q19_sole_delayer stays timed as the throughput
     // signal, and the layout twin's filtered timing lives in PLANS.md
-    "q19_sole_delayer_bucketed")
+    "q19_sole_delayer_bucketed",
+    // r11: the CDC diff on the co-bucketed snapshot pair — same
+    // rationale: the artifact is the exchange-free full-outer plan
+    // (LakehouseSpec), values identical to snapshot_diff
+    "snapshot_diff_bucketed")
 
   val sharedProbeTwins = Set("bm25_retrieval", "sample_temperature",
     // r6h: the four boolean retrievals probe the SAME persisted index

@@ -332,11 +332,82 @@ object Lakehouse {
       .orderBy(desc("n_waiting"), col("suppkey"))
   }
 
+  private val snapmemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
+
+  /** BOTH snapshot versions materialized bucketed-by-key — how a CDC
+    * deployment actually stores them
+    * ([[graft.operators.Relational.snapshotDiff]]'s scaladoc makes
+    * exactly this claim; this builds it). v2 evolves from v1 with the
+    * same deterministic transform as snapshot_diff, then each version
+    * is written `bucketBy(N, o_orderkey)` — the evolution is notional
+    * (a real pipeline's v2 arrives as its own table); what matters is
+    * the layout both versions share. */
+  def snapshotBucketedTablesFor(spark: SparkSession, dir: String): (String, String) =
+    snapmemo.synchronized {
+      snapmemo.getOrElseUpdate((spark, dir), {
+        val t = s"${tag(dir)}_b$numBuckets"
+        val base = Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+        val k = col("o_orderkey")
+        val v2 = base.filter(pmod(k, lit(25)) =!= 11)
+          .select(k,
+            when(pmod(k, lit(10)) === 3, col("o_totalprice") + 1000.0)
+              .otherwise(col("o_totalprice")).as("o_totalprice"),
+            when(pmod(k, lit(10)) === 3, lit("U"))
+              .otherwise(col("o_orderstatus")).as("o_orderstatus"))
+          .unionByName(base.filter(pmod(k, lit(100)) === 7)
+            .select((-k).as("o_orderkey"), col("o_totalprice"),
+              lit("N").as("o_orderstatus")))
+        val names = Seq(s"graft_snap_v1_$t" -> base, s"graft_snap_v2_$t" -> v2)
+        names.foreach { case (name, df) =>
+          if (!spark.catalog.tableExists(name)) {
+            df.repartition(numBuckets, col("o_orderkey"))
+              .write.mode("overwrite")
+              .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
+              .option("path", s"target/graft-bucketed/${name.stripPrefix("graft_")}")
+              .saveAsTable(name)
+          }
+        }
+        (names(0)._1, names(1)._1)
+      })
+    }
+
+  /** [[graft.operators.Relational.snapshotDiff]] replayed on the
+    * co-bucketed snapshot pair: the CDC full-outer diff — the ONE wide
+    * join a change-feed reader pays — plans with zero join-side
+    * exchanges (LakehouseSpec pins it), because both versions arrive
+    * `HashPartitioning(o_orderkey, N)` straight off the layout. At
+    * 100 TB this is the difference between re-shuffling two whole
+    * snapshots per diff and a merge-scan of co-located buckets. Same
+    * oracle as snapshot_diff (the layout never changes the answer);
+    * merge hint for the usual small-sf honesty. */
+  def snapshotDiffBucketed(spark: SparkSession, dir: String): DataFrame = {
+    val (v1T, v2T) = snapshotBucketedTablesFor(spark, dir)
+    val a = spark.table(v1T).select(col("o_orderkey").as("ka"),
+      col("o_totalprice").as("old_price"), col("o_orderstatus").as("old_status"))
+    val b = spark.table(v2T).select(col("o_orderkey").as("kb"),
+      col("o_totalprice").as("new_price"), col("o_orderstatus").as("new_status"))
+    a.hint("merge").join(b, col("ka") === col("kb"), "full_outer")
+      .select(
+        coalesce(col("ka"), col("kb")).as("o_orderkey"),
+        when(col("ka").isNull, lit("insert"))
+          .when(col("kb").isNull, lit("delete"))
+          .when(col("old_price") =!= col("new_price") ||
+            col("old_status") =!= col("new_status"), lit("update"))
+          .otherwise(lit("none")).as("change"),
+        col("old_status"), col("new_status"),
+        col("old_price"), col("new_price"))
+      .filter(col("change") =!= "none")
+      .orderBy("o_orderkey")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "bucketed_join" -> (bucketedJoin _),
     "partitioned_prune" -> (partitionedPrune _),
     "zorder_box_agg" -> (zorderBoxAgg _),
-    "q19_sole_delayer_bucketed" -> (q19SoleDelayerBucketed _))
+    "q19_sole_delayer_bucketed" -> (q19SoleDelayerBucketed _),
+    "snapshot_diff_bucketed" -> (snapshotDiffBucketed _))
 
   val oracleSql: Map[String, String] = Map(
     // quantities are integral doubles; both engines aggregate them as
@@ -393,5 +464,8 @@ object Lakehouse {
             AND NOT EXISTS (SELECT 1 FROM late o
                             WHERE o.l_orderkey = l.l_orderkey
                               AND o.l_suppkey <> l.l_suppkey)
-          GROUP BY 1 ORDER BY n_waiting DESC, suppkey""")
+          GROUP BY 1 ORDER BY n_waiting DESC, suppkey""",
+    // identical to snapshot_diff's oracle — the co-bucketed layout
+    // changes the PLAN (exchange-free full-outer diff), never the answer
+    "snapshot_diff_bucketed" -> Relational.oracleSql("snapshot_diff"))
 }

@@ -64,6 +64,31 @@ class LakehouseSpec extends GraftSpec {
       "all join inputs must be bucketed scans")
   }
 
+  test("snapshot_diff_bucketed: the CDC full-outer diff plans with zero " +
+      "join-side exchanges on the co-bucketed snapshot pair") {
+    val df = Lakehouse.snapshotDiffBucketed(spark, sfDir)
+    val got = df.collect()
+
+    // values: identical to the unbucketed CDC diff
+    val want = graft.operators.Relational.snapshotDiff(spark, sfDir).collect()
+    assert(got.toSeq == want.toSeq)
+    assert(got.nonEmpty, "the engineered evolution must produce changes")
+    assert(got.map(_.getAs[String]("change")).toSet ==
+      Set("insert", "delete", "update"), "all three change kinds present")
+
+    // plan: a FullOuter SortMergeJoin with nothing under it shuffling —
+    // both snapshot versions arrive co-partitioned off the layout
+    val smjs = physicalNodes(df).collect { case j: SortMergeJoinExec => j }
+    assert(smjs.map(_.joinType.toString) == Seq("FullOuter"),
+      s"expected one FullOuter SMJ, got ${smjs.map(_.joinType)}")
+    val under = physicalNodes(smjs.head).collect { case e: ShuffleExchangeExec => e }
+    assert(under.isEmpty,
+      s"diff-side shuffle found — co-bucketing failed: $under")
+    val scans = physicalNodes(smjs.head).collect { case f: FileSourceScanExec => f }
+    assert(scans.size == 2 && scans.forall(_.bucketedScan),
+      "both snapshot versions must read as bucketed scans")
+  }
+
   test("zorder_box_agg: values match the original table; z layout skips most " +
       "row groups where the scattered control reads everything") {
     val got = Lakehouse.zorderBoxAgg(spark, sfDir).collect()

@@ -1045,9 +1045,9 @@ class ScaleDesignSpec extends GraftSpec {
       "bucketed_join", "partitioned_prune", "zorder_box_agg",
       "quality_c4_rules", "quality_agreement", "snapshot_diff",
       "minhash_jaccard_err",
-      // r11: the bucketed Q21 twin shares bucketed_join's empty-write
-      // path (an empty bucketed saveAsTable materializes fine)
-      "q19_sole_delayer_bucketed")
+      // r11: the bucketed Q21 and CDC twins share bucketed_join's
+      // empty-write path (an empty bucketed saveAsTable materializes)
+      "q19_sole_delayer_bucketed", "snapshot_diff_bucketed")
     sample.foreach { name =>
       val rows = SparkEntry.queries(name)(spark, tmp).collect()
       name match {
