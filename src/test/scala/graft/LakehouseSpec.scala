@@ -129,6 +129,55 @@ class LakehouseSpec extends GraftSpec {
       s"z layout must skip most row groups: scanned $zRows vs control $flatRows of $total")
   }
 
+  test("dynamic partition pruning: a filtered dim narrows the partitioned " +
+      "scan at RUNTIME (the subquery-predicate complement of the literal pin)") {
+    // partitioned_prune pins PLANNING-time pruning (literal day). The
+    // other half of the 100 TB story is a day predicate that only
+    // exists at runtime — "days some dimension flags" — where Hive-style
+    // DPP injects the broadcast join's key set into the scan's
+    // partition filters. SourcesSpec pins the DSv2 analog on
+    // SynthSource; this pins it on the REAL partitioned parquet layout.
+    import spark.implicits._
+    val out = Lakehouse.partitionedDirFor(spark, sfDir)
+    val part = spark.read.parquet(out)
+    // a real dim scan with a surviving selective predicate (a local
+    // relation's filter would constant-fold and DPP declines): 2 of the
+    // 30 days flagged
+    val days = part.select("day").distinct().orderBy("day")
+      .limit(2).collect().map(_.getDate(0))
+    val dimPath = java.nio.file.Files
+      .createTempDirectory("graft-dpp-day").toString + "/dim"
+    val allDays = part.select("day").distinct().collect().map(_.getDate(0))
+    allDays.map(d => (d, if (days.contains(d)) 1 else 0)).toSeq
+      .toDF("day", "m").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("m") === 1).select("day")
+    val q = part.join(broadcast(dim), Seq("day"))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    val got = q.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // values: the same two-day rollup with a static predicate
+    val want = part.filter(col("day").isin(days.map(_.toString): _*))
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.values.sum > 0)
+    // plan: the partitioned scan carries a dynamicpruning partition
+    // filter and read only the flagged days' files
+    val scan = physicalNodes(q)
+      .collectFirst { case f: FileSourceScanExec
+        if f.relation.location.rootPaths.exists(_.toString.contains("graft-part-events")) => f }
+      .getOrElse(fail("partitioned scan not found"))
+    assert(scan.partitionFilters.exists(_.toString.toLowerCase.contains("dynamicpruning")),
+      s"no runtime partition filter on the scan: ${scan.partitionFilters}")
+    val root = new java.io.File(out)
+    val filesFor = root.listFiles().filter(_.isDirectory).map { d =>
+      d.getName -> d.listFiles().count(_.getName.endsWith(".parquet"))
+    }.toMap
+    val expectFiles = days.map(d => filesFor(s"day=$d")).sum
+    val totalFiles = filesFor.values.sum
+    assert(scan.metrics("numFiles").value == expectFiles.toLong,
+      s"scan read ${scan.metrics("numFiles").value} files, " +
+        s"expected the $expectFiles in the two flagged days (of $totalFiles)")
+  }
+
   test("partitioned_prune: literal day prunes to one partition of thirty") {
     val df = Lakehouse.partitionedPrune(spark, sfDir)
     val got = df.collect()
