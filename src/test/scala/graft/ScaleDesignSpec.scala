@@ -871,6 +871,59 @@ class ScaleDesignSpec extends GraftSpec {
     (before.keySet - "error").foreach(t => assert(after(t) == before(t), t))
   }
 
+  test("CBO join reorder: a badly-written join order is re-costed from " +
+      "ANALYZE statistics (fact x fact first becomes dim-first)") {
+    // the companion to the stats-visibility pin below: stats must not
+    // just REACH the cost model, they must CHANGE the plan. A query
+    // written worst-order — the two fact tables joined first, the
+    // 25-row dim last — must come out of the CBO reorderer dim-first,
+    // because at 100 TB executing the written order IS the outage.
+    val prev = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> spark.conf.getOption(k)).toMap
+    Seq("li_ro", "ord_ro", "cust_ro").foreach(t =>
+      spark.sql(s"DROP TABLE IF EXISTS $t"))
+    try {
+      spark.conf.set("spark.sql.cbo.enabled", "true")
+      spark.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+      Tables.lineitem(spark, sfDir).select("l_orderkey", "l_quantity")
+        .write.saveAsTable("li_ro")
+      Tables.orders(spark, sfDir).select("o_orderkey", "o_custkey")
+        .write.saveAsTable("ord_ro")
+      // the selective side: a handful of customers
+      Tables.customer(spark, sfDir).select("c_custkey")
+        .filter(col("c_custkey") <= 25).write.saveAsTable("cust_ro")
+      Seq("li_ro", "ord_ro", "cust_ro").foreach(t =>
+        spark.sql(s"ANALYZE TABLE $t COMPUTE STATISTICS FOR ALL COLUMNS"))
+      // written order: fact x fact FIRST, tiny dim last
+      val q = spark.table("li_ro")
+        .join(spark.table("ord_ro"), col("l_orderkey") === col("o_orderkey"))
+        .join(spark.table("cust_ro"), col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey").agg(sum("l_quantity").cast("long").as("qty"))
+      val joins = q.queryExecution.optimizedPlan.collect {
+        case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+      }
+      assert(joins.size == 2)
+      // the INNER (first-executed) join must involve the dim: reordered
+      // away from the written fact-x-fact-first shape
+      val innerTables = joins.last.collectLeaves().map(_.toString).mkString
+      assert(innerTables.contains("cust_ro"),
+        s"CBO left the written order (fact x fact first): $innerTables")
+      // and the answer is order-independent
+      val got = q.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = Tables.lineitem(spark, sfDir)
+        .join(Tables.orders(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(spark, sfDir).filter(col("c_custkey") <= 25),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy("c_custkey").agg(sum("l_quantity").cast("long").as("qty"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got.keySet == want.keySet && got.nonEmpty)
+    } finally {
+      prev.foreach { case (k, v) => v.fold(spark.conf.unset(k))(spark.conf.set(k, _)) }
+      Seq("li_ro", "ord_ro", "cust_ro").foreach(t =>
+        spark.sql(s"DROP TABLE IF EXISTS $t"))
+    }
+  }
+
   test("ANALYZE TABLE statistics reach the optimizer's cost model") {
     // the CBO input path: computed stats must be visible where join
     // planning reads them (plan.stats), not just in the catalog — this
