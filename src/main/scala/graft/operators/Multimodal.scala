@@ -135,8 +135,27 @@ object Multimodal {
   def imageTable(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
+    // codec parallelism must come from the WORK, not the input splits:
+    // documents.parquet at fixture scale is one small file → one scan
+    // partition, which serialized 50k PNG encodes onto a single core
+    // (measured r11: image_features 18.3 s at sf1 on local[32]; 1.4 s
+    // with this line + the memory-cache flag below). Only doc_ids
+    // shuffle — 8 bytes/row at ANY scale
+    // — so unlike repartitioning the blobs themselves, this stays cheap
+    // at 100 TB. The blob-path ops (media*) deliberately do NOT do
+    // this: their per-row cost is scan-bound, and at real scale the
+    // input has many splits anyway — shuffling whole blobs to fix a
+    // fixture-only skew would be the real anti-pattern.
     Tables.documents(spark, dir).select(col("doc_id")).as[Long]
+      .repartition(sp.sparkContext.defaultParallelism)
       .mapPartitions { ids =>
+        // ImageIO's default stream cache backs every encode/decode with
+        // a TEMP FILE (create+delete per image) — for thousands of tiny
+        // PNGs the filesystem round trip IS the cost (measured r11: the
+        // repartition alone got 18.3 s -> 8-10 s; the memory cache takes
+        // it to 1.4 s). Idempotent per-executor flag, set inside the
+        // partition seam.
+        javax.imageio.ImageIO.setUseCache(false)
         ids.map { id =>
           val w = imgWidth(id); val h = imgHeight(id)
           val img = new java.awt.image.BufferedImage(
@@ -188,6 +207,7 @@ object Multimodal {
     imageTable(spark, dir).select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
         batch.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
@@ -210,6 +230,7 @@ object Multimodal {
     imageTable(spark, dir).select(col("doc_id"), col("media"))
       .as[(Long, Array[Byte])]
       .mapPartitions { batch =>
+        javax.imageio.ImageIO.setUseCache(false)
         batch.map { case (id, bytes) =>
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(bytes))
