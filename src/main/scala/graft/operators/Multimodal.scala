@@ -81,17 +81,18 @@ object Multimodal {
     val sampled = transform(
       sequence(lit(0), greatest(ceil(nFrames.cast("double") / frameStride).cast("int") - 1, lit(0))),
       i => i * frameStride)
-    val frame = decode(
-      col("media").substr(col("frame_id") * frameBytes + 1, lit(frameBytes)), "UTF-8")
+    // frame stats through the codegen'd byte kernel (r11): the per-byte
+    // ascii(substr) lambda chain read 7.7 s at sf1 — the r6g lesson in
+    // byte-domain form. ASCII corpus ⇒ byte length/sum ≡ the HOF forms'
+    // char length/ascii sum (FunctionsSpec pins the law); oracle
+    // unchanged.
+    val frameBin = col("media").substr(col("frame_id") * frameBytes + 1, lit(frameBytes))
     mediaTable(spark, dir)
       .filter(col("n_bytes") > 0)
       .select(col("doc_id"), col("media"), posexplode(sampled).as(Seq("pos", "frame_id")))
       .select(col("doc_id"), col("frame_id"),
-        length(frame).as("frame_len"),
-        aggregate(
-          transform(sequence(lit(1), length(frame)),
-            j => ascii(frame.substr(j, lit(1))).cast("long")),
-          lit(0L), (acc, x) => acc + x).as("frame_sum"))
+        length(frameBin).cast("int").as("frame_len"),
+        graft.functions.ByteKernels.sum_bytes(frameBin).as("frame_sum"))
       .orderBy("doc_id", "frame_id")
   }
 
@@ -104,17 +105,18 @@ object Multimodal {
     * expressions, shuffle-free. */
   val resizeStride = 8
   def mediaResize(spark: SparkSession, dir: String): DataFrame = {
-    val resized = transform(
-      sequence(lit(0), floor((col("n_bytes") - 1) / resizeStride).cast("int")),
-      i => ascii(decode(col("media").substr(i * resizeStride + 1, lit(1)), "UTF-8"))
-        .cast("long"))
+    // kept-byte count is plain arithmetic (⌊(n−1)/stride⌋+1) and the
+    // kept-byte sum runs through the codegen'd stride kernel (r11) —
+    // same value contract as the per-byte HOF it replaces (ASCII corpus;
+    // FunctionsSpec pins the law), oracle unchanged
     mediaTable(spark, dir)
       .filter(col("n_bytes") > 0)
       .select(
         col("doc_id"),
         col("n_bytes").as("orig_len"),
-        size(resized).cast("long").as("resized_len"),
-        aggregate(resized, lit(0L), (acc, x) => acc + x).as("resized_sum"))
+        (floor((col("n_bytes") - 1) / resizeStride) + 1).cast("long").as("resized_len"),
+        graft.functions.ByteKernels.stride_sum_bytes(col("media"), resizeStride)
+          .as("resized_sum"))
       .orderBy("doc_id")
   }
 

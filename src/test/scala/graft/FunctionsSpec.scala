@@ -213,6 +213,40 @@ class FunctionsSpec extends GraftSpec {
     assert(col1(vt.select(C4Kernels.count_c4_kept_lines(col("ls")))) == Seq(1L))
   }
 
+  test("byte kernels equal the per-byte HOF forms on ASCII, UTF-8 and boundary edges") {
+    import graft.functions.ByteKernels
+    // the exact value-compatibility contract the kernels' scaladoc
+    // claims — each vs the ascii(substr) lambda chain it replaced. On
+    // ASCII inputs (the corpus premise) they agree; the high-byte row
+    // documents WHERE the equivalence stops: ascii() works on decoded
+    // CODE POINTS while the kernel sums raw bytes, which is exactly why
+    // the blob family's oracle family is stated over an ASCII corpus.
+    val asciiRows = Seq("hello world", "a", "", "1234567890" * 7, "\t\n !~")
+    val df = asciiRows.toDF("s").select(encode(col("s"), "UTF-8").as("b"), col("s"))
+    def col1(d: org.apache.spark.sql.DataFrame): Seq[Any] =
+      d.collect().toSeq.map(_.get(0))
+    assert(col1(df.select(ByteKernels.sum_bytes(col("b")))) ==
+      col1(df.select(aggregate(
+        transform(sequence(lit(1), length(col("s"))),
+          j => ascii(col("s").substr(j, lit(1))).cast("long")),
+        lit(0L), (acc, x) => acc + x))))
+    Seq(1, 3, 8).foreach { stride =>
+      assert(col1(df.select(ByteKernels.stride_sum_bytes(col("b"), stride))) ==
+        col1(df.select(aggregate(
+          transform(sequence(lit(0),
+            greatest(floor((length(col("s")) - 1) / stride).cast("int"), lit(0))),
+            i => ascii(col("s").substr(i * stride + 1, lit(1))).cast("long")),
+          lit(0L), (acc, x) => acc + x))), s"stride $stride")
+    }
+    // raw-byte semantics on non-ASCII: é is 0xC3 0xA9 in UTF-8
+    val utf = Seq(Array(0xC3.toByte, 0xA9.toByte)).toDF("b")
+    assert(col1(utf.select(ByteKernels.sum_bytes(col("b")))) == Seq(0xC3 + 0xA9))
+    // empty binary sums to zero at every stride
+    val empty = Seq(Array.empty[Byte]).toDF("b")
+    assert(col1(empty.select(ByteKernels.sum_bytes(col("b")))) == Seq(0L))
+    assert(col1(empty.select(ByteKernels.stride_sum_bytes(col("b"), 8))) == Seq(0L))
+  }
+
   test("multimodal features agree with direct computation on the blob") {
     val rows = Multimodal.mediaFeatures(spark, sfDir).collect()
     val texts = Tables.documents(spark, sfDir)
