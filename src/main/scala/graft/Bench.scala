@@ -75,7 +75,12 @@ private[graft] object BenchFormat {
   /** The family-build metrics the bench times alongside the queries —
     * valid subsumers for [[subsumedTwins]]. */
   val buildMetrics = Set("dedup_family_build", "ppr_family_build",
-    "index_build", "ann_family_build")
+    "index_build", "ann_family_build",
+    // r11: the spam featurization (tokenize + one md5 per token over
+    // the corpus) materialized once and read by every spam query — the
+    // r6d persisted-index treatment; before, spam_apply featurized the
+    // corpus twice and spam_ensemble four times
+    "spam_family_build")
 
   /** Queries whose full workload is computed INSIDE another timed entry:
     * value_pct_approx evaluates the exact `percentile` aggregate (for
@@ -129,6 +134,12 @@ private[graft] object BenchFormat {
     // keep gating it), not to time a second identical fold. Filtered
     // timing in PLANS.md.
     "spam_train_shuffled" -> "spam_train",
+    // r11: spam_apply's plan CONTAINS spam_train's entire computation
+    // (train fold + rounding) plus scoring — separately timing the
+    // train leg double-counts it, and its ~19 line chars fund the
+    // spam_family_build metric under the canary-pinned line cap.
+    // Filtered timing in PLANS.md.
+    "spam_train" -> "spam_apply",
     // r10: spam_roca re-runs the timed spam_apply plan (train fold +
     // explode⋈broadcast⋈sum scoring) to get its scores; the metric tail
     // is one grouped count collapsed to the distinct-score table plus a
@@ -684,6 +695,7 @@ object Bench {
       graft.operators.InvertedIndex.clearMemos()
       graft.operators.PageRank.clearMemos()
       graft.operators.Similarity.clearMemos()
+      graft.operators.SpamClassifier.clearMemos()
       graft.sources.AvroQueries.clearMemos()
       graft.sources.OrcQueries.clearMemos()
       graft.sources.JsonlQueries.clearMemos()
@@ -725,7 +737,9 @@ object Bench {
       ("index_build", graft.operators.InvertedIndex.familyMembers,
         (dir: String) => timed(graft.operators.InvertedIndex.buildFamilyArtifacts(spark, dir))),
       ("ann_family_build", graft.operators.Similarity.annFamilyMembers,
-        (dir: String) => timed(graft.operators.Similarity.buildFamilyArtifacts(spark, dir))))
+        (dir: String) => timed(graft.operators.Similarity.buildFamilyArtifacts(spark, dir))),
+      ("spam_family_build", graft.operators.SpamClassifier.familyMembers,
+        (dir: String) => timed(graft.operators.SpamClassifier.buildFamilyArtifacts(spark, dir))))
       .collect { case f @ (_, members, _) if names.exists(members) => f }
 
     // ---- JSON line emission -------------------------------------------

@@ -58,6 +58,37 @@ object SpamClassifier {
         array_sort(array_distinct(transform(col("ws"),
           w => pmod(md5Int(w, 8), lit(featureBuckets.toLong))))).as("features"))
 
+  private val fmemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String), String]
+
+  /** Family build: the featurization (tokenize + one md5 per token over
+    * the whole corpus) materialized ONCE per (session, sf) and read by
+    * every spam query — the retrieval-family treatment (r6d:
+    * "probe the persisted index instead of rebuilding it"). Before
+    * this, spam_apply featurized the corpus twice and spam_ensemble
+    * four times, each pass a crypto-hash scan (measured 2.7 s at sf1);
+    * at 100 TB re-featurizing per consumer is re-reading the corpus
+    * per consumer. Bench prices the build as `spam_family_build`. */
+  def featurizedFor(spark: SparkSession, dir: String): String =
+    fmemo.synchronized {
+      fmemo.getOrElseUpdate((spark, dir), {
+        val out = s"target/graft-spam/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        instances(spark, dir).write.mode("overwrite").parquet(out)
+        out
+      })
+    }
+
+  def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit =
+    featurizedFor(spark, dir)
+
+  def clearMemos(): Unit = fmemo.synchronized(fmemo.clear())
+
+  val familyMembers: Set[String] = Set("spam_train", "spam_train_shuffled",
+    "spam_apply", "spam_roca", "spam_ensemble")
+
+  private def instancesMaterialized(spark: SparkSession, dir: String): DataFrame =
+    spark.read.parquet(featurizedFor(spark, dir))
+
   /** G6: sequential single-pass SGD in doc_id order; returns the model as
     * a small (feature, weight) DataFrame with RAW weights (rounding is an
     * output concern — scoring consumes the raw model). */
@@ -70,22 +101,36 @@ object SpamClassifier {
       .repartition(1)
       .sortWithinPartitions("doc_id")
       .mapPartitions { it =>
-        val w = scala.collection.mutable.Map.empty[Long, Double].withDefaultValue(0.0)
+        // dense weight array over the FIXED bucket space (r11): the
+        // boxed Map[Long, Double] version spent the sequential fold —
+        // the one leg that cannot parallelize — on hash probes and
+        // boxing (measured via the enclosing query: spam_apply
+        // 8.87 → 8.17 s at sf1 from this change alone; the fold is
+        // ~0.75 s of the train leg after it). Same IEEE operations in
+        // the same order: features are sorted, the score sum iterates
+        // them identically, and `touched` reproduces the map's keyset
+        // exactly (a weight updated back to 0.0 still emits, as the
+        // map version did).
+        val w = new Array[Double](featureBuckets)
+        val touched = new Array[Boolean](featureBuckets)
         it.foreach { case (_, label, features) =>
-          // features are sorted — the oracle's weight-sum comprehension
-          // iterates the same order, so the IEEE sum is identical
-          val score = features.iterator.map(w).sum
+          var score = 0.0
+          features.foreach(f => score += w(f.toInt))
           val p = 1.0 / (1.0 + math.exp(-score))
           val g = (label - p) * delta
-          features.foreach(f => w(f) += g)
+          features.foreach { f =>
+            w(f.toInt) += g; touched(f.toInt) = true
+          }
         }
-        w.iterator.map { case (f, wt) => (f, wt) }
+        (0 until featureBuckets).iterator
+          .filter(touched)
+          .map(f => (f.toLong, w(f)))
       }
     folded.toDF("feature", "weight")
   }
 
   def spamTrain(spark: SparkSession, dir: String): DataFrame =
-    train(spark, instances(spark, dir))
+    train(spark, instancesMaterialized(spark, dir))
       .select(col("feature"), round(col("weight"), 6).as("weight"))
       .orderBy("feature")
 
@@ -103,7 +148,7 @@ object SpamClassifier {
     // this point is the instance stream that feeds an enforced
     // single-partition sequential fold anyway — there is no parallel
     // version of "train in this exact order".
-    val shuffled = instances(spark, dir)
+    val shuffled = instancesMaterialized(spark, dir)
       .withColumn("shuffle_key", md5(col("doc_id").cast("string")))
       .withColumn("doc_id",
         row_number().over(org.apache.spark.sql.expressions.Window
@@ -124,7 +169,7 @@ object SpamClassifier {
       .agg(sum("weight").as(scoreName))
 
   def spamApply(spark: SparkSession, dir: String): DataFrame = {
-    val inst = instances(spark, dir)
+    val inst = instancesMaterialized(spark, dir)
     score(inst, train(spark, inst), "raw_score")
       // threshold applies to the ROUNDED score on both engines (float
       // discipline): the rounded value is the published one, so the
@@ -139,19 +184,18 @@ object SpamClassifier {
   def spamEnsemble(spark: SparkSession, dir: String): DataFrame = {
     val sp = spark
     import sp.implicits._
-    val inst = instances(spark, dir).cache()
-    // materialize each (tiny) model eagerly while inst is cached, then
-    // release the cache — scoring re-scans instances but no cached blocks
-    // leak past this query
-    val models = try {
-      (0 until 3).map { k =>
-        train(spark, inst.filter(pmod(col("doc_id"), lit(3)) === k))
-          .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-          .toDF("feature", "weight")
-      }
-    } finally inst.unpersist()
+    // every leg reads the materialized featurization (r11) — the old
+    // cache-train-unpersist dance re-featurized the corpus for each of
+    // the three scoring passes because the returned lazy plan could not
+    // reference a cache released inside this method
+    val inst = instancesMaterialized(spark, dir)
+    val models = (0 until 3).map { k =>
+      train(spark, inst.filter(pmod(col("doc_id"), lit(3)) === k))
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+        .toDF("feature", "weight")
+    }
     val scored = (0 until 3).map { k =>
-      score(instances(spark, dir), models(k), s"raw$k")
+      score(instancesMaterialized(spark, dir), models(k), s"raw$k")
         .withColumn(s"score$k", round(col(s"raw$k"), 6))
         .drop(s"raw$k")
     }

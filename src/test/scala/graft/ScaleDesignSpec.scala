@@ -1099,8 +1099,10 @@ class ScaleDesignSpec extends GraftSpec {
       "quality_c4_rules", "quality_agreement", "snapshot_diff",
       "minhash_jaccard_err",
       // r11: the bucketed Q21 and CDC twins share bucketed_join's
-      // empty-write path (an empty bucketed saveAsTable materializes)
-      "q19_sole_delayer_bucketed", "snapshot_diff_bucketed")
+      // empty-write path (an empty bucketed saveAsTable materializes);
+      // spam_apply now rides the materialized featurization artifact,
+      // whose empty write+read must round-trip the schema
+      "q19_sole_delayer_bucketed", "snapshot_diff_bucketed", "spam_apply")
     sample.foreach { name =>
       val rows = SparkEntry.queries(name)(spark, tmp).collect()
       name match {
