@@ -832,6 +832,14 @@ class StreamingSpec extends GraftSpec {
     val base = runMatrix("dflt")
     assert(!rocksMetricsSeen, "default pass must not run on RocksDB")
     spark.conf.set(provKey, rocks)
+    // the production RocksDB shape includes changelog checkpointing
+    // (append the batch's changelog instead of uploading full SST
+    // snapshots — the checkpoint-latency answer once state is large);
+    // it changes the checkpoint FORMAT only, so it rides the same
+    // parity assertions
+    val clKey = "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val clPrev = spark.conf.getOption(clKey)
+    spark.conf.set(clKey, "true")
     try {
       val rk = runMatrix("rocks")
       assert(rocksMetricsSeen,
@@ -841,6 +849,9 @@ class StreamingSpec extends GraftSpec {
         assert(rk(leg) == want,
           s"$leg diverged under RocksDB: ${(rk(leg) diff want) ++ (want diff rk(leg))}")
       }
-    } finally prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+    } finally {
+      prev.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+      clPrev.fold(spark.conf.unset(clKey))(spark.conf.set(clKey, _))
+    }
   }
 }
