@@ -183,12 +183,35 @@ object PageRank {
     finally spark.conf.set("spark.sql.adaptive.enabled", prev)
   }
 
+  /** Per-iteration artifact naming — the reference's exact shape: its
+    * driver writes every iteration to `basePath + "/iter" +
+    * formatter.format(i)` with `new DecimalFormat("0000")`
+    * (`RunPersonalizedPageRankBasic.java:365,472`), and later phases
+    * (including the top-k extractor) read the artifacts back BY NAME —
+    * the zero-padding is load-bearing for lexicographic listing.
+    * [[pprIterTrace]] uses it; TextGoldenSpec pins it against an actual
+    * `DecimalFormat("0000")`. */
+  def iterLabel(i: Int): String = "iter" + f"$i%04d"
+
+  /** Debug/replay hook: run the normal-space PPR loop writing each
+    * iteration's ranks to `outDir/iter0001 … iterNNNN` — the reference's
+    * per-iteration artifact layout, the natural way to inspect rank
+    * convergence or resume a divergence hunt at a specific round.
+    * Returns the final ranks (same frame the registered queries rank). */
+  def pprIterTrace(spark: SparkSession, dir: String, outDir: String): DataFrame = {
+    val (ranks, ckpts) = personalizedPageRankLoop(spark,
+      graphShared(spark, dir), Some(outDir))
+    val result = ranks.localCheckpoint(true)
+    ckpts.foreach(graft.Tables.releaseCheckpoint)
+    result
+  }
+
   /** Returns the final ranks plus every iteration's lazy checkpoint, so
     * callers that materialize a (small) derived result can release the
     * 10 iterations' blocks deterministically instead of leaving ~MBs per
     * run parked in the MemoryStore until a driver GC. */
   private def personalizedPageRankLoop(spark: SparkSession,
-      g: GraphArtifacts): (DataFrame, Seq[DataFrame]) = {
+      g: GraphArtifacts, traceDir: Option[String] = None): (DataFrame, Seq[DataFrame]) = {
     val GraphArtifacts(adjW, outdeg, hasDangling, nPart) = g
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")
 
@@ -209,7 +232,7 @@ object PageRank {
     var ranks = srcDf.select(col("source"), col("source").as("node"), lit(1.0).as("rank"))
     val ckpts = Seq.newBuilder[DataFrame]
 
-    for (_ <- 1 to iterations) {
+    for (i <- 1 to iterations) {
       // seed a zero-mass row per source so the teleport term below always
       // has a row to land on, even when the source gets no incoming mass
       val seed = srcDf.select(col("source"), col("source").as("node"),
@@ -245,6 +268,11 @@ object PageRank {
             when(col("node") === col("source"), alpha).otherwise(0.0))
         .select("source", "node", "rank")
       ranks = checkpointKeepingPartitioning(next)
+      // trace mode ([[pprIterTrace]]): persist this round's ranks under
+      // the reference's iterNNNN layout before the next round consumes
+      // them — the write is also what materializes the lazy checkpoint
+      traceDir.foreach(d =>
+        ranks.write.mode("overwrite").parquet(s"$d/${iterLabel(i)}"))
       ckpts += ranks
     }
     (ranks, ckpts.result())

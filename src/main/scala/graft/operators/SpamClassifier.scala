@@ -72,7 +72,15 @@ object SpamClassifier {
   def featurizedFor(spark: SparkSession, dir: String): String =
     fmemo.synchronized {
       fmemo.getOrElseUpdate((spark, dir), {
-        val out = s"target/graft-spam/${dir.replaceAll("[^A-Za-z0-9]", "_")}"
+        // collision-proof path (r11 advice): the sanitized tag alone can
+        // collide ("data/sf1" vs "data.sf1" both tag to data_sf1), and a
+        // SECOND session in the same JVM re-keying the memo must not
+        // overwrite an artifact whose lazy plans the first session still
+        // holds — so both a dir-hash discriminator and a session token
+        // ride in the path (Lakehouse's artifact-name discipline).
+        val out = s"target/graft-spam/${dir.replaceAll("[^A-Za-z0-9]", "_")}" +
+          s"_${Integer.toHexString(dir.hashCode)}" +
+          s"_${Integer.toHexString(System.identityHashCode(spark))}"
         instances(spark, dir).write.mode("overwrite").parquet(out)
         out
       })

@@ -91,4 +91,36 @@ class TextGoldenSpec extends GraftSpec {
       assert(l.matches("""-?\d+\.\d{5} \d+"""), s"bad line shape: $l")
     }
   }
+
+  test("PPR per-iteration artifact names match the reference's " +
+      "DecimalFormat(\"0000\") layout (RunPersonalizedPageRankBasic.java:365,472)") {
+    // the naming function against an ACTUAL DecimalFormat("0000") — the
+    // zero-padding is load-bearing: the reference's phases read the
+    // artifacts back by name and lexicographic listing must equal
+    // iteration order
+    val fmt = new java.text.DecimalFormat("0000")
+    Seq(0, 1, 7, 10, 42, 999, 1000, 9999, 10000).foreach { i =>
+      assert(PageRank.iterLabel(i) == "iter" + fmt.format(i),
+        s"iterLabel($i) diverges from DecimalFormat(\"0000\")")
+    }
+    // and the trace hook actually lays the artifacts out under it: one
+    // directory per iteration, readable, with the final one carrying the
+    // same rows the registered top-k query ranks
+    val out = java.nio.file.Files.createTempDirectory("graft-ppr-trace")
+    try {
+      val finalRanks = PageRank.pprIterTrace(spark, sfDir, out.toString)
+      val dirs = out.toFile.listFiles().filter(_.isDirectory)
+        .map(_.getName).sorted.toSeq
+      assert(dirs == (1 to PageRank.iterations).map(PageRank.iterLabel),
+        s"trace layout: $dirs")
+      val persisted = spark.read.parquet(s"$out/${PageRank.iterLabel(PageRank.iterations)}")
+      val wantRows = finalRanks
+        .select(col("source"), col("node"), round(col("rank"), 9).as("r"))
+        .collect().map(_.toSeq).toSet
+      val gotRows = persisted
+        .select(col("source"), col("node"), round(col("rank"), 9).as("r"))
+        .collect().map(_.toSeq).toSet
+      assert(gotRows == wantRows && gotRows.nonEmpty)
+    } finally graft.sources.FileSinkFs.deleteRecursively(out)
+  }
 }
