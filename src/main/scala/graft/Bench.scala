@@ -699,6 +699,7 @@ object Bench {
       graft.sources.AvroQueries.clearMemos()
       graft.sources.OrcQueries.clearMemos()
       graft.sources.JsonlQueries.clearMemos()
+      graft.operators.Lakehouse.clearMemos()
     }
 
     // exclusion rationale on BenchFormat.benchedNames.

@@ -37,16 +37,81 @@ import org.apache.spark.sql.functions._
   */
 object Lakehouse {
 
-  /** Bucket count — small for the local fixtures; at cluster scale pick
-    * buckets ≈ executors × a small factor (consumers never name the
-    * count, and artifact names carry it so different widths coexist).
-    * The rule is MEASURED, not folklore: at sf1 on local[32] the
-    * 8-bucket q19 replay sat at parity with the unbucketed plan (2.09
-    * vs 1.92 s) because the bucketed scan caps join parallelism at 8
-    * tasks; at 32 buckets the exchange-free plan wins again (PLANS.md
-    * r11). Env-overridable for exactly that A/B. */
-  val numBuckets: Int =
-    sys.env.getOrElse("SPARK_GRAFT_BUCKETS", "8").toInt
+  /** Explicit bucket-width override — the A/B hook the r11 sizing curve
+    * was measured through. Parsed defensively at first USE, not at
+    * object init (r11 advice: a malformed value at init surfaced as an
+    * opaque ExceptionInInitializerError from every Lakehouse
+    * touchpoint). The env is read once per JVM, so a width A/B needs one
+    * process per width; artifact names carry the width, so runs at
+    * different widths coexist on disk. */
+  private lazy val envBuckets: Option[Int] =
+    sys.env.get("SPARK_GRAFT_BUCKETS").map { s =>
+      s.toIntOption.filter(_ > 0).getOrElse(throw new IllegalArgumentException(
+        s"SPARK_GRAFT_BUCKETS must be a positive integer, got '$s'"))
+    }
+
+  /** One scan task's worth of bytes — parquet's default row-group size.
+    * A bucket much larger than this scans as one oversized task; much
+    * smaller and the layout fragments into tiny files. */
+  val targetBucketBytes: Long = 128L << 20
+
+  /** Bytes on disk of `dir/<table>.parquet` (single file or a directory
+    * of parts); 0 when absent (the empty-feed paths). */
+  private[graft] def tableBytes(dir: String, table: String): Long = {
+    def sizeOf(f: java.io.File): Long =
+      if (f.isDirectory) Option(f.listFiles()).fold(0L)(_.map(sizeOf).sum)
+      else if (f.isFile) f.length()
+      else 0L
+    sizeOf(new java.io.File(dir, s"$table.parquet"))
+  }
+
+  private val bmemo =
+    scala.collection.mutable.Map.empty[(SparkSession, String, String), Int]
+
+  /** Bucket width DERIVED from table stats (r11 verdict item 5). The r11
+    * curve measured that bucket count CAPS scan and join parallelism —
+    * the fixture's 8-bucket layout INVERTED the q19 win at sf3 because
+    * 8 buckets means 8 scan tasks on a 32-core box — so the default is
+    * computed, never a rule-of-thumb constant:
+    *
+    *   width = max(defaultParallelism, ceil(tableBytes / targetBucketBytes))
+    *
+    * At 100 TB the byte term derives thousands of buckets (~one default
+    * row group each); on the local fixtures the parallelism floor
+    * dominates, so the layout never throttles the box. Memoized per
+    * (session, dir, table) so every artifact a session builds for a
+    * fixture agrees on the width (names carry it); SPARK_GRAFT_BUCKETS
+    * overrides for the recorded width A/Bs. */
+  def bucketsFor(spark: SparkSession, dir: String, table: String): Int =
+    envBuckets.getOrElse(bmemo.synchronized {
+      bmemo.getOrElseUpdate((spark, dir, table),
+        deriveBuckets(tableBytes(dir, table),
+          spark.sparkContext.defaultParallelism))
+    })
+
+  /** The derivation itself, pure so LakehouseSpec can pin both regimes:
+    * the parallelism floor (fixture scale) and the bytes term (at 100 TB
+    * ≈ 800k buckets of ~one row group each on a 1000-executor floor). */
+  private[graft] def deriveBuckets(bytes: Long, defaultParallelism: Int): Int = {
+    val byBytes = (bytes + targetBucketBytes - 1) / targetBucketBytes
+    math.max(math.max(defaultParallelism, 1),
+      math.min(byBytes, Int.MaxValue.toLong).toInt)
+  }
+
+  /** Writer-side parquet row-group size for the UNBUCKETED layout
+    * artifacts (r11 verdict item 6): parquet assigns a row group to the
+    * split holding its midpoint, so a FILE's scan parallelism is its
+    * row-group count — RowGroupProf measured every single-row-group
+    * fixture scanning as one productive task no matter the split confs.
+    * The WRITER owns the fix (reader confs cannot split a row group):
+    * size groups so the whole layout carries ≥ ~4 groups per core,
+    * clamped to [1 MB, 128 MB] — at 100 TB the clamp lands on parquet's
+    * default; fixture-scale layouts get the 1 MB floor and with it real
+    * scan parallelism and finer min/max skipping granularity. */
+  private[graft] def layoutBlockBytes(spark: SparkSession, totalBytes: Long): Long = {
+    val par = math.max(spark.sparkContext.defaultParallelism, 1)
+    math.min(math.max(totalBytes / (4L * par), 1L << 20), 128L << 20)
+  }
 
   private val memo =
     scala.collection.mutable.Map.empty[(SparkSession, String), (String, String)]
@@ -54,6 +119,16 @@ object Lakehouse {
     scala.collection.mutable.Map.empty[(SparkSession, String), String]
 
   private def tag(dir: String) = dir.replaceAll("[^A-Za-z0-9]", "_")
+
+  /** Clears every memoized layout (r11 advice): the builders rebuild
+    * (mode=overwrite) on the next touch, so a rebuilt fixture at the
+    * same dir can no longer silently reuse stale artifacts. Registered
+    * in Bench's memo-clearing block like every other memoized family. */
+  def clearMemos(): Unit = {
+    memo.synchronized(memo.clear()); pmemo.synchronized(pmemo.clear())
+    zmemo.synchronized(zmemo.clear()); q19memo.synchronized(q19memo.clear())
+    snapmemo.synchronized(snapmemo.clear()); bmemo.synchronized(bmemo.clear())
+  }
 
   /** Write lineitem + orders bucketed by the join key (once per
     * session/sf). `repartition(N, key)` before the write aligns write
@@ -65,27 +140,27 @@ object Lakehouse {
   def bucketedTablesFor(spark: SparkSession, dir: String): (String, String) =
     memo.synchronized {
       memo.getOrElseUpdate((spark, dir), {
-        val t = s"${tag(dir)}_b$numBuckets"
+        // width derived from the LARGER side (lineitem): co-located SMJ
+        // needs both sides at one width, and the fact side's scan is the
+        // parallelism that matters
+        val n = bucketsFor(spark, dir, "lineitem")
+        val t = s"${tag(dir)}_b$n"
         val liT = s"graft_li_bucketed_$t"
         val ordT = s"graft_ord_bucketed_$t"
-        if (!spark.catalog.tableExists(liT)) {
-          Tables.lineitem(spark, dir)
-            .select(col("l_orderkey"), col("l_quantity").cast("long").as("l_qty"))
-            .repartition(numBuckets, col("l_orderkey"))
-            .write.mode("overwrite")
-            .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
-            .option("path", s"target/graft-bucketed/li_$t")
-            .saveAsTable(liT)
-        }
-        if (!spark.catalog.tableExists(ordT)) {
-          Tables.orders(spark, dir)
-            .select(col("o_orderkey"), col("o_orderpriority"))
-            .repartition(numBuckets, col("o_orderkey"))
-            .write.mode("overwrite")
-            .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
-            .option("path", s"target/graft-bucketed/ord_$t")
-            .saveAsTable(ordT)
-        }
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_quantity").cast("long").as("l_qty"))
+          .repartition(n, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"target/graft-bucketed/li_$t")
+          .saveAsTable(liT)
+        Tables.orders(spark, dir)
+          .select(col("o_orderkey"), col("o_orderpriority"))
+          .repartition(n, col("o_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
+          .option("path", s"target/graft-bucketed/ord_$t")
+          .saveAsTable(ordT)
         (liT, ordT)
       })
     }
@@ -118,7 +193,13 @@ object Lakehouse {
         val out = s"target/graft-part-events/${tag(dir)}"
         Tables.events(spark, dir)
           .withColumn("day", to_date(col("ts")))
-          .write.mode("overwrite").partitionBy("day").parquet(out)
+          .write.mode("overwrite").partitionBy("day")
+          // writer-side row-group sizing (see layoutBlockBytes): a
+          // pruned one-day read is often ONE file — its scan
+          // parallelism is this option
+          .option("parquet.block.size",
+            layoutBlockBytes(spark, tableBytes(dir, "events")))
+          .parquet(out)
         out
       })
     }
@@ -181,6 +262,10 @@ object Lakehouse {
         val t = tag(dir)
         val zOut = s"target/graft-zorder/z_$t"
         val flatOut = s"target/graft-zorder/flat_$t"
+        // writer-side row-group sizing (see layoutBlockBytes): min/max
+        // skipping granularity IS the row group — a one-group file can
+        // only be skipped whole, and both layouts should split the same
+        val blockBytes = layoutBlockBytes(spark, tableBytes(dir, "events"))
         val base = Tables.events(spark, dir)
           .select(col("event_id"), col("user_id"), col("event_type"),
             unix_micros(col("ts").cast("timestamp")).as("ts_micros"),
@@ -196,10 +281,12 @@ object Lakehouse {
           .repartitionByRange(zFiles, col("z"))
           .sortWithinPartitions("z")
           .drop("z")
-          .write.mode("overwrite").parquet(zOut)
+          .write.mode("overwrite")
+          .option("parquet.block.size", blockBytes).parquet(zOut)
         base
           .repartition(zFiles, col("event_id"))
-          .write.mode("overwrite").parquet(flatOut)
+          .write.mode("overwrite")
+          .option("parquet.block.size", blockBytes).parquet(flatOut)
         (zOut, flatOut)
       })
     }
@@ -277,17 +364,16 @@ object Lakehouse {
   def q19BucketedTableFor(spark: SparkSession, dir: String): String =
     q19memo.synchronized {
       q19memo.getOrElseUpdate((spark, dir), {
-        val t = s"${tag(dir)}_b$numBuckets"
+        val n = bucketsFor(spark, dir, "lineitem")
+        val t = s"${tag(dir)}_b$n"
         val liT = s"graft_li19_bucketed_$t"
-        if (!spark.catalog.tableExists(liT)) {
-          Tables.lineitem(spark, dir)
-            .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
-            .repartition(numBuckets, col("l_orderkey"))
-            .write.mode("overwrite")
-            .bucketBy(numBuckets, "l_orderkey").sortBy("l_orderkey")
-            .option("path", s"target/graft-bucketed/li19_$t")
-            .saveAsTable(liT)
-        }
+        Tables.lineitem(spark, dir)
+          .select(col("l_orderkey"), col("l_suppkey"), col("l_shipdate"))
+          .repartition(n, col("l_orderkey"))
+          .write.mode("overwrite")
+          .bucketBy(n, "l_orderkey").sortBy("l_orderkey")
+          .option("path", s"target/graft-bucketed/li19_$t")
+          .saveAsTable(liT)
         liT
       })
     }
@@ -346,7 +432,8 @@ object Lakehouse {
   def snapshotBucketedTablesFor(spark: SparkSession, dir: String): (String, String) =
     snapmemo.synchronized {
       snapmemo.getOrElseUpdate((spark, dir), {
-        val t = s"${tag(dir)}_b$numBuckets"
+        val n = bucketsFor(spark, dir, "orders")
+        val t = s"${tag(dir)}_b$n"
         val base = Tables.orders(spark, dir)
           .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
         val k = col("o_orderkey")
@@ -361,13 +448,11 @@ object Lakehouse {
               lit("N").as("o_orderstatus")))
         val names = Seq(s"graft_snap_v1_$t" -> base, s"graft_snap_v2_$t" -> v2)
         names.foreach { case (name, df) =>
-          if (!spark.catalog.tableExists(name)) {
-            df.repartition(numBuckets, col("o_orderkey"))
-              .write.mode("overwrite")
-              .bucketBy(numBuckets, "o_orderkey").sortBy("o_orderkey")
-              .option("path", s"target/graft-bucketed/${name.stripPrefix("graft_")}")
-              .saveAsTable(name)
-          }
+          df.repartition(n, col("o_orderkey"))
+            .write.mode("overwrite")
+            .bucketBy(n, "o_orderkey").sortBy("o_orderkey")
+            .option("path", s"target/graft-bucketed/${name.stripPrefix("graft_")}")
+            .saveAsTable(name)
         }
         (names(0)._1, names(1)._1)
       })

@@ -208,4 +208,31 @@ class LakehouseSpec extends GraftSpec {
     assert(scan.metrics("numFiles").value == oneDayFiles.toLong,
       "scan must read exactly the pruned day's files")
   }
+
+  test("bucket width derives from table stats: parallelism floor at fixture " +
+      "scale, bytes term at 100 TB — never below the cluster width (r11 curve)") {
+    // the r11 sizing curve's lesson as a computed contract: bucket count
+    // caps scan/join parallelism, so the derived width can never sit
+    // below defaultParallelism — at ANY dir, including sf1 (where the
+    // 8-bucket fixture default measurably inverted the q19 win)
+    val par = spark.sparkContext.defaultParallelism
+    for (d <- Seq(sfDir, "/root/testdata/sf0.01", "/tmp/graftscale/sf1")
+         if new java.io.File(d).isDirectory) {
+      assert(Lakehouse.bucketsFor(spark, d, "lineitem") >= par,
+        s"derived width under the parallelism floor for $d")
+    }
+    // pure-math regimes: floor below one row group per core; bytes term
+    // above it (100 TB on a 1000-wide floor ≈ 800k buckets of ~128 MB)
+    assert(Lakehouse.deriveBuckets(0L, 32) == 32)
+    assert(Lakehouse.deriveBuckets(10L << 30, 32) == 80,  // 10 GiB/128 MiB
+      "bytes term must take over once buckets would exceed a row group")
+    assert(Lakehouse.deriveBuckets(100L << 40, 1000) == 819200L.toInt)
+    // artifact names carry the derived width, so widths coexist on disk
+    val (liT, _) = Lakehouse.bucketedTablesFor(spark, sfDir)
+    assert(liT.endsWith(s"_b${Lakehouse.bucketsFor(spark, sfDir, "lineitem")}"))
+    // the unbucketed-layout writer sizes row groups from the same stats,
+    // clamped to [1 MB, 128 MB]
+    assert(Lakehouse.layoutBlockBytes(spark, 0L) == (1L << 20))
+    assert(Lakehouse.layoutBlockBytes(spark, 100L << 40) == (128L << 20))
+  }
 }

@@ -24,7 +24,7 @@ object Q19Prof extends App {
   val tb0 = System.nanoTime()
   graft.operators.Lakehouse.q19BucketedTableFor(spark, dir)
   println(f"layout_build ${(System.nanoTime() - tb0) / 1e9}%.2fs " +
-    f"buckets=${graft.operators.Lakehouse.numBuckets}")
+    f"buckets=${graft.operators.Lakehouse.bucketsFor(spark, dir, "lineitem")}")
   timeIt("bucketed")(
     graft.operators.Lakehouse.q19SoleDelayerBucketed(spark, dir).collect())
   timeIt("unbucketed")(
