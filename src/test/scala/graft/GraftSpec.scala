@@ -12,6 +12,12 @@ object TestSession {
     .appName("graft-test")
     .config("spark.sql.warehouse.dir",
       java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
+    // small memory pages for the TEST session only: SpillSpec forces
+    // per-group sorter spills, and the default 64 MiB page per
+    // UnsafeExternalSorter OOMs the suite JVM when thousands of tiny
+    // join groups each instantiate one; fixture-scale suites never need
+    // big pages (Bench/Verify keep the computed default)
+    .config("spark.buffer.pageSize", "4m")
     .getOrCreate()
 }
 

@@ -57,5 +57,35 @@ object LookupProf extends App {
   val all = lat.map(_._2)
   println(f"ALL      p50=${pct(all, 0.5)}%6.1fms p95=${pct(all, 0.95)}%6.1fms " +
     f"probes=${all.length} canary_start=$c0%.2fs canary_end=$c1%.2fs")
+
+  // ---- throughput under concurrency (r12, verdict item 4) ------------
+  // The r11 record showed single-probe p50 is job-launch floor (~60 ms);
+  // the claim that a distributed index's value is PROBE THROUGHPUT needs
+  // a measured probes/sec under concurrent load. N driver threads fire
+  // independent probe jobs at the shared session (Spark schedules
+  // concurrent actions; each probe is a term-pruned scan + bounded
+  // collect) for a fixed window — rate = completed probes / wall. The
+  // term sequence is deterministic per thread (seeded), so runs compare.
+  val durSec = if (args.length > 2) args(2).toDouble else 10.0
+  Seq(1, 8, 32).foreach { n =>
+    val probes = new java.util.concurrent.atomic.AtomicLong
+    val t0 = System.nanoTime()
+    val threads = (1 to n).map { tid =>
+      new Thread(() => {
+        val rnd = new scala.util.Random(tid)
+        while ((System.nanoTime() - t0) / 1e9 < durSec) {
+          val t = terms(rnd.nextInt(terms.length))
+          idx.filter(col("term") === t).collect()
+          probes.incrementAndGet()
+        }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val wall = (System.nanoTime() - t0) / 1e9
+    println(f"threads=$n%2d probes=${probes.get}%5d wall=$wall%5.1fs " +
+      f"rate=${probes.get / wall}%7.1f probes/s")
+  }
+  val c2 = canary()
+  println(f"throughput canary_end=$c2%.2fs")
   spark.stop()
 }

@@ -24,6 +24,23 @@ object RowGroupProf extends App {
     .repartition(nFiles).write.mode("overwrite").parquet(relaid)
   println(f"relayout_write ${(System.nanoTime() - tw0) / 1e9}%.2fs ($nFiles files)")
 
+  // r12 (verdict item 6): the WRITER-SIZED leg — ONE file, row groups
+  // sized by the layout helper the lake writers now ship
+  // (Lakehouse.layoutBlockBytes). Parallelism must come from row-group
+  // count alone: parquet assigns a row group to the split holding its
+  // midpoint, so a 1-file/N-group layout scans with up to N productive
+  // tasks — proving writer sizing, not file fan-out, is the layout
+  // decision.
+  val sized = java.nio.file.Files.createTempDirectory("graft-rg-sized").toString
+  val docBytes = graft.operators.Lakehouse.tableBytes(dir, "documents")
+  val blockBytes = graft.operators.Lakehouse.layoutBlockBytes(spark, docBytes)
+  val ts0 = System.nanoTime()
+  spark.read.parquet(s"$dir/documents.parquet")
+    .repartition(1).write.mode("overwrite")
+    .option("parquet.block.size", blockBytes).parquet(sized)
+  println(f"sized_write ${(System.nanoTime() - ts0) / 1e9}%.2fs " +
+    f"(1 file, ${blockBytes / 1024 / 1024}MB row groups over ${docBytes >> 20}MB)")
+
   def tokenStatsOn(path: String) = spark.read.parquet(path)
     .select(col("doc_id"), graft.functions.TextFunctions.tokenize(col("text")).as("ws"),
       col("text"))
@@ -32,15 +49,21 @@ object RowGroupProf extends App {
       regexp_count(lower(col("text")),
         lit(graft.operators.TextQuality.bpePattern)).as("n_bpe"))
 
+  var sums: Seq[Seq[Any]] = Nil
   Seq("original(1 rg)" -> s"$dir/documents.parquet",
-      s"relaid($nFiles)" -> relaid).foreach { case (label, path) =>
+      s"relaid($nFiles)" -> relaid,
+      "sized(1 file)" -> sized).foreach { case (label, path) =>
+    var last: Seq[Any] = Nil
     val walls = (1 to 3).map { _ =>
       val t0 = System.nanoTime()
-      tokenStatsOn(path).agg(sum("n_tokens"), sum("n_distinct"), sum("n_bpe")).collect()
+      last = tokenStatsOn(path)
+        .agg(sum("n_tokens"), sum("n_distinct"), sum("n_bpe")).collect()(0).toSeq
       (System.nanoTime() - t0) / 1e9
     }
+    sums = sums :+ last
     println(f"$label%-15s best=${walls.min}%.2fs " +
       f"all=${walls.map(w => f"$w%.2f").mkString(",")}")
   }
+  println(s"parity=${if (sums.distinct.size == 1) "EXACT" else "BROKEN"}")
   spark.stop()
 }
