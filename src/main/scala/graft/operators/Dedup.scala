@@ -516,18 +516,27 @@ object Dedup {
 
   /** SimHash fingerprints: sign-sum of the 60 bit positions of
     * md5-60(token) weighted by term frequency. All-integer arithmetic —
-    * no float tie risk anywhere in the pipeline. */
+    * no float tie risk anywhere in the pipeline.
+    *
+    * One shuffle, not two: summing ±1 per token OCCURRENCE equals
+    * summing ±tf per token TYPE (the tf weight is literally the
+    * occurrence count), so the per-(doc, word) tf pre-aggregation the
+    * earlier formulation shuffled on is algebraically redundant. The
+    * md5 is now evaluated per occurrence instead of per type — a local
+    * codegen'd cost — while the exchange drops from the full
+    * (doc, word, tf) set to one 60-column partial-agg row per doc per
+    * task (map-side combine). At 100 TB the occurrence explosion never
+    * materializes off-task. Integer-exact, oracle unchanged. */
   def simhashFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val tf = toks(spark, dir)
+    val occ = toks(spark, dir)
       .select(col("doc_id"), explode(col("ws")).as("w"))
-      .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
       .withColumn("h", md5Hash60(col("w")))
-    // per bit b: sum(tf * (bit set ? 1 : -1)); fingerprint bit b = sum > 0
+    // per bit b: sum(bit set ? 1 : -1); fingerprint bit b = sum > 0
     val bitCols = (0 until simhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, col("tf")).otherwise(-col("tf")))
+      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L)))
         .as(s"s$b")
     }
-    val sums = tf.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sums = occ.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
     val fp = (0 until simhashBits).map(b =>
       when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
       .reduce((a, b) => a.bitwiseOR(b))

@@ -1,0 +1,149 @@
+package graft
+
+import graft.operators.InvertedIndex
+import org.apache.spark.sql.functions._
+
+/** Mixed-workload concurrency profiler (round 12 continuation): the two
+  * service-shaped behaviors a shared 1000-executor deployment lives on,
+  * neither measurable from single-query bench lines:
+  *
+  *  1. THROUGHPUT SCALING — N analyst threads driving the same session:
+  *     does aggregate queries/sec scale with thread count, or does the
+  *     driver (one DAGScheduler event loop, shared memo locks) serialize
+  *     them? Protocol: a fixed mixed set of light registry queries, same
+  *     total work serial vs 4 vs 8 threads, noop sink.
+  *
+  *  2. INTERACTIVE LATENCY UNDER BATCH LOAD — point lookups while heavy
+  *     batch queries saturate the task slots, FIFO default vs FAIR
+  *     scheduler pools (`spark.scheduler.mode=FAIR`, probes in pool
+  *     "interactive", load in pool "batch"). FIFO schedules stages in
+  *     submission order, so a probe lands behind a 32-task-wide batch
+  *     stage; FAIR offers freed slots to the starved pool first. The
+  *     scheduler mode is a context conf, so each mode runs in its own
+  *     sequential SparkContext within this one JVM.
+  *
+  * Latency probes reuse the LookupProf surface (term-pruned scans of the
+  * persisted inverted index — the engine's interactive path, p50/p95
+  * brackets). CPU canaries bracket each phase so a degraded box cannot
+  * masquerade as scheduler starvation.
+  *
+  *   sbt -batch "Test/runMain graft.ConcurrencyProf <dir>"
+  */
+object ConcurrencyProf {
+
+  private val analystSet = Seq(
+    "q1_shipdate_count", "q3_part_supplier", "q6_pricing_summary",
+    "q8_semi_join", "q13_running_revenue", "topk_by_group",
+    "wordcount", "lang_id", "token_stats", "boolean_retrieval",
+    "knn_brute_cosine", "event_count_hourly")
+
+  private def pct(xs: Seq[Double], p: Double): Double = {
+    val s = xs.sorted
+    s(math.min(s.length - 1, (p * s.length).toInt))
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    Seq("FIFO", "FAIR").foreach(mode => phase(mode, dir))
+  }
+
+  private def phase(mode: String, dir: String): Unit = {
+    val spark = GraftSession.baseBuilder("32")
+      .appName(s"graft-concprof-$mode")
+      .config("spark.scheduler.mode", mode)
+      .config("spark.sql.adaptive.enabled", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    require(spark.sparkContext.getConf.get("spark.scheduler.mode") == mode,
+      s"stale context leaked across phases (wanted $mode)")
+
+    def canary(): Double = {
+      val t0 = System.nanoTime()
+      graft.operators.Relational.q1ShipdateCount(spark, dir).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def runNoop(name: String): Unit =
+      SparkEntry.queries(name)(spark, dir).write.format("noop").mode("overwrite").save()
+
+    // ---- leg 1: analyst throughput scaling --------------------------
+    analystSet.foreach(runNoop) // warm: memos, codegen, page cache
+    val reps = 3
+    val work: Seq[String] = Seq.fill(reps)(analystSet).flatten
+    def drive(threads: Int): Double = {
+      val queue = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+      scala.util.Random.shuffle(work).foreach(queue.add) // de-phase the mix
+      val t0 = System.nanoTime()
+      val ts = (1 to threads).map { i =>
+        new Thread(() => {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", s"analyst$i")
+          var n = queue.poll()
+          while (n != null) { runNoop(n); n = queue.poll() }
+        })
+      }
+      ts.foreach(_.start()); ts.foreach(_.join())
+      (System.nanoTime() - t0) / 1e9
+    }
+    val c0 = canary()
+    val serialWall = drive(1)
+    val wall4 = drive(4)
+    val wall8 = drive(8)
+    val n = work.size.toDouble
+    println(f"[$mode] throughput: serial ${n / serialWall}%.1f q/s, " +
+      f"4thr ${n / wall4}%.1f q/s (${serialWall / wall4}%.1fx), " +
+      f"8thr ${n / wall8}%.1f q/s (${serialWall / wall8}%.1fx)  " +
+      f"[walls $serialWall%.1f/$wall4%.1f/$wall8%.1f s, ${n.toInt} queries each]")
+
+    // ---- leg 2: interactive p50 under batch load --------------------
+    val terms = (InvertedIndex.retrievalQueries.values.flatten.toSeq
+      .filterNot(t => t == "AND" || t == "OR") ++ InvertedIndex.bm25Terms)
+      .distinct.sorted
+    val idx = InvertedIndex.persistedIndex(spark, dir)
+    idx.filter(col("term") === "warmup").collect()
+    val rng = new scala.util.Random(42)
+    def probes(k: Int): Seq[Double] = (1 to k).map { _ =>
+      val t = terms(rng.nextInt(terms.length))
+      val t0 = System.nanoTime()
+      idx.filter(col("term") === t).collect()
+      (System.nanoTime() - t0) / 1e6
+    }
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "interactive")
+    val quiet = probes(60)
+
+    @volatile var stop = false
+    val batchThreads = (1 to 2).map { _ =>
+      new Thread(() => {
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "batch")
+        while (!stop)
+          try runNoop("pmi_pairs")
+          catch {
+            case e: Throwable =>
+              // teardown kills the in-flight job; anything earlier is real
+              if (!stop) { System.err.println(s"[batch] ${e.getMessage}"); stop = true }
+          }
+      })
+    }
+    batchThreads.foreach(_.start())
+    Thread.sleep(2000) // let the load reach a wide shuffle stage
+    val loaded = probes(60)
+    stop = true
+    batchThreads.foreach(_.join())
+    val c1 = canary()
+
+    println(f"[$mode] lookup p50 quiet ${pct(quiet, 0.5)}%6.1f ms " +
+      f"p95 ${pct(quiet, 0.95)}%6.1f ms | under batch load " +
+      f"p50 ${pct(loaded, 0.5)}%6.1f ms p95 ${pct(loaded, 0.95)}%6.1f ms " +
+      f"(${pct(loaded, 0.5) / pct(quiet, 0.5)}%.1fx) " +
+      f"canaries $c0%.2f/$c1%.2f s")
+
+    // release the phase's memoized checkpoints BEFORE the context dies —
+    // the maps would otherwise pin blocks of a stopped context into the
+    // next phase (keys are (session, dir), so the FAIR phase rebuilds)
+    graft.operators.Dedup.clearMemos()
+    graft.operators.InvertedIndex.clearMemos()
+    graft.operators.Similarity.clearMemos()
+    graft.operators.SpamClassifier.clearMemos()
+    spark.stop()
+    org.apache.spark.sql.SparkSession.clearActiveSession()
+    org.apache.spark.sql.SparkSession.clearDefaultSession()
+  }
+}
