@@ -109,30 +109,50 @@ object ConcurrencyProf {
     spark.sparkContext.setLocalProperty("spark.scheduler.pool", "interactive")
     val quiet = probes(60)
 
-    @volatile var stop = false
-    val batchThreads = (1 to 2).map { _ =>
-      new Thread(() => {
-        spark.sparkContext.setLocalProperty("spark.scheduler.pool", "batch")
-        while (!stop)
-          try runNoop("pmi_pairs")
-          catch {
-            case e: Throwable =>
-              // teardown kills the in-flight job; anything earlier is real
-              if (!stop) { System.err.println(s"[batch] ${e.getMessage}"); stop = true }
-          }
-      })
+    // two load shapes: a REALISTIC one (a registry heavy query, whose
+    // stages at fixture scale are exactly shuffle.partitions=32 tasks
+    // wide, so the slot queue never exceeds the slot count) and a
+    // WIDE-STAGE one (2048 pending ~0.5 s tasks — the shape every stage
+    // has at 100 TB, where pending tasks outnumber slots by orders of
+    // magnitude and FIFO hands each freed slot to the earliest job)
+    def withLoad(runLoad: () => Unit)(body: => Seq[Double]): Seq[Double] = {
+      @volatile var stop = false
+      val threads = (1 to 2).map { _ =>
+        new Thread(() => {
+          spark.sparkContext.setLocalProperty("spark.scheduler.pool", "batch")
+          while (!stop)
+            try runLoad()
+            catch {
+              case e: Throwable => // teardown kills the in-flight job
+                if (!stop) { System.err.println(s"[batch] ${e.getMessage}"); stop = true }
+            }
+        })
+      }
+      threads.foreach(_.start())
+      Thread.sleep(2000) // let the load reach a wide stage
+      try body
+      finally { stop = true; spark.sparkContext.cancelJobGroup("concprof-load"); threads.foreach(_.join()) }
     }
-    batchThreads.foreach(_.start())
-    Thread.sleep(2000) // let the load reach a wide shuffle stage
-    val loaded = probes(60)
-    stop = true
-    batchThreads.foreach(_.join())
+    def realisticLoad(): Unit = runNoop("pmi_pairs")
+    def wideStageLoad(): Unit = {
+      spark.sparkContext.setJobGroup("concprof-load", "wide-stage batch load", true)
+      // 2048 partitions x ~40M xxhash evals ~ 0.5 s/task, no shuffle
+      spark.range(0L, 2048L * 40000000L, 1L, 2048)
+        .select(xxhash64(col("id")).as("h"))
+        // max, not sum: summing 80 G hashes overflows Long and ANSI mode
+        // (Spark 4 default) fails the job — the load must outlive probes
+        .agg(max("h")).write.format("noop").mode("overwrite").save()
+    }
+    val loaded = withLoad(realisticLoad _)(probes(60))
+    val loadedWide = withLoad(wideStageLoad _)(probes(60))
     val c1 = canary()
 
     println(f"[$mode] lookup p50 quiet ${pct(quiet, 0.5)}%6.1f ms " +
-      f"p95 ${pct(quiet, 0.95)}%6.1f ms | under batch load " +
-      f"p50 ${pct(loaded, 0.5)}%6.1f ms p95 ${pct(loaded, 0.95)}%6.1f ms " +
-      f"(${pct(loaded, 0.5) / pct(quiet, 0.5)}%.1fx) " +
+      f"p95 ${pct(quiet, 0.95)}%6.1f ms | 32-task-stage load " +
+      f"p50 ${pct(loaded, 0.5)}%6.1f ms (${pct(loaded, 0.5) / pct(quiet, 0.5)}%.1fx) | " +
+      f"2048-task-stage load p50 ${pct(loadedWide, 0.5)}%8.1f ms " +
+      f"p95 ${pct(loadedWide, 0.95)}%8.1f ms " +
+      f"(${pct(loadedWide, 0.5) / pct(quiet, 0.5)}%.1fx) " +
       f"canaries $c0%.2f/$c1%.2f s")
 
     // release the phase's memoized checkpoints BEFORE the context dies —
