@@ -34,4 +34,25 @@ object GraftSession {
       .config("spark.shuffle.sort.bypassMergeThreshold", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+
+  /** Pool name for latency-sensitive queries under [[serviceBuilder]];
+    * submit with `spark.sparkContext.setLocalProperty("spark.scheduler
+    * .pool", interactivePool)` on the serving thread. */
+  val interactivePool = "interactive"
+
+  /** The MIXED-WORKLOAD session: [[baseBuilder]] plus FAIR scheduler
+    * pools. A session serving interactive probes alongside batch jobs
+    * must not run the default FIFO scheduler: FIFO hands every freed
+    * task slot to the earliest submitted job, so a probe submitted
+    * behind a wide batch stage waits for that stage's whole pending-task
+    * queue. Measured (ConcurrencyProf, round 12): with a 2048-pending-
+    * task batch stage in flight, probe p95 is 8.3 s under FIFO vs 82 ms
+    * with the probe thread in its own FAIR pool — p50 is unaffected
+    * either way, so the cliff is invisible until stages outnumber slots
+    * (i.e. invisible at fixture scale, guaranteed at corpus scale).
+    * Unnamed pools are created on demand with equal weight; callers tag
+    * latency-sensitive threads with [[interactivePool]]. */
+  def serviceBuilder(cpus: String): SparkSession.Builder =
+    baseBuilder(cpus)
+      .config("spark.scheduler.mode", "FAIR")
 }

@@ -48,9 +48,13 @@ object ConcurrencyProf {
   }
 
   private def phase(mode: String, dir: String): Unit = {
-    val spark = GraftSession.baseBuilder("32")
+    // the FAIR leg exercises the SHIPPED mixed-workload builder, so the
+    // measurement certifies the code path users get, not a prof-local conf
+    val base =
+      if (mode == "FAIR") GraftSession.serviceBuilder("32")
+      else GraftSession.baseBuilder("32").config("spark.scheduler.mode", mode)
+    val spark = base
       .appName(s"graft-concprof-$mode")
-      .config("spark.scheduler.mode", mode)
       .config("spark.sql.adaptive.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
@@ -106,7 +110,8 @@ object ConcurrencyProf {
       idx.filter(col("term") === t).collect()
       (System.nanoTime() - t0) / 1e6
     }
-    spark.sparkContext.setLocalProperty("spark.scheduler.pool", "interactive")
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      GraftSession.interactivePool)
     val quiet = probes(60)
 
     // two load shapes: a REALISTIC one (a registry heavy query, whose

@@ -24,4 +24,34 @@ class GraftSessionSpec extends GraftSpec {
     assert(spark.conf.get("spark.sql.extensions")
       .contains("graft.plans.GraftExtensions"))
   }
+
+  test("serviceBuilder layers FAIR pools on the base confs (mixed-workload rule)") {
+    // inspect the builder's conf map WITHOUT building a second context:
+    // getOrCreate on a live-context JVM would silently return the
+    // existing session and vacuously pass
+    val builder = GraftSession.serviceBuilder("4")
+    def optionMaps(obj: AnyRef): Seq[scala.collection.Map[String, String]] = {
+      def fields(c: Class[_]): Seq[java.lang.reflect.Field] =
+        if (c == null) Nil else c.getDeclaredFields.toSeq ++ fields(c.getSuperclass)
+      fields(obj.getClass).flatMap { f =>
+        f.setAccessible(true)
+        f.get(obj) match {
+          case m: scala.collection.Map[_, _] =>
+            Some(m.asInstanceOf[scala.collection.Map[String, String]])
+          case _ => None
+        }
+      }
+    }
+    val maps = optionMaps(builder)
+    assert(maps.nonEmpty, "no conf map found on SparkSession.Builder — " +
+      "Spark internals moved; re-anchor this pin")
+    val opts: scala.collection.Map[String, String] =
+      maps.find(_.contains("spark.scheduler.mode")).getOrElse(maps.head)
+    assert(opts.get("spark.scheduler.mode").contains("FAIR"),
+      "serviceBuilder lost the FAIR pin — interactive p95 under a wide " +
+      "batch stage regresses 100x (ConcurrencyProf, round 12)")
+    assert(opts.get("spark.sql.session.timeZone").contains("UTC") &&
+      opts.get("spark.sql.extensions").exists(_.contains("GraftExtensions")),
+      "serviceBuilder no longer starts from baseBuilder")
+  }
 }
