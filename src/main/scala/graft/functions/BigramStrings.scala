@@ -115,3 +115,60 @@ object NgramStrings {
   def ngram_strings(a: Column, k: Int): Column =
     GraftColumnBridge.column(NgramStrings(GraftColumnBridge.expression(a), k))
 }
+
+/** Native Catalyst expression: ALL ordered pairs `"ws[i] ws[j]"` (i ≠ j)
+  * of a token array — the co-occurrence pair generator for the PMI
+  * family. The input is the per-doc first-40-DISTINCT token set
+  * (`PairsPMI.scala:85`), so the output is bounded at 40·39 = 1,560
+  * strings per document and each ordered pair appears exactly once —
+  * the same multiset the previous `ex JOIN ex ON doc_id` formulation
+  * produced, but generated locally inside one codegen'd loop: the two
+  * doc_id exchanges and the sort-merge machinery of the self-join
+  * disappear, and the pair stream feeds the (w1, w2) partial aggregate
+  * inside the same task. Tokens are whitespace-split upstream, so the
+  * space separator is unambiguous. <2 tokens → empty array; null → null. */
+@ExpressionDescription(
+  usage = "pair_strings(array<string>) - all ordered pairs \"w[i] w[j]\", i != j")
+case class PairStrings(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(a: Any): Any =
+    PairStrings.compute(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.PairStrings.compute($x);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object PairStrings {
+
+  private val space = UTF8String.fromString(" ")
+
+  /** Shared by interpreted eval and generated code. */
+  def compute(ws: ArrayData): ArrayData = {
+    val n = ws.numElements()
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
+    val toks = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) { toks(i) = ws.getUTF8String(i); i += 1 }
+    val out = new Array[Any](n * (n - 1))
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = 0
+      while (j < n) {
+        if (i != j) { out(k) = UTF8String.concat(toks(i), space, toks(j)); k += 1 }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def pair_strings(a: Column): Column =
+    GraftColumnBridge.column(PairStrings(GraftColumnBridge.expression(a)))
+}

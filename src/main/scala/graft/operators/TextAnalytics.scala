@@ -166,12 +166,21 @@ object TextAnalytics {
     val ex = ws.select(col("doc_id"), explode(col("ws")).as("w"))
     val wordCounts = ex.groupBy(col("w")).agg(count(lit(1)).as("wc"))
     val nDocs = ws.agg(count(lit(1)).as("n_docs"))
-    val pairCounts = ex.as("a")
-      .join(ex.as("b"), "doc_id")
-      .filter(col("a.w") =!= col("b.w"))
-      .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+    // ordered co-occurring pairs generated LOCALLY per doc (the token
+    // set is distinct and ≤40, so ≤1,560 pairs/doc) by a codegen'd
+    // kernel — the same multiset the earlier `ex JOIN ex ON doc_id`
+    // produced, minus the join's two doc_id exchanges and sorts; the
+    // only exchange left on this branch is the (w1, w2) aggregate's,
+    // fed map-side. The pair splits back to columns AFTER the ≥10
+    // filter, where the survivor set is tiny.
+    val pairCounts = ws
+      .select(explode(graft.functions.PairStrings.pair_strings(col("ws"))).as("p"))
+      .groupBy(col("p"))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= pmiThreshold)
+      .withColumn("w1", substring_index(col("p"), " ", 1))
+      .withColumn("w2", substring_index(col("p"), " ", -1))
+      .drop("p")
     pairCounts
       .join(broadcast(wordCounts.withColumnRenamed("w", "w1").withColumnRenamed("wc", "c1")), "w1")
       .join(broadcast(wordCounts.withColumnRenamed("w", "w2").withColumnRenamed("wc", "c2")), "w2")

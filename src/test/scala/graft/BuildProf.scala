@@ -11,7 +11,7 @@ object BuildProf extends App {
     .config("spark.driver.memory", "8g")
     .getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
-  val dir = "/root/testdata/sf0.1"
+  val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
   // warm: one full build absorbs JIT/codegen
   graft.operators.Dedup.buildFamilyArtifacts(spark, dir)
   (1 to 4).foreach { i =>
