@@ -35,8 +35,9 @@ import org.apache.spark.sql.functions._
   * algorithms", STOC 2002) with the Hamming-band trick from Manku et al.,
   * "Detecting near-duplicates for web crawling", WWW 2007.
   *
-  * MinHash uses Spark's `xxhash64` (seeded, deterministic) — not
-  * SQL-portable — but its OUTPUT (exact-Jaccard-verified candidates) is
+  * MinHash lanes derive from one xxhash64 base through a splitmix64
+  * stream (`functions/MinhashKernels.scala` — deterministic, not
+  * SQL-portable), but their OUTPUT (exact-Jaccard-verified candidates) is
   * oracle-checked against the exhaustive pair set, since banding recall is
   * complete on this corpus; the ScalaTest additionally gates recall
   * structurally. SimHash is built on an md5-derived 60-bit token hash,
@@ -392,12 +393,19 @@ object Dedup {
       .orderBy("log2_df")
   }
 
-  /** MinHash signatures: for each of K hash functions, the minimum over
-    * the doc's shingles of xxhash64(shingle, seed=i). */
+  /** MinHash signatures: for each of K hash lanes, the minimum over the
+    * doc's shingles of lane i of `seeded_hashes(shingle)`. */
   private def minhashSignature(sh: DataFrame): DataFrame = {
+    // one string hash + 64 integer mixes per occurrence (SeededHashes
+    // kernel) instead of 64 independent seeded xxhash64 string hashes —
+    // the signature pass is a full-corpus scan, and BuildProf measured
+    // the old form as expensive as the candidate join itself. Buckets
+    // shift with the hash family; outputs stay exact-Jaccard-verified.
+    val withLanes = sh.withColumn("hs",
+      graft.functions.SeededHashes.seeded_hashes(col("sh"), minhashK))
     val hashCols = (0 until minhashK).map(i =>
-      min(xxhash64(lit(i), col("sh"))).as(s"h$i"))
-    sh.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
+      min(element_at(col("hs"), i + 1)).as(s"h$i"))
+    withLanes.groupBy("doc_id").agg(hashCols.head, hashCols.tail: _*)
   }
 
   /** (band, slice) bucket keys from a K-wide minhash signature — shared
