@@ -669,6 +669,46 @@ class ScaleDesignSpec extends GraftSpec {
       "the scan collect is no longer finding the registry's plans")
   }
 
+  test("registry-wide scale audit: every registered plan is retry-deterministic") {
+    // RetryProf certifies empirically that results stay exact under task
+    // retry; this audit pins the ROOT CAUSE CLASS statically: a
+    // nondeterministic expression (rand without derivation from input,
+    // monotonically_increasing_id, current_timestamp, uuid, ...) in a
+    // registered plan produces retry-divergent or partitioning-dependent
+    // output — the failure a 1000-executor bad day turns from theory
+    // into silent corruption. Walks every registered query's optimized
+    // plan and collects the LEAF CAUSES of nondeterminism (innermost
+    // expressions whose children are all deterministic). One documented
+    // exception: InputFileName — Catalyst flags it nondeterministic
+    // (it reads task-local state), but its VALUE is a pure function of
+    // the input split, identical on every re-attempt of the same
+    // partition; the taxi replay manifest derives batch keys from it.
+    import org.apache.spark.sql.catalyst.expressions.{Expression, InputFileName}
+    def leafCauses(e: Expression): Seq[Expression] =
+      if (e.deterministic) Nil
+      else {
+        val childCauses = e.children.flatMap(leafCauses)
+        if (childCauses.nonEmpty) childCauses else Seq(e)
+      }
+    val offenders = Seq.newBuilder[String]
+    var plansAudited = 0
+    registryPlans.foreach { case (name, qe) =>
+      plansAudited += 1
+      qe.optimizedPlan.foreachWithSubqueries { node =>
+        node.expressions.flatMap(leafCauses).foreach {
+          case _: InputFileName => // split-derived: stable across attempts
+          case cause =>
+            offenders += s"$name: nondeterministic ${cause.prettyName} " +
+              s"in ${node.nodeName}"
+        }
+      }
+    }
+    val bad = offenders.result().distinct
+    assert(bad.isEmpty, s"retry-divergent expressions found:\n${bad.mkString("\n")}")
+    assert(plansAudited >= 150, s"only $plansAudited plans audited — " +
+      "the registry sweep is no longer seeing the query set")
+  }
+
   test("registry-wide scale audit: no undocumented Scala UDF in any plan") {
     // Codegen discipline: a Scala UDF boxes its inputs and blocks
     // whole-stage codegen, so every one in a registered plan must be a
