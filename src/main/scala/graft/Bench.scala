@@ -784,6 +784,7 @@ object Bench {
         val localFile =
           if (nameFilter == ".*" && sfName == "sf0.1") "BENCH_LOCAL.json"
           else if (nameFilter == ".*" && sfName == "sf1") "BENCH_SF1_LOCAL.json"
+          else if (nameFilter == ".*" && sfName == "sf3") "BENCH_SF3_LOCAL.json"
           else {
             System.err.println(s"[bench] BENCH_LOCAL.json NOT written: " +
               s"filter='$nameFilter' sf='$sfName' is not a canonical " +

@@ -96,10 +96,17 @@ object InvertedIndex {
         // the blocks deterministically
         val tf = termFreqs(spark, dir).localCheckpoint(true)
         try {
-          tf.withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-            .select(col("term"), col("df"), col("doc_id").as("docno"), col("tf"))
+          // range-partition FIRST, window second: RangePartitioning(term)
+          // already satisfies the window's ClusteredDistribution(term)
+          // (a term never straddles range partitions) and the (term,
+          // docno) sort satisfies its required sort, so the df count
+          // rides the write layout's exchange instead of adding a
+          // hash exchange of the full postings payload before it
+          tf.select(col("term"), col("doc_id").as("docno"), col("tf"))
             .repartitionByRange(8, col("term"))
             .sortWithinPartitions("term", "docno")
+            .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+            .select(col("term"), col("df"), col("docno"), col("tf"))
             .write.mode("overwrite").parquet(idxPath)
           tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
             .select(col("doc_id").as("docno"), col("dl"))
