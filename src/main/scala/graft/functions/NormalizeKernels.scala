@@ -1,0 +1,141 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{ExpressionDescription, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Codegen'd replacements for the two PER-CHARACTER regex passes in the
+  * corpus-normalization family. `regexp_replace` with a single-codepoint
+  * pattern re-enters the Java regex machinery once per character of
+  * every document — measured (sf3, 32-way-parallel scan): text_normalize
+  * 14.4 s and doc_quality 11.8 s while every non-regex corpus scan of
+  * the same shape ran 1-2 s. Each kernel is one codepoint loop with
+  * EXACTLY the regex chain's semantics, so the DuckDB oracles (which
+  * spell the same chains in RE2) hash-match unchanged.
+  */
+object NormalizeKernels {
+
+  /** `trim(regexp_replace(regexp_replace(lowered, "[^a-z0-9 \t\n\r\f]",
+    * " "), "[ \t\n\r\f]+", " "))` ≡ the maximal runs of [a-z0-9]
+    * codepoints of the (already lowercased) input joined by single
+    * spaces: every char outside [a-z0-9] becomes whitespace under the
+    * first regex (or already is), the second collapses whitespace runs,
+    * trim drops the ends. The caller lowercases with Spark's `lower`
+    * so case folding stays byte-identical with the builtin. */
+  def joinAlnumRuns(s: UTF8String): UTF8String = {
+    val str = s.toString
+    val n = str.length
+    val out = new java.lang.StringBuilder(n)
+    var pendingSpace = false
+    var i = 0
+    while (i < n) {
+      val c = str.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) {
+        if (pendingSpace && out.length > 0) out.append(' ')
+        pendingSpace = false
+        out.append(c)
+      } else {
+        // any other codepoint — ascii ws, punctuation, or non-ascii
+        // (surrogate pairs included: neither half is alnum) — separates
+        pendingSpace = true
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+
+  /** `length(regexp_replace(lowered, "[a-z0-9 ]", ""))` ≡ the count of
+    * codepoints outside [a-z0-9 ] — i.e. string length in CODEPOINTS
+    * (what Spark's `length` counts) minus the alnum-or-space ones;
+    * surrogate pairs count once, like the regex engine counts them. */
+  def countNonAlnumSpace(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    var cnt = 0L
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      val keep = (cp >= 'a' && cp <= 'z') || (cp >= '0' && cp <= '9') || cp == ' '
+      if (!keep) cnt += 1
+      i += Character.charCount(cp)
+    }
+    cnt
+  }
+
+  /** `regexp_count(lowered, "[a-z]+|[0-9]+|[^a-z0-9 ]")` ≡ (# maximal
+    * a-z runs) + (# maximal 0-9 runs) + (# codepoints outside
+    * [a-z0-9 ]): the regex engine scans left-to-right, so a letter
+    * starts one whole-run match, a digit likewise, any other non-space
+    * codepoint is a single-char match, and spaces match nothing. */
+  def countBpeishTokens(s: UTF8String): Long = {
+    val str = s.toString
+    val n = str.length
+    var cnt = 0L
+    var run = 0 // 0 none, 1 letters, 2 digits
+    var i = 0
+    while (i < n) {
+      val cp = str.codePointAt(i)
+      if (cp >= 'a' && cp <= 'z') {
+        if (run != 1) { cnt += 1; run = 1 }
+      } else if (cp >= '0' && cp <= '9') {
+        if (run != 2) { cnt += 1; run = 2 }
+      } else {
+        run = 0
+        if (cp != ' ') cnt += 1
+      }
+      i += Character.charCount(cp)
+    }
+    cnt
+  }
+
+  def join_alnum_runs(a: Column): Column =
+    GraftColumnBridge.column(JoinAlnumRuns(GraftColumnBridge.expression(a)))
+
+  def count_bpeish_tokens(a: Column): Column =
+    GraftColumnBridge.column(CountBpeishTokens(GraftColumnBridge.expression(a)))
+
+  def count_non_alnum_space(a: Column): Column =
+    GraftColumnBridge.column(CountNonAlnumSpace(GraftColumnBridge.expression(a)))
+}
+
+@ExpressionDescription(
+  usage = "join_alnum_runs(string) - [a-z0-9] runs joined by single spaces")
+case class JoinAlnumRuns(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def nullSafeEval(a: Any): Any =
+    NormalizeKernels.joinAlnumRuns(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NormalizeKernels.joinAlnumRuns($x);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+@ExpressionDescription(
+  usage = "count_bpeish_tokens(string) - matches of [a-z]+|[0-9]+|[^a-z0-9 ]")
+case class CountBpeishTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    NormalizeKernels.countBpeishTokens(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NormalizeKernels.countBpeishTokens($x);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+@ExpressionDescription(
+  usage = "count_non_alnum_space(string) - codepoints outside [a-z0-9 ]")
+case class CountNonAlnumSpace(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def nullSafeEval(a: Any): Any =
+    NormalizeKernels.countNonAlnumSpace(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NormalizeKernels.countNonAlnumSpace($x);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -107,10 +107,13 @@ object CorpusPipeline {
     * spelled out (not \\s) so Java regex and RE2 agree byte-for-byte. */
   def textNormalize(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
+      // one codepoint loop ≡ trim(regexp_replace(regexp_replace(lower,
+      // "[^a-z0-9 \t\n\r\f]", " "), "[ \t\n\r\f]+", " ")) — the
+      // single-codepoint regex pass re-entered the regex engine per
+      // character (kernel scaladoc has the measured A/B); the oracle
+      // still spells the regex chain and hashes identically
       .withColumn("norm_text",
-        trim(regexp_replace(
-          regexp_replace(lower(col("text")), "[^a-z0-9 \t\n\r\f]", " "),
-          "[ \t\n\r\f]+", " ")))
+        graft.functions.NormalizeKernels.join_alnum_runs(lower(col("text"))))
       .select(
         col("doc_id"),
         length(col("text")).as("n_before"),

@@ -48,7 +48,11 @@ object TextQuality {
         col("doc_id"),
         size(col("ws")).as("n_tokens"),
         size(array_distinct(col("ws"))).as("n_distinct"),
-        regexp_count(lower(col("text")), lit(bpePattern)).as("n_bpe_tokens"),
+        // one-pass kernel ≡ regexp_count(lower(text), bpePattern); cast
+        // keeps regexp_count's INT schema so the oracle compare is
+        // byte-stable
+        graft.functions.NormalizeKernels.count_bpeish_tokens(lower(col("text")))
+          .cast("int").as("n_bpe_tokens"),
         length(col("text")).as("len_chars"),
         (graft.functions.SumCharLengths.sum_char_lengths(col("ws")).cast("double")
           / size(col("ws"))).as("avg_token_len"))
@@ -92,8 +96,10 @@ object TextQuality {
       .withColumn("diversity",
         size(array_distinct(col("ws"))).cast("double") / col("n_tokens"))
       .withColumn("punct_ratio",
-        length(regexp_replace(lower(col("text")), "[a-z0-9 ]", "")).cast("double")
-          / length(col("text")))
+        // codepoint-count kernel ≡ length(regexp_replace(lower(text),
+        // "[a-z0-9 ]", "")) without the per-character regex pass
+        graft.functions.NormalizeKernels.count_non_alnum_space(lower(col("text")))
+          .cast("double") / length(col("text")))
       .withColumn("len_score",
         least(col("n_chars").cast("double") / 400.0, lit(1.0)))
       .select(
