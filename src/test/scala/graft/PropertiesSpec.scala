@@ -565,4 +565,79 @@ class PropertiesSpec extends AnyFunSuite {
       refProp && transProp && permProp && oneProp
     })
   }
+
+  // ---- codepoint-kernel equivalence (round 12 continuation) ----------
+  // The NormalizeKernels/PairStrings kernels replaced regex chains and a
+  // self-join on the HOT corpus path; the DuckDB oracles prove value
+  // equality on corpus data, these properties prove it over the input
+  // SPACE — mixed-case ASCII, every whitespace class the regexes name,
+  // punctuation, accented/combining-producing letters (İ lowers to
+  // "i" + combining dot), and non-BMP surrogate pairs (both alnum-free
+  // and math-alphabet letters), the cases a fixture corpus never hits.
+
+  private val charGen: Gen[String] = Gen.frequency(
+    6 -> Gen.alphaLowerChar.map(_.toString),
+    2 -> Gen.alphaUpperChar.map(_.toString),
+    2 -> Gen.numChar.map(_.toString),
+    3 -> Gen.oneOf(" ", "\t", "\n", "\r", "\f"),
+    3 -> Gen.oneOf(".", ",", "!", "-", "_", "@", "#", "'"),
+    2 -> Gen.oneOf("\u00e9", "\u00dc", "\u4e2d", "\u00df", "\u0130",
+      new String(Character.toChars(0x1F600)), new String(Character.toChars(0x1D49C))))
+  private val textGen: Gen[String] = Gen.listOf(charGen).map(_.mkString)
+
+  /** Mirror of the exact call-site input: Spark's `lower` is
+    * UTF8String.toLowerCase, not java.lang.String.toLowerCase. */
+  private def sparkLower(s: String): String =
+    org.apache.spark.unsafe.types.UTF8String.fromString(s).toLowerCase.toString
+
+  test("join_alnum_runs == trim(replace(replace(...))) regex chain, generatively") {
+    check(forAll(textGen) { raw =>
+      val lowered = sparkLower(raw)
+      val a = lowered.replaceAll("[^a-z0-9 \t\n\r\f]", " ")
+      val b = a.replaceAll("[ \t\n\r\f]+", " ")
+      val expect = b.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+      val got = graft.functions.NormalizeKernels.joinAlnumRuns(
+        org.apache.spark.unsafe.types.UTF8String.fromString(lowered)).toString
+      Prop(got == expect) :| s"raw=${raw.take(40)} got=$got expect=$expect"
+    })
+  }
+
+  test("count_non_alnum_space == length(regexp_replace(., '[a-z0-9 ]', '')), generatively") {
+    check(forAll(textGen) { raw =>
+      val lowered = sparkLower(raw)
+      val removed = lowered.replaceAll("[a-z0-9 ]", "")
+      val expect = removed.codePointCount(0, removed.length).toLong
+      val got = graft.functions.NormalizeKernels.countNonAlnumSpace(
+        org.apache.spark.unsafe.types.UTF8String.fromString(lowered))
+      Prop(got == expect) :| s"raw=${raw.take(40)} got=$got expect=$expect"
+    })
+  }
+
+  test("count_bpeish_tokens == regexp_count of the BPE pre-tokenizer pattern, generatively") {
+    check(forAll(textGen) { raw =>
+      val lowered = sparkLower(raw)
+      val m = java.util.regex.Pattern
+        .compile("[a-z]+|[0-9]+|[^a-z0-9 ]").matcher(lowered)
+      var expect = 0L
+      while (m.find()) expect += 1
+      val got = graft.functions.NormalizeKernels.countBpeishTokens(
+        org.apache.spark.unsafe.types.UTF8String.fromString(lowered))
+      Prop(got == expect) :| s"raw=${raw.take(40)} got=$got expect=$expect"
+    })
+  }
+
+  test("pair_strings == the ordered-pair double loop, generatively") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val tokGen = Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
+    check(forAll(Gen.choose(0, 12).flatMap(n => Gen.listOfN(n, tokGen))) { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val out = graft.functions.PairStrings.compute(arr)
+      val got = (0 until out.numElements()).map(out.getUTF8String(_).toString)
+      val expect =
+        for { i <- toks.indices; j <- toks.indices if i != j }
+          yield s"${toks(i)} ${toks(j)}"
+      Prop(got == expect) :| s"n=${toks.size}"
+    })
+  }
 }
