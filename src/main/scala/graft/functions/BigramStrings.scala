@@ -148,13 +148,22 @@ object PairStrings {
 
   private val space = UTF8String.fromString(" ")
 
-  /** Shared by interpreted eval and generated code. */
+  /** Shared by interpreted eval and generated code. Null tokens are
+    * SKIPPED (treated as absent), honoring the declared
+    * `containsNull = false` output type for any input — the sole call
+    * site feeds `array_distinct(slice(tokenize(...)))` which cannot
+    * hold nulls, but the kernel is a generic expression and must not
+    * smuggle a null through a non-nullable slot (review r12c). */
   def compute(ws: ArrayData): ArrayData = {
-    val n = ws.numElements()
-    if (n < 2) return new GenericArrayData(new Array[Any](0))
-    val toks = new Array[UTF8String](n)
+    val n0 = ws.numElements()
+    var n = 0
+    val toks = new Array[UTF8String](n0)
     var i = 0
-    while (i < n) { toks(i) = ws.getUTF8String(i); i += 1 }
+    while (i < n0) {
+      if (!ws.isNullAt(i)) { toks(n) = ws.getUTF8String(i); n += 1 }
+      i += 1
+    }
+    if (n < 2) return new GenericArrayData(new Array[Any](0))
     val out = new Array[Any](n * (n - 1))
     var k = 0
     i = 0

@@ -125,6 +125,11 @@ object ConcurrencyProf {
       val threads = (1 to 2).map { _ =>
         new Thread(() => {
           spark.sparkContext.setLocalProperty("spark.scheduler.pool", "batch")
+          // job group set HERE so teardown's cancelJobGroup covers BOTH
+          // load shapes — the first cut set it only inside wideStageLoad,
+          // leaving the realistic leg's teardown to join a full in-flight
+          // query (review r12c)
+          spark.sparkContext.setJobGroup("concprof-load", "batch load", true)
           while (!stop)
             try runLoad()
             catch {
