@@ -91,6 +91,27 @@ object NormalizeKernels {
     cnt
   }
 
+  /** Shared by interpreted eval and generated code: original first,
+    * then the deletion at each codepoint index in order. */
+  def deletionVariants(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val nCp = str.codePointCount(0, str.length)
+    val out = new Array[Any](nCp + 1)
+    out(0) = s
+    var cp = 0
+    var idx = 0
+    while (cp < nCp) {
+      val next = str.offsetByCodePoints(idx, 1)
+      out(cp + 1) = UTF8String.fromString(str.substring(0, idx) + str.substring(next))
+      idx = next
+      cp += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
+  def deletion_variants(a: Column): Column =
+    GraftColumnBridge.column(DeletionVariants(GraftColumnBridge.expression(a)))
+
   def join_alnum_runs(a: Column): Column =
     GraftColumnBridge.column(JoinAlnumRuns(GraftColumnBridge.expression(a)))
 
@@ -136,6 +157,34 @@ case class CountNonAlnumSpace(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.NormalizeKernels.countNonAlnumSpace($x);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Native Catalyst expression: the string plus every single-codepoint-
+  * deletion variant — the symmetric-delete neighborhood for exact
+  * edit-distance-1 joins (the FastSS / symmetric-delete family:
+  * Bocek et al., "Fast Similarity Search in Large Dictionaries", 2007;
+  * the scheme SymSpell popularized). Two strings with ed ≤ 1 ALWAYS
+  * share a variant: substitution — delete the differing position from
+  * both; insertion/deletion — delete the inserted codepoint from the
+  * longer; equality — the strings themselves. So an equi-join on
+  * variants is a COMPLETE candidate generator, and unlike positional
+  * segment/q-gram blocking it stays subquadratic on shared-prefix
+  * entity strings (a variant carries the whole discriminating tail, so
+  * "customer#..."-style common prefixes do not collapse into one hot
+  * bucket the way a prefix segment does). Codepoint-aware: deleting
+  * half a surrogate pair would manufacture invalid strings. */
+@ExpressionDescription(
+  usage = "deletion_variants(string) - the string + each 1-codepoint-deletion")
+case class DeletionVariants(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    NormalizeKernels.deletionVariants(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NormalizeKernels.deletionVariants($x);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

@@ -354,4 +354,46 @@ class DedupSpec extends GraftSpec {
     }
     assert(profile.map(_._3).max == sizes.max)
   }
+
+  test("symmetric-delete blocking is complete: ed<=1 pairs equal brute force " +
+       "on adversarial geometries") {
+    // every edit KIND at every POSITION (head/middle/tail substitution,
+    // insertion, deletion), identical strings, empty-adjacent strings,
+    // multibyte codepoints (deleting half a surrogate would fabricate
+    // pairs or crash), and decoys at ed=2 that a sloppy variant join
+    // would admit. Brute reference: driver-side DP levenshtein.
+    val strings = Seq(
+      "abcdef",            // base
+      "xbcdef", "abcxef", "abcdex",  // substitutions at head/mid/tail
+      "abcdefg", "zabcdef",          // insertions tail/head
+      "bcdef", "abcde",              // deletions head/tail
+      "abcdef",                      // exact duplicate
+      "ab", "a", "",                 // short + empty chain
+      "caf\u00e9", "caf\u00e9s", "cafe",  // accented + its neighbors
+      "\ud83d\ude00ab", "ab",            // emoji-prefixed vs plain
+      "qqqqqq", "abzzef")            // decoys: ed 2+ from base
+    val sp = spark
+    import sp.implicits._
+    val names = strings.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = graft.operators.Dedup.editDistancePairs(names)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def lev(a: String, b: String): Int = {
+      // codepoint-based DP, mirroring Spark/DuckDB levenshtein
+      val x = a.codePoints.toArray; val y = b.codePoints.toArray
+      val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+        if (i == 0) j else if (j == 0) i else 0)
+      for (i <- 1 to x.length; j <- 1 to y.length)
+        d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+          d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+      d(x.length)(y.length)
+    }
+    val expect = (for {
+      i <- strings.indices; j <- strings.indices
+      if i < j && lev(strings(i), strings(j)) <= 1
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got == expect,
+      s"missed=${(expect -- got).toSeq.sorted} extra=${(got -- expect).toSeq.sorted}")
+    assert(expect.nonEmpty, "vacuous fixture — no qualifying pair")
+  }
 }
