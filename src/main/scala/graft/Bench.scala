@@ -47,9 +47,9 @@ private[graft] object BenchFormat {
     * `_exact` baselines re-run workloads the bench already measures
     * (exclusion is by NAME: r4's endsWith("_exact") also matched
     * dedup_exact — the production md5 dedup — and silently dropped it);
-    * trending_arrivals_late is a driver-fed MemoryStream replay whose
-    * cost is micro-batch orchestration of semantics already timed as
-    * trending_arrivals; q6_pricing_summary_sql is the SQL-API parity
+    * trending_arrivals_late is a bounded chunked-file replay (a real
+    * FileStreamSource since r13) whose cost is micro-batch orchestration
+    * of semantics already timed as trending_arrivals; q6_pricing_summary_sql is the SQL-API parity
     * twin of q6_pricing_summary — spark.sql lowers it to the identical
     * Catalyst plan, so timing both double-counts one workload (same
     * rationale as the _csv twins). taxi_region_hourly_stream stays
@@ -58,9 +58,10 @@ private[graft] object BenchFormat {
   val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
   // interval_join_stream, event_count_hourly_incremental (r6f) and
   // first_touch_stream (r6g) join the replay-harness set: like
-  // trending_arrivals_late they are driver-fed MemoryStream replays
-  // whose cost is micro-batch orchestration of workloads the bench
-  // already times (interval_join_errors / event_count_hourly /
+  // trending_arrivals_late they are bounded replays (since r13 drained
+  // through chunked FileStreamSources, no longer driver-fed
+  // MemoryStreams) whose cost is micro-batch orchestration of workloads
+  // the bench already times (interval_join_errors / event_count_hourly /
   // first_touch)
   // mv_hourly_rewrite (r6i) is a driver-mediated demonstration harness:
   // it registers/clears the MV around an eventCountHourly run and
@@ -111,6 +112,17 @@ private[graft] object BenchFormat {
     // physical shape (df-ordered per-doc windows, prefix-key join,
     // candidate-verify semi-join) computing the same semantics
     "dedup_ngram_jaccard" -> "dedup_family_build",
+    // r13: dedup_survivors runs dedupClusters VERBATIM (the CC
+    // pointer-doubling loop over the memoized pair graph, the cluster-
+    // size window, the orderBy) and adds one left_anti against
+    // documents — dedup_clusters' whole workload is computed INSIDE the
+    // timed sibling, the value_percentiles -> value_pct_approx shape
+    // exactly. Its ~22 line chars fund the 78th timed entry
+    // (dedup_edit_distance, the r12 post-close addition whose unfunded
+    // registration shed canary_end_sec from the official line —
+    // BenchFormatSpec caught it, r12 verdict item 1). Filtered timing
+    // in PLANS.md.
+    "dedup_clusters" -> "dedup_survivors",
     // r8: multimodal_resize is a map-only blob scan whose per-record
     // work (strided substr/ascii HOF aggregate over the media bytes) is
     // a strict SUBSET of multimodal_frame_sample's plan — the same HOF
@@ -209,7 +221,8 @@ private[graft] object BenchFormat {
     *    dominant cost IS the timed sibling.
     *  - dedup_best_survivor and split_leakage_safe (r6g) both re-run
     *    the timed dedup cluster pipeline (shingles → pair graph → CC,
-    *    all priced by dedup_family_build + dedup_clusters); their
+    *    all priced by dedup_family_build + the timed dedup_survivors,
+    *    which runs the CC loop verbatim since r13); their
     *    marginal work is one doc_id equi-join plus a k=1 window /
     *    a map-only hash-bucket assignment.
     *  - decontaminate_semantic (r6g) re-runs the timed
@@ -356,16 +369,16 @@ private[graft] object BenchFormat {
     // q18_cube_revenue is q10_rollup_sets' Expand+aggregate physical
     // shape with the full lattice instead of the prefix chain
     "q18_cube_revenue",
-    // dedup_cluster_profile re-reads the memoized cluster artifact the
-    // timed dedup_clusters builds and adds key_skew_profile's stacked
-    // histogram aggregate over it
+    // dedup_cluster_profile re-reads the memoized cluster artifact
+    // (the CC loop the timed dedup_survivors prices since r13) and adds
+    // key_skew_profile's stacked histogram aggregate over it
     "dedup_cluster_profile",
     // value_moments is a single grouped-aggregate pass over the events
     // scan — q6's multi-aggregate shape with moment buffers
     "value_moments",
     // dedup_rate_by_source is one doc_id left join against the memoized
-    // cluster artifact (priced by dedup_family_build + dedup_clusters)
-    // + a grouped conditional aggregate
+    // cluster artifact (priced by dedup_family_build + the timed
+    // dedup_survivors) + a grouped conditional aggregate
     "dedup_rate_by_source",
     // r7: image_features stays TIMED (the real-codec PNG encode+decode
     // mapPartitions pass is a new physical workload — codec CPU, not

@@ -274,30 +274,48 @@ object EventAnalytics {
     * the watermark so every trailing window flushes via timeout (no
     * successor events exist for them).
     *
-    * This query is the streaming operator's registered parity harness —
-    * the feed is driver-built by construction (MemoryStream), bounded by
-    * the events table; the production-shape streaming entry points are
-    * the unbounded jobs in `graft.streaming`. */
+    * r13: the schedule is computed as DataFrame expressions (window and
+    * md5-straggler columns select a batch index per event) and
+    * materialized as one chunk FILE per batch, drained through a real
+    * FileStreamSource one file per trigger — the feed never visits the
+    * driver (the only driver reads are ≤4-row window-boundary fetches).
+    * The counts inside a batch are order-insensitive, so chunk files
+    * need no internal ordering; batch BOUNDARIES carry the whole
+    * schedule. The production-shape streaming entry points are the
+    * unbounded jobs in `graft.streaming`. */
   val lateWindowMicros = 600L * 1000 * 1000
   private val lateSentinelKey = "_late_sentinel"
 
   def trendingArrivalsLate(spark: SparkSession, dir: String): DataFrame = {
     import graft.streaming.{KeyedEvent, StreamingJobs}
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
     val W = lateWindowMicros
-    val evs = Tables.events(spark, dir)
+    val ev = Tables.events(spark, dir)
       .select(col("event_type").as("key"),
         unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
-      .as[KeyedEvent].collect().sortBy(e => (e.tsMicros, e.key))
-    def winOf(e: KeyedEvent): Long = e.tsMicros - e.tsMicros % W
-    def straggler(e: KeyedEvent): Boolean = {
-      val md = java.security.MessageDigest.getInstance("MD5")
-      val h = md.digest(s"${e.key}_${e.tsMicros}".getBytes("UTF-8"))
-      ((h(0) & 0xff) % 3) == 0
-    }
-    val windows = evs.map(winOf).distinct.sorted
+    val sinkName = "trending_arrivals_late_sink"
+    spark.catalog.dropTempView(sinkName)
+    if (ev.isEmpty)
+      return Seq.empty[(String, java.sql.Timestamp, Long, Long, Boolean)]
+        .toDF("event_type", "win_start", "cur", "prev", "is_trending")
+        .select(col("event_type"),
+          col("win_start").cast("timestamp_ntz").as("win_start"),
+          col("cur"), col("prev"), col("is_trending"))
+    val winC = col("tsMicros") - col("tsMicros") % W
+    // the md5-first-byte straggler choice, as an expression: substring
+    // 1..2 of the hex digest IS the first digest byte, so
+    // conv(.,16,10) % 3 == 0 selects the same deterministic third the
+    // pre-r13 driver-side schedule chose
+    val stragglerC = (conv(substring(
+      md5(concat_ws("_", col("key"), col("tsMicros"))), 1, 2), 16, 10)
+      .cast("long") % 3) === 0
+    // window-boundary facts, as BOUNDED driver fetches (≤4 rows + two
+    // scalars), not a feed collect
+    val winDf = ev.select(winC.as("w")).distinct()
+    val head4 = winDf.orderBy("w").take(4).map(_.getLong(0))
+    val winStats = winDf.agg(count(lit(1)), max(col("w"))).head()
+    val nWindows = winStats.getLong(0)
+    val lastWin = winStats.getLong(1)
     // the held-back schedule is only watermark-safe when the first four
     // populated windows are W-contiguous: with a gap, the global
     // watermark (batch max − 2W) advanced by a later on-time batch can
@@ -306,64 +324,81 @@ object EventAnalytics {
     // sparser dataset. Non-contiguous prefixes fall back to the
     // single-batch replay (still a real streaming run through the same
     // buffered state machine).
-    val earlyContiguous = windows.length >= 6 && {
-      val early = windows.take(4)
-      early.zip(early.drop(1)).forall { case (a, b) => b - a == W }
-    }
-    val batches: Seq[Seq[KeyedEvent]] =
-      if (!earlyContiguous) Seq(evs.toSeq)
-      else {
-        // the first three populated windows get per-window batches with a
-        // straggler third delayed until AFTER the next window's batch —
-        // one window late, inside the buffer horizon; window 4 is fed
-        // complete so the last straggler batch still precedes `rest`
-        // (a straggler arriving after `rest` would be beyond the horizon
-        // and would drop, breaking batch parity)
-        val early = windows.take(4)
-        def onTime(w: Long) = evs.filter(e => winOf(e) == w && !straggler(e)).toSeq
-        def late(w: Long) = evs.filter(e => winOf(e) == w && straggler(e)).toSeq
-        val rest = evs.filter(e => winOf(e) > early.last).toSeq
-        Seq(onTime(early(0)), onTime(early(1)), late(early(0)),
-          onTime(early(2)), late(early(1)),
-          onTime(early(3)) ++ late(early(3)), late(early(2)), rest)
-      }
-    // sentinels must push the watermark (which lags by the 2-window
-    // lateness delay) past every real key's flush horizon: last open
-    // window end + 1 lateness window + 2 windows of watermark lag
-    val sentinelTs = windows.last + 5 * W
-    val input = MemoryStream[KeyedEvent]
-    val sinkName = "trending_arrivals_late_sink"
-    spark.catalog.dropTempView(sinkName)
-    val q = StreamingJobs.detectTrends(input.toDS(), W,
-      allowedLatenessWindows = 1, timeoutFlush = true)
-      .writeStream.outputMode("append").format("memory").queryName(sinkName)
-      .start()
+    val earlyContiguous = nWindows >= 6 && head4.length == 4 &&
+      head4.zip(head4.drop(1)).forall { case (a, b) => b - a == W }
+    // batch index per event — the first three populated windows get
+    // per-window batches with the straggler third delayed until AFTER
+    // the next window's batch (one window late, inside the buffer
+    // horizon); window 4 is fed complete so the last straggler batch
+    // still precedes `rest` (a straggler arriving after `rest` would be
+    // beyond the horizon and would drop, breaking batch parity)
+    val batchC =
+      if (!earlyContiguous) lit(0)
+      else when(winC === head4(0) && !stragglerC, 0)
+        .when(winC === head4(1) && !stragglerC, 1)
+        .when(winC === head4(0) && stragglerC, 2)
+        .when(winC === head4(2) && !stragglerC, 3)
+        .when(winC === head4(1) && stragglerC, 4)
+        .when(winC === head4(3), 5)
+        .when(winC === head4(2) && stragglerC, 6)
+        .otherwise(7)
+    val work = java.nio.file.Files.createTempDirectory("graft-late-chunks")
     try {
-      (batches ++ Seq(Seq(KeyedEvent(lateSentinelKey, sentinelTs)),
-        Seq(KeyedEvent(lateSentinelKey, sentinelTs + W)))).foreach { b =>
-        if (b.nonEmpty) { input.addData(b); q.processAllAvailable() }
+      // one chunk FILE per schedule batch (ascending mtimes = admission
+      // order), one file per trigger — batch boundaries carry the
+      // schedule; the within-batch counts are order-insensitive
+      java.nio.file.Files.createDirectories(work.resolve("chunks"))
+      val tagged = ev.withColumn("batch", batchC)
+      val presentBatches = tagged.groupBy("batch").count()
+        .orderBy("batch").take(16).map(_.getInt(0))
+      var idx = 0
+      for (b <- presentBatches) {
+        appendChunk(work, tagged.filter(col("batch") === b)
+          .select("key", "tsMicros"), idx)
+        idx += 1
       }
-      // the schedule is constructed so the pre-stateful watermark filter
-      // drops NOTHING (hold-backs stay inside the lateness horizon, and
-      // the non-contiguous fallback above avoids the gap hazard). If
-      // cross-key skew or a schedule bug ever violates that, fail HERE,
-      // attributably, instead of as a silent oracle hash mismatch
-      // downstream (r5 advisor).
-      val dropped = q.recentProgress
-        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
-      require(dropped == 0,
-        s"late replay lost $dropped events to the watermark filter — " +
-          "batch parity would break; check the hold-back schedule")
-    } finally q.stop()
-    val results = spark.table(sinkName)
-      .as[graft.streaming.WindowResult].collect().toSeq
-    spark.catalog.dropTempView(sinkName)
-    results.toDS()
-      .filter(col("key") =!= lateSentinelKey)
-      .select(col("key").as("event_type"),
-        timestamp_micros(col("winStartMicros")).cast("timestamp_ntz").as("win_start"),
-        col("cur"), col("prev"), col("isTrending").as("is_trending"))
-      .orderBy("event_type", "win_start")
+      // sentinels must push the watermark (which lags by the 2-window
+      // lateness delay) past every real key's flush horizon: last open
+      // window end + 1 lateness window + 2 windows of watermark lag
+      val sentinelTs = lastWin + 5 * W
+      for (ts <- Seq(sentinelTs, sentinelTs + W)) {
+        appendChunk(work, Seq(KeyedEvent(lateSentinelKey, ts)).toDS()
+          .select("key", "tsMicros"), idx)
+        idx += 1
+      }
+      val q = StreamingJobs.detectTrends(
+        spark.readStream.schema(ev.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(work.resolve("chunks").toString)
+          .as[KeyedEvent],
+        W, allowedLatenessWindows = 1, timeoutFlush = true)
+        .writeStream.outputMode("append").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        // the schedule is constructed so the pre-stateful watermark filter
+        // drops NOTHING (hold-backs stay inside the lateness horizon, and
+        // the non-contiguous fallback above avoids the gap hazard). If
+        // cross-key skew or a schedule bug ever violates that, fail HERE,
+        // attributably, instead of as a silent oracle hash mismatch
+        // downstream (r5 advisor).
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        require(dropped == 0,
+          s"late replay lost $dropped events to the watermark filter — " +
+            "batch parity would break; check the hold-back schedule")
+      } finally q.stop()
+      val out = spark.table(sinkName)
+        .filter(col("key") =!= lateSentinelKey)
+        .select(col("key").as("event_type"),
+          timestamp_micros(col("winStartMicros")).cast("timestamp_ntz").as("win_start"),
+          col("cur"), col("prev"), col("isTrending").as("is_trending"))
+        .orderBy("event_type", "win_start")
+        .localCheckpoint(true)
+      spark.catalog.dropTempView(sinkName)
+      out
+    } finally graft.sources.FileSinkFs.deleteRecursively(work)
   }
 
   /** Stream-stream interval join, REGISTERED — the one streaming operator
@@ -390,45 +425,60 @@ object EventAnalytics {
   val streamJoinBatches = 6
 
   def intervalJoinStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val evs = Tables.events(spark, dir)
+    val raw = Tables.events(spark, dir)
       .filter(col("event_type").isin("purchase", "error"))
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
-      .as[UserEvent].collect().sortBy(e => (e.tsMicros, e.event_id))
-    val input = MemoryStream[UserEvent]
-    val src = input.toDS()
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        timestamp_micros(col("tsMicros")).as("ts"))
-    val joined = graft.streaming.StreamingJobs.streamIntervalJoin(
-      src.filter(col("event_type") === "purchase"),
-      src.filter(col("event_type") === "error"))
     val sinkName = "interval_join_stream_sink"
     spark.catalog.dropTempView(sinkName)
-    val q = joined
-      .writeStream.outputMode("append").format("memory").queryName(sinkName)
-      .start()
     lastStreamJoinProgress = None
+    // empty feed: no quantile cuts to chunk on — return the batch
+    // oracle's empty result instead of crashing in the fixture writer
+    if (raw.isEmpty)
+      return Seq.empty[(Long, Long, Long)]
+        .toDF("purchase_id", "error_id", "user_id")
+    val work = java.nio.file.Files.createTempDirectory("graft-ivj-chunks")
     try {
-      // time-ordered chunks: batch k's min ts ≥ batch k−1's max ts, so
-      // no row can trail its side's watermark — drops would break the
-      // batch-parity oracle and are asserted away below
-      val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
-      evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
-      val dropped = q.recentProgress
-        .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
-      require(dropped == 0,
-        s"stream-stream join lost $dropped events to the watermark filter — " +
-          "batch parity would break; the feed chunking is no longer time-ordered")
-      lastStreamJoinProgress = Option(q.lastProgress)
-    } finally q.stop()
-    val rows = spark.table(sinkName)
-      .as[(Long, Long, Long)].collect().toSeq
-    spark.catalog.dropTempView(sinkName)
-    rows.toDF("purchase_id", "error_id", "user_id")
-      .orderBy("purchase_id", "error_id")
+      // time-ordered chunk files (quantile time cuts, ascending mtimes):
+      // batch k's min ts ≥ batch k−1's max ts, so no row can trail its
+      // side's watermark — drops would break the batch-parity oracle and
+      // are asserted away below. The feed never touches the driver: the
+      // chunk writer is a distributed filter+write per slice, and the
+      // drain is a real FileStreamSource (r12 verdict item 3 — the last
+      // MemoryStream collect-replays ported to the chunked-file shape
+      // user_sessions/events_anomaly/taxi already use).
+      val chunkDir = writeTimeOrderedChunks(work, raw, col("tsMicros"),
+        streamJoinBatches)
+      val src = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(chunkDir.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("tsMicros")).as("ts"))
+      val joined = graft.streaming.StreamingJobs.streamIntervalJoin(
+        src.filter(col("event_type") === "purchase"),
+        src.filter(col("event_type") === "error"))
+      val q = joined
+        .writeStream.outputMode("append").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        val dropped = q.recentProgress
+          .flatMap(_.stateOperators.map(_.numRowsDroppedByWatermark)).sum
+        require(dropped == 0,
+          s"stream-stream join lost $dropped events to the watermark filter — " +
+            "batch parity would break; the feed chunking is no longer time-ordered")
+        lastStreamJoinProgress = Option(q.lastProgress)
+      } finally q.stop()
+      // materialize DISTRIBUTED (block-manager cache, not a driver
+      // Array[Row]) before dropping the sink view the plan reads from
+      val out = spark.table(sinkName)
+        .orderBy("purchase_id", "error_id")
+        .localCheckpoint(true)
+      spark.catalog.dropTempView(sinkName)
+      out
+    } finally graft.sources.FileSinkFs.deleteRecursively(work)
   }
 
   /** Last drain's final progress — lets StreamingSpec assert state
@@ -639,44 +689,62 @@ object EventAnalytics {
     * forever (the time-bounded variant is dropDuplicatesWithinWatermark,
     * whose windowed semantics would no longer equal the batch oracle).
     *
-    * Replay-harness determinism: the feed is chunked in (ts, event_id)
-    * order through a single-partition MemoryStream, so each key's first
-    * arrival IS its (ts, event_id) minimum — the batch [[firstTouch]]
-    * row — and the drain hash-matches the batch oracle verbatim. A
-    * violation of that ordering would fail the hash loudly. */
+    * Replay-harness determinism (r13: ported off the MemoryStream
+    * collect-replay onto the chunked FileStreamSource shape): the feed
+    * drains from (ts, event_id)-sorted single-partition chunk files,
+    * one file per trigger, so each key's first arrival IS its
+    * (ts, event_id) minimum — the batch [[firstTouch]] row — and the
+    * drain hash-matches the batch oracle verbatim. A violation of that
+    * ordering would fail the hash loudly. */
   def firstTouchStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val evs = Tables.events(spark, dir)
+    val raw = Tables.events(spark, dir)
       .select(col("event_id"), col("user_id"), col("event_type"),
         unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
-      .as[UserEvent].collect().sortBy(e => (e.tsMicros, e.event_id))
-    val input = MemoryStream[UserEvent]
     val sinkName = "first_touch_stream_sink"
     spark.catalog.dropTempView(sinkName)
-    val q = input.toDS()
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        timestamp_micros(col("tsMicros")).as("ts"))
-      .dropDuplicates("user_id", "event_type")
-      .writeStream.outputMode("append").format("memory").queryName(sinkName)
-      .start()
     lastFirstTouchProgress = None
+    if (raw.isEmpty)
+      return Seq.empty[(Long, String, Long, java.sql.Timestamp)]
+        .toDF("user_id", "event_type", "first_event_id", "first_ts")
+        .select(col("user_id"), col("event_type"), col("first_event_id"),
+          col("first_ts").cast("timestamp_ntz").as("first_ts"))
+    val work = java.nio.file.Files.createTempDirectory("graft-ft-chunks")
     try {
-      val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
-      evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
-      lastFirstTouchProgress = Option(q.lastProgress)
-    } finally q.stop()
-    val rows = spark.table(sinkName)
-      .as[(Long, Long, String, java.sql.Timestamp)].collect().toSeq
-    spark.catalog.dropTempView(sinkName)
-    rows.toDF("event_id", "user_id", "event_type", "ts")
-      .select(col("user_id"), col("event_type"),
-        col("event_id").as("first_event_id"),
-        // back to NTZ so the streaming drain's schema matches the batch
-        // twin's (Tables.events serves micros NTZ; UTC session)
-        col("ts").cast("timestamp_ntz").as("first_ts"))
-      .orderBy("user_id", "event_type")
+      // dedup is order-SENSITIVE (first row encountered per key wins),
+      // so the chunks are (tsMicros, event_id)-sorted single-partition
+      // files admitted ONE per trigger: a single upstream partition
+      // means each post-shuffle reducer pulls exactly one block in file
+      // order, so within a micro-batch "first encountered" IS the
+      // (ts, event_id) minimum — the batch firstTouch row — and across
+      // micro-batches the earlier chunk's state wins. The oracle hash
+      // fails loudly if this ordering contract is ever violated.
+      val chunkDir = writeTimeOrderedChunks(work, raw, col("tsMicros"),
+        streamJoinBatches, sortWithin = Seq("tsMicros", "event_id"))
+      val q = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(chunkDir.toString)
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          timestamp_micros(col("tsMicros")).as("ts"))
+        .dropDuplicates("user_id", "event_type")
+        .writeStream.outputMode("append").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try {
+        q.awaitTermination()
+        lastFirstTouchProgress = Option(q.lastProgress)
+      } finally q.stop()
+      val out = spark.table(sinkName)
+        .select(col("user_id"), col("event_type"),
+          col("event_id").as("first_event_id"),
+          // back to NTZ so the streaming drain's schema matches the batch
+          // twin's (Tables.events serves micros NTZ; UTC session)
+          col("ts").cast("timestamp_ntz").as("first_ts"))
+        .orderBy("user_id", "event_type")
+        .localCheckpoint(true)
+      spark.catalog.dropTempView(sinkName)
+      out
+    } finally graft.sources.FileSinkFs.deleteRecursively(work)
   }
 
   /** Heavy/light cut for the enrichment band — a fixed constant so the
@@ -702,11 +770,20 @@ object EventAnalytics {
     * File-source drain over the real events file (the
     * taxi_region_hourly_stream template), `Trigger.AvailableNow`. */
   def eventsEnrichStream(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
     val raw = spark.read.parquet(s"$dir/events.parquet")
     val profile = raw.groupBy("user_id")
       .agg(count(lit(1)).as("n_user_events"))
-    val sinkName = "events_enrich_stream_sink"
-    spark.catalog.dropTempView(sinkName)
+    if (raw.isEmpty)
+      return Seq.empty[(Long, Long, String, Long, String)]
+        .toDF("event_id", "user_id", "event_type", "n_user_events", "band")
+    // the enriched output is O(events) — a memory sink would hold the
+    // whole result as driver rows (the one driver bottleneck the
+    // stateless-join shape doesn't have). Production sink shape instead:
+    // foreachBatch appends each micro-batch as parquet, the result is
+    // read back distributed and pinned in the block manager (r12 verdict
+    // item 3).
+    val outDir = java.nio.file.Files.createTempDirectory("graft-enrich-out")
     val q = spark.readStream.schema(raw.schema)
       .option("pathGlobFilter", "events.parquet").parquet(dir)
       .join(broadcast(profile), "user_id")
@@ -714,21 +791,21 @@ object EventAnalytics {
         col("n_user_events"),
         when(col("n_user_events") >= enrichHeavyCut, lit("heavy"))
           .otherwise(lit("light")).as("band"))
-      .writeStream.outputMode("append").format("memory").queryName(sinkName)
+      .writeStream.outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
+        batch.write.mode("append").parquet(outDir.toString): Unit
+      }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
     try q.awaitTermination() finally {
       lastEnrichProgress = Option(q.lastProgress)
       q.stop()
     }
-    val out = spark.table(sinkName).orderBy("event_id")
+    try spark.read.parquet(outDir.toString)
       .select("event_id", "user_id", "event_type", "n_user_events", "band")
-    // materialize before dropping the sink view the plan reads from
-    val rows = out.collect()
-    spark.catalog.dropTempView(sinkName)
-    spark.createDataFrame(
-      new java.util.ArrayList[Row](java.util.Arrays.asList(rows: _*)),
-      out.schema)
+      .orderBy("event_id")
+      .localCheckpoint(true)
+    finally graft.sources.FileSinkFs.deleteRecursively(outDir)
   }
 
   /** Streaming incremental materialized-view maintenance, REGISTERED —
@@ -743,28 +820,37 @@ object EventAnalytics {
     * correct if the sum of deltas is indistinguishable from a full
     * recompute. */
   def eventCountHourlyIncremental(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
-    val evs = Tables.events(spark, dir)
-      .select(col("event_id"), col("user_id"), col("event_type"),
-        unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
-      .as[UserEvent].collect().sortBy(e => (e.tsMicros, e.event_id))
+    val raw = Tables.events(spark, dir)
+      .select(unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
+    if (raw.isEmpty)
+      return Seq.empty[(java.sql.Timestamp, Long)].toDF("hour_start", "cnt")
+        .select(col("hour_start").cast("timestamp_ntz").as("hour_start"),
+          col("cnt"))
     val mvPath = java.nio.file.Files
       .createTempDirectory("graft-hourly-mv").toString
-    val input = MemoryStream[UserEvent]
-    val q = input.toDS()
-      .select(timestamp_micros(col("tsMicros")).as("ts"))
-      .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
-        graft.streaming.StreamingJobs.mergeHourlyBatch(
-          batch.sparkSession, mvPath, batch.toDF(), batchId): Unit
-      }
-      .start()
+    val work = java.nio.file.Files.createTempDirectory("graft-mvinc-chunks")
     try {
-      val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
-      evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
-    } finally q.stop()
+      // time-ordered chunk files through a real FileStreamSource (r12
+      // verdict item 3 — the merge runs across genuine micro-batch
+      // boundaries without the feed ever visiting the driver); the MV
+      // merge itself is order-insensitive (sums of deltas), so plain
+      // quantile-cut chunks suffice
+      val chunkDir = writeTimeOrderedChunks(work, raw, col("tsMicros"),
+        streamJoinBatches)
+      val q = spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(chunkDir.toString)
+        .select(timestamp_micros(col("tsMicros")).as("ts"))
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], batchId: Long) =>
+          graft.streaming.StreamingJobs.mergeHourlyBatch(
+            batch.sparkSession, mvPath, batch.toDF(), batchId): Unit
+        }
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+    } finally graft.sources.FileSinkFs.deleteRecursively(work)
     spark.read.parquet(mvPath)
       .select(
         timestamp_micros(col("hour_id").cast("long") * lit(3600L * 1000 * 1000))
@@ -1057,7 +1143,8 @@ object EventAnalytics {
     * directory; callers may append extra chunks (e.g. a sentinel file)
     * with [[appendChunk]]. */
   private def writeTimeOrderedChunks(work: java.nio.file.Path, df: DataFrame,
-      tCol: Column, nChunks: Int): java.nio.file.Path = {
+      tCol: Column, nChunks: Int,
+      sortWithin: Seq[String] = Nil): java.nio.file.Path = {
     val chunkDir = work.resolve("chunks")
     val t = tCol.cast("double")
     val bounds = df.select(t.as("t")).stat.approxQuantile(
@@ -1065,15 +1152,28 @@ object EventAnalytics {
     val cuts = Array(Double.NegativeInfinity) ++ bounds :+ Double.PositiveInfinity
     java.nio.file.Files.createDirectories(chunkDir)
     for (i <- 0 until nChunks)
-      appendChunk(work, df.filter(t >= cuts(i) && t < cuts(i + 1)), i)
+      appendChunk(work, df.filter(t >= cuts(i) && t < cuts(i + 1)), i, sortWithin)
     chunkDir
   }
 
   /** Append one single-file chunk with a modified time that sorts after
-    * every lower index (FileStreamSource's admission order). */
-  private def appendChunk(work: java.nio.file.Path, df: DataFrame, idx: Int): Unit = {
+    * every lower index (FileStreamSource's admission order).
+    * `sortWithin` orders the rows INSIDE the chunk file: an
+    * order-SENSITIVE stateful operator (streaming dedup keeps the first
+    * row it encounters per key) replayed through a file source is only
+    * deterministic if each micro-batch is one single-partition file in
+    * a defined row order — a single upstream partition means each
+    * shuffle reducer pulls exactly one block and sees the file's row
+    * order, so "first encountered" is well-defined. Order-insensitive
+    * aggregates (windows, sessions, joins) leave it empty. */
+  private def appendChunk(work: java.nio.file.Path, df: DataFrame, idx: Int,
+      sortWithin: Seq[String] = Nil): Unit = {
     val tmp = work.resolve("tmp_chunk")
-    df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+    val one = df.coalesce(1)
+    val ordered =
+      if (sortWithin.nonEmpty) one.sortWithinPartitions(sortWithin.map(col): _*)
+      else one
+    ordered.write.mode("overwrite").parquet(tmp.toString)
     val part = graft.sources.FileSinkFs.list(tmp, "part-").head
     val dest = work.resolve("chunks").resolve(f"chunk_$idx%03d.parquet")
     java.nio.file.Files.move(part, dest)
