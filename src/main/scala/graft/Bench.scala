@@ -544,7 +544,16 @@ private[graft] object BenchFormat {
     // a different argmax key (one extra vocabulary-sized unigram agg +
     // two joins per iteration) — the physical workload is the timed
     // sibling's (filtered timing in PLANS.md)
-    "wordpiece_merges")
+    "wordpiece_merges",
+    // r13: dedup_edit_distance2 is the timed dedup_edit_distance's
+    // exact physical plan (kernel explode → variant equi-join →
+    // dropDuplicates → levenshtein verify → neighbor profile) at
+    // radius 2 — the delta is neighborhood size (C(n,2) deletion
+    // variants per string), data volume through an identical shape.
+    // Registered EXCLUDED from day one: the unfunded 78th entry is
+    // exactly what shed the r12 canary fields (filtered timing in
+    // PLANS.md)
+    "dedup_edit_distance2")
 
   /** The timed query set for a registry — shared with BenchFormatSpec so
     * the spec pins the REAL registry's line fit: a new query that would

@@ -109,8 +109,56 @@ object NormalizeKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** The ≤k-codepoint-deletion neighborhood (FastSS / symmetric-delete
+    * generalized to edit distance k): every DISTINCT string reachable by
+    * deleting at most k codepoints — the original first, then depth 1
+    * in position order, then depth 2, ... (BFS over unique strings, so
+    * the order is deterministic and the nondeterminism audit stays
+    * clean). Distinctness matters at k ≥ 2: deleting positions (i, j)
+    * and (j, i) reach the same string and repeated codepoints alias, so
+    * emitting duplicates would multiply the downstream equi-join's
+    * fan-out per bucket for no recall.
+    *
+    * Completeness (ed(a,b) ≤ k ⇒ a and b share a variant): fix an
+    * optimal edit script between a and b; deleting from a the ≤k
+    * positions the script substitutes-at-or-deletes and from b the ≤k
+    * positions it substitutes-at-or-inserts leaves both at the script's
+    * common subsequence — a member of both neighborhoods. So the
+    * variant equi-join is a complete candidate generator for any k,
+    * with the exact `levenshtein` verify restoring precision. */
+  def deletionVariantsUpTo(s: UTF8String, k: Int): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val seen = new java.util.LinkedHashSet[String]()
+    seen.add(str)
+    var frontier: List[String] = str :: Nil
+    var depth = 0
+    while (depth < k && frontier.nonEmpty) {
+      val next = List.newBuilder[String]
+      frontier.foreach { t =>
+        var idx = 0
+        while (idx < t.length) {
+          val after = t.offsetByCodePoints(idx, 1)
+          val v = t.substring(0, idx) + t.substring(after)
+          if (seen.add(v)) next += v
+          idx = after
+        }
+      }
+      frontier = next.result()
+      depth += 1
+    }
+    val out = new Array[Any](seen.size)
+    val it = seen.iterator()
+    var i = 0
+    while (it.hasNext) { out(i) = UTF8String.fromString(it.next()); i += 1 }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def deletion_variants(a: Column): Column =
     GraftColumnBridge.column(DeletionVariants(GraftColumnBridge.expression(a)))
+
+  def deletion_variants_up_to(a: Column, k: Int): Column =
+    GraftColumnBridge.column(
+      DeletionVariantsUpTo(GraftColumnBridge.expression(a), k))
 
   def join_alnum_runs(a: Column): Column =
     GraftColumnBridge.column(JoinAlnumRuns(GraftColumnBridge.expression(a)))
@@ -175,6 +223,27 @@ case class CountNonAlnumSpace(child: Expression) extends UnaryExpression {
   * "customer#..."-style common prefixes do not collapse into one hot
   * bucket the way a prefix segment does). Codepoint-aware: deleting
   * half a surrogate pair would manufacture invalid strings. */
+/** The parameterized sibling of [[DeletionVariants]]: the DISTINCT
+  * ≤k-deletion neighborhood (see
+  * [[NormalizeKernels.deletionVariantsUpTo]] for the completeness
+  * argument). `k` is a plan-time constant carried on the expression —
+  * at k = 1 the output is exactly `array_distinct(deletion_variants(s))`
+  * (pinned generatively in PropertiesSpec). */
+@ExpressionDescription(
+  usage = "deletion_variants_up_to(string, k) - distinct variants with <= k codepoint deletions")
+case class DeletionVariantsUpTo(child: Expression, k: Int) extends UnaryExpression {
+  require(k >= 0, s"deletion depth k must be >= 0, got $k")
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    NormalizeKernels.deletionVariantsUpTo(a.asInstanceOf[UTF8String], k)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NormalizeKernels.deletionVariantsUpTo($x, $k);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 @ExpressionDescription(
   usage = "deletion_variants(string) - the string + each 1-codepoint-deletion")
 case class DeletionVariants(child: Expression) extends UnaryExpression {

@@ -195,10 +195,23 @@ object Dedup {
     * Candidate cost: Σ |variant bucket|² — buckets only grow where true
     * near-dup clusters exist, which is the output itself. k generalizes
     * via C(n,k)-deletion neighborhoods; registered at k = 1. */
-  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame = {
+  def dedupEditDistance(spark: SparkSession, dir: String): DataFrame =
+    editDistanceProfile(spark, dir, k = 1)
+
+  /** The k = 2 leg: same variant equi-join plan with the C(n, 2)
+    * neighborhood — the radius entity resolution actually operates at
+    * (one typo plus one transposition-ish slip survives). Same
+    * brute-force oracle discipline as k = 1: the all-pairs DuckDB
+    * oracle proves the 2-deletion blocking COMPLETE on the corpus, not
+    * just plausible. */
+  def dedupEditDistance2(spark: SparkSession, dir: String): DataFrame =
+    editDistanceProfile(spark, dir, k = 2)
+
+  private def editDistanceProfile(spark: SparkSession, dir: String,
+      k: Int): DataFrame = {
     val names = Tables.customer(spark, dir)
       .select(col("c_custkey").as("id"), lower(col("c_name")).as("s"))
-    val pairs = editDistancePairs(names)
+    val pairs = editDistancePairs(names, k)
     pairs.select(col("id_a").as("cust_id"), col("id_b").as("neighbor"))
       .unionByName(pairs.select(col("id_b").as("cust_id"), col("id_a").as("neighbor")))
       .groupBy("cust_id")
@@ -210,14 +223,22 @@ object Dedup {
     * DedupSpec can drive completeness on adversarial geometries (every
     * edit kind at every position, multibyte codepoints) next to a brute
     * reference. */
-  private[graft] def editDistancePairs(names: DataFrame): DataFrame = {
+  /** ed ≤ k candidate pairs via the ≤k-deletion neighborhood equi-join
+    * (complete for any k — NormalizeKernels.deletionVariantsUpTo carries
+    * the argument) with an exact `levenshtein` verify. Candidate cost is
+    * Σ |variant bucket|² with the neighborhood size growing as C(n, k)
+    * per string — k = 2 is where entity resolution typically operates;
+    * beyond that, verify cost dominates and a length/frequency pre-cut
+    * belongs in front. */
+  private[graft] def editDistancePairs(names: DataFrame, k: Int = 1): DataFrame = {
     val variants = names.select(col("id"), col("s"),
-      explode(graft.functions.NormalizeKernels.deletion_variants(col("s"))).as("v"))
+      explode(graft.functions.NormalizeKernels
+        .deletion_variants_up_to(col("s"), k)).as("v"))
     variants.select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
       .join(variants.select(col("id").as("id_b"), col("s").as("s_b"), col("v")), "v")
       .filter(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b") // a pair can share several variants
-      .filter(levenshtein(col("s_a"), col("s_b")) <= 1)
+      .filter(levenshtein(col("s_a"), col("s_b")) <= k)
       .select("id_a", "id_b")
   }
 
@@ -1040,6 +1061,7 @@ object Dedup {
     "split_leakage_safe" -> (splitLeakageSafe _),
     "dedup_exact" -> (dedupExact _),
     "dedup_edit_distance" -> (dedupEditDistance _),
+    "dedup_edit_distance2" -> (dedupEditDistance2 _),
     "dedup_ngram_jaccard" -> (dedupNgramJaccard _),
     "dedup_jaccard_prefix" -> (dedupJaccardPrefix _),
     "dedup_containment" -> (dedupContainment _),
@@ -1304,6 +1326,18 @@ object Dedup {
          p AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b
                ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 1
                AND levenshtein(a.s, b.s) <= 1),
+         e AS (SELECT id_a AS cust_id, id_b AS neighbor FROM p
+               UNION ALL SELECT id_b, id_a FROM p)
+         SELECT cust_id, count(*) AS n_neighbors, min(neighbor) AS min_neighbor
+         FROM e GROUP BY cust_id ORDER BY cust_id""",
+    // same brute-force discipline at radius 2: all length-compatible
+    // pairs, so hash equality proves the C(n,2)-deletion blocking
+    // complete corpus-wide
+    "dedup_edit_distance2" ->
+      """WITH c AS (SELECT c_custkey AS id, lower(c_name) AS s FROM customer),
+         p AS (SELECT a.id AS id_a, b.id AS id_b FROM c a JOIN c b
+               ON a.id < b.id AND abs(length(a.s) - length(b.s)) <= 2
+               AND levenshtein(a.s, b.s) <= 2),
          e AS (SELECT id_a AS cust_id, id_b AS neighbor FROM p
                UNION ALL SELECT id_b, id_a FROM p)
          SELECT cust_id, count(*) AS n_neighbors, min(neighbor) AS min_neighbor

@@ -396,4 +396,83 @@ class DedupSpec extends GraftSpec {
       s"missed=${(expect -- got).toSeq.sorted} extra=${(got -- expect).toSeq.sorted}")
     assert(expect.nonEmpty, "vacuous fixture — no qualifying pair")
   }
+
+  // codepoint-based DP, mirroring Spark/DuckDB levenshtein (shared by
+  // the k=1 fixture test above and the k=2 / generative tests below)
+  private def levRef(a: String, b: String): Int = {
+    val x = a.codePoints.toArray; val y = b.codePoints.toArray
+    val d = Array.tabulate(x.length + 1, y.length + 1)((i, j) =>
+      if (i == 0) j else if (j == 0) i else 0)
+    for (i <- 1 to x.length; j <- 1 to y.length)
+      d(i)(j) = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1),
+        d(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+    d(x.length)(y.length)
+  }
+
+  test("2-deletion blocking is complete: ed<=2 pairs equal brute force " +
+       "on adversarial geometries") {
+    // the k=2 geometries k=1 never exercises: double substitutions
+    // spread head/tail, adjacent TRANSPOSITION (ed=2 under plain
+    // levenshtein — no Damerau shortcut), substitution+insertion mixes,
+    // double insert/delete, a shared-prefix family where prefix
+    // blocking collapses into one bucket, and decoys at exactly ed=3
+    // that an over-eager candidate join would admit
+    val strings = Seq(
+      "abcdef",                       // base
+      "xbcdyf", "xycdef", "abxdyf",   // double substitutions
+      "bacdef", "abcdfe",             // adjacent transpositions (ed 2)
+      "zabcdxf", "abcdefgh",          // insert+substitute, double insert
+      "cdef", "abef",                 // double deletions (ends, middle)
+      "abcdef",                       // exact duplicate
+      "a", "", "ab",                  // short chain (ed<=2 links)
+      "café", "cafes", "coffee", // accented neighborhood + decoy
+      "😀😁ab", "ab",  // two emoji deletions
+      "customer#001", "customer#010", "customer#100",  // shared prefix
+      "xyzdef", "abczzz")             // decoys at ed=3 from base
+    val sp = spark
+    import sp.implicits._
+    val names = strings.zipWithIndex
+      .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+    val got = graft.operators.Dedup.editDistancePairs(names, k = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expect = (for {
+      i <- strings.indices; j <- strings.indices
+      if i < j && levRef(strings(i), strings(j)) <= 2
+    } yield (i.toLong, j.toLong)).toSet
+    assert(got == expect,
+      s"missed=${(expect -- got).toSeq.sorted} extra=${(got -- expect).toSeq.sorted}")
+    // the fixture must actually exercise radius 2, not collapse to 1
+    val onlyAt2 = (for {
+      i <- strings.indices; j <- strings.indices
+      if i < j && levRef(strings(i), strings(j)) == 2
+    } yield (i, j))
+    assert(onlyAt2.nonEmpty, "vacuous fixture — no pair at exactly ed=2")
+  }
+
+  test("blocked ed<=k pairs equal brute force on random low-alphabet corpora " +
+       "(generative, k=1 and k=2)") {
+    // small alphabet + short strings force dense variant collisions —
+    // the regime where an incomplete or over-admitting candidate join
+    // actually diverges from brute force
+    val sp = spark
+    import sp.implicits._
+    val rng = new scala.util.Random(1013)
+    for (k <- Seq(1, 2); trial <- 0 until 3) {
+      val strings = Vector.fill(40)(
+        (0 until (1 + rng.nextInt(6))).map(_ => ('a' + rng.nextInt(3)).toChar)
+          .mkString)
+      val names = strings.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("id", "s")
+      val got = graft.operators.Dedup.editDistancePairs(names, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val expect = (for {
+        i <- strings.indices; j <- strings.indices
+        if i < j && levRef(strings(i), strings(j)) <= k
+      } yield (i.toLong, j.toLong)).toSet
+      assert(got == expect,
+        s"k=$k trial=$trial: missed=${(expect -- got).size} " +
+          s"extra=${(got -- expect).size} over ${strings.distinct.size} strings")
+      assert(expect.nonEmpty, s"k=$k trial=$trial: vacuous corpus")
+    }
+  }
 }

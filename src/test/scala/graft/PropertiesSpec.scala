@@ -626,6 +626,36 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("deletion_variants_up_to: k=1 equals the r12 kernel's distinct set " +
+       "in order; reference brute neighborhoods at k=2, generatively") {
+    import org.apache.spark.unsafe.types.UTF8String
+    def arr(g: org.apache.spark.sql.catalyst.util.GenericArrayData): Seq[String] =
+      (0 until g.numElements()).map(g.getUTF8String(_).toString)
+    // driver-side reference: distinct ≤k-deletion strings, BFS order
+    def ref(s: String, k: Int): Seq[String] = {
+      val seen = scala.collection.mutable.LinkedHashSet(s)
+      var frontier = Seq(s)
+      for (_ <- 0 until k) {
+        frontier = frontier.flatMap { t =>
+          val cps = t.codePoints.toArray
+          cps.indices.map(i =>
+            new String((cps.take(i) ++ cps.drop(i + 1)).flatMap(Character.toChars)))
+        }.filter(seen.add)
+      }
+      seen.toSeq
+    }
+    check(forAll(textGen, Gen.choose(0, 3)) { (raw, k) =>
+      val u = UTF8String.fromString(raw)
+      val got = arr(graft.functions.NormalizeKernels.deletionVariantsUpTo(u, k))
+      val expect = ref(raw, k)
+      // and at k=1: exactly the proven r12 kernel, first-occurrence order
+      val old = arr(graft.functions.NormalizeKernels.deletionVariants(u)).distinct
+      val oldProp = Prop(
+        arr(graft.functions.NormalizeKernels.deletionVariantsUpTo(u, 1)) == old)
+      (Prop(got == expect) :| s"raw=${raw.take(30)} k=$k") && oldProp
+    })
+  }
+
   test("pair_strings == the ordered-pair double loop, generatively") {
     import org.apache.spark.unsafe.types.UTF8String
     val tokGen = Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
