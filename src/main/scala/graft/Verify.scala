@@ -4,6 +4,15 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+  /** The gate runs under the SERVICE posture (FAIR pools, r13 — r12
+    * verdict item 7): sequential gate queries are scheduling-neutral, so
+    * the oracle compare is unaffected, but the deployment-shaped session
+    * plus the interactive-pool tagging below exercises the mixed-workload
+    * rule on every Verify run instead of only in ConcurrencyProf.
+    * Exposed for GraftSessionSpec's pin. */
+  private[graft] def builder(cpus: String): SparkSession.Builder =
+    GraftSession.serviceBuilder(cpus)
+
   def main(args: Array[String]): Unit = {
     // optional 3rd arg: regex filter over query names, for fast local
     // iteration on a single family (the driver always runs unfiltered)
@@ -14,7 +23,7 @@ object Verify {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     // deployment confs (bypass-merge pin, UTC, partitions) come from the
     // ONE shared builder — see GraftSession's scaladoc
-    val spark = GraftSession.baseBuilder(cpus).getOrCreate()
+    val spark = builder(cpus).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // surface every df.observe metric (e.g. Dedup's stop_shingle_guard
     // drop counts) in the verify log: if a capped plan ever diverges from
@@ -31,11 +40,21 @@ object Verify {
     })
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(_._1.matches(nameFilter)).foreach { case (name, fn) =>
+      // the latency-sensitive probe family runs in its declared FAIR
+      // pool — the tag a serving layer sets on its probe threads; the
+      // thread-local is cleared after so batch queries stay in the
+      // default pool
+      val interactive =
+        graft.operators.InvertedIndex.interactiveProbeNames(name)
+      if (interactive)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          GraftSession.interactivePool)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
+      } finally if (interactive)
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -152,6 +152,18 @@ object InvertedIndex {
     "retrieval_hybrid_rrf", "tfidf_top_terms") ++
     retrievalQueries.keySet
 
+  /** The LATENCY-SENSITIVE subset: the point/term probes a serving layer
+    * would answer while batch jobs run. Verify submits these under
+    * [[graft.GraftSession.interactivePool]] (FAIR service session since
+    * r13), so the mixed-workload posture — probe pool isolated from wide
+    * batch stages (ConcurrencyProf: p95 82 ms vs 8.3 s FIFO) — is
+    * exercised on every gate run, not just in the profiler. Index BUILDS
+    * (inverted_index_*, index_incremental) stay batch: they are the wide
+    * stages the pool isolates probes FROM. */
+  val interactiveProbeNames: Set[String] = Set(
+    "index_term_lookup", "bm25_retrieval", "phrase_retrieval",
+    "retrieval_hybrid_rrf", "tfidf_top_terms") ++ retrievalQueries.keySet
+
   /** Force-materialize the index artifacts — Bench's `index_build`
     * metric. */
   def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {

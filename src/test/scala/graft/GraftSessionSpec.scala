@@ -54,4 +54,33 @@ class GraftSessionSpec extends GraftSpec {
       opts.get("spark.sql.extensions").exists(_.contains("GraftExtensions")),
       "serviceBuilder no longer starts from baseBuilder")
   }
+
+  test("Verify runs the service posture and the probe family is registered " +
+       "(r12 verdict item 7)") {
+    // the gate's builder IS serviceBuilder: same reflection probe as
+    // above, on the builder Verify.main actually constructs
+    val maps = {
+      def fields(c: Class[_]): Seq[java.lang.reflect.Field] =
+        if (c == null) Nil else c.getDeclaredFields.toSeq ++ fields(c.getSuperclass)
+      val b = Verify.builder("4")
+      fields(b.getClass).flatMap { f =>
+        f.setAccessible(true)
+        f.get(b) match {
+          case m: scala.collection.Map[_, _] =>
+            Some(m.asInstanceOf[scala.collection.Map[String, String]])
+          case _ => None
+        }
+      }
+    }
+    assert(maps.exists(_.get("spark.scheduler.mode").contains("FAIR")),
+      "Verify dropped the FAIR service session — the interactive pool " +
+        "is no longer exercised on gate runs")
+    // every declared interactive probe must be a REGISTERED query, or
+    // the pool tagging silently covers nothing (the stale-exclusion
+    // lesson from BenchFormatSpec)
+    val missing = graft.operators.InvertedIndex.interactiveProbeNames
+      .filterNot(SparkEntry.queries.contains)
+    assert(missing.isEmpty, s"interactive probe names not in the registry: $missing")
+    assert(graft.operators.InvertedIndex.interactiveProbeNames.nonEmpty)
+  }
 }

@@ -18,8 +18,13 @@ import org.apache.spark.sql.functions._
 object LookupProf extends App {
   val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
   val reps = if (args.length > 1) args(1).toInt else 20
-  val spark = GraftSession.baseBuilder("32").getOrCreate()
+  // r13 (r12 verdict item 7): the profiler runs the DEPLOYMENT posture —
+  // the FAIR service session with the probe thread in the interactive
+  // pool, exactly how Verify now submits the registered probe family
+  val spark = GraftSession.serviceBuilder("32").getOrCreate()
   spark.sparkContext.setLogLevel("WARN")
+  spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+    GraftSession.interactivePool)
 
   // the graded vocabulary: every term the reference-analog postfix
   // queries evaluate, plus the bm25 terms (the full interactive surface)
@@ -56,7 +61,26 @@ object LookupProf extends App {
   }
   val all = lat.map(_._2)
   println(f"ALL      p50=${pct(all, 0.5)}%6.1fms p95=${pct(all, 0.95)}%6.1fms " +
-    f"probes=${all.length} canary_start=$c0%.2fs canary_end=$c1%.2fs")
+    f"probes=${all.length} canary_start=$c0%.2fs canary_end=$c1%.2fs " +
+    f"pool=${GraftSession.interactivePool}")
+
+  // parity across pools: the interactive-pool probes must fetch exactly
+  // what a default-pool batch recount of the same artifact says — the
+  // scheduler pool is an isolation knob, never a semantics knob
+  locally {
+    val pooled = lat.groupBy(_._1).map { case (t, xs) => t -> xs.head._3 }
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
+    val batch = idx.filter(col("term").isin(terms: _*))
+      .groupBy("term").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1).toInt).toMap
+    spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+      GraftSession.interactivePool)
+    val diverged = terms.filter(t => pooled.getOrElse(t, 0) != batch.getOrElse(t, 0))
+    require(diverged.isEmpty,
+      s"pool parity broke for terms $diverged: pooled=${diverged.map(pooled.get)} " +
+        s"batch=${diverged.map(batch.get)}")
+    println(s"pool parity OK: ${terms.length} terms, interactive == default-pool recount")
+  }
 
   // ---- throughput under concurrency (r12, verdict item 4) ------------
   // The r11 record showed single-probe p50 is job-launch floor (~60 ms);
@@ -72,6 +96,12 @@ object LookupProf extends App {
     val t0 = System.nanoTime()
     val threads = (1 to n).map { tid =>
       new Thread(() => {
+        // each probe thread tags itself into the interactive pool —
+        // Spark clones the parent's local properties at thread CREATION
+        // time, so the explicit set keeps the serving contract
+        // independent of when the parent applied its own tag
+        spark.sparkContext.setLocalProperty("spark.scheduler.pool",
+          GraftSession.interactivePool)
         val rnd = new scala.util.Random(tid)
         while ((System.nanoTime() - t0) / 1e9 < durSec) {
           val t = terms(rnd.nextInt(terms.length))
