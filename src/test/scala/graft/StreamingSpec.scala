@@ -741,6 +741,133 @@ class StreamingSpec extends GraftSpec {
       "cohort sizes must sum to the distinct user count")
   }
 
+  test("mid-stream kill + RocksDB/changelog restart resumes exactly-once " +
+      "(the last stateful-matrix cell: R7 under the production provider)") {
+    // the existing R7 test restarts between COMPLETED AvailableNow runs
+    // under the default provider; the production failure is a process
+    // dying mid-stream with RocksDB + changelog checkpointing holding
+    // the state. One run: a windowed append-mode aggregate fed one chunk
+    // file per micro-batch is KILLED after >= 2 committed batches, then
+    // a new query resumes from the same checkpoint — the union of
+    // emissions must equal an uninterrupted run's, with no window
+    // emitted twice. The sink is the exactly-once recipe: foreachBatch
+    // writing batch=<id> dirs idempotently (a re-run of the in-flight
+    // batch overwrites identical content, committed batches never
+    // re-run).
+    val provKey = "spark.sql.streaming.stateStore.providerClass"
+    val clKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevProv = spark.conf.getOption(provKey)
+    val prevCl = spark.conf.getOption(clKey)
+    spark.conf.set(provKey, "org.apache.spark.sql.execution.streaming.state" +
+      ".RocksDBStateStoreProvider")
+    spark.conf.set(clKey, "true")
+    val tmp = java.nio.file.Files.createTempDirectory("graft-killrestart")
+    try {
+      // 12 time-ordered single-file chunks (ascending mtimes), one per
+      // trigger — enough batches that the kill reliably lands mid-stream
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts").cast("timestamp").as("ts"))
+      val nChunks = 12
+      val bounds = ev.select(col("ts").cast("double").as("t"))
+        .stat.approxQuantile("t",
+          (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
+      val cuts = Array(Double.NegativeInfinity) ++ bounds :+ Double.PositiveInfinity
+      val srcDir = tmp.resolve("chunks")
+      java.nio.file.Files.createDirectories(srcDir)
+      for (i <- 0 until nChunks) {
+        val stage = tmp.resolve("stage")
+        ev.filter(col("ts").cast("double") >= cuts(i) &&
+            col("ts").cast("double") < cuts(i + 1))
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = graft.sources.FileSinkFs.list(stage, "part-").head
+        val dest = srcDir.resolve(f"chunk_$i%03d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 10000L))
+      }
+      def agg = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .withWatermark("ts", "2 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("cnt"))
+      def sinkTo(out: java.nio.file.Path)(df: org.apache.spark.sql.DataFrame,
+          id: Long): Unit =
+        df.write.mode("overwrite").parquet(out.resolve(s"batch=$id").toString): Unit
+      def readOut(out: java.nio.file.Path): Set[(String, String, Long)] =
+        spark.read.option("basePath", out.toString)
+          .parquet(out.toString).select("win_start", "event_type", "cnt")
+          .collect()
+          .map(r => (r.get(0).toString, r.getString(1), r.getLong(2))).toSet
+
+      // reference: the same query, uninterrupted
+      val refOut = tmp.resolve("ref_out"); val refCk = tmp.resolve("ref_ck")
+      java.nio.file.Files.createDirectories(refOut)
+      val refQ = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", refCk.toString)
+        .foreachBatch(sinkTo(refOut) _)
+        .trigger(Trigger.AvailableNow()).start()
+      refQ.awaitTermination(180000); refQ.stop()
+      val want = readOut(refOut)
+      assert(want.nonEmpty, "reference run emitted nothing — vacuous")
+
+      // the kill run: ProcessingTime cadence, stopped after >= 2
+      // committed batches — between (or inside) micro-batches, not at a
+      // clean AvailableNow finish line
+      val out = tmp.resolve("out"); val ck = tmp.resolve("ck")
+      java.nio.file.Files.createDirectories(out)
+      val q1 = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch(sinkTo(out) _)
+        .trigger(Trigger.ProcessingTime("1 second")).start()
+      val deadline = System.nanoTime() + 120L * 1000 * 1000 * 1000
+      while (q1.recentProgress.count(_.numInputRows > 0) < 2 &&
+             System.nanoTime() < deadline) Thread.sleep(50)
+      val committedBeforeKill = q1.recentProgress.count(_.numInputRows > 0)
+      q1.stop() // the kill
+      assert(committedBeforeKill >= 2,
+        s"kill landed after only $committedBeforeKill data batches — too early to mean anything")
+      assert(committedBeforeKill < nChunks,
+        "the run drained before the kill — raise the chunk count")
+
+      // resume from the same checkpoint with a NEW query
+      val q2 = agg.writeStream.outputMode("append")
+        .option("checkpointLocation", ck.toString)
+        .foreachBatch(sinkTo(out) _)
+        .trigger(Trigger.AvailableNow()).start()
+      q2.awaitTermination(180000)
+      val resumed = q2.recentProgress.filter(_.numInputRows > 0)
+      // provider evidence: the resumed run must actually be on RocksDB
+      val rocksSeen = q2.recentProgress.flatMap(_.stateOperators.toSeq)
+        .flatMap(_.customMetrics.keySet().toArray.map(_.toString))
+        .exists(_.toLowerCase.contains("rocksdb"))
+      q2.stop()
+      assert(rocksSeen,
+        "resumed run shows no rocksdb state-store metrics — provider did not take")
+      assert(resumed.nonEmpty, "restart processed nothing — the kill test is vacuous")
+      // resume continued the batch sequence (state restored from the
+      // RocksDB checkpoint, not recomputed from batch 0)
+      assert(resumed.map(_.batchId).min >= 1,
+        s"restart began at batch ${resumed.map(_.batchId).min} — it replayed from scratch")
+
+      val got = readOut(out)
+      assert(got == want,
+        s"kill+restart diverged from the uninterrupted run: " +
+          s"missing=${(want -- got).take(5)} extra=${(got -- want).take(5)}")
+      // exactly-once: no (window, type) emitted twice across the union
+      val keys = spark.read.option("basePath", out.toString)
+        .parquet(out.toString).select("win_start", "event_type").collect()
+        .map(r => (r.get(0).toString, r.getString(1)))
+      assert(keys.length == keys.distinct.length,
+        "a window emitted twice across the kill/restart boundary")
+    } finally {
+      prevProv.fold(spark.conf.unset(provKey))(spark.conf.set(provKey, _))
+      prevCl.fold(spark.conf.unset(clKey))(spark.conf.set(clKey, _))
+      graft.sources.FileSinkFs.deleteRecursively(tmp)
+    }
+  }
+
   test("stateful matrix under the RocksDB state store: exact parity with " +
       "the default provider across all five stateful shapes") {
     // at 100 TB of keys the in-memory HDFS-backed store is the streaming
