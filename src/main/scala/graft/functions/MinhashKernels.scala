@@ -30,7 +30,21 @@ import org.apache.spark.unsafe.types.UTF8String
   * shift — but every LSH consumer verifies candidates with exact
   * Jaccard before emitting, so the registered outputs are unchanged
   * (oracle-gated) as long as banding recall holds, which DedupSpec
-  * gates structurally and the oracle re-run confirms corpus-wide. */
+  * gates structurally and the oracle re-run confirms corpus-wide.
+  *
+  * CORRELATED-COLLISION caveat (r12 advice): deriving all K lanes from
+  * ONE 64-bit base changes the failure structure, not just the seeds.
+  * With K independent string hashes, two distinct shingles collide on
+  * lane i independently (~2^-64 per lane); here, a collision on the
+  * BASE value collides on EVERY lane and EVERY band simultaneously
+  * (~2^-64 per shingle pair, total — astronomically rare, but
+  * all-or-nothing when it happens). Downstream exact-Jaccard
+  * verification bounds the damage to RECALL (a spurious shared minimum
+  * can only add candidates, which verify away; it can remove a true
+  * candidate only via the same 2^-64 event). A future consumer WITHOUT
+  * an exact-verify stage — e.g. trusting band buckets as final — must
+  * not inherit this kernel unknowingly: use independent seeded hashes
+  * there, or accept the correlated failure mode explicitly. */
 @ExpressionDescription(
   usage = "seeded_hashes(string) - K splitmix64-derived hash lanes of xxhash64(string)")
 case class SeededHashes(child: Expression, k: Int) extends UnaryExpression {

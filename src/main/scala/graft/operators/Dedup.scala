@@ -460,7 +460,17 @@ object Dedup {
   }
 
   /** MinHash signatures: for each of K hash lanes, the minimum over the
-    * doc's shingles of lane i of `seeded_hashes(shingle)`. */
+    * doc's shingles of lane i of `seeded_hashes(shingle)`.
+    *
+    * PRECONDITION (r12 advice): shingles must be non-null. The shingle
+    * builders only emit non-null n-grams, but the null SEMANTICS here
+    * differ from the pre-r12 form: `xxhash64(lit(i), sh)` hashed a null
+    * shingle to a constant per-lane value (nulls PARTICIPATE in the
+    * hash), while `element_at(seeded_hashes(sh), i+1)` is null for a
+    * null shingle and `min` SKIPS nulls — a null row would silently
+    * drop out of the signature instead of contributing a constant. If
+    * the shingle source ever changes, filter or assert non-null at the
+    * source rather than relying on this aggregate's skip. */
   private def minhashSignature(sh: DataFrame): DataFrame = {
     // one string hash + 64 integer mixes per occurrence (SeededHashes
     // kernel) instead of 64 independent seeded xxhash64 string hashes —

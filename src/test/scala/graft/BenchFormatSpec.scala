@@ -35,10 +35,16 @@ class BenchFormatSpec extends AnyFunSuite {
     // quiet-at-start only (r10 verdict item 1); a registry that only
     // fits by shedding an end canary has outgrown the budget exactly
     // like one that loses the 2dp floor.
+    // r13: the official line also carries the sf1 digest (sf1_sec/sf1_n,
+    // r12 verdict item 5) — the fit must hold with BOTH end canaries AND
+    // the digest aboard on the real registry
     val line = BenchFormat.fitLine(results, spread, 0.41, 0.52, Some("final"),
-      "sf0.1", 0.23, 0.31)
+      "sf0.1", 0.23, 0.31, 123.45, 12)
     assert(parse(line).get("canary_io_sec") != null,
       "fitting shed canary_io_sec — the I/O-degradation marker (r9)")
+    assert(parse(line).get("sf1_sec") != null && parse(line).get("sf1_n") != null,
+      "fitting shed the sf1 digest — the scale point the official " +
+        "artifact carries since r13 (r12 verdict item 5)")
     assert(line.length <= BenchFormat.maxLineChars, s"line is ${line.length} chars")
     val node = parse(line)
     assert(node.get("metric").asText() == "total")
