@@ -208,38 +208,104 @@ object Dedup {
     editDistanceProfile(spark, dir, k = 2)
 
   private def editDistanceProfile(spark: SparkSession, dir: String,
-      k: Int): DataFrame = {
-    val names = Tables.customer(spark, dir)
-      .select(col("c_custkey").as("id"), lower(col("c_name")).as("s"))
-    val pairs = editDistancePairs(names, k)
-    pairs.select(col("id_a").as("cust_id"), col("id_b").as("neighbor"))
-      .unionByName(pairs.select(col("id_b").as("cust_id"), col("id_a").as("neighbor")))
+      k: Int): DataFrame =
+    editDistancePairsDirected(
+      Tables.customer(spark, dir)
+        .select(col("c_custkey").as("id"), lower(col("c_name")).as("s")), k)
+      .select(col("id_a").as("cust_id"), col("id_b").as("neighbor"))
       .groupBy("cust_id")
       .agg(count(lit(1)).as("n_neighbors"), min("neighbor").as("min_neighbor"))
       .orderBy("cust_id")
-  }
 
   /** The ed ≤ 1 pair kernel over any (id, s) frame — factored out so
     * DedupSpec can drive completeness on adversarial geometries (every
     * edit kind at every position, multibyte codepoints) next to a brute
     * reference. */
-  /** ed ≤ k candidate pairs via the ≤k-deletion neighborhood equi-join
-    * (complete for any k — NormalizeKernels.deletionVariantsUpTo carries
-    * the argument) with an exact `levenshtein` verify. Candidate cost is
-    * Σ |variant bucket|² with the neighborhood size growing as C(n, k)
-    * per string — k = 2 is where entity resolution typically operates;
-    * beyond that, verify cost dominates and a length/frequency pre-cut
-    * belongs in front. */
-  private[graft] def editDistancePairs(names: DataFrame, k: Int = 1): DataFrame = {
-    val variants = names.select(col("id"), col("s"),
-      explode(graft.functions.NormalizeKernels
-        .deletion_variants_up_to(col("s"), k)).as("v"))
-    variants.select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
-      .join(variants.select(col("id").as("id_b"), col("s").as("s_b"), col("v")), "v")
-      .filter(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b") // a pair can share several variants
+  /** ed ≤ k candidate pairs via symmetric-delete blocking with an exact
+    * `levenshtein` verify.
+    *
+    * k = 1 uses the POSITIONAL join (FastSS's refinement, carried by the
+    * `DeletionVariantsPos` kernel): a radius-1 pair always either shares
+    * a variant from the SAME deletion position (equality, substitution)
+    * or has the longer's deletion equal to the shorter ITSELF (indel) —
+    * so candidates come from (a) an equi-join on (variant, position) and
+    * (b) deletions joined against originals, both bucket-bounded by the
+    * per-position alphabet rather than the corpus density. The
+    * position-blind join's Σ|bucket|² is superlinear on dense key
+    * spaces — measured r13 on TPC-H's consecutive zero-padded customer
+    * names: 2.45 s at sf0.1 → 207 s at sf1 (84× at 10× data); the
+    * positional split restores ~linear scaling. Completeness stays
+    * gated three ways: the brute all-pairs DuckDB oracle corpus-wide,
+    * DedupSpec's adversarial geometries, and the generative random-
+    * corpus brute-vs-blocked law.
+    *
+    * k ≥ 2 keeps the position-blind ≤k-deletion neighborhood join
+    * (`deletionVariantsUpTo` carries the completeness argument) — the
+    * same-position-set trick is NOT generally complete past radius 1
+    * (same-length ed-2 pairs can mix an insert and a delete whose
+    * positions shift), so the safe plan pays Σ|bucket|²; its cost
+    * tracks true-pair density (measured in PLANS.md). */
+  private[graft] def editDistancePairs(names: DataFrame, k: Int = 1): DataFrame =
+    editDistancePairsDirected(names, k).filter(col("id_a") < col("id_b"))
+
+  /** Both orientations of every verified pair — the form the neighbor
+    * profile consumes directly (computing the directed set ONCE instead
+    * of unioning two copies of the undirected pipeline halves the
+    * candidate work; the pre-r13b plan visibly duplicated the whole
+    * subtree). The candidate self-joins yield both orientations for
+    * free. Join strategy is pinned by hints: Catalyst's size estimate
+    * does not model the ~(len+1)× Generate fan-out, so it elected to
+    * BROADCAST the exploded variant frame (2.85M rows at sf1 — a
+    * build-side scale-killer); the variant-variant join is forced to
+    * sort-merge and only the bounded `names` table broadcasts. */
+  private[graft] def editDistancePairsDirected(names: DataFrame, k: Int): DataFrame = {
+    val candidates =
+      if (k == 1) {
+        val vp = names.select(col("id"), col("s"),
+          explode(graft.functions.NormalizeKernels
+            .deletion_variants_pos(col("s"))).as("vp"))
+          .select(col("id"), col("s"), col("vp.v").as("v"), col("vp.pos").as("pos"))
+        val a = vp.select(col("id").as("id_a"), col("s").as("s_a"),
+          col("v"), col("pos"))
+        val b = vp.select(col("id").as("id_b"), col("s").as("s_b"),
+          col("v"), col("pos"))
+        // (a) same-position variants: equality (-1,-1 and every (i,i))
+        // and substitutions (delete the substituted position from both)
+        val samePos = a.join(b.hint("merge"), Seq("v", "pos"))
+        // (b) a deletion of one side equals the OTHER side's original —
+        // the insertion/deletion case; one join covers both orientations
+        // because deletions of every string meet every original
+        val dels = vp.filter(col("pos") >= 0)
+          .select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
+        val origs = names
+          .select(col("id").as("id_b"), col("s").as("s_b"), col("s").as("v"))
+        val indel = dels.join(broadcast(origs), "v")
+        // (b) is one-directional per row (deleter → original); add the
+        // reverse orientation by swapping ROLES of the bounded output,
+        // not by re-running the join
+        samePos.select("id_a", "id_b", "s_a", "s_b")
+          .unionByName(indel.select("id_a", "id_b", "s_a", "s_b"))
+          .unionByName(indel.select(col("id_b").as("id_a"),
+            col("id_a").as("id_b"), col("s_b").as("s_a"), col("s_a").as("s_b")))
+      } else {
+        val variants = names.select(col("id"), col("s"),
+          explode(graft.functions.NormalizeKernels
+            .deletion_variants_up_to(col("s"), k)).as("v"))
+        variants.select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
+          .join(variants.select(col("id").as("id_b"), col("s").as("s_b"),
+            col("v")).hint("merge"), "v")
+      }
+    candidates
+      .filter(col("id_a") =!= col("id_b"))
+      // verify BEFORE the dedup: the exact levenshtein is a cheap
+      // codegen'd map-side filter, so running it per candidate
+      // OCCURRENCE (a pair can share several variants) shrinks the
+      // dedup exchange to true pairs AND leaves the distinct on two
+      // bare longs — a codegen'd HashAggregate instead of the
+      // SortAggregate that first(string) payloads force
       .filter(levenshtein(col("s_a"), col("s_b")) <= k)
       .select("id_a", "id_b")
+      .dropDuplicates("id_a", "id_b")
   }
 
   /** Exact dedup: group by the md5 of whitespace-normalized lowercase

@@ -656,6 +656,28 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("deletion_variants_pos: values equal the r12 kernel's order and " +
+       "positions index the deleted codepoint, generatively") {
+    import org.apache.spark.unsafe.types.UTF8String
+    check(forAll(textGen) { raw =>
+      val u = UTF8String.fromString(raw)
+      val got = graft.functions.NormalizeKernels.deletionVariantsPos(u)
+      val vals = (0 until got.numElements()).map { i =>
+        val r = got.getStruct(i, 2)
+        (r.getUTF8String(0).toString, r.getInt(1))
+      }
+      val old = graft.functions.NormalizeKernels.deletionVariants(u)
+      val oldVals = (0 until old.numElements()).map(old.getUTF8String(_).toString)
+      val cps = raw.codePoints.toArray
+      val posOk = vals.head._2 == -1 && vals.tail.zipWithIndex.forall {
+        case ((v, p), i) =>
+          p == i && v == new String(
+            (cps.take(i) ++ cps.drop(i + 1)).flatMap(Character.toChars))
+      }
+      Prop(vals.map(_._1) == oldVals && posOk) :| s"raw=${raw.take(30)}"
+    })
+  }
+
   test("pair_strings == the ordered-pair double loop, generatively") {
     import org.apache.spark.unsafe.types.UTF8String
     val tokGen = Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
