@@ -546,13 +546,13 @@ private[graft] object BenchFormat {
     // sibling's (filtered timing in PLANS.md)
     "wordpiece_merges",
     // r13: dedup_edit_distance2 is the timed dedup_edit_distance's
-    // exact physical plan (kernel explode → variant equi-join →
-    // dropDuplicates → levenshtein verify → neighbor profile) at
+    // physical shape (collapse-exact-first → kernel explode → variant
+    // equi-join → levenshtein verify → distinct → profile expansion) at
     // radius 2 — the delta is neighborhood size (C(n,2) deletion
-    // variants per string), data volume through an identical shape.
+    // variants per distinct value), data volume through the same shape.
     // Registered EXCLUDED from day one: the unfunded 78th entry is
-    // exactly what shed the r12 canary fields (filtered timing in
-    // PLANS.md)
+    // exactly what shed the r12 canary fields (filtered timings in
+    // PLANS.md: sf0.1 12.98 / sf1 15.80 / sf3 21.50 s)
     "dedup_edit_distance2",
     // r13: ppr_topk_log composes two TIMED physical shapes — the
     // one-exchange-per-iteration PPR loop ppr_topk runs verbatim (same

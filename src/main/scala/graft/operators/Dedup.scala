@@ -209,13 +209,60 @@ object Dedup {
 
   private def editDistanceProfile(spark: SparkSession, dir: String,
       k: Int): DataFrame =
-    editDistancePairsDirected(
+    neighborProfile(
       Tables.customer(spark, dir)
         .select(col("c_custkey").as("id"), lower(col("c_name")).as("s")), k)
-      .select(col("id_a").as("cust_id"), col("id_b").as("neighbor"))
-      .groupBy("cust_id")
-      .agg(count(lit(1)).as("n_neighbors"), min("neighbor").as("min_neighbor"))
+
+  /** The registered profile, restructured around COLLAPSE-EXACT-FIRST —
+    * the production shape for entity resolution on corpora with repeated
+    * entity strings. Row-level pair enumeration is quadratic in the copy
+    * count per value (the r13 fixture replicates a 15k-name space 10×/30×
+    * at sf1/sf3: ~54M/~380M directed true pairs — the row-level pipeline
+    * was output-BOUND, i.e. optimal per pair, but the pair multiset
+    * itself is the scale problem). This form never materializes it:
+    *
+    *  1. collapse rows to DISTINCT values with (copies, min id, second
+    *     min id) — one grouped aggregate;
+    *  2. run the fuzzy variant join on distinct values only (15k rows
+    *     regardless of sf here);
+    *  3. per value, aggregate neighbor-VALUE stats (Σ copies, min id);
+    *  4. expand back to rows with one value-keyed equi-join and derive
+    *     each row's profile arithmetically: same-value neighbors are
+    *     the other copies (count c−1; min id is min1, or min2 for the
+    *     row that IS min1), cross-value neighbors come from step 3.
+    *
+    * Exactness is unchanged (the brute all-pairs oracle still gates the
+    * registered queries) and DedupSpec pins the collapse arithmetic on
+    * adversarial duplicate-heavy fixtures the sf0.01 oracle corpus
+    * (all-distinct names) cannot reach. */
+  private[graft] def neighborProfile(rows: DataFrame, k: Int): DataFrame = {
+    // (value, copies, min1, min2): min2 = smallest id among the value's
+    // OTHER copies, needed only for the row that holds min1; two grouped
+    // aggregates keep it bounded (no collect_list of an unbounded clique)
+    val stats1 = rows.groupBy("s")
+      .agg(count(lit(1)).as("c"), min("id").as("min1"))
+    val stats = rows.join(stats1, "s")
+      .groupBy("s", "c", "min1")
+      .agg(min(when(col("id") =!= col("min1"), col("id"))).as("min2"))
+    // fuzzy neighbors among DISTINCT values (value id = its min1)
+    val valPairs = editDistancePairsDirected(
+      stats.select(col("min1").as("id"), col("s")), k)
+    val nbr = valPairs
+      .join(stats.select(col("min1").as("id_b"), col("c").as("c_b")), "id_b")
+      .groupBy(col("id_a").as("min1"))
+      .agg(sum("c_b").as("nbr_copies"), min("id_b").as("nbr_min"))
+    rows.join(stats, "s")
+      .join(nbr, Seq("min1"), "left_outer")
+      .select(col("id").as("cust_id"),
+        (col("c") - 1 + coalesce(col("nbr_copies"), lit(0L))).as("n_neighbors"),
+        // least() skips nulls: the same-value leg is min1 (or min2 when
+        // this row IS min1 — possibly null for a lone copy), the
+        // cross-value leg is nbr_min (null when no fuzzy neighbor)
+        least(when(col("id") === col("min1"), col("min2")).otherwise(col("min1")),
+          col("nbr_min")).as("min_neighbor"))
+      .filter(col("n_neighbors") >= 1)
       .orderBy("cust_id")
+  }
 
   /** The ed ≤ 1 pair kernel over any (id, s) frame — factored out so
     * DedupSpec can drive completeness on adversarial geometries (every

@@ -449,6 +449,44 @@ class DedupSpec extends GraftSpec {
     assert(onlyAt2.nonEmpty, "vacuous fixture — no pair at exactly ed=2")
   }
 
+  test("collapse-exact-first neighbor profile equals the brute row-level " +
+       "profile on duplicate-heavy corpora (the branch the all-distinct " +
+       "oracle fixture cannot reach)") {
+    // geometries: cliques of exact copies (sizes 1/2/5), fuzzy links
+    // between cliques, the min1-row-needs-min2 case, a lone value with
+    // no neighbors at all (must be absent from the profile), and ids
+    // assigned so min ids do NOT follow value order
+    val rows = Seq(
+      (10L, "alpha"), (3L, "alpha"), (7L, "alpha"), (20L, "alpha"), (15L, "alpha"),
+      (2L, "alphb"), (11L, "alphb"),          // ed 1 from alpha
+      (30L, "alphax"),                        // ed 1 from alpha (insert)
+      (5L, "zzzzz"),                          // lone, no neighbors
+      (8L, "beta"), (9L, "beta"),             // clique with no fuzzy nbrs...
+      (12L, "betax"))                         // ...except this (ed 1 from beta)
+    val sp = spark
+    import sp.implicits._
+    def lev(a: String, b: String): Int = levRef(a, b)
+    for (k <- Seq(1, 2)) {
+      val got = graft.operators.Dedup.neighborProfile(rows.toDF("id", "s"), k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      val brute = rows.flatMap { case (id, s) =>
+        val nbrs = rows.filter { case (id2, s2) => id2 != id && lev(s, s2) <= k }
+        if (nbrs.isEmpty) Nil
+        else List((id, nbrs.size.toLong, nbrs.map(_._1).min))
+      }.sortBy(_._1)
+      assert(got == brute, s"k=$k: got=$got want=$brute")
+      // the fixture must exercise what it claims: a min1 row whose
+      // min_neighbor is its value's min2, and an excluded lone value
+      assert(!got.exists(_._1 == 5L), "lone value leaked into the profile")
+      assert(brute.exists { case (id, _, mn) =>
+        rows.find(_._1 == id).exists { case (_, s) =>
+          id == rows.filter(_._2 == s).map(_._1).min &&
+            rows.filter(_._2 == s).size > 1 && mn > id
+        }
+      }, "no min1-row-uses-min2 case in the fixture — vacuous")
+    }
+  }
+
   test("blocked ed<=k pairs equal brute force on random low-alphabet corpora " +
        "(generative, k=1 and k=2)") {
     // small alphabet + short strings force dense variant collisions —
@@ -473,6 +511,18 @@ class DedupSpec extends GraftSpec {
         s"k=$k trial=$trial: missed=${(expect -- got).size} " +
           s"extra=${(got -- expect).size} over ${strings.distinct.size} strings")
       assert(expect.nonEmpty, s"k=$k trial=$trial: vacuous corpus")
+      // the registered profile's collapse-exact-first arithmetic, on the
+      // same corpus — random low-alphabet strings duplicate heavily, so
+      // this also generatively exercises the copy-clique branches
+      val gotProf = graft.operators.Dedup.neighborProfile(names, k)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+      val bruteProf = strings.indices.flatMap { i =>
+        val nbrs = strings.indices
+          .filter(j => j != i && levRef(strings(i), strings(j)) <= k)
+        if (nbrs.isEmpty) Nil
+        else List((i.toLong, nbrs.size.toLong, nbrs.min.toLong))
+      }.sortBy(_._1).toList
+      assert(gotProf == bruteProf, s"k=$k trial=$trial: profile diverged")
     }
   }
 }
