@@ -38,13 +38,21 @@ class BenchFormatSpec extends AnyFunSuite {
     // r13: the official line also carries the sf1 digest (sf1_sec/sf1_n,
     // r12 verdict item 5) — the fit must hold with BOTH end canaries AND
     // the digest aboard on the real registry
+    // r14: the line also carries prev_ratio + the hot-phase marker (r13
+    // verdict item 2) — the worst realistic shape (a hot capture, where
+    // BOTH fields render) must still fit with everything else aboard
     val line = BenchFormat.fitLine(results, spread, 0.41, 0.52, Some("final"),
-      "sf0.1", 0.23, 0.31, 123.45, 12)
+      "sf0.1", 0.23, 0.31, 123.45, 12, 1.19)
     assert(parse(line).get("canary_io_sec") != null,
       "fitting shed canary_io_sec — the I/O-degradation marker (r9)")
     assert(parse(line).get("sf1_sec") != null && parse(line).get("sf1_n") != null,
       "fitting shed the sf1 digest — the scale point the official " +
         "artifact carries since r13 (r12 verdict item 5)")
+    assert(parse(line).get("prev_ratio") != null,
+      "fitting shed prev_ratio — the committed-capture phase reference " +
+        "(r13 verdict item 2)")
+    assert(parse(line).get("hot").asBoolean(),
+      "a ratio above hotPhaseBar must carry the explicit marker")
     assert(line.length <= BenchFormat.maxLineChars, s"line is ${line.length} chars")
     val node = parse(line)
     assert(node.get("metric").asText() == "total")
@@ -78,6 +86,19 @@ class BenchFormatSpec extends AnyFunSuite {
     val node = parse(line)
     assert(node.get("spread").size() == spread.size)
     assert(node.get("phase").asText() == "final")
+  }
+
+  test("prev_ratio under the hot bar renders without the marker; unmeasured is omitted") {
+    val quiet = BenchFormat.render(results.take(3), Nil, 0.4, 0.5, 3, 0, 0,
+      None, "sf0.1", prevRatio = 0.94)
+    val qn = parse(quiet)
+    assert(qn.get("prev_ratio").asDouble() == 0.94)
+    assert(qn.get("hot") == null,
+      "a quiet-or-better ratio must not claim a hot phase")
+    val none = BenchFormat.render(results.take(3), Nil, 0.4, 0.5, 3, 0, 0,
+      None, "sf0.1")
+    assert(parse(none).get("prev_ratio") == null,
+      "no prior artifact -> no ratio field, not a -1 sentinel")
   }
 
   test("failure sentinel and unmeasured end-canary render correctly") {
