@@ -62,7 +62,13 @@ private[graft] object BenchFormat {
     * rationale as the _csv twins). taxi_region_hourly_stream stays
     * TIMED: its ~9 s FileStreamSource drain is real streaming-ingest
     * cost, over the r5 verdict's <1 s parity-exclusion bar. */
-  val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact")
+  // the *_sample twins (r14) are the baselines' deterministic residue
+  // slices — correctness instruments for the at-scale oracle sweep
+  // (their brute DuckDB oracles stay feasible at sf1 where the
+  // corpus-wide ones are hours-by-construction); timing a 1/16 or 1/64
+  // slice of an already-excluded baseline adds no plan structure
+  val allPairsBaselines = Set("dedup_embedding_exact", "doc_embedding_exact",
+    "dedup_embedding_exact_sample", "doc_embedding_exact_sample")
   // interval_join_stream, event_count_hourly_incremental (r6f) and
   // first_touch_stream (r6g) join the replay-harness set: like
   // trending_arrivals_late they are bounded replays (since r13 drained
@@ -102,6 +108,13 @@ private[graft] object BenchFormat {
   val subsumedTwins = Map(
     "value_percentiles" -> "value_pct_approx",
     "inverted_index_flat" -> "index_build",
+    // r14: the bounded-sample completeness twins run the parents' exact
+    // pipeline (collapse-exact-first, positional FastSS join) on a 2/64
+    // or 1/64 residue slice of customer — correctness instruments for
+    // the at-scale oracle sweep, no plan structure the timed parent
+    // lacks and a strictly smaller input
+    "dedup_edit_distance_sample" -> "dedup_edit_distance",
+    "dedup_edit_distance2_sample" -> "dedup_edit_distance",
     // r8: ann_ivfpq_cosine (IVFADC) is the composed flagship — the same
     // bounded sample train + literal-centroid cell probe ann_ivf_cosine
     // timed, PLUS residual encoding and the cell-routed ADC join, so

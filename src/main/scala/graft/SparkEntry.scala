@@ -40,4 +40,36 @@ object SparkEntry {
       graft.sources.Synthetic.oracleSql ++
       graft.sources.AvroQueries.oracleSql ++ graft.sources.OrcQueries.oracleSql ++
       graft.sources.JsonlQueries.oracleSql
+
+  /** Declared at-scale oracle contracts (r14, r13 verdict item 1).
+    *
+    * The sf0.01 driver gate checks every oracle hash-exact and is
+    * unaffected by anything here. At LARGER scale factors two oracle
+    * classes cannot stay in that form, and until r14 each sweep
+    * explained them ad hoc; these maps make the explanation a machine-
+    * readable contract the sweep tool (tools/selfcheck.py --scale)
+    * resolves mechanically — a sweep row either passes exact, passes
+    * under a named contract whose witness passed exact, or fails.
+    *
+    * [[floatRollupContracts]]: float-revenue rollups → their
+    * integer-cents any-scale-exact twins (see
+    * [[operators.Relational.scaleContracts]] for the ulp arithmetic).
+    * The float form must still match to an ulp tolerance; the named
+    * twin must pass exact in the same sweep.
+    *
+    * [[bruteOracleDelegates]]: queries whose DuckDB oracles are
+    * deliberately brute all-pairs (the blocking/kernel completeness
+    * proofs) → their deterministic bounded-sample twins, whose
+    * IDENTICAL brute oracles stay feasible at 10-30x the graded scale.
+    * Completeness for a pair depends only on the pair's own strings or
+    * vectors, so the slice check carries the same per-pair claim at
+    * scale; the corpus-wide form still gates sf0.01 exact. */
+  def floatRollupContracts: Map[String, String] =
+    Relational.scaleContracts ++ Relational.csvScaleContracts
+
+  def bruteOracleDelegates: Map[String, String] = Map(
+    "dedup_edit_distance" -> "dedup_edit_distance_sample",
+    "dedup_edit_distance2" -> "dedup_edit_distance2_sample",
+    "dedup_embedding_exact" -> "dedup_embedding_exact_sample",
+    "doc_embedding_exact" -> "doc_embedding_exact_sample")
 }

@@ -71,6 +71,14 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // the declared at-scale contract (r14) — consumed by
+    // tools/selfcheck.py --scale; the sf0.01 gate ignores it
+    def mj(m: Map[String, String]): String =
+      m.toSeq.sorted.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+        .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/scale_contract.json"),
+      s"""{"float_rollups": ${mj(SparkEntry.floatRollupContracts)}, """ +
+        s""""brute_delegates": ${mj(SparkEntry.bruteOracleDelegates)}}""")
     spark.stop()
   }
 }

@@ -137,9 +137,31 @@ object DocEmbedding {
       .toDF("doc_a", "doc_b", "cosine")
   }
 
+  /** Deterministic bounded-sample twin (r14, r13 verdict item 1c) — the
+    * [[Similarity.embSampleMod]] pattern over the documents corpus: the
+    * parent's brute oracle must hash-build vectors then all-pairs dot
+    * 50k² docs at sf1 (hours in DuckDB); the twin runs the SAME kernel
+    * on the doc_id ≡ [[docSampleRem]] (mod [[docSampleMod]]) slice.
+    * Per-doc vectors depend only on the doc's own tokens and pair
+    * cosine only on the two vectors, so sample-then-compute equals
+    * compute-then-restrict exactly. Residue chosen so the 500-doc
+    * sf0.01 corpus keeps 3 true pairs in-slice (non-vacuous gate). */
+  val docSampleMod = 16L
+  val docSampleRem = 2L
+
+  def docEmbeddingExactSample(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    Similarity.cosinePairsKernel(spark,
+      docVectors(spark, dir).filter(col("doc_id") % docSampleMod === docSampleRem)
+        .as[(Long, Seq[Double])], cosineThreshold)
+      .toDF("doc_a", "doc_b", "cosine")
+  }
+
   val registry: Map[String, (SparkSession, String) => DataFrame] = Map(
     "doc_embedding_neardup" -> (docEmbeddingNearDup _),
-    "doc_embedding_exact" -> (docEmbeddingExact _))
+    "doc_embedding_exact" -> (docEmbeddingExact _),
+    "doc_embedding_exact_sample" -> (docEmbeddingExactSample _))
 
   /** The shared vector-build pipeline: md5 hashing trick → signed
     * projection → dense per-doc vectors. Component sums are exact
@@ -169,6 +191,37 @@ object DocEmbedding {
       s"""$vecPipelineSql,
           v AS (SELECT doc_id, e AS v FROM vec)""",
       "doc_id", docPlanes, cosineThreshold, "doc_a", "doc_b"),
+    // bounded-sample twin (r14): identical brute SQL with the residue
+    // predicate pushed into the token scan (per-doc vectors depend only
+    // on the doc's own tokens, so building the sampled docs' vectors
+    // alone is exact) — DuckDB-feasible at 10-30x the graded scale
+    "doc_embedding_exact_sample" ->
+      s"""WITH toks AS (SELECT doc_id, $tokenizeSql AS ws FROM documents
+                        WHERE doc_id % $docSampleMod = $docSampleRem),
+          tf AS (
+            SELECT doc_id, ${md5IntSql("w", 8)} % $featureBuckets AS feature,
+                   count(*) AS cnt
+            FROM (SELECT doc_id, unnest(ws) AS w FROM toks)
+            GROUP BY doc_id, feature),
+          comp AS (
+            SELECT doc_id, d,
+                   sum(cnt * (CASE WHEN
+                     ${md5IntSql("feature::VARCHAR || '_' || d::VARCHAR", 1)} % 2 = 1
+                     THEN 1.0 ELSE -1.0 END)) AS s
+            FROM tf CROSS JOIN unnest(range(0, $embDim)) AS u(d)
+            GROUP BY doc_id, d),
+          vec AS (SELECT doc_id, list(s ORDER BY d) AS e FROM comp GROUP BY doc_id),
+          v AS (
+            SELECT doc_id,
+                   list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+            FROM vec),
+          scored AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   round(list_dot_product(a.v, b.v), 6) AS cosine
+            FROM v a JOIN v b ON a.doc_id < b.doc_id)
+          SELECT doc_a, doc_b, cosine FROM scored
+          WHERE cosine >= $cosineThreshold
+          ORDER BY doc_a, doc_b""",
     "doc_embedding_exact" ->
       s"""WITH toks AS (SELECT doc_id, $tokenizeSql AS ws FROM documents),
           tf AS (

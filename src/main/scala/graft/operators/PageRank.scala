@@ -635,26 +635,34 @@ object PageRank {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // every CTE is MATERIALIZED (r14): DuckDB inlines plain CTEs, so the
+    // four scalar statistic subqueries re-evaluated the whole projection
+    // pipeline — capped window, pair self-join, grouped edge weights,
+    // global top-E sort — once EACH, and the replicated pair projection
+    // exhausted >70 GB of spill scratch at sf1 (the one oracle-side
+    // failure in the r13 sf1 sweep). Materialized, each stage runs once
+    // and the oracle is spill-bounded by the declared caps, like the
+    // Spark side it checks (the pprOracleSql precedent exactly).
     "triangle_count" ->
-      s"""WITH capped AS (
+      s"""WITH capped AS MATERIALIZED (
             SELECT part, supp FROM (
               SELECT l_partkey AS part, l_suppkey AS supp,
                      row_number() OVER (PARTITION BY l_partkey
                                         ORDER BY l_suppkey) AS rk
               FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem))
             WHERE rk <= $triMaxPerPart),
-          edges AS (
+          edges AS MATERIALIZED (
             SELECT u, v FROM (
               SELECT a.supp AS u, b.supp AS v, count(*) AS w
               FROM capped a JOIN capped b
                 ON a.part = b.part AND a.supp < b.supp
               GROUP BY 1, 2)
             ORDER BY w DESC, u, v LIMIT $triEdgeCap),
-          deg AS (
+          deg AS MATERIALIZED (
             SELECT n, count(*) AS deg FROM (
               SELECT u AS n FROM edges UNION ALL SELECT v FROM edges)
             GROUP BY n),
-          oriented AS (
+          oriented AS MATERIALIZED (
             SELECT CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
                         THEN u ELSE v END AS src,
                    CASE WHEN d1.deg < d2.deg OR (d1.deg = d2.deg AND u < v)
@@ -664,7 +672,7 @@ object PageRank {
             FROM edges
             JOIN deg d1 ON d1.n = edges.u
             JOIN deg d2 ON d2.n = edges.v),
-          wedges AS (
+          wedges AS MATERIALIZED (
             SELECT e1.dst AS x, e2.dst AS y
             FROM oriented e1 JOIN oriented e2
               ON e1.src = e2.src

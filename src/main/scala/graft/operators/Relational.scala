@@ -1078,4 +1078,25 @@ object Relational {
     }
   val csvOracleSql: Map[String, String] =
     oracleSql.map { case (k, sql) => s"${k}_csv" -> sql }
+
+  /** Declared scale contract (r14, r13 verdict item 1a): the
+    * float-revenue rollups whose 2dp rounding is hash-exact at the
+    * sf0.01 gate but mathematically CANNOT absorb summation-order ulp
+    * once group sums reach ~6e10 (the r7 sf1 audit — at that magnitude
+    * a double's ulp times millions of addends exceeds the 0.005 the
+    * rounding can hide). Each names its any-scale-exact integer-cents
+    * twin. At-scale oracle sweeps check the float form to an ulp
+    * tolerance AND require the named twin exact-passing in the same
+    * sweep — the design the cents twins were built for, now machine-
+    * readable instead of a per-sweep footnote. The sf0.01 driver gate
+    * is unaffected: these rows stay hash-exact there. */
+  val scaleContracts: Map[String, String] = Map(
+    "q9_region_rollup" -> "q9_region_rollup_cents",
+    "q10_rollup_sets" -> "q10_rollup_cents",
+    "q18_cube_revenue" -> "q18_cube_cents")
+
+  /** The `_csv` twins inherit the contract (same plans over the csv
+    * scan). */
+  val csvScaleContracts: Map[String, String] =
+    scaleContracts.map { case (k, v) => s"${k}_csv" -> s"${v}_csv" }
 }

@@ -481,6 +481,30 @@ object Similarity {
     cosinePairsKernel(spark, emb(spark, dir).as[(Long, Seq[Double])], nearDupCosine)
   }
 
+  /** Deterministic bounded-sample twin of the all-pairs baseline (r14,
+    * r13 verdict item 1c): the parent's brute DuckDB oracle is
+    * hours-by-construction at sf1 (150k² list-dot pairs), so the exact
+    * tile-sweep kernel's arithmetic + threshold contract was only
+    * oracle-checked at sf0.01. The twin runs the SAME kernel on the
+    * vec_id ≡ [[embSampleRem]] (mod [[embSampleMod]]) slice — cosine of
+    * a pair depends on nothing but the two vectors, so the slice result
+    * IS the full result restricted to in-sample endpoints — against a
+    * brute oracle that stays feasible at scale (sf1: 1,250 vectors,
+    * 340 surviving pairs; the residue is chosen so even the 500-vector
+    * sf0.01 corpus keeps one true pair in-slice — non-vacuous at the
+    * gate). */
+  val embSampleMod = 16L
+  val embSampleRem = 14L
+
+  def dedupEmbeddingExactSample(spark: SparkSession, dir: String): DataFrame = {
+    val sp = spark
+    import sp.implicits._
+    cosinePairsKernel(spark,
+      emb(spark, dir).filter(col("vec_id") % embSampleMod === embSampleRem)
+        .as[(Long, Seq[Double])],
+      nearDupCosine)
+  }
+
   /** Semantic decontamination — the embedding-space complement of the
     * n-gram [[Dedup.decontaminate]]: corpus vectors whose cosine to ANY
     * held-out benchmark vector clears the near-dup threshold are flagged
@@ -1045,6 +1069,7 @@ object Similarity {
     "ann_ivfpq_cosine" -> (annIvfPqCosine _),
     "dedup_embedding_cosine" -> (dedupEmbeddingCosine _),
     "dedup_embedding_exact" -> (dedupEmbeddingExact _),
+    "dedup_embedding_exact_sample" -> (dedupEmbeddingExactSample _),
     "decontaminate_semantic" -> (decontaminateSemantic _),
     "dedup_semantic_kmeans" -> (dedupSemanticKmeans _))
 
@@ -1593,6 +1618,23 @@ object Similarity {
             FROM cross_side)
           SELECT vec_id, bench_id, cosine FROM r WHERE rk = 1
           ORDER BY vec_id""",
+    // bounded-sample twin (r14): the identical brute SQL on the residue
+    // slice — DuckDB-feasible at 10-30x the graded scale where the
+    // corpus-wide form below is hours-by-construction
+    "dedup_embedding_exact_sample" ->
+      s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings
+                       WHERE vec_id % $embSampleMod = $embSampleRem),
+          v AS (
+            SELECT vec_id,
+                   list_transform(e, x -> x / sqrt(list_dot_product(e, e))) AS v
+            FROM raw),
+          scored AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   round(list_dot_product(a.v, b.v), 6) AS cosine
+            FROM v a JOIN v b ON a.vec_id < b.vec_id)
+          SELECT vec_a, vec_b, cosine FROM scored
+          WHERE cosine >= $nearDupCosine
+          ORDER BY vec_a, vec_b""",
     "dedup_embedding_exact" ->
       s"""WITH raw AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
           v AS (
