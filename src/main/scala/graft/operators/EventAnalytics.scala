@@ -721,6 +721,33 @@ object EventAnalytics {
       // fails loudly if this ordering contract is ever violated.
       val chunkDir = writeTimeOrderedChunks(work, raw, col("tsMicros"),
         streamJoinBatches, sortWithin = Seq("tsMicros", "event_id"))
+      // ordering-premise guard (r13 ADVICE item 3): the contract above
+      // assumes each chunk FILE becomes exactly ONE input partition.
+      // Spark splits a file at maxSplitBytes = min(maxPartitionBytes,
+      // max(openCostInBytes, batchBytes/parallelism)) — for a small
+      // single-file micro-batch that floor is openCostInBytes (4 MB
+      // default), NOT the 128 MB maxPartitionBytes one might assume —
+      // so a chunk past it would be read as several partitions,
+      // silently voiding the single-upstream-partition premise and
+      // surfacing only as an opaque oracle hash mismatch downstream.
+      // Fail HERE, attributably (the numRowsDroppedByWatermark
+      // discipline), naming the knobs that restore the premise.
+      val bytes = (k: String) => org.apache.spark.network.util.JavaUtils
+        .byteStringAsBytes(spark.conf.get(k))
+      val onePartitionBound = math.min(
+        bytes("spark.sql.files.maxPartitionBytes"),
+        bytes("spark.sql.files.openCostInBytes"))
+      graft.sources.FileSinkFs.list(chunkDir, "chunk_").foreach { p =>
+        val sz = java.nio.file.Files.size(p)
+        require(sz <= onePartitionBound,
+          s"first_touch_stream ordering premise violated: ${p.getFileName} " +
+            s"is $sz bytes > $onePartitionBound (min of " +
+            "spark.sql.files.maxPartitionBytes and openCostInBytes) and " +
+            "would be SPLIT across input partitions, voiding the " +
+            "single-upstream-partition ordering contract — raise " +
+            "streamJoinBatches (more, smaller chunks) or openCostInBytes " +
+            "for this drain")
+      }
       val q = spark.readStream.schema(raw.schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(chunkDir.toString)
@@ -792,8 +819,16 @@ object EventAnalytics {
         when(col("n_user_events") >= enrichHeavyCut, lit("heavy"))
           .otherwise(lit("light")).as("band"))
       .writeStream.outputMode("append")
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], _: Long) =>
-        batch.write.mode("append").parquet(outDir.toString): Unit
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Row], id: Long) =>
+        // epoch-idempotent (r13 ADVICE item 2): each micro-batch lands in
+        // its own batch=<id> subdirectory with overwrite — a replayed
+        // epoch rewrites the same directory instead of appending a
+        // duplicate, the exactly-once recipe the kill-restart
+        // StreamingSpec canonizes. Latent today (no checkpointLocation,
+        // so this query cannot resume), but a blind append would start
+        // silently duplicating the moment one is added.
+        batch.write.mode("overwrite")
+          .parquet(outDir.resolve(s"batch=$id").toString): Unit
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
@@ -1397,45 +1432,59 @@ object EventAnalytics {
     * — with one far-future sentinel per key closing the trailing
     * windows (sentinel windows never close, so they never emit). The
     * emitted rows must hash-match [[eventsAnomaly]]'s oracle exactly:
-    * counts AND the integer-3σ flags. */
+    * counts AND the integer-3σ flags.
+    *
+    * r14 (r13 verdict item 4 — the LAST MemoryStream replay): the feed
+    * arrives through a real chunked FileStreamSource drain, one chunk
+    * file per trigger, preserving the replay's original cadence
+    * ([[streamJoinBatches]] data micro-batches + the sentinel batch)
+    * with the engine doing all the feeding — no driver-side collect of
+    * the input. The [[eventsAnomalyStreamChunked]] twin remains the
+    * reference-cadence leg (more chunks per trigger over the same
+    * machine); this one pins the original batch-per-slice semantics. */
   def eventsAnomalyStream(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
-    import spark.implicits._
-    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val sp = spark
+    import sp.implicits._
     val windowMicros = 3600L * 1000000L
-    val evs = Tables.events(spark, dir)
-      .select(col("event_type"),
+    val raw = Tables.events(spark, dir)
+      .select(col("event_type").as("key"),
         unix_micros(col("ts").cast("timestamp")).as("tsMicros"))
-      .collect()
-      .map(r => graft.streaming.KeyedEvent(r.getString(0), r.getLong(1)))
-      .sortBy(_.tsMicros)
-    val input = MemoryStream[graft.streaming.KeyedEvent]
-    val sinkName = "events_anomaly_stream_sink"
-    spark.catalog.dropTempView(sinkName)
-    val q = graft.streaming.StreamingJobs
-      .detectAnomalies(input.toDS(), windowMicros)
-      .writeStream.outputMode("append").format("memory").queryName(sinkName)
-      .start()
+    // empty feed: nothing to chunk, no sentinel to anchor — the same
+    // empty-result contract as the batch oracle's empty result
+    if (raw.isEmpty)
+      return Seq.empty[(String, Long, Long, Boolean)]
+        .toDF("event_type", "winStart", "cnt", "is_anomaly")
+        .select(col("event_type"), timestamp_micros(col("winStart")).as("hour"),
+          col("cnt"), col("is_anomaly"))
+    val work = java.nio.file.Files.createTempDirectory("graft-anom-replay")
     try {
-      // empty feed: nothing to drain, no sentinel to anchor (evs.last
-      // would throw) — the query below returns the empty-schema frame,
-      // matching the batch oracle's empty result
-      if (evs.nonEmpty) {
-        val per = math.max(1, (evs.length + streamJoinBatches - 1) / streamJoinBatches)
-        evs.grouped(per).foreach { b => input.addData(b.toSeq); q.processAllAvailable() }
-        val sentinelTs = evs.last.tsMicros + 1000L * windowMicros
-        input.addData(evs.map(_.key).distinct.toSeq
-          .map(k => graft.streaming.KeyedEvent(k, sentinelTs)))
-        q.processAllAvailable()
-      }
-    } finally q.stop()
-    val rows = spark.table(sinkName)
-      .as[(String, Long, Long, Int, Boolean)].collect().toSeq
-    spark.catalog.dropTempView(sinkName)
-    rows.toDF("event_type", "winStart", "cnt", "n", "is_anomaly")
-      .select(col("event_type"), timestamp_micros(col("winStart")).as("hour"),
-        col("cnt"), col("is_anomaly"))
-      .orderBy("event_type", "hour")
+      val chunkDir =
+        writeTimeOrderedChunks(work, raw, col("tsMicros"), streamJoinBatches)
+      val maxTs = raw.agg(max("tsMicros")).head.getLong(0)
+      appendChunk(work,
+        raw.select("key").distinct()
+          .withColumn("tsMicros", lit(maxTs + 1000L * windowMicros)),
+        streamJoinBatches) // sorts after every data chunk
+      val sinkName = "events_anomaly_stream_sink"
+      spark.catalog.dropTempView(sinkName)
+      val q = graft.streaming.StreamingJobs.detectAnomalies(
+        spark.readStream.schema(raw.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(chunkDir.toString)
+          .as[graft.streaming.KeyedEvent],
+        windowMicros)
+        .writeStream.outputMode("append").format("memory").queryName(sinkName)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      try q.awaitTermination() finally q.stop()
+      val rows = spark.table(sinkName)
+        .as[(String, Long, Long, Int, Boolean)].collect().toSeq
+      spark.catalog.dropTempView(sinkName)
+      rows.toDF("event_type", "winStart", "cnt", "n", "is_anomaly")
+        .select(col("event_type"), timestamp_micros(col("winStart")).as("hour"),
+          col("cnt"), col("is_anomaly"))
+        .orderBy("event_type", "hour")
+    } finally graft.sources.FileSinkFs.deleteRecursively(work)
   }
 
   /** The statistical-aggregate surface (second moments + bivariate):

@@ -22,14 +22,13 @@ class CollectAuditSpec extends AnyFunSuite {
   /** file (relative to src/main/scala/) → (expected `.collect()` count,
     * why those sites are driver-safe). Counts re-audited when bumped. */
   private val allowance: Map[String, (Int, String)] = Map(
-    "graft/operators/EventAnalytics.scala" -> (7,
-      "down from 15 in r13: the MemoryStream feed collects and three " +
-        "memory-sink result collects ported to chunked FileStreamSource " +
-        "drains + localCheckpoint. Remaining: limit(maxSeries+1)-bounded " +
-        "series-key fetch, MV-rewrite materialization over an " +
-        "already-aggregated frame, the events_anomaly_stream MemoryStream " +
-        "replay (its multi-batch twin already drains via chunked files), " +
-        "and four memory-sink result reads bounded by aggregated outputs " +
+    "graft/operators/EventAnalytics.scala" -> (6,
+      "down from 7 in r14 (15 in r12): events_anomaly_stream — the LAST " +
+        "MemoryStream replay — ported to a chunked FileStreamSource " +
+        "drain, removing its driver-side input collect. Remaining: " +
+        "limit(maxSeries+1)-bounded series-key fetch, MV-rewrite " +
+        "materialization over an already-aggregated frame, and four " +
+        "memory-sink result reads bounded by aggregated outputs " +
         "(sessions/windows, not events)"),
     "graft/operators/Similarity.scala" -> (2,
       "query-set fetches bounded by nQueries/limit for the ANN probe side"),

@@ -54,6 +54,18 @@ object SkewProf extends App {
       .groupBy("tag").agg(count(lit(1)).as("n"), max("payload").as("mx"))
   }
 
+  // per-run task-duration capture (r14, r13 verdict item 6): the
+  // certification metric is the TAIL — the hot partition's straggler
+  // task vs the median task. All stages' tasks are recorded; the max is
+  // the join straggler by construction (every other task in this job is
+  // a bounded slice).
+  private val taskDurations = new java.util.concurrent.ConcurrentLinkedQueue[Long]
+  spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
+    override def onTaskEnd(
+        te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit =
+      taskDurations.add(te.taskInfo.duration): Unit
+  })
+
   def timeIt(label: String, skewOn: Boolean)(mk: SparkSession => DataFrame): Unit = {
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", skewOn.toString)
     // thresholds sized so detection keys on the RATIO (hot ≈ 15× median)
@@ -62,19 +74,40 @@ object SkewProf extends App {
     spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "1MB")
     spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "4MB")
     val walls = (1 to runs).map { _ =>
+      taskDurations.clear()
       val t0 = System.nanoTime()
       val df = mk(spark)
       val n = df.collect().map(_.getAs[Long]("n")).sum
       val wall = (System.nanoTime() - t0) / 1e9
-      val skewed = new GraftSpec {}.physicalNodes(df).exists {
+      Thread.sleep(500) // let the listener bus drain the last task events
+      val durs = {
+        import scala.jdk.CollectionConverters._
+        taskDurations.iterator().asScala.toArray.sorted
+      }
+      val maxT = if (durs.isEmpty) 0L else durs.last
+      val p50 = if (durs.isEmpty) 0L else durs(durs.length / 2)
+      val nodes = new GraftSpec {}.physicalNodes(df)
+      val skewed = nodes.exists {
         case j: org.apache.spark.sql.execution.joins.SortMergeJoinExec => j.isSkewJoin
         case _ => false
       }
-      (wall, n, skewed)
+      // split count: PartialReducerPartitionSpec entries are exactly the
+      // pieces OptimizeSkewedJoin cut hot partitions into at map-output
+      // boundaries (0 when the rule did not fire)
+      val splits = nodes.collect {
+        case r: org.apache.spark.sql.execution.adaptive.AQEShuffleReadExec =>
+          r.partitionSpecs.count(
+            _.isInstanceOf[org.apache.spark.sql.execution.PartialReducerPartitionSpec])
+      }.sum
+      (wall, n, skewed, maxT, p50, splits)
     }
-    val best = walls.map(_._1).min
-    println(f"$label%-6s best=$best%.2fs all=${walls.map(w => f"${w._1}%.2f").mkString(",")} " +
-      f"rows=${walls.head._2} skewJoinFired=${walls.head._3}")
+    val best = walls.minBy(_._1)
+    println(f"$label%-6s best=${best._1}%.2fs " +
+      f"all=${walls.map(w => f"${w._1}%.2f").mkString(",")} " +
+      f"rows=${best._2} skewJoinFired=${best._3} " +
+      f"taskMax=${best._4 / 1000.0}%.2fs taskP50=${best._5 / 1000.0}%.2fs " +
+      f"tail=${if (best._5 > 0) f"${best._4.toDouble / best._5}%.1f" else "-"}x " +
+      f"skewSplits=${best._6}")
   }
 
   timeIt("off", skewOn = false)(plain)

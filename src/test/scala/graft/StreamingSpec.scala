@@ -868,6 +868,116 @@ class StreamingSpec extends GraftSpec {
     }
   }
 
+  test("checkpoint compatibility contract: a shuffle-partitions change " +
+      "across restart is silently pinned to the checkpoint; a state-schema " +
+      "change fails loudly and actionably (the two classic SS ops traps)") {
+    // r14 (r13 verdict item 7). The stateful matrix proves restarts
+    // RESUME correctly; this pins what happens when the restart is
+    // MISCONFIGURED — the two changes an operator is most likely to make
+    // across a deploy:
+    //  1. spark.sql.shuffle.partitions: Structured Streaming pins the
+    //     state partition count at checkpoint creation (state files are
+    //     keyed by partition id — repartitioning them would need a state
+    //     rebuild). A changed session conf is SILENTLY IGNORED by the
+    //     stateful operator: the restart succeeds and keeps running at
+    //     the checkpointed width. Evidence: StateOperatorProgress
+    //     .numShufflePartitions, asserted unchanged while the session
+    //     conf reads the new value. Operationally this means scaling a
+    //     stateful job's parallelism requires a NEW checkpoint (or the
+    //     state rebalancing tooling), not a conf bump — exactly the trap
+    //     a loud pin here documents.
+    //  2. state SCHEMA: widening the aggregation (count → count+sum)
+    //     changes the state row layout; the checkpoint's schema file
+    //     must make the restart fail LOUDLY naming the incompatibility,
+    //     never deserialize old bytes into the new layout.
+    val tmp = java.nio.file.Files.createTempDirectory("graft-statecompat")
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevShuf = spark.conf.get(shufKey)
+    try {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("event_type"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+      val nChunks = 4
+      val bounds = ev.select(col("ts").cast("double").as("t"))
+        .stat.approxQuantile("t",
+          (1 until nChunks).map(_.toDouble / nChunks).toArray, 0.001)
+      val cuts = Array(Double.NegativeInfinity) ++ bounds :+ Double.PositiveInfinity
+      val srcDir = tmp.resolve("chunks")
+      java.nio.file.Files.createDirectories(srcDir)
+      def addChunk(i: Int): Unit = {
+        val stage = tmp.resolve("stage")
+        ev.filter(col("ts").cast("double") >= cuts(i) &&
+            col("ts").cast("double") < cuts(i + 1))
+          .coalesce(1).write.mode("overwrite").parquet(stage.toString)
+        val part = graft.sources.FileSinkFs.list(stage, "part-").head
+        val dest = srcDir.resolve(f"chunk_$i%03d.parquet")
+        java.nio.file.Files.move(part, dest)
+        java.nio.file.Files.setLastModifiedTime(dest,
+          java.nio.file.attribute.FileTime.fromMillis(1600000000000L + i * 10000L))
+      }
+      def src = spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+        .withWatermark("ts", "2 minutes")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      def aggCount = src.agg(count(lit(1)).as("cnt"))
+      val ck = tmp.resolve("ck")
+      val sink = tmp.resolve("out")
+      java.nio.file.Files.createDirectories(sink)
+      def run(df: org.apache.spark.sql.DataFrame) = {
+        val q = df.writeStream.outputMode("append")
+          .option("checkpointLocation", ck.toString)
+          .foreachBatch {
+            (b: org.apache.spark.sql.DataFrame, id: Long) =>
+              b.write.mode("overwrite")
+                .parquet(sink.resolve(s"batch=$id").toString): Unit
+          }
+          .trigger(Trigger.AvailableNow()).start()
+        try q.awaitTermination(180000) finally q.stop()
+        q
+      }
+      // phase 1: create the checkpoint at 8 shuffle partitions
+      spark.conf.set(shufKey, "8")
+      addChunk(0); addChunk(1)
+      val q1 = run(aggCount)
+      val w1 = q1.recentProgress.filter(_.numInputRows > 0)
+        .flatMap(_.stateOperators.toSeq).map(_.numShufflePartitions).distinct
+      assert(w1.toSeq == Seq(8L),
+        s"phase-1 state width $w1 — the checkpoint was not created at 8")
+      // phase 2: restart the same query at 13 — must succeed AND stay at 8
+      spark.conf.set(shufKey, "13")
+      addChunk(2); addChunk(3)
+      val q2 = run(aggCount)
+      val p2 = q2.recentProgress.filter(_.numInputRows > 0)
+      assert(p2.nonEmpty, "restart processed no data — the pin is vacuous")
+      val w2 = p2.flatMap(_.stateOperators.toSeq)
+        .map(_.numShufflePartitions).distinct
+      assert(w2.toSeq == Seq(8L),
+        s"restart ran state at width $w2 — expected the checkpointed 8 " +
+          "to silently override the session's 13 (the documented SS contract)")
+      assert(spark.conf.get(shufKey) == "13",
+        "sanity: the session conf itself must still read 13")
+      // phase 3: widen the state schema — the restart must fail loudly,
+      // naming the schema incompatibility, never misread old state bytes
+      val moreData = tmp.resolve("more")
+      java.nio.file.Files.createDirectories(moreData)
+      val extra = srcDir.resolve("chunk_extra.parquet")
+      java.nio.file.Files.copy(srcDir.resolve("chunk_003.parquet"), extra)
+      java.nio.file.Files.setLastModifiedTime(extra,
+        java.nio.file.attribute.FileTime.fromMillis(1600000000000L + 99 * 10000L))
+      val widened = src.agg(count(lit(1)).as("cnt"), sum("value").as("sv"))
+      val e = intercept[Exception] { run(widened) }
+      val messages = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(t => Option(t.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(messages.toLowerCase.contains("schema"),
+        s"state-schema break did not fail on schema compatibility — got: " +
+          messages.take(400))
+    } finally {
+      spark.conf.set(shufKey, prevShuf)
+      graft.sources.FileSinkFs.deleteRecursively(tmp)
+    }
+  }
+
   test("stateful matrix under the RocksDB state store: exact parity with " +
       "the default provider across all five stateful shapes") {
     // at 100 TB of keys the in-memory HDFS-backed store is the streaming
