@@ -80,8 +80,9 @@ private[graft] object BenchFormat {
   // it registers/clears the MV around an eventCountHourly run and
   // returns collected rows — its cost is the MV build plus a workload
   // the bench already times
-  // events_anomaly_stream (r6i) is a driver-fed MemoryStream replay of
-  // the timed events_anomaly workload (the trending_arrivals_late rule)
+  // events_anomaly_stream (r6i; a chunked FileStreamSource drain since
+  // r14) is a bounded replay of the timed events_anomaly workload (the
+  // trending_arrivals_late rule)
   val parityHarnesses = Set("trending_arrivals_late", "q6_pricing_summary_sql",
     "interval_join_stream", "event_count_hourly_incremental",
     "first_touch_stream", "mv_hourly_rewrite", "events_anomaly_stream")

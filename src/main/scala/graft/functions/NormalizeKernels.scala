@@ -188,12 +188,59 @@ object NormalizeKernels {
     new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
   }
 
+  /** Position-PAIR 2-deletion neighborhood: (delete codepoints i and j,
+    * i, j) for every i < j — C(nCp, 2) entries, positions in ORIGINAL
+    * codepoint coordinates, no 0- or 1-deletion entries (those live in
+    * [[deletionVariantsPos]]). The radius-2 analog of the positional
+    * refinement: a same-length pair differing by exactly two
+    * substitutions at positions {i, j} shares the variant obtained by
+    * deleting i and j from EITHER side — same string, same position
+    * pair — so an equi-join on (v, i, j) is complete for the
+    * substitution-substitution subcase with buckets bounded by the
+    * per-position-pair alphabet instead of the whole ≤2-deletion
+    * neighborhood (see Dedup.editDistancePairsDirected's k=2
+    * decomposition for how the remaining ed-2 classes are covered). */
+  def deletionVariantsPos2(s: UTF8String): org.apache.spark.sql.catalyst.util.GenericArrayData = {
+    val str = s.toString
+    val nCp = str.codePointCount(0, str.length)
+    val out = new Array[Any](if (nCp < 2) 0 else nCp * (nCp - 1) / 2)
+    if (nCp >= 2) {
+      // codepoint index -> char offset, once
+      val offs = new Array[Int](nCp + 1)
+      var c = 0
+      var idx = 0
+      while (c < nCp) { offs(c) = idx; idx = str.offsetByCodePoints(idx, 1); c += 1 }
+      offs(nCp) = str.length
+      var n = 0
+      var i = 0
+      while (i < nCp) {
+        var j = i + 1
+        while (j < nCp) {
+          val sb = new java.lang.StringBuilder(str.length)
+          sb.append(str, 0, offs(i))
+          sb.append(str, offs(i + 1), offs(j))
+          sb.append(str, offs(j + 1), str.length)
+          out(n) = org.apache.spark.sql.catalyst.InternalRow(
+            UTF8String.fromString(sb.toString), i, j)
+          n += 1
+          j += 1
+        }
+        i += 1
+      }
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def deletion_variants(a: Column): Column =
     GraftColumnBridge.column(DeletionVariants(GraftColumnBridge.expression(a)))
 
   def deletion_variants_pos(a: Column): Column =
     GraftColumnBridge.column(
       DeletionVariantsPos(GraftColumnBridge.expression(a)))
+
+  def deletion_variants_pos2(a: Column): Column =
+    GraftColumnBridge.column(
+      DeletionVariantsPos2(GraftColumnBridge.expression(a)))
 
   def deletion_variants_up_to(a: Column, k: Int): Column =
     GraftColumnBridge.column(
@@ -280,6 +327,30 @@ case class DeletionVariantsPos(child: Expression) extends UnaryExpression {
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, x =>
       s"${ev.value} = graft.functions.NormalizeKernels.deletionVariantsPos($x);")
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Position-pair sibling at radius 2 — see
+  * [[NormalizeKernels.deletionVariantsPos2]] for the completeness
+  * subcase it carries. */
+@ExpressionDescription(
+  usage = "deletion_variants_pos2(string) - array of (variant, i, j) for every codepoint pair i < j deleted")
+case class DeletionVariantsPos2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType =
+    org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("v", StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("i",
+          org.apache.spark.sql.types.IntegerType, nullable = false),
+        org.apache.spark.sql.types.StructField("j",
+          org.apache.spark.sql.types.IntegerType, nullable = false))),
+      containsNull = false)
+  override def nullSafeEval(a: Any): Any =
+    NormalizeKernels.deletionVariantsPos2(a.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, x =>
+      s"${ev.value} = graft.functions.NormalizeKernels.deletionVariantsPos2($x);")
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }

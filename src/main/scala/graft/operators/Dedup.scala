@@ -348,33 +348,141 @@ object Dedup {
     * build-side scale-killer); the variant-variant join is forced to
     * sort-merge and only the bounded `names` table broadcasts. */
   private[graft] def editDistancePairsDirected(names: DataFrame, k: Int): DataFrame = {
+    // radius-1 candidate generator, shared verbatim by k = 1 and as the
+    // ed ≤ 1 leg of the k = 2 decomposition below
+    def radius1Candidates: DataFrame = {
+      val vp = names.select(col("id"), col("s"),
+        explode(graft.functions.NormalizeKernels
+          .deletion_variants_pos(col("s"))).as("vp"))
+        .select(col("id"), col("s"), col("vp.v").as("v"), col("vp.pos").as("pos"))
+      val a = vp.select(col("id").as("id_a"), col("s").as("s_a"),
+        col("v"), col("pos"))
+      val b = vp.select(col("id").as("id_b"), col("s").as("s_b"),
+        col("v"), col("pos"))
+      // (a) same-position variants: equality (-1,-1 and every (i,i))
+      // and substitutions (delete the substituted position from both)
+      val samePos = a.join(b.hint("merge"), Seq("v", "pos"))
+      // (b) a deletion of one side equals the OTHER side's original —
+      // the insertion/deletion case; one join covers both orientations
+      // because deletions of every string meet every original
+      val dels = vp.filter(col("pos") >= 0)
+        .select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
+      val origs = names
+        .select(col("id").as("id_b"), col("s").as("s_b"), col("s").as("v"))
+      val indel = dels.join(broadcast(origs), "v")
+      // (b) is one-directional per row (deleter → original); add the
+      // reverse orientation by swapping ROLES of the bounded output,
+      // not by re-running the join
+      samePos.select("id_a", "id_b", "s_a", "s_b")
+        .unionByName(indel.select("id_a", "id_b", "s_a", "s_b"))
+        .unionByName(indel.select(col("id_b").as("id_a"),
+          col("id_a").as("id_b"), col("s_b").as("s_a"), col("s_a").as("s_b")))
+    }
     val candidates =
-      if (k == 1) {
-        val vp = names.select(col("id"), col("s"),
-          explode(graft.functions.NormalizeKernels
-            .deletion_variants_pos(col("s"))).as("vp"))
+      if (k == 1) radius1Candidates
+      else if (k == 2) {
+        // r14 (r13 verdict item 5): the position-blind ≤2-deletion
+        // self-join paid Σ|bucket|² on the FULL C(n,2) neighborhood —
+        // the dominant (2-deletion × 2-deletion) term has C(L,2) ≈ L²/2
+        // variants per string and dense-key buckets to match. Every
+        // ed ≤ 2 pair class has a cheaper complete witness, so the one
+        // join decomposes into five, none of which enumerates that term
+        // position-blind (completeness gated by the brute oracles at
+        // sf0.01 + the sf1 sample twin, DedupSpec's adversarial
+        // geometries, and the generative brute-vs-blocked law):
+        //   ed ≤ 1 (equality, 1 sub, 1 indel)  -> radius1Candidates;
+        //   2 subs, same length                -> (v, i, j) POSITIONAL
+        //     equi-join on the 2-deletion pair kernel: both sides delete
+        //     the same two original positions, so buckets shrink to the
+        //     per-position-pair alphabet (the radius-1 positional trick,
+        //     carried to the only class that genuinely needs
+        //     2-deletions on both sides);
+        //   delete@i + insert@j, same length   -> D1 x D1 blind join
+        //     (single-deletion buckets only — the r13 k=1 problem term
+        //     was this join's k=2 analog, ~L x bigger per side);
+        //   1 sub + 1 indel, length diff 1     -> D1 x D2 blind join
+        //     (shorter deletes the subbed position; longer deletes the
+        //     inserted + subbed positions);
+        //   2 inserts, length diff 2           -> D2 x originals
+        //     (the longer's 2-deletion IS the shorter; broadcast the
+        //     bounded originals, the radius-1 indel shape).
+        // Exploded frames keep merge hints (Catalyst's size estimate
+        // does not model the Generate fan-out and would broadcast them).
+        def explode1(src: DataFrame): DataFrame = src
+          .select(col("id"), col("s"),
+            explode(graft.functions.NormalizeKernels
+              .deletion_variants_pos(col("s"))).as("vp"))
           .select(col("id"), col("s"), col("vp.v").as("v"), col("vp.pos").as("pos"))
-        val a = vp.select(col("id").as("id_a"), col("s").as("s_a"),
-          col("v"), col("pos"))
-        val b = vp.select(col("id").as("id_b"), col("s").as("s_b"),
-          col("v"), col("pos"))
-        // (a) same-position variants: equality (-1,-1 and every (i,i))
-        // and substitutions (delete the substituted position from both)
-        val samePos = a.join(b.hint("merge"), Seq("v", "pos"))
-        // (b) a deletion of one side equals the OTHER side's original —
-        // the insertion/deletion case; one join covers both orientations
-        // because deletions of every string meet every original
-        val dels = vp.filter(col("pos") >= 0)
+          .filter(col("pos") >= 0) // deletions only; originals ride leg 5
+        def explode2(src: DataFrame): DataFrame = src
+          .select(col("id"), col("s"),
+            explode(graft.functions.NormalizeKernels
+              .deletion_variants_pos2(col("s"))).as("vp"))
+          .select(col("id"), col("s"), col("vp.v").as("v"),
+            col("vp.i").as("i"), col("vp.j").as("j"))
+        // length gate for the cross-length legs: x12 fires only across a
+        // length delta of 1 and x02 only across 2, so each side is
+        // semi-joined against the (broadcast-tiny) distinct length set
+        // shifted by the delta — a uniform-length corpus (TPC-H names)
+        // never even EXPLODES their frames (measured at sf0.1: the
+        // ungated legs cost 3.5 s shuffling 2.6M rows to produce zero)
+        val lenSet = names.select(length(col("s")).as("len")).distinct()
+        def withPartnerLen(delta: Int): DataFrame =
+          names.join(broadcast(lenSet),
+            length(col("s")) + delta === col("len"), "left_semi")
+        val vp2 = explode2(names)
+        // ss keeps only candidates differing at BOTH deleted positions:
+        // the exactly-two-substitution pairs this leg exists for. A pair
+        // differing at one position matches (i, m) for EVERY other m —
+        // L−2 redundant witnesses per ed-1 pair — and ed-1 pairs already
+        // ride radius1Candidates (measured at sf0.1: the unfiltered leg
+        // emits 18.2M occurrences for 8.2M true directed pairs).
+        def diffAt(p: Column): Column =
+          col("s_a").substr(p + 1, lit(1)) =!= col("s_b").substr(p + 1, lit(1))
+        val ss = vp2.select(col("id").as("id_a"), col("s").as("s_a"),
+            col("v"), col("i"), col("j"))
+          .join(vp2.select(col("id").as("id_b"), col("s").as("s_b"),
+            col("v"), col("i"), col("j")).hint("merge"), Seq("v", "i", "j"))
+          .filter(diffAt(col("i")) && diffAt(col("j")))
+        val d1 = explode1(names)
+        val d1a = d1.select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
+        val d1b = d1.select(col("id").as("id_b"), col("s").as("s_b"), col("v"))
+        val x11 = d1a.join(d1b.hint("merge"), "v")
+        val d1Short = explode1(withPartnerLen(+1))
           .select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
-        val origs = names
+        val d2Long = explode2(withPartnerLen(-1))
+          .select(col("id").as("id_b"), col("s").as("s_b"), col("v"))
+        val x12 = d1Short.join(d2Long.hint("merge"), "v")
+        val origs = withPartnerLen(+2)
           .select(col("id").as("id_b"), col("s").as("s_b"), col("s").as("v"))
-        val indel = dels.join(broadcast(origs), "v")
-        // (b) is one-directional per row (deleter → original); add the
-        // reverse orientation by swapping ROLES of the bounded output,
-        // not by re-running the join
-        samePos.select("id_a", "id_b", "s_a", "s_b")
-          .unionByName(indel.select("id_a", "id_b", "s_a", "s_b"))
-          .unionByName(indel.select(col("id_b").as("id_a"),
+        val x02 = explode2(withPartnerLen(-2))
+          .select(col("id").as("id_a"), col("s").as("s_a"), col("v"))
+          .join(broadcast(origs), "v")
+        // every leg except x12 is TRUE BY CONSTRUCTION — sharing a
+        // same-position(s) deletion variant bounds the distance:
+        //   ss  : equal outside positions {i, j}      -> ed <= 2
+        //   x11 : delete@i from a = delete@j from b   -> ed <= 2
+        //         (delete i, insert j)
+        //   x02 : a IS a 2-deletion of b              -> ed = 2
+        //   radius1Candidates: ed <= 1 by the k=1 argument
+        // so the levenshtein verify runs ONLY on x12 (D1 x D2 admits
+        // ed-3: one deletion then two inserts elsewhere). Skipping the
+        // redundant DP on the ~20M provably-true occurrences is most of
+        // this decomposition's win; over-admission here would surface
+        // as EXTRA pairs in the brute oracles and the generative
+        // brute-vs-blocked law, both of which gate this path.
+        val x12v = x12
+          .filter(levenshtein(col("s_a"), col("s_b")) <= 2)
+        radius1Candidates
+          .unionByName(ss.select("id_a", "id_b", "s_a", "s_b"))
+          .unionByName(x11.select("id_a", "id_b", "s_a", "s_b"))
+          // x12 and x02 are one-directional (deleter -> other side); add
+          // the reverse orientation by swapping roles of the output
+          .unionByName(x12v.select("id_a", "id_b", "s_a", "s_b"))
+          .unionByName(x12v.select(col("id_b").as("id_a"),
+            col("id_a").as("id_b"), col("s_b").as("s_a"), col("s_a").as("s_b")))
+          .unionByName(x02.select("id_a", "id_b", "s_a", "s_b"))
+          .unionByName(x02.select(col("id_b").as("id_a"),
             col("id_a").as("id_b"), col("s_b").as("s_a"), col("s_a").as("s_b")))
       } else {
         val variants = names.select(col("id"), col("s"),
@@ -384,15 +492,20 @@ object Dedup {
           .join(variants.select(col("id").as("id_b"), col("s").as("s_b"),
             col("v")).hint("merge"), "v")
       }
-    candidates
-      .filter(col("id_a") =!= col("id_b"))
-      // verify BEFORE the dedup: the exact levenshtein is a cheap
-      // codegen'd map-side filter, so running it per candidate
-      // OCCURRENCE (a pair can share several variants) shrinks the
-      // dedup exchange to true pairs AND leaves the distinct on two
-      // bare longs — a codegen'd HashAggregate instead of the
-      // SortAggregate that first(string) payloads force
-      .filter(levenshtein(col("s_a"), col("s_b")) <= k)
+    val distinctIds = candidates.filter(col("id_a") =!= col("id_b"))
+    // verify BEFORE the dedup: the exact levenshtein is a cheap
+    // codegen'd map-side filter, so running it per candidate
+    // OCCURRENCE (a pair can share several variants) shrinks the
+    // dedup exchange to true pairs AND leaves the distinct on two
+    // bare longs — a codegen'd HashAggregate instead of the
+    // SortAggregate that first(string) payloads force. At k = 2 the
+    // decomposition above verified the ONE leg that can over-admit
+    // (x12) in place; every other leg is true by construction, so a
+    // global DP here would burn ~20M redundant L² evaluations per run.
+    val verified =
+      if (k == 2) distinctIds
+      else distinctIds.filter(levenshtein(col("s_a"), col("s_b")) <= k)
+    verified
       .select("id_a", "id_b")
       .dropDuplicates("id_a", "id_b")
   }

@@ -678,6 +678,26 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("deletion_variants_pos2: every codepoint pair i < j once, values " +
+       "equal the brute double deletion in original coordinates, generatively") {
+    import org.apache.spark.unsafe.types.UTF8String
+    check(forAll(textGen) { raw =>
+      val u = UTF8String.fromString(raw)
+      val got = graft.functions.NormalizeKernels.deletionVariantsPos2(u)
+      val vals = (0 until got.numElements()).map { n =>
+        val r = got.getStruct(n, 3)
+        (r.getUTF8String(0).toString, r.getInt(1), r.getInt(2))
+      }
+      val cps = raw.codePoints.toArray
+      val expect = for {
+        i <- cps.indices; j <- cps.indices if i < j
+      } yield (new String(cps.indices.filter(m => m != i && m != j)
+          .flatMap(m => Character.toChars(cps(m))).toArray), i, j)
+      Prop(vals == expect) :|
+        s"raw=${raw.take(30)} got=${vals.take(3)} expect=${expect.take(3)}"
+    })
+  }
+
   test("pair_strings == the ordered-pair double loop, generatively") {
     import org.apache.spark.unsafe.types.UTF8String
     val tokGen = Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)
