@@ -1235,4 +1235,35 @@ class ScaleDesignSpec extends GraftSpec {
     assert(rowsOnly.isEmpty,
       s"queries without oracles (should be zero on this registry): $rowsOnly")
   }
+
+  test("scale-contract hygiene: every contract row names registered, " +
+      "oracle-backed queries and witnesses, and witnesses are sweep-exact " +
+      "(never themselves under contract)") {
+    // r14: the at-scale sweep resolves its two declared contract classes
+    // mechanically (tools/selfcheck.py --scale). A typo'd or stale name
+    // here would silently no-op in the sweep — the same failure mode the
+    // bench exclusion require() guards against — so it fails the build
+    // instead. Witnesses must also be OUTSIDE both contracts: a witness
+    // that is itself contract-resolved would make the proof circular.
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val contracts =
+      SparkEntry.floatRollupContracts ++ SparkEntry.bruteOracleDelegates
+    contracts.foreach { case (q, witness) =>
+      assert(queries(q) && oracles(q), s"contract key '$q' is not a " +
+        "registered, oracle-backed query")
+      assert(queries(witness) && oracles(witness),
+        s"contract witness '$witness' (for '$q') is not a registered, " +
+          "oracle-backed query")
+      assert(!contracts.contains(witness),
+        s"witness '$witness' is itself under contract — circular proof")
+      assert(q != witness, s"'$q' cannot witness itself")
+    }
+    // the four brute delegates' witnesses are the *_sample twins by
+    // construction — pin the shape so a future rename keeps the pairing
+    SparkEntry.bruteOracleDelegates.foreach { case (q, w) =>
+      assert(w == s"${q}_sample",
+        s"brute delegate '$q' must be witnessed by its _sample twin, got '$w'")
+    }
+  }
 }
