@@ -574,12 +574,13 @@ private[graft] object BenchFormat {
     "wordpiece_merges",
     // r13: dedup_edit_distance2 is the timed dedup_edit_distance's
     // physical shape (collapse-exact-first → kernel explode → variant
-    // equi-join → levenshtein verify → distinct → profile expansion) at
-    // radius 2 — the delta is neighborhood size (C(n,2) deletion
-    // variants per distinct value), data volume through the same shape.
-    // Registered EXCLUDED from day one: the unfunded 78th entry is
-    // exactly what shed the r12 canary fields (filtered timings in
-    // PLANS.md: sf0.1 12.98 / sf1 15.80 / sf3 21.50 s)
+    // equi-join → verify → distinct → profile expansion) at radius 2 —
+    // the delta is neighborhood size, data volume through the same
+    // shape (since r14, the per-class leg decomposition with the
+    // positional sub-sub kernel). Registered EXCLUDED from day one: the
+    // unfunded 78th entry is exactly what shed the r12 canary fields
+    // (filtered timings in PLANS.md: r14 sf0.1 10.63 / sf1 10.58 /
+    // sf3 12.10 s)
     "dedup_edit_distance2",
     // r13: ppr_topk_log composes two TIMED physical shapes — the
     // one-exchange-per-iteration PPR loop ppr_topk runs verbatim (same
