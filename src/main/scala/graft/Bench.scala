@@ -419,6 +419,7 @@ private[graft] object BenchFormat {
     // arithmetic — the any-scale-exact alternatives the sf1 float audit
     // motivated; the delta is expression content, not plan structure
     "q9_region_rollup_cents", "q10_rollup_cents", "q18_cube_cents",
+    "q16_disjunctive_cents",
     // r7: bpe_merges stays TIMED (the iterative vocabulary-sized
     // merge loop is a new workload shape — K aggregations over the
     // checkpointed word table after one corpus pass). bpe_vocab re-runs

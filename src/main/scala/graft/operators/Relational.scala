@@ -428,6 +428,28 @@ object Relational {
         count(lit(1)).as("n_items"))
   }
 
+  /** [[q16DisjunctiveParts]]'s any-scale-exact twin — the
+    * [[q9RegionRollupCents]] integer-cents discipline over the
+    * disjunctive-band revenue sum. Added r14 after the sf1 sweep caught
+    * the float form flipping across RUNS at 10× scale (one sweep exact,
+    * the next ulp-off — a single global sum whose rounded value sits at
+    * a boundary the summation order can cross), the q9/q10/q18 class
+    * exactly; it joins them in the declared scale contract. */
+  def q16DisjunctiveCents(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .select(col("l_partkey"), col("l_quantity"),
+        (round(col("l_extendedprice") * 100).cast("long") *
+          (lit(100L) - round(col("l_discount") * 100).cast("long"))).as("rev_e4"))
+    val p = Tables.part(spark, dir).select("p_partkey", "p_brand", "p_size")
+    def band(brand: String, sizeHi: Int, qLo: Int, qHi: Int) =
+      col("p_brand") === brand && col("p_size").between(1, sizeHi) &&
+        col("l_quantity").between(qLo, qHi)
+    li.join(p, col("l_partkey") === col("p_partkey"))
+      .filter(band("Brand#3", 15, 1, 11) || band("Brand#15", 25, 10, 20) ||
+        band("Brand#24", 35, 20, 30))
+      .agg(sum(col("rev_e4")).as("revenue_e4"), count(lit(1)).as("n_items"))
+  }
+
   /** TPC-H Q22 shape (ungrouped scalar subquery + anti join): customers
     * with above-average positive balance and no order since
     * [[q17DormantDate]], counted per market segment. The average is a
@@ -718,6 +740,7 @@ object Relational {
     "q14_small_qty_revenue" -> (q14SmallQtyRevenue _),
     "q15_large_orders" -> (q15LargeOrders _),
     "q16_disjunctive_parts" -> (q16DisjunctiveParts _),
+    "q16_disjunctive_cents" -> (q16DisjunctiveCents _),
     "q17_wealthy_dormant" -> (q17WealthyDormant _),
     "snapshot_merge" -> (snapshotMerge _),
     "snapshot_diff" -> (snapshotDiff _),
@@ -917,6 +940,18 @@ object Relational {
                  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
              OR (p_brand = 'Brand#24'
                  AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
+    "q16_disjunctive_cents" ->
+      """SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT) *
+                    (100 - CAST(round(l_discount * 100) AS BIGINT)))::BIGINT
+                  AS revenue_e4,
+                count(*) AS n_items
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE (p_brand = 'Brand#3'
+                 AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+             OR (p_brand = 'Brand#15'
+                 AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+             OR (p_brand = 'Brand#24'
+                 AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""",
     "q17_wealthy_dormant" ->
       s"""WITH c AS (
             SELECT *, cast(round(c_acctbal * 100) AS BIGINT) AS cents
@@ -1093,7 +1128,12 @@ object Relational {
   val scaleContracts: Map[String, String] = Map(
     "q9_region_rollup" -> "q9_region_rollup_cents",
     "q10_rollup_sets" -> "q10_rollup_cents",
-    "q18_cube_revenue" -> "q18_cube_cents")
+    "q18_cube_revenue" -> "q18_cube_cents",
+    // r14: caught by the second sf1 HEAD sweep — the float form passed
+    // exact in one sweep and read ulp-off in the next (a single global
+    // sum at a rounding boundary the summation order crosses run to
+    // run); same class, same remedy
+    "q16_disjunctive_parts" -> "q16_disjunctive_cents")
 
   /** The `_csv` twins inherit the contract (same plans over the csv
     * scan). */
