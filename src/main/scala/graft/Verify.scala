@@ -51,8 +51,20 @@ object Verify {
           GraftSession.interactivePool)
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+      catch {
+        case e: ScaleEnvelopeExceeded =>
+          // a DECLARED refusal, not a failure: record it machine-readably
+          // so the at-scale sweep resolves the row via its sample twin
+          // (a crashed query writes nothing and fails the sweep's
+          // completeness check instead)
+          new java.io.File(s"$outDir/$name").mkdirs()
+          val esc = e.getMessage.replace("\\", "\\\\").replace("\"", "\\\"")
+            .replace("\n", "\\n")
+          Files.writeString(Paths.get(s"$outDir/$name/_ENVELOPE.json"),
+            s"""{"reason": "$esc"}""")
+          System.err.println(s"[verify] $name out of declared envelope: ${e.getMessage}")
+        case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
       } finally if (interactive)
         spark.sparkContext.setLocalProperty("spark.scheduler.pool", null)
     }

@@ -37,9 +37,13 @@ object TextFunctions {
     * digits of md5, parsed as an integer. md5 is bit-identical in Spark
     * and DuckDB, so hash-derived featurizations (simhash, hashing-trick
     * features, stratified sampling) become SQL-oracle-able. Keep
-    * `hexChars ≤ 15` (60 bits) to stay clear of BIGINT sign overflow. */
+    * `hexChars ≤ 15` (60 bits) to stay clear of BIGINT sign overflow.
+    * Since r14 this is the native [[Md5Int]] kernel — same value as the
+    * original `conv(substring(md5(c), 1, hexChars), 16, 10)` chain
+    * (pinned generatively), with the digest read directly instead of
+    * three intermediate string materializations per call. */
   def md5Int(c: Column, hexChars: Int): Column =
-    conv(substring(md5(c), 1, hexChars), 16, 10).cast("long")
+    Md5Int.md5_int(c, hexChars)
 
   /** DuckDB mirror of [[md5Int]] over the SQL expression `e`: hex decode
     * via a shift-sum list comprehension — integer arithmetic throughout

@@ -861,39 +861,36 @@ object Dedup {
     * parsed as an integer. md5 is bit-identical in Spark and DuckDB, and
     * 60 bits stays clear of BIGINT sign-bit overflow in both engines —
     * which makes every simhash computation integer-exact and therefore
-    * SQL-oracle-able (the reason this replaces the earlier xxhash64). */
+    * SQL-oracle-able (the reason this replaces the earlier xxhash64).
+    * The Spark side reads the same 60 bits off the raw digest inside
+    * [[graft.functions.Simhash60]]; the DuckDB oracle keeps the hex
+    * form via [[graft.functions.TextFunctions.md5IntSql]]. */
   val simhashBits = 60
-  private def md5Hash60(c: Column): Column =
-    graft.functions.TextFunctions.md5Int(c, 15)
 
   /** SimHash fingerprints: sign-sum of the 60 bit positions of
     * md5-60(token) weighted by term frequency. All-integer arithmetic —
     * no float tie risk anywhere in the pipeline.
     *
-    * One shuffle, not two: summing ±1 per token OCCURRENCE equals
-    * summing ±tf per token TYPE (the tf weight is literally the
-    * occurrence count), so the per-(doc, word) tf pre-aggregation the
-    * earlier formulation shuffled on is algebraically redundant. The
-    * md5 is now evaluated per occurrence instead of per type — a local
-    * codegen'd cost — while the exchange drops from the full
-    * (doc, word, tf) set to one 60-column partial-agg row per doc per
-    * task (map-side combine). At 100 TB the occurrence explosion never
-    * materializes off-task. Integer-exact, oracle unchanged. */
-  def simhashFingerprint(spark: SparkSession, dir: String): DataFrame = {
-    val occ = toks(spark, dir)
-      .select(col("doc_id"), explode(col("ws")).as("w"))
-      .withColumn("h", md5Hash60(col("w")))
-    // per bit b: sum(bit set ? 1 : -1); fingerprint bit b = sum > 0
-    val bitCols = (0 until simhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1) === 1, lit(1L)).otherwise(lit(-1L)))
-        .as(s"s$b")
-    }
-    val sums = occ.groupBy("doc_id").agg(bitCols.head, bitCols.tail: _*)
-    val fp = (0 until simhashBits).map(b =>
-      when(col(s"s$b") > 0, shiftleft(lit(1L), b)).otherwise(lit(0L)))
-      .reduce((a, b) => a.bitwiseOR(b))
-    sums.select(col("doc_id"), fp.as("simhash")).orderBy("doc_id")
-  }
+    * ZERO shuffles (r14; was one): a SimHash fingerprint is a pure
+    * per-document function, so the whole computation — one md5 per
+    * token occurrence (summing ±1 per occurrence equals summing ±tf
+    * per type), 60 sign counters, the final bit assembly — runs inside
+    * the scan projection as one codegen'd kernel
+    * ([[graft.functions.Simhash60]]). The earlier aggregate form
+    * exploded every occurrence and carried 60 conditional-sum states
+    * over a doc_id exchange; at 100 TB neither the occurrence explosion
+    * nor the exchange needs to exist. The `size > 0` filter mirrors the
+    * aggregate form exactly: a zero-token document produced no exploded
+    * rows and therefore no fingerprint row. Integer-exact — the kernel
+    * reads the top 60 bits straight off the raw md5 digest, pinned
+    * equal to `conv(substring(md5(w),1,15),16,10)` generatively
+    * (PropertiesSpec) and corpus-wide by the DuckDB oracle. */
+  def simhashFingerprint(spark: SparkSession, dir: String): DataFrame =
+    toks(spark, dir)
+      .filter(size(col("ws")) > 0)
+      .select(col("doc_id"),
+        graft.functions.Simhash60.simhash60(col("ws")).as("simhash"))
+      .orderBy("doc_id")
 
   /** SimHash near-dup pairs via 15-bit banding (4 bands over 60 bits —
     * pigeonhole-complete for Hamming distance ≤ 3), verified by exact

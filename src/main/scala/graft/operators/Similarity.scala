@@ -264,7 +264,7 @@ object Similarity {
     out.iterator
   }
 
-  private[operators] def cosinePairsKernel(spark: SparkSession,
+  private[graft] def cosinePairsKernel(spark: SparkSession,
       vecs: org.apache.spark.sql.Dataset[(Long, Seq[Double])],
       threshold: Double): DataFrame = {
     val sp = spark
@@ -277,9 +277,13 @@ object Similarity {
       (id, v.iterator.map(_ / n).toArray)
     }.localCheckpoint(true)
     val total = normed.count()
-    require(total <= maxExactVectors,
-      s"exact all-pairs kernel is O(n²) — $total vectors exceeds " +
-        s"maxExactVectors=$maxExactVectors; use the LSH-banded default")
+    if (total > maxExactVectors)
+      // typed so Verify records the refusal as an _ENVELOPE marker and
+      // the at-scale sweep resolves it via the bounded-sample twin
+      // (graft.ScaleEnvelopeExceeded scaladoc has the full contract)
+      throw new graft.ScaleEnvelopeExceeded(
+        s"exact all-pairs kernel is O(n²) — $total vectors exceeds " +
+          s"maxExactVectors=$maxExactVectors; use the LSH-banded default")
     // floor of 8 blocks keeps small corpora parallel; above that, blocks
     // scale with n so each tile stays a bounded unit of work
     val nBlocks = math.max(8L, (total + pairsVecsPerBlock - 1) / pairsVecsPerBlock)

@@ -72,8 +72,12 @@ object TextQuality {
       .withColumn("stop_ratio",
         stopCount(col("ws")).cast("double") / size(col("ws")))
       .withColumn("trigram_hits",
-        enTrigrams.map(t => regexp_count(lower(col("text")), lit(t)))
-          .reduce(_ + _).cast("long"))
+        // one byte-pass over the text for all six profile trigrams —
+        // the regexp_count chain ran a full regex-engine pass per
+        // needle (graft.functions.CountLiterals; same non-overlapping
+        // counts, pinned generatively and by the unchanged oracle)
+        graft.functions.CountLiterals.count_literals(
+          lower(col("text")), enTrigrams))
       .withColumn("trigram_ratio",
         col("trigram_hits").cast("double") / greatest(length(col("text")) - 2, lit(1)))
       .select(
@@ -144,8 +148,10 @@ object TextQuality {
     * to every sum/count, so filtering them was pure wasted work. */
   def qualityGopherRules(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.GopherKernels
-    val nSym = (regexp_count(col("text"), lit("#")) +
-      regexp_count(col("text"), lit("\\.\\.\\."))).cast("long")
+    // one byte-pass for both symbol literals (CountLiterals; same
+    // non-overlapping counts as the two regexp_count passes it replaces)
+    val nSym = graft.functions.CountLiterals.count_literals(
+      col("text"), Seq("#", "..."))
     val base = Tables.documents(spark, dir)
       .select(col("doc_id"),
         split(col("text"), "\\s+").as("w"),

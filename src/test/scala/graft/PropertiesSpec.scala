@@ -698,6 +698,74 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("count_literals == summed per-needle regexp_count, generatively") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // needle pool includes self-overlap-prone shapes ("aa" in "aaa",
+    // "ata" in "atata") where non-overlapping resume-after semantics
+    // differ from advance-by-one — the exact contract regexp_count has
+    val pool = Seq("the", "ing", "ata", "aa", "ab", "ion")
+    val needleSet: Gen[Seq[String]] =
+      Gen.choose(1, pool.size).flatMap(n => Gen.pick(n, pool)).map(_.toSeq)
+    check(forAll(textGen, needleSet) { (raw, needles) =>
+      val lowered = sparkLower(raw)
+      val expect = needles.map { nd =>
+        val m = java.util.regex.Pattern.compile(
+          java.util.regex.Pattern.quote(nd)).matcher(lowered)
+        var c = 0L
+        while (m.find()) c += 1
+        c
+      }.sum
+      val got = graft.functions.CountLiterals.compute(
+        UTF8String.fromString(lowered),
+        needles.map(_.getBytes("US-ASCII")).toArray)
+      Prop(got == expect) :| s"raw=${raw.take(30)} needles=$needles got=$got expect=$expect"
+    })
+  }
+
+  test("md5_int kernel == conv(substring(md5(s),1,n),16,10) reference, generatively") {
+    import org.apache.spark.unsafe.types.UTF8String
+    check(forAll(textGen, Gen.choose(1, 15)) { (raw, n) =>
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(raw.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val expect = java.lang.Long.parseLong(hex.take(n), 16)
+      val got = graft.functions.Md5Int.compute(UTF8String.fromString(raw), n)
+      Prop(got == expect) :| s"raw=${raw.take(30)} n=$n got=$got expect=$expect"
+    })
+  }
+
+  test("simhash60 == the hex-string md5Int + per-bit sign-sum reference, generatively") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // independent reference: per token, parse the leading 15 hex chars
+    // of the md5 HEX STRING (the exact arithmetic the DuckDB oracle and
+    // the pre-r14 conv(substring(md5(w),1,15),16,10) chain used), then
+    // sum ±1 per bit and take the sign — no shared code with the kernel
+    def ref(toks: Seq[String]): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val counts = new Array[Int](60)
+      toks.foreach { t =>
+        val hex = md.digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+        val h = java.lang.Long.parseLong(hex.take(15), 16)
+        (0 until 60).foreach { b =>
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        }
+      }
+      (0 until 60).foldLeft(0L)((fp, b) =>
+        if (counts(b) > 0) fp | (1L << b) else fp)
+    }
+    val tokGen = Gen.frequency(
+      8 -> Gen.choose(1, 8).flatMap(n => Gen.listOfN(n, Gen.alphaLowerChar).map(_.mkString)),
+      1 -> Gen.oneOf("été", "中文",
+        new String(Character.toChars(0x1F600))),
+      1 -> Gen.const(""))
+    check(forAll(Gen.choose(0, 30).flatMap(n => Gen.listOfN(n, tokGen))) { toks =>
+      val arr = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        toks.map(t => UTF8String.fromString(t): Any).toArray)
+      val got = graft.functions.Simhash60.compute(arr)
+      val expect = ref(toks)
+      Prop(got == expect) :| s"n=${toks.size} got=$got expect=$expect"
+    })
+  }
+
   test("pair_strings == the ordered-pair double loop, generatively") {
     import org.apache.spark.unsafe.types.UTF8String
     val tokGen = Gen.listOfN(2, Gen.alphaLowerChar).map(_.mkString)

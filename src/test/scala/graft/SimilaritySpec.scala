@@ -279,4 +279,20 @@ class SimilaritySpec extends GraftSpec {
     } assert(cosR(vecs(a), vecs(b)) < Similarity.nearDupCosine,
       s"surviving near-dup pair ($a, $b) in cell $ca")
   }
+
+  test("exact all-pairs kernel refuses past its declared envelope, typed") {
+    // first fired for real by the r14 sf3 sweep (150k docs > 2^17 cap);
+    // the TYPE matters: Verify turns ScaleEnvelopeExceeded into an
+    // _ENVELOPE.json marker the at-scale sweep resolves via the sample
+    // twin, while any other throwable fails the sweep's completeness
+    // check. Dim-1 vectors keep the materialized count cheap — the guard
+    // fires on the count, before any tile work.
+    import spark.implicits._
+    val n = (Similarity.maxExactVectors + 1).toInt
+    val ds = spark.range(n).map(i => (i.toLong, Seq(1.0)))
+    val e = intercept[graft.ScaleEnvelopeExceeded] {
+      Similarity.cosinePairsKernel(spark, ds, 0.9).count()
+    }
+    assert(e.getMessage.contains("maxExactVectors"))
+  }
 }

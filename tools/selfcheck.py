@@ -70,7 +70,23 @@ def main():
     n_pass = n_fail = n_noop = 0
     exact_passed = set()  # witnesses for deferred contract rows
     deferred = []  # (kind, name, twin, detail) resolved after the loop
+    seen = set()
     for name in sorted(p.name for p in out_dir.iterdir() if p.is_dir()):
+        seen.add(name)
+        env_marker = out_dir / name / "_ENVELOPE.json"
+        if env_marker.exists():
+            # a DECLARED refusal (graft.ScaleEnvelopeExceeded): the exact
+            # baseline was driven past its compute envelope; its claim is
+            # carried by the bounded-sample twin
+            reason = json.loads(env_marker.read_text()).get("reason", "")
+            if scale_mode and name in contract["brute_delegates"]:
+                deferred.append(("envelope", name,
+                                 contract["brute_delegates"][name], reason))
+            else:
+                n_fail += 1
+                print(f"FAIL {name:32s} out-of-envelope refusal with no "
+                      f"applicable contract: {reason}")
+            continue
         spark_df = con.sql(f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
         if scale_mode and name in contract["brute_delegates"]:
             # the brute all-pairs oracle is hours-by-construction at this
@@ -156,6 +172,16 @@ def main():
                 diff = a.compare(b) if a.shape == b.shape else None
                 if diff is not None and not diff.empty:
                     print(diff.head(5).to_string())
+    # completeness: a query that crashed upstream writes no dump dir and
+    # would otherwise vanish from the sweep silently. Only meaningful for
+    # a FULL sweep (--scale); plain mode is also used on name-filtered
+    # Verify dumps during development, where most oracles are absent by
+    # construction.
+    if scale_mode:
+        for name in sorted(set(oracle) - seen):
+            n_fail += 1
+            print(f"FAIL {name:32s} registered oracle but no dump written "
+                  f"(query failed upstream? check the Verify log)")
     # resolve deferred contract rows against their exact-passed witnesses
     n_contract = 0
     for kind, name, twin, detail in deferred:
@@ -163,6 +189,10 @@ def main():
             ok = twin in exact_passed and detail > 0
             label = (f"scale-contract: brute oracle delegated to exact-passed "
                      f"{twin}; dump {detail} rows")
+        elif kind == "envelope":
+            ok = twin in exact_passed
+            label = (f"scale-contract: exact baseline out of declared "
+                     f"envelope; witness {twin}")
         else:
             ok = twin in exact_passed
             label = f"scale-contract: ulp-only float delta ({detail} rows); exact via {twin}"
