@@ -43,6 +43,43 @@ object Tables {
           s"(root LogicalRDD), not a composed plan: ${other.nodeName}")
     }
 
+  /** Run independent Spark jobs from a bounded thread pool and wait for
+    * all of them (guide §2.6 "overlap independent jobs"): actions are
+    * only sequential because driver code calls them sequentially, so a
+    * family build whose artifact writes are independent consumers of one
+    * checkpoint can let each job's task tail back-fill the slots the
+    * others free, instead of leaving the cluster idle once per write.
+    * FIFO scheduling (the session default) gives exactly that back-fill.
+    * The FIRST failure is rethrown after every job settles — no write is
+    * left running against a torn-down sibling's temp dirs. */
+  private[graft] def runConcurrently(poolName: String,
+      jobs: Seq[() => Unit]): Unit = {
+    if (jobs.sizeIs <= 1) { jobs.foreach(_.apply()); return }
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      jobs.size,
+      new java.util.concurrent.ThreadFactory {
+        private val n = new java.util.concurrent.atomic.AtomicInteger
+        def newThread(r: Runnable): Thread = {
+          val t = new Thread(r, s"$poolName-${n.incrementAndGet()}")
+          t.setDaemon(true); t
+        }
+      })
+    try {
+      val futures = jobs.map(j => pool.submit(new java.util.concurrent.Callable[Unit] {
+        def call(): Unit = j()
+      }))
+      var firstFailure: Throwable = null
+      futures.foreach { f =>
+        try f.get()
+        catch {
+          case e: java.util.concurrent.ExecutionException =>
+            if (firstFailure == null) firstFailure = e.getCause
+        }
+      }
+      if (firstFailure != null) throw firstFailure
+    } finally pool.shutdown()
+  }
+
   /** Explicit schemas (see FIXTURES.md §1). Declaring them — rather than
     * relying on inference — is what makes the csv path type-identical to
     * the parquet path, mirroring the reference's graded text/parquet parity.

@@ -154,8 +154,15 @@ object Dedup {
     * this: build the standing artifacts once, consume them many times. */
   def buildFamilyArtifacts(spark: SparkSession, dir: String): Unit = {
     docShinglesShared(spark, dir)
-    jaccardPairsShared(spark, dir)
-    signatureBandsShared(spark, dir)
+    // pair graph and minhash band index are INDEPENDENT consumers of the
+    // shingle checkpoint (different memo locks, so no contention): built
+    // from a 2-thread pool, the band build's map-side work back-fills the
+    // pair self-join's reduce tail instead of waiting for it (guide
+    // §2.6). Each build still materializes exactly once — the per-memo
+    // synchronized getOrElseUpdate is unchanged.
+    graft.Tables.runConcurrently("graft-dedup-build", Seq(
+      () => { jaccardPairsShared(spark, dir); () },
+      () => { signatureBandsShared(spark, dir); () }))
   }
 
   /** Per-stage wall seconds of a COLD build — the adjudication hook the
@@ -625,9 +632,18 @@ object Dedup {
     * deduplicated) — exposed so the scale profiler can count candidate
     * volume next to the brute kernel's. */
   private[graft] def prefixCandidates(shc: DataFrame): DataFrame = {
-    val dfCounts = shc.groupBy("sh").agg(count(lit(1)).as("df"))
+    // df as a WINDOW over the sh partitioning instead of the r9
+    // groupBy+join-back (guide §2.4: two operations keyed the same way
+    // share one exchange): shc arrives straight out of cappedShingles,
+    // whose stop-shingle window already hash-partitioned AND sorted the
+    // table by sh — the df window rides that exchange for free, where
+    // the join-back form paid a second sh exchange for the aggregate
+    // plus a sort-merge join of the full shingle table against it.
+    // Value-identical: (doc_id, sh) rows are distinct, so the joined-in
+    // groupBy count equals the per-row window count.
     val w = Window.partitionBy("doc_id")
-    val ordered = shc.join(dfCounts, "sh")
+    val ordered = shc
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("sh")))
       .withColumn("n", count(lit(1)).over(w))
       .withColumn("pos", row_number().over(w.orderBy(col("df"), col("sh"))))
     // ⌈t·n⌉ = (800n+999) div 1000, computed exactly: 800n+999 is an

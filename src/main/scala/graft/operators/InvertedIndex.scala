@@ -96,30 +96,49 @@ object InvertedIndex {
         // the blocks deterministically
         val tf = termFreqs(spark, dir).localCheckpoint(true)
         try {
-          // range-partition FIRST, window second: RangePartitioning(term)
-          // already satisfies the window's ClusteredDistribution(term)
-          // (a term never straddles range partitions) and the (term,
-          // docno) sort satisfies its required sort, so the df count
-          // rides the write layout's exchange instead of adding a
-          // hash exchange of the full postings payload before it
-          tf.select(col("term"), col("doc_id").as("docno"), col("tf"))
-            .repartitionByRange(8, col("term"))
-            .sortWithinPartitions("term", "docno")
-            .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
-            .select(col("term"), col("df"), col("docno"), col("tf"))
-            .write.mode("overwrite").parquet(idxPath)
-          tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
-            .select(col("doc_id").as("docno"), col("dl"))
-            .repartitionByRange(4, col("docno"))
-            .sortWithinPartitions("docno")
-            .write.mode("overwrite").parquet(statsPath)
-          // positional postings (term, docno, positions) — same
-          // term-range layout as the flat index, so a phrase query's
-          // term predicate prunes to its row groups
-          tf.select(col("term"), col("doc_id").as("docno"), col("positions"))
-            .repartitionByRange(8, col("term"))
-            .sortWithinPartitions("term", "docno")
-            .write.mode("overwrite").parquet(posPath)
+          // The three artifact writes are INDEPENDENT consumers of the
+          // tf checkpoint, and each runs 4-8 write tasks — run serially
+          // they leave most of the cluster idle three times over. They
+          // are submitted from a small thread pool so each write's tail
+          // back-fills the others' freed slots (guide §2.6 "overlap
+          // independent jobs"; Spark's FIFO scheduler gives exactly the
+          // back-fill behaviour). Each job is labelled for the UI.
+          def job(desc: String)(body: => Unit): () => Unit = () => {
+            spark.sparkContext.setJobDescription(desc)
+            try body finally spark.sparkContext.setJobDescription(null)
+          }
+          val writes: Seq[() => Unit] = Seq(
+            // range-partition FIRST, window second: RangePartitioning(term)
+            // already satisfies the window's ClusteredDistribution(term)
+            // (a term never straddles range partitions) and the (term,
+            // docno) sort satisfies its required sort, so the df count
+            // rides the write layout's exchange instead of adding a
+            // hash exchange of the full postings payload before it
+            job("index_build: flat posting index") {
+              tf.select(col("term"), col("doc_id").as("docno"), col("tf"))
+                .repartitionByRange(8, col("term"))
+                .sortWithinPartitions("term", "docno")
+                .withColumn("df", count(lit(1)).over(Window.partitionBy("term")))
+                .select(col("term"), col("df"), col("docno"), col("tf"))
+                .write.mode("overwrite").parquet(idxPath)
+            },
+            job("index_build: doc-length table") {
+              tf.groupBy("doc_id").agg(sum(col("tf")).as("dl"))
+                .select(col("doc_id").as("docno"), col("dl"))
+                .repartitionByRange(4, col("docno"))
+                .sortWithinPartitions("docno")
+                .write.mode("overwrite").parquet(statsPath)
+            },
+            // positional postings (term, docno, positions) — same
+            // term-range layout as the flat index, so a phrase query's
+            // term predicate prunes to its row groups
+            job("index_build: positional postings") {
+              tf.select(col("term"), col("doc_id").as("docno"), col("positions"))
+                .repartitionByRange(8, col("term"))
+                .sortWithinPartitions("term", "docno")
+                .write.mode("overwrite").parquet(posPath)
+            })
+          graft.Tables.runConcurrently("graft-index-build", writes)
         } finally graft.Tables.releaseCheckpoint(tf)
         (spark.read.parquet(idxPath), spark.read.parquet(statsPath),
           spark.read.parquet(posPath))
