@@ -667,13 +667,26 @@ object Dedup {
 
   private[graft] def prefixJaccardPairs(shc: DataFrame): DataFrame = {
     val cand = prefixCandidates(shc)
-    // exact verify: one pass of doc_a's shingles, kept when doc_b has them
-    val inter = cand
-      .join(shc.toDF("doc_a", "sh"), "doc_a")
-      .join(shc.toDF("doc_b", "sh"), Seq("doc_b", "sh"), "left_semi")
-      .groupBy("doc_a", "doc_b", "na", "nb")
-      .agg(count(lit(1)).as("inter"))
-    inter
+    // exact verify against per-doc shingle ARRAYS (r14). The previous
+    // shape streamed every candidate's full shingle list through a
+    // (doc_b, sh)-keyed semi-join — at 43k sf0.1 candidates that is a
+    // ~1.7M-row intermediate, each row carrying (doc_a, doc_b, na, nb,
+    // sh), exchanged once more for the final (doc_a, doc_b) count. Here
+    // the shingle table is grouped once per doc (one narrow exchange of
+    // what cappedShingles already emits) and each candidate joins its
+    // two arrays; |A∩B| comes from the codegen'd `array_intersect` —
+    // per-doc shingles are DISTINCT by construction (array_distinct at
+    // the shingle source), so the intersect size is exactly the count
+    // the semi-join computed, with no per-shingle shuffle rows and no
+    // post-join re-aggregation. Work stays proportional to candidates ×
+    // doc size (the PPJoin contract), but in-task instead of
+    // through two exchanges.
+    val docArrays = shc.groupBy("doc_id").agg(collect_list(col("sh")).as("shs"))
+    cand
+      .join(docArrays.toDF("doc_a", "shs_a"), "doc_a")
+      .join(docArrays.toDF("doc_b", "shs_b"), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
