@@ -77,8 +77,6 @@ object CorpusPipeline {
     // sorted bigrams — replaces an aggregate() fold whose 3-field struct
     // accumulator allocated per element through interpreted lambdas
     // (r6g; same count-equal-adjacent arithmetic, hashes unchanged)
-    val runFold = (bg: org.apache.spark.sql.Column) =>
-      graft.functions.MaxRun.max_run(array_sort(bg))
     docs(spark, dir)
       // equivalent to filtering on a nonempty bigram array, but the
       // pushed-down predicate only re-evaluates tokenize, not the whole
@@ -88,14 +86,19 @@ object CorpusPipeline {
       // codegen'd pair-string loop (graft.functions.BigramStrings) — the
       // transform(zip_with(...), concat_ws) form paid two interpreted
       // HOFs + a struct per pair (r6g; identical strings, hashes
-      // unchanged)
+      // unchanged). r14: sort ONCE and derive every statistic from the
+      // sorted array — size is order-free, the distinct count is the
+      // sorted array's run count (DistinctRuns; == size(array_distinct)
+      // exactly, without the per-row hash set + second output array),
+      // and max_repeat reads the same sorted input it always did.
       .select(col("doc_id"),
-        graft.functions.BigramStrings.bigram_strings(col("ws")).as("bg"))
+        array_sort(
+          graft.functions.BigramStrings.bigram_strings(col("ws"))).as("sbg"))
       .select(
         col("doc_id"),
-        size(col("bg")).cast("long").as("n_bigrams"),
-        size(array_distinct(col("bg"))).cast("long").as("n_distinct"),
-        runFold(col("bg")).as("max_repeat"))
+        size(col("sbg")).cast("long").as("n_bigrams"),
+        graft.functions.DistinctRuns.distinct_runs(col("sbg")).as("n_distinct"),
+        graft.functions.MaxRun.max_run(col("sbg")).as("max_repeat"))
       // exact: (bigint − bigint) / bigint on values ≪ 2^53
       .withColumn("dup_frac",
         (col("n_bigrams") - col("n_distinct")).cast("double") / col("n_bigrams"))

@@ -3,6 +3,7 @@ package graft.operators
 import graft.Tables
 import graft.functions.TextFunctions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Training-data text-analysis operators over `documents` (the extension
@@ -323,13 +324,20 @@ object TextQuality {
   def docLogprob(spark: SparkSession, dir: String): DataFrame = {
     val tok = docs(spark, dir).select(col("doc_id"), explode(col("ws")).as("w"))
     val tf = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
-    val gf = tf.groupBy("w").agg(sum(col("tf")).as("cnt"))
-    val total = gf.agg(sum(col("cnt")).as("n"))
-    val m = gf.crossJoin(broadcast(total))
-      .select(col("w"),
+    // global count per word as a WINDOW over the w partitioning instead
+    // of the r6 groupBy+join-back (the prefix-join play, guide §2.4):
+    // the joined-in gf aggregate re-computed the whole tf subtree a
+    // second time as the model side and paid a join to re-attach it;
+    // the window computes the same per-w sum on one pass. The model
+    // expression (round∘round∘log10, then micro-long) is evaluated per
+    // tf row instead of per distinct w — identical values on identical
+    // inputs, and the per-doc micro sum is order-free by construction.
+    val total = tf.agg(sum(col("tf")).as("n"))
+    tf.withColumn("cnt", sum(col("tf")).over(Window.partitionBy("w")))
+      .crossJoin(broadcast(total))
+      .withColumn("m",
         round(round(log10(col("cnt").cast("double") / col("n")), 6) * 1e6, 0)
-          .cast("long").as("m"))
-    tf.join(m, "w")
+          .cast("long"))
       .groupBy("doc_id")
       .agg(sum(col("tf")).as("n_toks"),
         sum(col("tf") * col("m")).as("logprob_micro"))

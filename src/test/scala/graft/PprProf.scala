@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Stage profiler for the PPR family (r14 optimization round): splits
+  * `ppr_family_build` into its driver-visible steps (edge scan + offset
+  * collect, the one-exchange graph build, the dangling probe) and times
+  * the registered ppr_topk loop on the warm artifacts — the adjudication
+  * hook for "which stage moved" that profileBuildStages gives the dedup
+  * family.
+  *
+  *   sbt -batch "Test/runMain graft.PprProf [dir] [runs]"
+  */
+object PprProf extends App {
+  val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+  val runs = if (args.length > 1) args(1).toInt else 3
+  val spark = GraftSession.baseBuilder("32")
+    .config("spark.sql.adaptive.enabled", "true")
+    .getOrCreate()
+  spark.sparkContext.setLogLevel("WARN")
+
+  def t[A](body: => A): (A, Double) = {
+    val t0 = System.nanoTime()
+    val a = body
+    (a, (System.nanoTime() - t0) / 1e9)
+  }
+
+  // warm run absorbs JIT/codegen/file listing
+  graft.operators.PageRank.buildFamilyArtifacts(spark, dir)
+  graft.operators.PageRank.pprTopK(spark, dir)
+    .write.format("noop").mode("overwrite").save()
+
+  (1 to runs).foreach { i =>
+    graft.operators.PageRank.clearMemos()
+    val (_, tBuild) = t(graft.operators.PageRank.buildFamilyArtifacts(spark, dir))
+    val (_, tLoop) = t(graft.operators.PageRank.pprTopK(spark, dir)
+      .write.format("noop").mode("overwrite").save())
+    println(f"PROF run$i build=$tBuild%.2f topk_loop=$tLoop%.2f")
+  }
+  spark.stop()
+}

@@ -733,6 +733,23 @@ class PropertiesSpec extends AnyFunSuite {
     })
   }
 
+  test("distinct_runs on a sorted array == the distinct count, generatively") {
+    import org.apache.spark.unsafe.types.UTF8String
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    // duplicates forced by a small value pool; "" and non-ASCII included.
+    // Any total order groups equal values adjacently, so Scala's string
+    // sort stands in for array_sort — run counting only needs adjacency
+    // of equals, not a specific collation.
+    val strs = Gen.listOf(Gen.oneOf("a", "b", "ab", "aa", "x", "yz", "γδ", ""))
+    check(forAll(strs) { xs =>
+      val arr = new GenericArrayData(
+        xs.sorted.map(UTF8String.fromString).toArray[Any])
+      val got = graft.functions.DistinctRuns.compute(arr)
+      val expect = xs.distinct.size.toLong
+      Prop(got == expect) :| s"xs=$xs got=$got expect=$expect"
+    })
+  }
+
   test("simhash60 == the hex-string md5Int + per-bit sign-sum reference, generatively") {
     import org.apache.spark.unsafe.types.UTF8String
     // independent reference: per token, parse the leading 15 hex chars
