@@ -125,11 +125,17 @@ object CorpusPipeline {
       .orderBy("doc_id")
 
   def corpusFunnel(spark: SparkSession, dir: String): DataFrame = {
-    val q = TextQuality.docQuality(spark, dir).select("doc_id", "quality")
+    // quality is a pure per-row function of (ws, n_chars), so it is
+    // computed INSIDE the one scan (TextQuality.qualityCol — the exact
+    // expression docQuality's column chain collapses to) instead of
+    // joining docQuality back by doc_id: the join paid a second full
+    // tokenize scan plus a doc_id exchange of both branches (r14,
+    // guide §2.4). docQuality emits one row per doc unconditionally, so
+    // the removed inner join never filtered anything.
     val j = docs(spark, dir)
       .select(col("doc_id"), col("n_chars"),
-        md5(array_join(col("ws"), " ")).as("sig"))
-      .join(q, "doc_id")
+        md5(array_join(col("ws"), " ")).as("sig"),
+        TextQuality.qualityCol(col("ws"), col("n_chars")).as("quality"))
     val keep = col("n_chars") >= funnelMinChars && col("quality") >= funnelMinQuality
     // one pass for the row-level stages (conditional aggregation) ...
     val flat = j.agg(

@@ -864,21 +864,42 @@ object Dedup {
     // tokenize+explode passes over the corpus
     val sh = docShinglesShared(spark, dir)
     val bands = signatureBandsShared(spark, dir)
+    // per-query localCheckpoint: the candidate pairs are consumed twice
+    // below (the verify join AND the array-build prune) — without the
+    // lineage barrier each consumer would replay the band self-join; the
+    // pair table itself is two ids per suspected near-dup, tiny
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band", "slice"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    // verify candidates with exact Jaccard: shingle intersection counted by
-    // joining each candidate pair's shingle sets on (doc, shingle)
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // verify candidates with exact Jaccard against per-doc shingle ARRAYS
+    // (r14, the prefixJaccardPairs idiom): the per-shingle semi-join shape
+    // streamed every candidate's full shingle list through a (doc_b, sh)
+    // exchange and re-aggregated by pair. Grouping the shingle table once
+    // per doc and intersecting arrays in-task computes the identical
+    // count — per-doc shingles are DISTINCT by construction
+    // (array_distinct at the shingle source) — with no per-shingle shuffle
+    // rows and no post-join aggregation. A candidate pair with an empty
+    // intersection scores jaccard = 0 < t and is filtered exactly as the
+    // inner shingle join dropped it. The array build is semi-join PRUNED
+    // to docs that appear in some candidate pair (guide §3.2): LSH
+    // candidates cover a small fraction of a mostly-unique corpus, and
+    // collect_list over the full table would push every shingle byte
+    // through the doc_id exchange for arrays the inner joins below never
+    // read. Pruning first keeps the heavy exchange proportional to the
+    // candidate set.
+    val candDocs = candidates.select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    val docArrays = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
     candidates
-      .join(sh.toDF("doc_a", "sh"), "doc_a")
-      .join(sh.toDF("doc_b", "sh"), Seq("doc_b", "sh"))
-      .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("doc_a", "na"), "doc_a")
-      .join(sizes.toDF("doc_b", "nb"), "doc_b")
+      .join(docArrays.toDF("doc_a", "shs_a", "na"), "doc_a")
+      .join(docArrays.toDF("doc_b", "shs_b", "nb"), "doc_b")
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)
@@ -919,7 +940,6 @@ object Dedup {
       .filter(size(col("ws")) > 0)
       .select(col("doc_id"),
         graft.functions.Simhash60.simhash60(col("ws")).as("simhash"))
-      .orderBy("doc_id")
 
   /** SimHash near-dup pairs via 15-bit banding (4 bands over 60 bits —
     * pigeonhole-complete for Hamming distance ≤ 3), verified by exact
@@ -930,7 +950,18 @@ object Dedup {
     val nBands = simhashBits / simhashBandBits
     require(nBands * simhashBandBits == simhashBits && nBands >= 4,
       s"banding must tile all $simhashBits bits with ≥ 4 bands")
-    val fp = simhashFingerprint(spark, dir)
+    // materialize the fingerprint once (r14): the band self-join below
+    // replays BOTH its input branches, and the broadcast side replays the
+    // whole subtree too — so without a lineage barrier the md5-per-token
+    // Simhash60 kernel ran once per branch AND once more inside each
+    // branch's join-key null filter (isnotnull(key) derives from simhash):
+    // up to 4 kernel passes over the corpus for one fingerprint table.
+    // localCheckpoint (the PageRank/shingle-memo idiom, computed fresh
+    // per run) pins it to exactly one pass; the fingerprint table is
+    // 16 bytes/doc, distributed. The fingerprint build itself is
+    // shuffle-free (no orderBy — the old range exchange served nothing;
+    // the registered query orders its own output).
+    val fp = simhashFingerprint(spark, dir).localCheckpoint()
     val bands = fp.select(
       col("doc_id"), col("simhash"),
       posexplode(array((0 until nBands).map(b =>
@@ -1249,18 +1280,26 @@ object Dedup {
     val sh = docShinglesShared(spark, dir)
     val bands = signatureBandsShared(spark, dir)
     val isNew = col("doc_id") % incrementalMod === incrementalRem
+    // localCheckpoint for the same two-consumer reason as dedupMinhashLsh
     val candidates = bands.filter(isNew).toDF("doc_new", "band", "slice")
       .join(bands.filter(!isNew).toDF("doc_old", "band", "slice"),
         Seq("band", "slice"))
       .select("doc_new", "doc_old").distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      .localCheckpoint()
+    // per-doc-array verify with candidate-doc semi-join pruning, same
+    // idiom (and equivalence argument) as dedupMinhashLsh (r14); pruning
+    // matters MOST here — the new-slice candidate set touches only
+    // ~1/incrementalMod of the corpus plus its band matches
+    val candDocs = candidates.select(col("doc_new").as("doc_id"))
+      .union(candidates.select(col("doc_old").as("doc_id"))).distinct()
+    val docArrays = sh.join(candDocs, Seq("doc_id"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
     candidates
-      .join(sh.toDF("doc_new", "sh"), "doc_new")
-      .join(sh.toDF("doc_old", "sh"), Seq("doc_old", "sh"))
-      .groupBy("doc_new", "doc_old")
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.toDF("doc_new", "na"), "doc_new")
-      .join(sizes.toDF("doc_old", "nb"), "doc_old")
+      .join(docArrays.toDF("doc_new", "shs_a", "na"), "doc_new")
+      .join(docArrays.toDF("doc_old", "shs_b", "nb"), "doc_old")
+      .withColumn("inter",
+        size(array_intersect(col("shs_a"), col("shs_b"))).cast("long"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= jaccardThreshold)

@@ -65,13 +65,21 @@ object EventAnalytics {
   def eventsResample(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables.events(spark, dir)
       .select(col("event_type"), date_trunc("hour", col("ts")).as("hour"), col("value"))
+    // ONE raw scan (r14; was three): the grid bounds and the series-key
+    // set are both derivable from the hourly aggregate — min/max of the
+    // aggregate's hour equals min/max of the truncated feed, and its
+    // event_type set equals the feed's distinct types. The aggregate is
+    // series × hours rows (bounded), so the per-query localCheckpoint
+    // pins it to one evaluation instead of replaying the full scan for
+    // each of its three consumers (grid bounds, key collect, fill join).
     val hourly = ev.groupBy("event_type", "hour").agg(max("value").as("hmax"))
-    val grid = ev.agg(min("hour").as("lo"), max("hour").as("hi"))
+      .localCheckpoint()
+    val grid = hourly.agg(min("hour").as("lo"), max("hour").as("hi"))
       .select(explode(sequence(col("lo"), col("hi"), expr("interval 1 hour"))).as("hour"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("event_type").orderBy("hour")
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    val keys = ev.select("event_type").distinct().limit(maxSeries + 1).collect()
+    val keys = hourly.select("event_type").distinct().limit(maxSeries + 1).collect()
     require(keys.length <= maxSeries,
       s"events_resample grids series × hours and the feed has more than " +
         s"$maxSeries event types — resample per-key with a window instead " +
@@ -948,25 +956,28 @@ object EventAnalytics {
     * appeared at sf0.1 cardinalities. Sketch size is still KB-scale. */
   val hllRsd = 0.01
 
-  /** Two separate aggregation passes joined on the (tiny) group key —
-    * deliberately NOT one `agg(approx, countDistinct)`: a distinct
-    * aggregate makes Catalyst plan the WHOLE aggregation through
-    * Expand + the four-phase distinct pipeline, which drags the
-    * rsd-0.01 HLL buffer (~16 KB per group) through the extra
-    * partial-merge phases. Measured at sf0.1 (ApproxProf, min-of-3):
-    * combined 2.12 s vs 0.87 s for the two passes + broadcast join —
-    * and at real scale the combined plan's Expand also doubles the
-    * shuffled row count. Values are identical either way. */
-  def approxDistinctUsersRaw(spark: SparkSession, dir: String): DataFrame = {
-    val ev = Tables.events(spark, dir)
-    val approx = ev.groupBy("event_type")
-      .agg(approx_count_distinct(col("user_id"), hllRsd).as("approx_users"))
-    val exact = ev.groupBy("event_type")
-      .agg(countDistinct(col("user_id")).as("exact_users"))
-    approx.join(exact, "event_type")
+  /** ONE scan via two-level aggregation (r14; was two scans joined on
+    * the group key). The earlier single-pass `agg(approx, countDistinct)`
+    * was measured and rejected (ApproxProf: 2.12 s vs 0.87 s) because a
+    * distinct aggregate makes Catalyst plan the whole aggregation through
+    * Expand + the four-phase distinct pipeline, dragging the rsd-0.01 HLL
+    * buffer (~16 KB per group) through the extra partial-merge phases —
+    * but the two-level form avoids Expand entirely: level 1 groups by
+    * (event_type, user_id) with NO aggregate (map-side partial dedup,
+    * one exchange of the distinct pairs), level 2 counts the pairs
+    * (= exact distinct users) and feeds each user_id to the HLL sketch
+    * exactly once. HLL insertion is idempotent (register max over hashed
+    * values), so the sketch over deduped pairs is bit-identical to the
+    * sketch over the raw feed — and the raw feed is scanned ONCE instead
+    * of twice, with no join. */
+  def approxDistinctUsersRaw(spark: SparkSession, dir: String): DataFrame =
+    Tables.events(spark, dir)
+      .select("event_type", "user_id").distinct()
+      .groupBy("event_type")
+      .agg(approx_count_distinct(col("user_id"), hllRsd).as("approx_users"),
+        count(lit(1)).as("exact_users"))
       .select(col("event_type"), col("approx_users"), col("exact_users"))
       .orderBy("event_type")
-  }
 
   def approxDistinctUsers(spark: SparkSession, dir: String): DataFrame =
     approxDistinctUsersRaw(spark, dir)

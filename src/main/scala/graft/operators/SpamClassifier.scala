@@ -197,11 +197,19 @@ object SpamClassifier {
     // the three scoring passes because the returned lazy plan could not
     // reference a cache released inside this method
     val inst = instancesMaterialized(spark, dir)
-    val models = (0 until 3).map { k =>
-      train(spark, inst.filter(pmod(col("doc_id"), lit(3)) === k))
+    // the three folds train CONCURRENTLY (r14, guide §2.6): each train is
+    // a deliberately sequential one-task fold (repartition(1) SGD), so
+    // running them serially left 31 of 32 cores idle three times over;
+    // the folds are independent (disjoint doc_id mod 3 slices of the
+    // shared materialized featurization) and each lands in its own
+    // bounded driver collect, so a 3-thread pool overlaps them without
+    // changing any fold's sequential semantics
+    val modelRows = new Array[Seq[(Long, Double)]](3)
+    graft.Tables.runConcurrently("graft-spam-ensemble", (0 until 3).map(k => () => {
+      modelRows(k) = train(spark, inst.filter(pmod(col("doc_id"), lit(3)) === k))
         .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
-        .toDF("feature", "weight")
-    }
+    }))
+    val models = (0 until 3).map(k => modelRows(k).toDF("feature", "weight"))
     val scored = (0 until 3).map { k =>
       score(instancesMaterialized(spark, dir), models(k), s"raw$k")
         .withColumn(s"score$k", round(col(s"raw$k"), 6))

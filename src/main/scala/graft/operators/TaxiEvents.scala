@@ -27,10 +27,17 @@ object TaxiEvents {
       box: (Double, Double, Double, Double)): Column =
     lon > box._1 && lon < box._2 && lat > box._3 && lat < box._4
 
-  /** Raw taxi CSV lines → (region, dropoff_ts) for events inside either
-    * box; rows outside both boxes (or malformed) drop out. */
-  def parse(raw: DataFrame): DataFrame = {
-    val c = split(col("value"), ",")
+  /** Raw taxi CSV lines → (region, dropoff_ts) for EVERY line: region is
+    * null outside both boxes (or malformed), ts null when unparsable.
+    * The split array is materialized once in its own projection; the
+    * region/ts expressions above it reference the array ATTRIBUTE many
+    * times, and CollapseProject's cheap-expression guard keeps the two
+    * projections apart — so split runs once per row. (r14: the previous
+    * shape inlined `split(value)` as a local Column, so the expression
+    * tree reached Catalyst with ~16 split copies in the Filter and 16
+    * more in the Project — the captured before-plan shows them all.) */
+  private def parseAll(raw: DataFrame): DataFrame = {
+    val c = col("c")
     val lon = when(c.getItem(0) === "yellow", c.getItem(10))
       .otherwise(c.getItem(8)).cast("double")
     val lat = when(c.getItem(0) === "yellow", c.getItem(11))
@@ -38,11 +45,39 @@ object TaxiEvents {
     val region = when(inBox(lon, lat, goldman), lit("goldman"))
       .when(inBox(lon, lat, citigroup), lit("citigroup"))
     raw
+      .select(split(col("value"), ",").as("c"))
       .select(
         region.as("region"),
         to_timestamp(c.getItem(3), "yyyy-MM-dd HH:mm:ss").as("ts"))
-      .filter(col("region").isNotNull && col("ts").isNotNull)
   }
+
+  /** In-box events only — the original parse contract (TaxiSpec, dev
+    * tools). The hourly pipelines do NOT use this row-level filter: a
+    * deterministic filter on derived columns is pushed below the
+    * projection with its aliases substituted, which re-inlines the
+    * split-heavy region/ts expressions into the Filter — they drop the
+    * null groups above the aggregate instead (see [[hourlyCounts]]). */
+  def parse(raw: DataFrame): DataFrame =
+    parseAll(raw).filter(col("region").isNotNull && col("ts").isNotNull)
+
+  /** Hourly dropoff counts per region with the null-drop ABOVE the
+    * aggregate (r14): out-of-box/malformed rows ride into the hash
+    * aggregate as a handful of carrier groups (null region × hours —
+    * group-count-scale, not row-scale) and are dropped at the group
+    * level. The `when(cnt > 0, …)` wrapper is semantically the identity
+    * (every emitted group has cnt ≥ 1) but makes both conjuncts
+    * reference the aggregate output, which pins the filter above the
+    * aggregate — written plainly on the keys it would be pushed back
+    * below the projection, re-inlining ~16 `split(value)` copies per
+    * row into a Filter (the before-plan's exact shape). Group counts
+    * are unchanged: count(1) per (region, window) group never depended
+    * on the other groups' rows. */
+  private def hourlyCounts(parsed: DataFrame): DataFrame =
+    parsed
+      .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
+      .agg(count(lit(1)).as("cnt"))
+      .filter(when(col("cnt") > 0,
+        col("region").isNotNull && col("w").isNotNull).otherwise(lit(false)))
 
   /** R2 on the real data: hourly dropoff counts per company. The
     * `part-*.csv` filter is applied via pathGlobFilter on ONE directory
@@ -50,9 +85,8 @@ object TaxiEvents {
     * of the 1,440 matched files individually (measured 2.9-7 s vs 0.5 s
     * for the filtered listing on this dataset). */
   def regionHourly(spark: SparkSession, taxiDir: String): DataFrame =
-    parse(spark.read.option("pathGlobFilter", "part-*.csv").text(taxiDir))
-      .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("cnt"))
+    hourlyCounts(parseAll(
+      spark.read.option("pathGlobFilter", "part-*.csv").text(taxiDir)))
       .select(col("region"),
         col("w.start").cast("timestamp_ntz").as("hour_start"), col("cnt"))
       .orderBy("region", "hour_start")
@@ -105,12 +139,13 @@ object TaxiEvents {
     import spark.implicits._
     val sinkName = "taxi_region_hourly_stream_sink"
     spark.catalog.dropTempView(sinkName)
-    val agg = parse(spark.readStream
+    // same agg-first shape as the batch query (null carrier groups are a
+    // bounded handful of state-store entries, dropped by the stateless
+    // post-agg filter inside hourlyCounts)
+    val agg = hourlyCounts(parseAll(spark.readStream
       .option("pathGlobFilter", "part-*.csv")
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .text(taxiDir))
-      .groupBy(col("region"), window(col("ts"), "1 hour").as("w"))
-      .agg(count(lit(1)).as("cnt"))
+      .text(taxiDir)))
     val q = agg.writeStream.outputMode("complete").format("memory")
       .queryName(sinkName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -92,8 +92,22 @@ object TextQuality {
         col("lang").as("true_lang"))
       .orderBy("doc_id")
 
+  /** The quality score as ONE column expression over (ws, n_chars) —
+    * exactly the tree [[docQuality]]'s withColumn chain collapses to, so
+    * a consumer that only needs the score (CorpusPipeline.corpusFunnel)
+    * can compute it inside its own scan instead of joining docQuality
+    * back by doc_id (guide §2.4: a join whose right side is a pure
+    * per-row function of the left is a removable second scan). */
+  private[operators] def qualityCol(ws: Column, nChars: Column): Column = {
+    val nTokens = size(ws)
+    val stopRatio = stopCount(ws).cast("double") / nTokens
+    val diversity = size(array_distinct(ws)).cast("double") / nTokens
+    val lenScore = least(nChars.cast("double") / 400.0, lit(1.0))
+    round(lenScore * 0.4 + diversity * 0.4 + stopRatio * 0.2, 6)
+  }
+
   /** Quality scoring: length / stopword / lexical-diversity signals
-    * combined into one fixed-shape weighted score. */
+    * combined into one fixed-shape weighted score ([[qualityCol]]). */
   def docQuality(spark: SparkSession, dir: String): DataFrame =
     docs(spark, dir)
       .withColumn("n_tokens", size(col("ws")))
