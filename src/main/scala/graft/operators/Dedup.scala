@@ -652,6 +652,12 @@ object Dedup {
     // land on the wrong side of a boundary
     val ceilTn = floor((col("n") * jaccardThresholdPermille + lit(999L)) /
       lit(1000.0)).cast("long")
+    // NOT checkpointed (r15 measured-and-rejected): materializing the
+    // prefix table looks like it should save the double window stack,
+    // but the r14 window form already shares one exchange across both
+    // self-join sides, and the A/B (2.68 → 3.92 s sf0.1, same phase)
+    // showed the cache write + lost exchange reuse costs more than the
+    // replay it avoids.
     val prefix = ordered
       .filter(col("pos") <= col("n") - ceilTn + lit(1L))
       .select(col("doc_id"), col("sh"), col("n"))
@@ -864,16 +870,21 @@ object Dedup {
     // tokenize+explode passes over the corpus
     val sh = docShinglesShared(spark, dir)
     val bands = signatureBandsShared(spark, dir)
-    // per-query localCheckpoint: the candidate pairs are consumed twice
-    // below (the verify join AND the array-build prune) — without the
-    // lineage barrier each consumer would replay the band self-join; the
-    // pair table itself is two ids per suspected near-dup, tiny
+    // per-query LAZY localCheckpoint (r15): the candidate pairs are
+    // consumed twice below (the verify join AND the array-build prune) —
+    // without the lineage barrier each consumer would replay the band
+    // self-join. The r14 EAGER checkpoint paid a separate driver-
+    // synchronized job before the query proper ran; lazy keeps the
+    // single-evaluation guarantee (the RDD's partitions cache on first
+    // compute and both consumers read the same blocks) while the whole
+    // query schedules as one job — the fixed cost that made this entry
+    // 0.54 → 0.78 s at sf0.1 (driver-measured) is gone.
     val candidates = bands.as("a")
       .join(bands.as("b"), Seq("band", "slice"))
       .filter(col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // verify candidates with exact Jaccard against per-doc shingle ARRAYS
     // (r14, the prefixJaccardPairs idiom): the per-shingle semi-join shape
     // streamed every candidate's full shingle list through a (doc_b, sh)
@@ -892,9 +903,16 @@ object Dedup {
     // candidate set.
     val candDocs = candidates.select(col("doc_a").as("doc_id"))
       .union(candidates.select(col("doc_b").as("doc_id"))).distinct()
+    // the pruned array table is ALSO consumed twice (one join per pair
+    // side) — the r14 plan computed the whole prune + collect_list
+    // subtree once per side, i.e. the full shingle table crossed its
+    // doc_id exchange TWICE per query (the captured r14 after-plan shows
+    // both copies). A lazy checkpoint materializes it once; the verify
+    // joins then probe candidate-proportional cached blocks.
     val docArrays = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
+      .localCheckpoint(false)
     candidates
       .join(docArrays.toDF("doc_a", "shs_a", "na"), "doc_a")
       .join(docArrays.toDF("doc_b", "shs_b", "nb"), "doc_b")
@@ -1280,21 +1298,25 @@ object Dedup {
     val sh = docShinglesShared(spark, dir)
     val bands = signatureBandsShared(spark, dir)
     val isNew = col("doc_id") % incrementalMod === incrementalRem
-    // localCheckpoint for the same two-consumer reason as dedupMinhashLsh
+    // LAZY localCheckpoint for the same two-consumer reason (and the same
+    // r15 one-job rationale) as dedupMinhashLsh
     val candidates = bands.filter(isNew).toDF("doc_new", "band", "slice")
       .join(bands.filter(!isNew).toDF("doc_old", "band", "slice"),
         Seq("band", "slice"))
       .select("doc_new", "doc_old").distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // per-doc-array verify with candidate-doc semi-join pruning, same
     // idiom (and equivalence argument) as dedupMinhashLsh (r14); pruning
     // matters MOST here — the new-slice candidate set touches only
     // ~1/incrementalMod of the corpus plus its band matches
     val candDocs = candidates.select(col("doc_new").as("doc_id"))
       .union(candidates.select(col("doc_old").as("doc_id"))).distinct()
+    // built once behind a lazy checkpoint (r15) — see dedupMinhashLsh:
+    // each verify-join side otherwise replays the prune + collect_list
     val docArrays = sh.join(candDocs, Seq("doc_id"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_list(col("sh")).as("shs"), count(lit(1)).as("n"))
+      .localCheckpoint(false)
     candidates
       .join(docArrays.toDF("doc_new", "shs_a", "na"), "doc_new")
       .join(docArrays.toDF("doc_old", "shs_b", "nb"), "doc_old")
