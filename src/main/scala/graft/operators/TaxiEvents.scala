@@ -134,11 +134,28 @@ object TaxiEvents {
     drainRegionHourly(spark, taxiDir, maxFilesPerTrigger = 60,
       minDataBatches = 2)
 
+  /** Explicit-path listing threshold while a taxi drain runs. Each
+    * micro-batch's getBatch wraps its admitted file list in a relation,
+    * and listing MORE paths than `parallelPartitionDiscovery.threshold`
+    * (default 32) launches a distributed stat job — ~1,440 single-file
+    * tasks per batch here, pure scheduler overhead on a local FS where
+    * a driver-side stat is ~40 µs/file. Profiled (TaxiStreamProf, r15):
+    * getBatch 2.5-3.0 s → 0.10-0.15 s, warm drain 5.0 → 2.4 s. On a
+    * high-latency object store the distributed listing is the right
+    * choice again — deployments set SPARK_GRAFT_LIST_THRESHOLD=32 (or
+    * lower) to restore it; the conf is restored after the drain either
+    * way so nothing else in the session inherits the local default. */
+  private val listThreshold: String =
+    sys.env.getOrElse("SPARK_GRAFT_LIST_THRESHOLD", "10000")
+
   private def drainRegionHourly(spark: SparkSession, taxiDir: String,
       maxFilesPerTrigger: Int, minDataBatches: Int): DataFrame = {
     import spark.implicits._
     val sinkName = "taxi_region_hourly_stream_sink"
     spark.catalog.dropTempView(sinkName)
+    val listKey = "spark.sql.sources.parallelPartitionDiscovery.threshold"
+    val prevThreshold = spark.conf.getOption(listKey)
+    spark.conf.set(listKey, listThreshold)
     // same agg-first shape as the batch query (null carrier groups are a
     // bounded handful of state-store entries, dropped by the stateless
     // post-agg filter inside hourlyCounts)
@@ -150,7 +167,13 @@ object TaxiEvents {
       .queryName(sinkName)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    try q.awaitTermination() finally q.stop()
+    try q.awaitTermination() finally {
+      q.stop()
+      prevThreshold match {
+        case Some(v) => spark.conf.set(listKey, v)
+        case None => spark.conf.unset(listKey)
+      }
+    }
     // fail loudly if the drain's batch structure is not the declared one
     // (e.g. a future option change collapsing the chunked replay)
     val dataBatches = q.recentProgress.count(_.numInputRows > 0)
