@@ -210,7 +210,7 @@ object PageRank {
     * callers that materialize a (small) derived result can release the
     * 10 iterations' blocks deterministically instead of leaving ~MBs per
     * run parked in the MemoryStore until a driver GC. */
-  private def personalizedPageRankLoop(spark: SparkSession,
+  private[graft] def personalizedPageRankLoop(spark: SparkSession,
       g: GraphArtifacts, traceDir: Option[String] = None): (DataFrame, Seq[DataFrame]) = {
     val GraphArtifacts(adjW, outdeg, hasDangling, nPart) = g
     val srcDf = spark.createDataFrame(sources.map(Tuple1(_))).toDF("source")

@@ -378,10 +378,18 @@ object Similarity {
     // the NORMALIZED vector flips no sign bit: dot(v/‖v‖, plane) has the
     // sign of dot(v, plane) for any ‖v‖ > 0.
     val pl = planes
+    // LAZY checkpoints on nv/keys/blocks (r15): each table still
+    // materializes exactly once (cached on first compute; the banding-
+    // pass counter law in SimilaritySpec still holds), but the pipeline
+    // schedules as TWO driver jobs instead of five — the occupancy
+    // collect computes-and-caches nv+keys in one job, and the survivor
+    // materialization computes blocks+tiles+sweep in the next, instead
+    // of paying a driver barrier per eager checkpoint (the same
+    // one-job rationale as the r15 dedup LSH verify).
     val nv = vecs.as[(Long, Seq[Double])].map { case (id, raw) =>
       val n = math.sqrt(raw.iterator.map(x => x * x).sum)
       (id, raw.iterator.map(_ / n).toArray)
-    }.toDF("vec_id", "v").localCheckpoint(true)
+    }.toDF("vec_id", "v").localCheckpoint(false)
     val keys = nv.as[(Long, Seq[Double])].flatMap { case (id, nvs) =>
       bandedRowsSwept.increment()
       val v = nvs.toArray
@@ -398,7 +406,7 @@ object Similarity {
         }
         (t, bits.toString, id)
       }
-    }.toDF("table", "bucket", "vec_id").localCheckpoint(true)
+    }.toDF("table", "bucket", "vec_id").localCheckpoint(false)
     // Bucket occupancy → per-bucket block count: a hot bucket splits into
     // ceil(occ / pairsVecsPerBlock) blocks and rescores as block-pair
     // tiles (the exact kernel's discipline), so one skewed bucket
@@ -422,7 +430,7 @@ object Similarity {
           it.map { case (_, _, id, v) => (id, v.toArray) }.toArray.sortBy(_._1))
       }
       .toDF("table", "bucket", "blk", "items")
-      .localCheckpoint(true) // feeds both tile sides
+      .localCheckpoint(false) // feeds both tile sides; lazy — see nv
     // tile join stays KEYED on (table, bucket) — an equi-join whose
     // fan-out is the per-bucket block count, never a corpus cross product
     val tiles = blocks
