@@ -331,6 +331,15 @@ private[graft] object BenchFormat {
     // it moves here too (filtered timing in PLANS.md r14) and its ~34
     // line chars fund prev_ratio + the hot marker on the official line
     // (r13 verdict item 2 — the committed-capture phase reference).
+    // r15 (r14 verdict item 6): re-promotion was ATTEMPTED and the
+    // BenchFormatSpec registry test rejected it — a 76-entry line with
+    // all four canaries + the sf1 digest + prev_ratio aboard sheds the
+    // digest at the 2dp floor, i.e. the tail window physically cannot
+    // carry both. The verdict's fallback applies instead: the timed set
+    // is FROZEN at the r15 roster and the line format declared FINAL —
+    // BenchFormatSpec pins the freeze, and any future budget pressure
+    // must be solved in the fit ladder or BENCH_LOCAL.json (the
+    // canonical full-precision record), never by demoting a timed entry.
     "boolean_retrieval_graded", "boolean_retrieval_rare_and",
     "boolean_retrieval_or_chain",
     // sample_weighted (r6h) is sample_balanced's exact plan shape —
