@@ -69,11 +69,18 @@ object Tables {
         def call(): Unit = j()
       }))
       var firstFailure: Throwable = null
+      // drain EVERY future before rethrowing, including across an
+      // interrupt (r15, advisor): an InterruptedException from f.get()
+      // must not skip the remaining gets — the daemon jobs would keep
+      // running after the caller's finally releases shared state (e.g.
+      // InvertedIndex releasing the tf checkpoint under a live write).
       futures.foreach { f =>
         try f.get()
         catch {
           case e: java.util.concurrent.ExecutionException =>
             if (firstFailure == null) firstFailure = e.getCause
+          case e: InterruptedException =>
+            if (firstFailure == null) firstFailure = e
         }
       }
       if (firstFailure != null) throw firstFailure

@@ -974,8 +974,14 @@ object EventAnalytics {
     Tables.events(spark, dir)
       .select("event_type", "user_id").distinct()
       .groupBy("event_type")
+      // count(user_id), not count(1) (r15, advisor): over the distinct
+      // (event_type, user_id) pairs the two differ only when a NULL
+      // user_id appears in the feed — count(1) would count the NULL
+      // group as a user, diverging from approx_count_distinct beside it
+      // AND from the declared count(distinct user_id) oracle. The events
+      // schema allows NULLs even though the fixtures carry none.
       .agg(approx_count_distinct(col("user_id"), hllRsd).as("approx_users"),
-        count(lit(1)).as("exact_users"))
+        count(col("user_id")).as("exact_users"))
       .select(col("event_type"), col("approx_users"), col("exact_users"))
       .orderBy("event_type")
 

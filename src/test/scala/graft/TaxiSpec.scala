@@ -54,6 +54,40 @@ class TaxiSpec extends GraftSpec {
       s"mismatch: spark=${got.toSeq.sorted.take(5)} ref=${referenceCounts.toSeq.sorted.take(5)}")
   }
 
+  test("regionHourly's plan keeps split() out of every Filter (r14 shape)") {
+    // The r14 agg-first rewrite holds only because Catalyst cannot push
+    // the when(cnt > 0, ...) null-drop back through the aggregate — a
+    // Spark-version-sensitive property (advisor, r15). If a future
+    // optimizer rule learns to simplify the wrapper or infer cnt >= 1,
+    // the filter lands back below the projection with its aliases
+    // substituted, re-inlining ~16 split(value) copies per row into a
+    // Filter — the captured plans/r14 before-plan's exact regression.
+    // Benign residue that stays: Catalyst infers `ts IS NOT NULL` from
+    // the post-agg w-null-drop and pushes ONE isnotnull(to_timestamp(
+    // split(...)[3])) to the scan — a single split per row, present in
+    // the optimized r14 shape too. The regression this guards is the
+    // REGION dispatch (two bounding boxes × 4 comparisons, each
+    // re-deriving lon/lat from split) landing in a Filter: that shape
+    // carries many split copies per condition, so the pin is "no Filter
+    // evaluates split() more than once, and no Filter contains the box
+    // constants".
+    val df = TaxiEvents.regionHourly(spark, taxiDir)
+    df.write.format("noop").mode("overwrite").save()
+    val filters = physicalNodes(df).collect {
+      case f: org.apache.spark.sql.execution.FilterExec => f
+    }
+    assert(filters.nonEmpty, "expected the post-agg null-drop Filter")
+    filters.foreach { f =>
+      val cond = f.condition.toString
+      val splits = "split\\(".r.findAllIn(cond).size
+      assert(splits <= 1,
+        s"region dispatch re-inlined into a Filter ($splits split copies): " +
+          cond.take(200))
+      assert(!cond.contains(TaxiEvents.goldman._1.toString),
+        s"bounding-box constant in a Filter: ${cond.take(200)}")
+    }
+  }
+
   test("streaming file-source ingestion equals the batch query (R2 production shape)") {
     def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getString(0), r.get(1).toString, r.getAs[Long]("cnt"))).toSeq
