@@ -1026,6 +1026,23 @@ object Dedup {
       .unionByName(pairs.toDF("b", "a").select("a", "b"))
       .toDF("node", "peer")
       .cache()
+    // Loop width from the GRAPH, not the session default (r15; the PPR
+    // loopWidthFor play, guide §2): each round runs ~6 exchanges over
+    // (node, label) longs, and a near-dup pair graph is output-sized —
+    // hundreds of rows at fixture scale — so 32 fixed partitions mean
+    // rounds of ~200 empty-task launches (dedup_survivors' 0.70 8-core
+    // ratio: 32 cores pay pure orchestration). ~1 MB of label rows per
+    // partition, floor 4, capped; width grows linearly with the pair
+    // graph at corpus scale. The width comes from an EXACT count of the
+    // (materialized, checkpoint-cached) pair artifact — the Catalyst
+    // size statistic of a checkpointed LogicalRDD is a join-shape
+    // overestimate that clamped straight to the cap when tried.
+    // Results are width-independent: every per-round operator is an
+    // integer min/least — no FP summation order anywhere in the loop.
+    val spark = pairs.sparkSession
+    val ccWidth = (pairs.count() * 32L / (1L << 20)).min(4096).max(4).toInt
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", ccWidth)
     try {
       var labels = edges.select(col("node")).distinct()
         .withColumn("label", col("node"))
@@ -1060,7 +1077,10 @@ object Dedup {
           s"rounds (component diameter > ~2^$maxRounds) — refusing to return " +
           "partially-propagated clusters")
       labels
-    } finally edges.unpersist()
+    } finally {
+      spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+      edges.unpersist()
+    }
   }
 
   /** Dedup telemetry: log2 histogram of near-dup cluster sizes — the

@@ -13,6 +13,10 @@ object QueryProf extends App {
   val name = args.headOption.getOrElse(sys.error("query name required"))
   val dir = if (args.length > 1) args(1) else "/root/testdata/sf0.1"
   val reps = if (args.length > 2) args(2).toInt else 5
+  // keepmemos: reps after the first ride the family artifacts — isolates
+  // a family query's MARGINAL cost (the bench's in-run position) from
+  // the shared build the bench charges to *_family_build
+  val keepMemos = args.length > 3 && args(3) == "keepmemos"
   val spark = GraftSession.baseBuilder("32")
     .config("spark.sql.adaptive.enabled", "true")
     .getOrCreate()
@@ -31,7 +35,7 @@ object QueryProf extends App {
   }
 
   val times = (1 to reps).map { i =>
-    clearMemos()
+    if (!keepMemos) clearMemos()
     val t0 = System.nanoTime()
     SparkEntry.queries(name)(spark, dir)
       .write.format("noop").mode("overwrite").save()
