@@ -430,7 +430,14 @@ object Similarity {
           it.map { case (_, _, id, v) => (id, v.toArray) }.toArray.sortBy(_._1))
       }
       .toDF("table", "bucket", "blk", "items")
-      .localCheckpoint(false) // feeds both tile sides; lazy — see nv
+      // EAGER, unlike nv/keys (r15): blocks feeds BOTH tile-join sides,
+      // and leaving it lazy made the survivor job recompute the heavy
+      // groupByKey/mapGroups subtree per side at scale (sf3 A/B:
+      // 13.0 s eager vs 22.1 s lazy on dedup_embedding_cosine) — the
+      // cache races of two same-job consumer stages do not reliably
+      // dedupe the build. One driver barrier here is cheap; the
+      // nv/keys fusion above keeps the 5->2->3 job win.
+      .localCheckpoint(true)
     // tile join stays KEYED on (table, bucket) — an equi-join whose
     // fan-out is the per-bucket block count, never a corpus cross product
     val tiles = blocks
