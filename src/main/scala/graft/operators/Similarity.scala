@@ -378,14 +378,16 @@ object Similarity {
     // the NORMALIZED vector flips no sign bit: dot(v/‖v‖, plane) has the
     // sign of dot(v, plane) for any ‖v‖ > 0.
     val pl = planes
-    // LAZY checkpoints on nv/keys/blocks (r15): each table still
-    // materializes exactly once (cached on first compute; the banding-
-    // pass counter law in SimilaritySpec still holds), but the pipeline
-    // schedules as TWO driver jobs instead of five — the occupancy
-    // collect computes-and-caches nv+keys in one job, and the survivor
-    // materialization computes blocks+tiles+sweep in the next, instead
-    // of paying a driver barrier per eager checkpoint (the same
-    // one-job rationale as the r15 dedup LSH verify).
+    // LAZY checkpoints on nv/keys (r15): both still materialize exactly
+    // once (cached on first compute; the banding-pass counter law in
+    // SimilaritySpec still holds), but the pipeline schedules as THREE
+    // driver jobs instead of five — the occupancy collect computes-and-
+    // caches nv+keys in one job, blocks materializes eagerly (see its
+    // comment for why lazy is UNSAFE there), and the survivor
+    // materialization runs tiles+sweep. Lazy fusion is safe here
+    // because every consumer of nv/keys after the collect runs in a
+    // LATER job and reads the cache (the same one-job rationale as the
+    // r15 dedup LSH verify).
     val nv = vecs.as[(Long, Seq[Double])].map { case (id, raw) =>
       val n = math.sqrt(raw.iterator.map(x => x * x).sum)
       (id, raw.iterator.map(_ / n).toArray)
